@@ -1,0 +1,246 @@
+"""Relational analytics core over the star schema.
+
+TPC-H-style plans adapted to the available columns. Scale design:
+- dimension tables (region/nation/supplier/part, and customer where
+  it is the small side) go through ``F.broadcast`` — no shuffle of
+  the fact table for those joins;
+- aggregations are expressed as groupBy().agg() so Catalyst plans
+  partial (map-side) aggregation before the exchange;
+- filters sit directly on the scan so they push into parquet
+  (`PushedFilters` in explain) and money aggregates are rounded to
+  4 dp in BOTH engines so double accumulation order can't flip the
+  oracle hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from datatransformertools_spark.sources.tables import load_table
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: pricing summary report. Single scan + single
+    shuffle on a 2-value×2-value key; partial aggregation does
+    almost all the work map-side, so at 100 TB this is scan-bound."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 4
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  round(sum(l_quantity), 4)                                           AS sum_qty,
+  round(sum(l_extendedprice), 4)                                      AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 4)                   AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)     AS sum_charge,
+  round(avg(l_quantity), 4)                                           AS avg_qty,
+  round(avg(l_extendedprice), 4)                                      AS avg_price,
+  round(avg(l_discount), 4)                                           AS avg_disc,
+  count(*)                                                            AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 style: revenue of orders for one market segment.
+    customer is the small side → broadcast; orders⋈lineitem
+    shuffles on o_orderkey only after both sides were filtered, so
+    the exchange carries the minimum rows."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15"))
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15"))
+    return (
+        li.join(F.broadcast(cust.join(orders, cust.c_custkey == orders.o_custkey).select("o_orderkey", "o_orderdate")),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT
+  l_orderkey,
+  o_orderdate,
+  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 style: revenue by nation within one region. All
+    four dimension hops (region→nation→customer, supplier) are
+    broadcasts — the only shuffle is lineitem⋈orders + the final
+    tiny groupBy. Supplier-nation = customer-nation condition kept
+    from TPC-H."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    nr = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    cnr = cust.join(F.broadcast(nr), cust.c_nationkey == nr.n_nationkey).select("c_custkey", "n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cnr), F.col("o_custkey") == cnr.c_custkey)
+        .join(F.broadcast(supp), (F.col("l_suppkey") == supp.s_suppkey) & (supp.s_nationkey == F.col("n_nationkey")))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT
+  n_name,
+  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: selective scan-filter-agg. The whole predicate
+    pushes into the parquet scan; no shuffle at all beyond the
+    single-row final agg — the canonical pushdown demo."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q6_SQL = """
+SELECT
+  round(sum(l_extendedprice * l_discount), 4) AS revenue,
+  count(*)                                    AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def top_customers_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by order value per market segment — window
+    rank over a pre-aggregated frame. The window partitions by
+    segment, so at scale the sort is per-partition, never global."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("total_spent"), F.count(F.lit(1)).alias("n_orders"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+    )
+    w = F.row_number().over(
+        Window.partitionBy("c_mktsegment").orderBy(F.col("total_spent").desc(), F.col("c_custkey"))
+    )
+    return (
+        per_cust.withColumn("rank_in_segment", w)
+        .filter(F.col("rank_in_segment") <= 3)
+        .select("c_mktsegment", "rank_in_segment", "c_custkey", "c_name", "total_spent", "n_orders")
+    )
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT c_mktsegment, rank_in_segment, c_custkey, c_name, total_spent, n_orders
+FROM (
+  SELECT
+    c_mktsegment,
+    row_number() OVER (PARTITION BY c_mktsegment ORDER BY total_spent DESC, c_custkey) AS rank_in_segment,
+    c_custkey, c_name, total_spent, n_orders
+  FROM (
+    SELECT o_custkey, round(sum(o_totalprice), 4) AS total_spent, count(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+  ) per_cust
+  JOIN customer ON o_custkey = c_custkey
+) ranked
+WHERE rank_in_segment <= 3
+"""
+
+
+def order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 style: order-priority counts for orders with at
+    least one late-shipped lineitem — a left-semi join, which
+    Catalyst executes without materializing the many-row side."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01")) & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    late = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1996-10-01"))
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1996-10-01'
+  )
+GROUP BY o_orderpriority
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_top_unshipped": (q3_top_unshipped, Q3_SQL),
+    "q5_region_revenue": (q5_region_revenue, Q5_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "top_customers_window": (top_customers_window, TOP_CUSTOMERS_SQL),
+    "order_priority_exists": (order_priority_exists, ORDER_PRIORITY_SQL),
+}
+

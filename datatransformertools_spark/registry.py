@@ -1,0 +1,53 @@
+"""Central registry mapping operator names → (spark_fn, oracle_sql).
+
+Each operator module exposes ``QUERIES: dict[str, tuple[QueryFn,
+str | None]]``; this module concatenates them. ``__spark_entry__``
+re-exports `queries()` / `oracle_sql()` for the driver. `oracle`
+is None for genuinely non-SQL-expressible ops (driver then records
+a weaker rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_CACHE: dict[str, tuple[QueryFn, str | None]] | None = None
+
+
+def _load() -> dict[str, tuple[QueryFn, str | None]]:
+    global _CACHE
+    if _CACHE is not None:
+        return _CACHE
+    import importlib
+
+    modules = [
+        "datatransformertools_spark.operators.relational",
+        "datatransformertools_spark.operators.annotations",
+        "datatransformertools_spark.operators.evaluation",
+        "datatransformertools_spark.operators.dedup",
+        "datatransformertools_spark.operators.similarity",
+        "datatransformertools_spark.operators.text_analysis",
+        "datatransformertools_spark.operators.multimodal",
+        "datatransformertools_spark.operators.events",
+    ]
+    merged: dict[str, tuple[QueryFn, str | None]] = {}
+    for mod_name in modules:
+        mod = importlib.import_module(mod_name)
+        for name, pair in getattr(mod, "QUERIES", {}).items():
+            if name in merged:
+                raise ValueError(f"duplicate query name {name!r} from {mod_name}")
+            merged[name] = pair
+    _CACHE = merged
+    return merged
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _sql) in _load().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_fn, sql) in _load().items() if sql is not None}
