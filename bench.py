@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Benchmark harness: run every registered query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
+
+Each query is forced through a noop sink (`format("noop")`), which
+executes the full plan — scan, shuffles, windows — without
+collecting to the driver, so the numbers measure the engine, not
+py4j serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO_ROOT = str(Path(__file__).resolve().parent)
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ["SPARK_GRAFT_CPUS"] = cpus
+
+    from datatransformertools_spark import get_spark, registry
+
+    spark = get_spark("dtt-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = registry.queries()
+
+    # warm-up: JVM/codegen/parquet-footer caches on a trivial plan
+    queries["q6_forecast_revenue"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in sorted(queries):
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "total_runtime_all_queries",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(timings),
+        "cpus": int(cpus),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

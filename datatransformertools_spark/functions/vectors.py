@@ -37,3 +37,13 @@ def cosine(a: Column, b: Column) -> Column:
     ad, bd = as_double(a), as_double(b)
     denom = norm(ad) * norm(bd)
     return F.when(denom > 0, dot(ad, bd) / denom).otherwise(F.lit(0.0))
+
+
+def cosine_prenormed(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine with per-vector norms precomputed BEFORE the pair join
+    — same values as ``cosine`` (identical sequential fold per
+    vector) but the O(pairs) stage folds one array instead of
+    three. This is the form every pairwise operator should use at
+    scale."""
+    denom = norm_a * norm_b
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))

@@ -1,1 +1,320 @@
-QUERIES = {}
+"""Annotation / YOLO-format operators — reference parity core.
+
+Re-expresses `converter_to_yolo_data.py` and
+`predictions_to_json.py` as distributed DataFrame plans:
+
+- the reference walks image files one at a time in Python; here the
+  same bbox math is a Column expression over an annotations
+  DataFrame, so a 100 TB annotation set is one scan + zero shuffles
+  (normalize/denormalize are narrow transforms);
+- the reference's train/val split materializes the full file list
+  on one machine and calls sklearn; here the split is a stable
+  md5-based assignment per image — reproducible, shuffle-free, and
+  the 80/20 ratio holds in expectation at any scale.
+
+No bbox tables ship in the testdata, so these queries derive a
+deterministic annotation set from `events` (identical arithmetic in
+the DuckDB oracle), which keeps every operator value-checked end to
+end: image_id=user_id, box geometry from event_id/value arithmetic
+(large boxes intentionally overflow image bounds to exercise the
+reference's clipping path, converter_to_yolo_data.py:84-87).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datatransformertools_spark.functions.bbox import clip_box, from_yolo, to_yolo
+from datatransformertools_spark.functions.hashing import md5_long
+from datatransformertools_spark.sources.tables import load_table
+
+# Class id → name (reference predictions_to_json.py:37-44).
+CLASS_MAP = {
+    0: "Background",
+    1: "Text",
+    2: "Title",
+    3: "List",
+    4: "Table",
+    5: "Figure",
+}
+
+# ---------------------------------------------------------------------------
+# Synthetic deterministic annotation set (shared Spark builder + SQL CTE)
+# ---------------------------------------------------------------------------
+
+
+def annotations_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic annotation rows derived from events.
+
+    Columns: ann_id, image_id, file_name, img_w, img_h, x, y, w, h,
+    cls, conf. Mirrors ANN_BASE_SQL exactly.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    uid, eid, val = F.col("user_id"), F.col("event_id"), F.col("value")
+    return ev.select(
+        eid.alias("ann_id"),
+        uid.alias("image_id"),
+        F.concat(F.lit("doc_"), F.lpad(uid.cast("string"), 5, "0"), F.lit(".png")).alias("file_name"),
+        (F.lit(640) + (uid % 7) * 160).cast("double").alias("img_w"),
+        (F.lit(480) + (uid % 5) * 120).cast("double").alias("img_h"),
+        ((eid % 97) * F.lit(12.0)).alias("x"),
+        ((eid % 89) * F.lit(9.0)).alias("y"),
+        (val * 2.0 + 20.0).alias("w"),
+        (val * 1.5 + 15.0).alias("h"),
+        (eid % 6).cast("int").alias("cls"),
+        ((eid % 100) / F.lit(100.0)).alias("conf"),
+    )
+
+
+ANN_BASE_SQL = """
+ann_base AS (
+  SELECT
+    event_id                                                        AS ann_id,
+    user_id                                                         AS image_id,
+    'doc_' || lpad(CAST(user_id AS VARCHAR), 5, '0') || '.png'      AS file_name,
+    CAST(640 + (user_id % 7) * 160 AS DOUBLE)                       AS img_w,
+    CAST(480 + (user_id % 5) * 120 AS DOUBLE)                       AS img_h,
+    (event_id % 97) * 12.0                                          AS x,
+    (event_id % 89) * 9.0                                           AS y,
+    value * 2.0 + 20.0                                              AS w,
+    value * 1.5 + 15.0                                              AS h,
+    CAST(event_id % 6 AS INTEGER)                                   AS cls,
+    (event_id % 100) / 100.0                                        AS conf
+  FROM events
+)
+"""
+
+# ---------------------------------------------------------------------------
+# yolo_normalize — converter_to_yolo_data.py:81-92 (to_yolo_line)
+# ---------------------------------------------------------------------------
+
+
+def yolo_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ann = annotations_df(spark, sf_dir)
+    xc, yc, wn, hn = to_yolo(
+        F.col("x"), F.col("y"), F.col("w"), F.col("h"), F.col("img_w"), F.col("img_h")
+    )
+    return ann.select(
+        "ann_id",
+        "image_id",
+        "cls",
+        F.round(xc + 1e-9, 6).alias("x_center"),
+        F.round(yc + 1e-9, 6).alias("y_center"),
+        F.round(wn + 1e-9, 6).alias("w_norm"),
+        F.round(hn + 1e-9, 6).alias("h_norm"),
+    )
+
+
+YOLO_NORMALIZE_SQL = f"""
+WITH {ANN_BASE_SQL},
+clipped AS (
+  SELECT *,
+    greatest(0.0, least(x, img_w)) AS cx,
+    greatest(0.0, least(y, img_h)) AS cy
+  FROM ann_base
+),
+clipped2 AS (
+  SELECT *,
+    greatest(0.0, least(w, img_w - cx)) AS cw,
+    greatest(0.0, least(h, img_h - cy)) AS ch
+  FROM clipped
+)
+SELECT
+  ann_id, image_id, cls,
+  round((cx + cw / 2.0) / img_w + 1e-9, 6) AS x_center,
+  round((cy + ch / 2.0) / img_h + 1e-9, 6) AS y_center,
+  round(cw / img_w + 1e-9, 6)              AS w_norm,
+  round(ch / img_h + 1e-9, 6)              AS h_norm
+FROM clipped2
+"""
+
+# ---------------------------------------------------------------------------
+# yolo_denormalize — predictions_to_json.py:62-117 (yolo→abs + conf filter
+# + class-name mapping, 2-dp rounding per the reference default)
+# ---------------------------------------------------------------------------
+
+
+def yolo_denormalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ann = annotations_df(spark, sf_dir)
+    xc, yc, wn, hn = to_yolo(
+        F.col("x"), F.col("y"), F.col("w"), F.col("h"), F.col("img_w"), F.col("img_h")
+    )
+    norm = ann.select("ann_id", "image_id", "file_name", "img_w", "img_h", "cls", "conf",
+                      xc.alias("xc"), yc.alias("yc"), wn.alias("wn"), hn.alias("hn"))
+    ax, ay, aw, ah = from_yolo(
+        F.col("xc"), F.col("yc"), F.col("wn"), F.col("hn"), F.col("img_w"), F.col("img_h")
+    )
+    mapping = F.create_map(*[F.lit(v) for kv in CLASS_MAP.items() for v in kv])
+    return (
+        norm.filter(F.col("conf") >= 0.25)
+        .select(
+            "ann_id",
+            "file_name",
+            F.col("cls").alias("category_id"),
+            mapping[F.col("cls")].alias("category_name"),
+            F.round(ax + 1e-9, 2).alias("x_min"),
+            F.round(ay + 1e-9, 2).alias("y_min"),
+            F.round(aw + 1e-9, 2).alias("bbox_w"),
+            F.round(ah + 1e-9, 2).alias("bbox_h"),
+            F.round(F.col("conf") + 1e-9, 2).alias("confidence"),
+        )
+    )
+
+
+YOLO_DENORMALIZE_SQL = f"""
+WITH {ANN_BASE_SQL},
+norm AS (
+  SELECT ann_id, image_id, file_name, img_w, img_h, cls, conf,
+    (cx + cw / 2.0) / img_w AS xc,
+    (cy + ch / 2.0) / img_h AS yc,
+    cw / img_w AS wn,
+    ch / img_h AS hn
+  FROM (
+    SELECT *, greatest(0.0, least(w, img_w - cx)) AS cw,
+              greatest(0.0, least(h, img_h - cy)) AS ch
+    FROM (
+      SELECT *, greatest(0.0, least(x, img_w)) AS cx,
+                greatest(0.0, least(y, img_h)) AS cy
+      FROM ann_base
+    )
+  )
+),
+denorm AS (
+  SELECT *,
+    greatest(0.0, least((xc - wn / 2.0) * img_w, img_w)) AS dx,
+    greatest(0.0, least((yc - hn / 2.0) * img_h, img_h)) AS dy
+  FROM norm
+),
+denorm2 AS (
+  SELECT *,
+    greatest(0.0, least(wn * img_w, img_w - dx)) AS dw,
+    greatest(0.0, least(hn * img_h, img_h - dy)) AS dh
+  FROM denorm
+)
+SELECT
+  ann_id, file_name,
+  cls AS category_id,
+  CASE cls WHEN 0 THEN 'Background' WHEN 1 THEN 'Text' WHEN 2 THEN 'Title'
+           WHEN 3 THEN 'List' WHEN 4 THEN 'Table' WHEN 5 THEN 'Figure' END AS category_name,
+  round(dx + 1e-9, 2) AS x_min,
+  round(dy + 1e-9, 2) AS y_min,
+  round(dw + 1e-9, 2) AS bbox_w,
+  round(dh + 1e-9, 2) AS bbox_h,
+  round(conf + 1e-9, 2) AS confidence
+FROM denorm2
+WHERE conf >= 0.25
+"""
+
+# ---------------------------------------------------------------------------
+# train_val_split — converter_to_yolo_data.py:102-106, made distributed:
+# stable md5 hash of the file name → 80/20 assignment, no driver-side
+# materialization (the reference collects every file name into sklearn).
+# ---------------------------------------------------------------------------
+
+
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    images = annotations_df(spark, sf_dir).select("image_id", "file_name").distinct()
+    bucket = md5_long(F.col("file_name"), salt="split:") % 100
+    return images.select(
+        "image_id",
+        "file_name",
+        F.when(bucket < 80, F.lit("train")).otherwise(F.lit("val")).alias("split"),
+    )
+
+
+TRAIN_VAL_SPLIT_SQL = f"""
+WITH {ANN_BASE_SQL},
+images AS (SELECT DISTINCT image_id, file_name FROM ann_base)
+SELECT
+  image_id, file_name,
+  CASE WHEN ('0x' || substr(md5('split:' || file_name), 1, 15))::BIGINT % 100 < 80
+       THEN 'train' ELSE 'val' END AS split
+FROM images
+"""
+
+# ---------------------------------------------------------------------------
+# dataset_stats — converter_to_yolo_data.py:142-183: images / labels /
+# boxes / missing counts plus per-split image counts, one tiny agg row.
+# "Missing annotations" = images whose events are all 'error' type
+# (stand-in for the reference's missing-JSON case).
+# ---------------------------------------------------------------------------
+
+
+def dataset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    per_image = ev.groupBy(F.col("user_id").alias("image_id")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") != "error", 1).otherwise(0)).alias("n_boxes"),
+    )
+    file_name = F.concat(F.lit("doc_"), F.lpad(F.col("image_id").cast("string"), 5, "0"), F.lit(".png"))
+    bucket = md5_long(file_name, salt="split:") % 100
+    flagged = per_image.select(
+        "image_id",
+        "n_boxes",
+        (bucket < 80).cast("int").alias("is_train"),
+        (F.col("n_boxes") == 0).cast("int").alias("is_missing"),
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("images"),
+        F.count(F.lit(1)).alias("labels"),
+        F.sum("n_boxes").alias("boxes"),
+        F.sum("is_missing").alias("missing_json"),
+        F.sum("is_train").alias("train_images"),
+        F.sum(1 - F.col("is_train")).alias("val_images"),
+    )
+
+
+DATASET_STATS_SQL = """
+WITH per_image AS (
+  SELECT
+    user_id AS image_id,
+    count(*) AS n_events,
+    sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS n_boxes
+  FROM events
+  GROUP BY user_id
+),
+flagged AS (
+  SELECT
+    image_id, n_boxes,
+    CASE WHEN ('0x' || substr(md5('split:' || 'doc_' || lpad(CAST(image_id AS VARCHAR), 5, '0') || '.png'), 1, 15))::BIGINT % 100 < 80
+         THEN 1 ELSE 0 END AS is_train,
+    CASE WHEN n_boxes = 0 THEN 1 ELSE 0 END AS is_missing
+  FROM per_image
+)
+SELECT
+  count(*)        AS images,
+  count(*)        AS labels,
+  sum(n_boxes)    AS boxes,
+  sum(is_missing) AS missing_json,
+  sum(is_train)   AS train_images,
+  sum(1 - is_train) AS val_images
+FROM flagged
+"""
+
+# ---------------------------------------------------------------------------
+# class_map — the static id→name mapping as a queryable dimension
+# (broadcast side of every name-mapping join).
+# ---------------------------------------------------------------------------
+
+
+def class_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = [(k, v) for k, v in sorted(CLASS_MAP.items())]
+    return spark.createDataFrame(rows, "category_id int, category_name string")
+
+
+CLASS_MAP_SQL = """
+SELECT * FROM (VALUES
+  (0, 'Background'), (1, 'Text'), (2, 'Title'),
+  (3, 'List'), (4, 'Table'), (5, 'Figure')
+) AS t(category_id, category_name)
+"""
+
+
+QUERIES = {
+    "yolo_normalize": (yolo_normalize, YOLO_NORMALIZE_SQL),
+    "yolo_denormalize": (yolo_denormalize, YOLO_DENORMALIZE_SQL),
+    "train_val_split": (train_val_split, TRAIN_VAL_SPLIT_SQL),
+    "dataset_stats": (dataset_stats, DATASET_STATS_SQL),
+    "class_map": (class_map, CLASS_MAP_SQL),
+}

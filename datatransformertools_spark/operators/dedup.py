@@ -1,1 +1,387 @@
-QUERIES = {}
+"""Deduplication operators over the ``documents`` table.
+
+The training-data-pipeline core: exact, n-gram Jaccard, minhash-LSH,
+simhash, and embedding-cosine near-dup detection. Scale design:
+
+- **exact**: shuffle carries (16-byte md5, doc_id) only — never text.
+- **jaccard**: inverted-index self-join on shingles; the shuffle key
+  is the shingle, so work is proportional to shared shingles, not
+  n². This is the exact baseline the approximate methods are
+  validated against.
+- **minhash-LSH**: the 100 TB path. Per-doc signatures are computed
+  map-side (explode shingles → 8 partial mins), candidates come from
+  equality joins on 4 banded 16-byte keys. Total shuffle:
+  O(n · bands) tiny rows.
+- **simhash**: 48-bit fingerprints from token-count-weighted md5 bit
+  planes; candidates from 12-bit band equality (hamming ≤ 6 within
+  48 bits must share one of 4 bands — pigeonhole), then exact
+  hamming filter via xor+bit_count.
+- **embedding**: exact cosine within a blocking key (label); the
+  ANN/LSH variants live in operators/similarity.py.
+
+All hash math is md5-based so DuckDB oracles are value-exact
+(functions/hashing.py). Cosine thresholds compare rounded values so
+cross-engine float-sum reassociation cannot flip a boundary row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datatransformertools_spark.functions.text import normalize_text, tokens, word_shingles
+from datatransformertools_spark.functions.vectors import as_double, cosine_prenormed, norm
+from datatransformertools_spark.sources.tables import load_table
+
+NUM_PERM = 8
+BANDS = 4
+ROWS_PER_BAND = 2
+SHINGLE_N = 3
+JACCARD_TAU = 0.3
+SIMHASH_BITS = 48
+SIMHASH_BAND_BITS = 12
+SIMHASH_MAX_HAMMING = 6
+COSINE_TAU = 0.3
+
+# ---------------------------------------------------------------------------
+# shared shingle frames
+# ---------------------------------------------------------------------------
+
+
+def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) — distinct word 3-grams of normalized text."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = word_shingles(tokens(normalize_text(F.col("text"))), SHINGLE_N)
+    return docs.select("doc_id", F.explode(sh).alias("shingle"))
+
+
+_SHINGLE_SQL = r"""
+toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS t
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, s AS shingle
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+    FROM toks
+  )
+)
+"""
+
+# ---------------------------------------------------------------------------
+# dedup_exact
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 of normalized text → keep the min doc_id.
+    The only shuffled payload is (hash, doc_id)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        docs.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+DEDUP_EXACT_SQL = r"""
+SELECT
+  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_hash,
+  min(doc_id)                                             AS keep_doc_id,
+  count(*)                                                AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# dedup_ngram_jaccard — exact near-dup baseline
+# ---------------------------------------------------------------------------
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.round(F.col("inter") / (F.col("sa.n") + F.col("sb.n") - F.col("inter")) + 1e-9, 6)
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_TAU)
+    )
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH {_SHINGLE_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter::DOUBLE / (sa.n + sb.n - inter) + 1e-9, 6) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(inter::DOUBLE / (sa.n + sb.n - inter) + 1e-9, 6) >= {JACCARD_TAU}
+"""
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_lsh — the scale path
+# ---------------------------------------------------------------------------
+
+
+def _signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc minhash signature as NUM_PERM columns sig0..sigN.
+    Explode + agg-min means partial aggregation happens map-side —
+    the shuffle carries one row of 8 longs per document."""
+    sh = _shingle_df(spark, sf_dir)
+    aggs = [
+        F.min(
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 15), 16, 10).cast("long")
+        ).alias(f"sig{i}")
+        for i in range(NUM_PERM)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs from banded minhash-LSH, with the
+    signature-agreement estimate of Jaccard similarity."""
+    sig = _signature_df(spark, sf_dir)
+    band_cols = []
+    for b in range(BANDS):
+        parts = [F.lit(f"{b}:")]
+        for r in range(ROWS_PER_BAND):
+            parts.append(F.col(f"sig{b * ROWS_PER_BAND + r}").cast("string"))
+            parts.append(F.lit(","))
+        band_cols.append(F.md5(F.concat(*parts)))
+    banded = sig.select("doc_id", *[c for c in [F.col(f"sig{i}") for i in range(NUM_PERM)]],
+                        F.explode(F.array(*band_cols)).alias("band_key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    est = sum(
+        F.when(F.col(f"a.sig{i}") == F.col(f"b.sig{i}"), 1).otherwise(0) for i in range(NUM_PERM)
+    ) / float(NUM_PERM)
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                F.round(est + 1e-9, 6).alias("est_jaccard"))
+        .distinct()
+    )
+
+
+def _minhash_sql() -> str:
+    sig_aggs = ",\n    ".join(
+        f"min(('0x' || substr(md5('{i}:' || shingle), 1, 15))::BIGINT) AS sig{i}"
+        for i in range(NUM_PERM)
+    )
+    band_exprs = ",\n    ".join(
+        "md5('%d:' || %s) AS band%d"
+        % (
+            b,
+            " || ".join(
+                f"CAST(sig{b * ROWS_PER_BAND + r} AS VARCHAR) || ','" for r in range(ROWS_PER_BAND)
+            ),
+            b,
+        )
+        for b in range(BANDS)
+    )
+    band_union = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {', '.join(f'sig{i}' for i in range(NUM_PERM))}, band{b} AS band_key FROM banded"
+        for b in range(BANDS)
+    )
+    est = " + ".join(f"(CASE WHEN a.sig{i} = b.sig{i} THEN 1 ELSE 0 END)" for i in range(NUM_PERM))
+    return f"""
+WITH {_SHINGLE_SQL},
+sig AS (
+  SELECT doc_id,
+    {sig_aggs}
+  FROM shingles GROUP BY doc_id
+),
+banded AS (
+  SELECT *,
+    {band_exprs}
+  FROM sig
+),
+exploded AS (
+  {band_union}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(({est}) / {float(NUM_PERM)} + 1e-9, 6) AS est_jaccard
+FROM exploded a JOIN exploded b
+  ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+DEDUP_MINHASH_LSH_SQL = _minhash_sql()
+
+# ---------------------------------------------------------------------------
+# dedup_simhash
+# ---------------------------------------------------------------------------
+
+
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit simhash per doc: md5 bit planes of each token, weighted
+    by token count; bit j of the fingerprint is sign(Σ ±count)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(tokens(normalize_text(F.col("text")))).alias("token"))
+    counted = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    h1 = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(F.col("token")), 9, 8), 16, 10).cast("long")
+    hashed = counted.select("doc_id", "cnt", h1.alias("h1"), h2.alias("h2"))
+
+    def bit(j: int):
+        if j < 24:
+            return F.shiftright(F.col("h1"), j).bitwiseAND(F.lit(1))
+        return F.shiftright(F.col("h2"), j - 24).bitwiseAND(F.lit(1))
+
+    sums = [
+        F.sum(F.when(bit(j) == 1, F.col("cnt")).otherwise(-F.col("cnt"))).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    per_doc = hashed.groupBy("doc_id").agg(*sums)
+    fingerprint = sum(
+        F.when(F.col(f"s{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0)) for j in range(SIMHASH_BITS)
+    )
+    return per_doc.select("doc_id", fingerprint.cast("long").alias("simhash"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with hamming distance ≤ 6 over 48-bit
+    simhashes. Candidates come from 12-bit band equality (pigeonhole
+    guarantees recall at ≤ 6 over 4 bands is partial by design — the
+    standard simhash trade-off), verified by exact xor+bit_count."""
+    simh = _simhash_df(spark, sf_dir)
+    bands = [
+        F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS).bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1)).alias(f"b{b}")
+        for b in range(SIMHASH_BITS // SIMHASH_BAND_BITS)
+    ]
+    nb = SIMHASH_BITS // SIMHASH_BAND_BITS
+    banded = simh.select("doc_id", "simhash", *bands).select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[F.struct(F.lit(b).alias("band_no"), F.col(f"b{b}").alias("band_val")) for b in range(nb)])).alias("bd"),
+    ).select("doc_id", "simhash", F.col("bd.band_no").alias("band_no"), F.col("bd.band_val").alias("band_val"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.band_no") == F.col("b.band_no"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+def _simhash_sql() -> str:
+    def bit(j: int) -> str:
+        if j < 24:
+            return f"(h1 >> {j}) & 1"
+        return f"(h2 >> {j - 24}) & 1"
+
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN {bit(j)} = 1 THEN cnt ELSE -cnt END) AS s{j}" for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(f"(CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(SIMHASH_BITS))
+    nb = SIMHASH_BITS // SIMHASH_BAND_BITS
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    band_union = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, simhash, {b} AS band_no, (simhash >> {b * SIMHASH_BAND_BITS}) & {mask} AS band_val FROM fp"
+        for b in range(nb)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS token
+  FROM documents
+),
+counted AS (SELECT doc_id, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
+hashed AS (
+  SELECT doc_id, cnt,
+         ('0x' || substr(md5(token), 1, 8))::BIGINT AS h1,
+         ('0x' || substr(md5(token), 9, 8))::BIGINT AS h2
+  FROM counted
+),
+sums AS (
+  SELECT doc_id,
+    {sums}
+  FROM hashed GROUP BY doc_id
+),
+fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums),
+banded AS (
+  {band_union}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM banded a JOIN banded b
+  ON a.band_no = b.band_no AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+DEDUP_SIMHASH_SQL = _simhash_sql()
+
+# ---------------------------------------------------------------------------
+# dedup_embedding — exact cosine within a blocking key
+# ---------------------------------------------------------------------------
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.3 within the same label
+    (label is the blocking key — never an unkeyed n² cross join).
+    The threshold compares the 6-dp-rounded value in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = F.round(
+        cosine_prenormed(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")) + 1e-9, 6
+    )
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= COSINE_TAU)
+    )
+
+
+DEDUP_EMBEDDING_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(
+           CASE WHEN sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                     * sqrt(list_sum(list_transform(b.v, x -> x * x))) > 0
+                THEN list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+                     / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                        * sqrt(list_sum(list_transform(b.v, x -> x * x))))
+                ELSE 0.0 END + 1e-9, 6) AS cos_sim
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= {COSINE_TAU}
+"""
+
+
+QUERIES = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
+}

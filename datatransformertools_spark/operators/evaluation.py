@@ -1,1 +1,274 @@
-QUERIES = {}
+"""Detection evaluation — reference `Test/accuracy.ipynb` parity.
+
+The notebook loops pages in Python and greedily matches predictions
+to ground truth at IoU@0.5, then reports global and per-class
+precision/recall/F1. Here the same evaluation is a declarative
+plan:
+
+- candidate pairs come from an equi-join on (image_id, class) — at
+  100 TB the shuffle is keyed on the image, so each executor
+  matches its own images; there is never a global pairwise blowup;
+- one-to-one assignment is "mutual best": a pair is matched iff it
+  is rank 1 by IoU for BOTH its prediction and its ground-truth box
+  (two window functions). This is deterministic, distributed, and a
+  documented simplification of greedy matching (the notebook itself
+  labels its mAP "simplified");
+- ties broken by ids so results are stable across engines.
+
+Ground truth and predictions are derived deterministically from
+`events` (same arithmetic in the DuckDB oracle): predictions are
+the GT boxes jittered by a few pixels, with ~1/13 class flips,
+~1/17 dropped (→ FN), and ~1/19 spawning a far-away duplicate
+(→ FP) — so TP/FP/FN paths are all exercised and value-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from datatransformertools_spark.functions.bbox import clip_box, iou_xywh
+from datatransformertools_spark.operators.annotations import ANN_BASE_SQL, annotations_df
+
+IOU_THRESHOLD = 0.5
+CONF_THRESHOLD = 0.25
+
+
+def _gt_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ann = annotations_df(spark, sf_dir)
+    cx, cy, cw, ch = clip_box(F.col("x"), F.col("y"), F.col("w"), F.col("h"), F.col("img_w"), F.col("img_h"))
+    return ann.select(
+        F.col("ann_id").alias("gt_id"),
+        "image_id",
+        "cls",
+        cx.alias("gx"), cy.alias("gy"), cw.alias("gw"), ch.alias("gh"),
+    )
+
+
+def _pred_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ann = annotations_df(spark, sf_dir)
+    eid = F.col("ann_id")
+    # jittered predictions (drop every 17th annotation → FN)
+    jit = ann.filter((eid % 17) != 0).select(
+        eid.alias("pred_id"),
+        "image_id",
+        F.when((eid % 13) == 0, (F.col("cls") + 1) % 6).otherwise(F.col("cls")).cast("int").alias("cls"),
+        (F.col("x") + ((eid % 7) - 3).cast("double")).alias("px"),
+        (F.col("y") + ((eid % 11) - 5).cast("double")).alias("py"),
+        F.col("w").alias("pw"),
+        F.col("h").alias("ph"),
+        F.col("conf"),
+        "img_w", "img_h",
+    )
+    # far-away duplicates (every 19th annotation → FP)
+    far = ann.filter((eid % 19) == 0).select(
+        (eid + 10000000).alias("pred_id"),
+        "image_id",
+        F.col("cls"),
+        (F.col("x") + 300.0).alias("px"),
+        (F.col("y") + 250.0).alias("py"),
+        F.col("w").alias("pw"),
+        F.col("h").alias("ph"),
+        F.lit(0.9).alias("conf"),
+        "img_w", "img_h",
+    )
+    both = jit.unionByName(far).filter(F.col("conf") >= CONF_THRESHOLD)
+    cx, cy, cw, ch = clip_box(F.col("px"), F.col("py"), F.col("pw"), F.col("ph"), F.col("img_w"), F.col("img_h"))
+    return both.select(
+        "pred_id", "image_id", "cls",
+        cx.alias("px"), cy.alias("py"), cw.alias("pw"), ch.alias("ph"),
+    )
+
+
+_GT_SQL = f"""
+{ANN_BASE_SQL},
+gt AS (
+  SELECT ann_id AS gt_id, image_id, cls,
+         cx AS gx, cy AS gy,
+         greatest(0.0, least(w, img_w - cx)) AS gw,
+         greatest(0.0, least(h, img_h - cy)) AS gh
+  FROM (
+    SELECT *, greatest(0.0, least(x, img_w)) AS cx,
+              greatest(0.0, least(y, img_h)) AS cy
+    FROM ann_base
+  )
+),
+pred_raw AS (
+  SELECT ann_id AS pred_id, image_id,
+         CAST(CASE WHEN ann_id % 13 = 0 THEN (cls + 1) % 6 ELSE cls END AS INTEGER) AS cls,
+         x + CAST((ann_id % 7) - 3 AS DOUBLE) AS px,
+         y + CAST((ann_id % 11) - 5 AS DOUBLE) AS py,
+         w AS pw, h AS ph, conf, img_w, img_h
+  FROM ann_base WHERE ann_id % 17 <> 0
+  UNION ALL
+  SELECT ann_id + 10000000 AS pred_id, image_id, cls,
+         x + 300.0 AS px, y + 250.0 AS py, w AS pw, h AS ph,
+         0.9 AS conf, img_w, img_h
+  FROM ann_base WHERE ann_id % 19 = 0
+),
+pred AS (
+  SELECT pred_id, image_id, cls,
+         cx AS px, cy AS py,
+         greatest(0.0, least(pw, img_w - cx)) AS pw,
+         greatest(0.0, least(ph, img_h - cy)) AS ph
+  FROM (
+    SELECT *, greatest(0.0, least(px, img_w)) AS cx,
+              greatest(0.0, least(py, img_h)) AS cy
+    FROM pred_raw WHERE conf >= 0.25
+  )
+)
+"""
+
+_PAIRS_SQL = """
+pairs AS (
+  SELECT p.pred_id, g.gt_id, p.image_id, p.cls,
+    CASE WHEN (p.pw * p.ph + g.gw * g.gh
+               - greatest(0.0, least(p.px + p.pw, g.gx + g.gw) - greatest(p.px, g.gx))
+                 * greatest(0.0, least(p.py + p.ph, g.gy + g.gh) - greatest(p.py, g.gy))) > 0
+         THEN (greatest(0.0, least(p.px + p.pw, g.gx + g.gw) - greatest(p.px, g.gx))
+               * greatest(0.0, least(p.py + p.ph, g.gy + g.gh) - greatest(p.py, g.gy)))
+              / (p.pw * p.ph + g.gw * g.gh
+                 - greatest(0.0, least(p.px + p.pw, g.gx + g.gw) - greatest(p.px, g.gx))
+                   * greatest(0.0, least(p.py + p.ph, g.gy + g.gh) - greatest(p.py, g.gy)))
+         ELSE 0.0 END AS iou
+  FROM pred p
+  JOIN gt g ON p.image_id = g.image_id AND p.cls = g.cls
+)
+"""
+
+_MATCHED_SQL = """
+ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY pred_id ORDER BY iou DESC, gt_id)  AS rn_p,
+    row_number() OVER (PARTITION BY gt_id  ORDER BY iou DESC, pred_id) AS rn_g
+  FROM pairs WHERE iou >= 0.5
+),
+matched AS (SELECT * FROM ranked WHERE rn_p = 1 AND rn_g = 1)
+"""
+
+
+def _pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _pred_df(spark, sf_dir)
+    g = _gt_df(spark, sf_dir)
+    joined = p.join(g, ["image_id", "cls"])
+    iou = iou_xywh(
+        F.col("px"), F.col("py"), F.col("pw"), F.col("ph"),
+        F.col("gx"), F.col("gy"), F.col("gw"), F.col("gh"),
+    )
+    return joined.select("pred_id", "gt_id", "image_id", "cls", iou.alias("iou"))
+
+
+def _matched_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _pairs_df(spark, sf_dir).filter(F.col("iou") >= IOU_THRESHOLD)
+    rn_p = F.row_number().over(Window.partitionBy("pred_id").orderBy(F.col("iou").desc(), F.col("gt_id")))
+    rn_g = F.row_number().over(Window.partitionBy("gt_id").orderBy(F.col("iou").desc(), F.col("pred_id")))
+    return (
+        pairs.withColumn("rn_p", rn_p)
+        .withColumn("rn_g", rn_g)
+        .filter((F.col("rn_p") == 1) & (F.col("rn_g") == 1))
+    )
+
+
+def bbox_iou_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All overlapping same-class pred/GT pairs with IoU (accuracy.ipynb
+    pair enumeration), keyed by image so the join never goes global."""
+    return (
+        _pairs_df(spark, sf_dir)
+        .filter(F.col("iou") > 0)
+        .select("pred_id", "gt_id", "image_id", "cls", F.round(F.col("iou") + 1e-9, 6).alias("iou"))
+    )
+
+
+BBOX_IOU_PAIRS_SQL = f"""
+WITH {_GT_SQL},
+{_PAIRS_SQL}
+SELECT pred_id, gt_id, image_id, cls, round(iou + 1e-9, 6) AS iou
+FROM pairs WHERE iou > 0
+"""
+
+
+def detection_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global precision/recall/F1 at IoU@0.5 (accuracy.ipynb
+    aggregate metrics cell)."""
+    matched = _matched_df(spark, sf_dir).agg(F.count(F.lit(1)).alias("tp"))
+    n_pred = _pred_df(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_pred"))
+    n_gt = _gt_df(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_gt"))
+    joined = matched.crossJoin(n_pred).crossJoin(n_gt)
+    tp, np_, ng = F.col("tp"), F.col("n_pred"), F.col("n_gt")
+    precision = tp / np_
+    recall = tp / ng
+    return joined.select(
+        tp,
+        (np_ - tp).alias("fp"),
+        (ng - tp).alias("fn"),
+        F.round(precision + 1e-9, 6).alias("precision"),
+        F.round(recall + 1e-9, 6).alias("recall"),
+        F.round(F.when(precision + recall > 0, 2 * precision * recall / (precision + recall)).otherwise(0.0) + 1e-9, 6).alias("f1"),
+    )
+
+
+DETECTION_EVAL_SQL = f"""
+WITH {_GT_SQL},
+{_PAIRS_SQL},
+{_MATCHED_SQL},
+counts AS (
+  SELECT (SELECT count(*) FROM matched) AS tp,
+         (SELECT count(*) FROM pred)    AS n_pred,
+         (SELECT count(*) FROM gt)      AS n_gt
+)
+SELECT
+  tp,
+  n_pred - tp AS fp,
+  n_gt - tp   AS fn,
+  round(CAST(tp AS DOUBLE) / n_pred + 1e-9, 6) AS precision,
+  round(CAST(tp AS DOUBLE) / n_gt + 1e-9, 6)   AS recall,
+  round(CASE WHEN CAST(tp AS DOUBLE) / n_pred + CAST(tp AS DOUBLE) / n_gt > 0
+             THEN 2 * (CAST(tp AS DOUBLE) / n_pred) * (CAST(tp AS DOUBLE) / n_gt)
+                  / (CAST(tp AS DOUBLE) / n_pred + CAST(tp AS DOUBLE) / n_gt)
+             ELSE 0.0 END + 1e-9, 6) AS f1
+FROM counts
+"""
+
+
+def detection_eval_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class TP/FP/FN breakdown (accuracy.ipynb per_class_stats)."""
+    matched = _matched_df(spark, sf_dir).groupBy("cls").agg(F.count(F.lit(1)).alias("tp"))
+    n_pred = _pred_df(spark, sf_dir).groupBy("cls").agg(F.count(F.lit(1)).alias("n_pred"))
+    n_gt = _gt_df(spark, sf_dir).groupBy("cls").agg(F.count(F.lit(1)).alias("n_gt"))
+    out = (
+        n_gt.join(n_pred, "cls", "full_outer")
+        .join(matched, "cls", "full_outer")
+        .select(
+            "cls",
+            F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+            (F.coalesce(F.col("n_pred"), F.lit(0)) - F.coalesce(F.col("tp"), F.lit(0))).alias("fp"),
+            (F.coalesce(F.col("n_gt"), F.lit(0)) - F.coalesce(F.col("tp"), F.lit(0))).alias("fn"),
+        )
+    )
+    return out
+
+
+DETECTION_EVAL_PER_CLASS_SQL = f"""
+WITH {_GT_SQL},
+{_PAIRS_SQL},
+{_MATCHED_SQL},
+m AS (SELECT cls, count(*) AS tp FROM matched GROUP BY cls),
+p AS (SELECT cls, count(*) AS n_pred FROM pred GROUP BY cls),
+g AS (SELECT cls, count(*) AS n_gt FROM gt GROUP BY cls)
+SELECT
+  COALESCE(g.cls, p.cls, m.cls) AS cls,
+  COALESCE(m.tp, 0) AS tp,
+  COALESCE(p.n_pred, 0) - COALESCE(m.tp, 0) AS fp,
+  COALESCE(g.n_gt, 0) - COALESCE(m.tp, 0) AS fn
+FROM g
+FULL OUTER JOIN p ON g.cls = p.cls
+FULL OUTER JOIN m ON COALESCE(g.cls, p.cls) = m.cls
+"""
+
+
+QUERIES = {
+    "bbox_iou_pairs": (bbox_iou_pairs, BBOX_IOU_PAIRS_SQL),
+    "detection_eval": (detection_eval, DETECTION_EVAL_SQL),
+    "detection_eval_per_class": (detection_eval_per_class, DETECTION_EVAL_PER_CLASS_SQL),
+}

@@ -1,1 +1,217 @@
-QUERIES = {}
+"""Temporal / event-stream operators (batch plans).
+
+Structured Streaming mirrors live in ``streaming/events.py`` — the
+batch plans here share the same windowing semantics, which is the
+Spark way: one declarative transform, run over a bounded scan today
+and a stream tomorrow.
+
+Timestamp parity note: events.ts is parquet TIMESTAMP(NANOS);
+Spark reads it as epoch-nanos int64 (see sources/tables.py) while
+DuckDB truncates to microseconds on read. All bucket math therefore
+runs on ``ts div 1000`` (epoch-µs, integer division) so both
+engines see the identical int64 — no float time math anywhere.
+
+Scale design: every window/sessionization partitions by user_id, so
+state is distributed by key; the as-of join ranks per-event matches
+with a window function instead of a driver loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from datatransformertools_spark.sources.tables import load_table
+
+FIVE_MIN_US = 300_000_000
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.withColumn("ts_us", F.expr("ts div 1000"))
+
+
+# ---------------------------------------------------------------------------
+# events_tumbling_agg — 5-minute tumbling windows per event type
+# ---------------------------------------------------------------------------
+
+
+def events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_us(spark, sf_dir)
+    win = (F.expr(f"ts_us div {FIVE_MIN_US}") * FIVE_MIN_US).alias("window_start_us")
+    return (
+        ev.groupBy(win, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") + 1e-9, 4).alias("sum_value"),
+            F.round(F.avg("value") + 1e-9, 4).alias("avg_value"),
+        )
+    )
+
+
+EVENTS_TUMBLING_AGG_SQL = f"""
+SELECT
+  (epoch_us(ts) // {FIVE_MIN_US}) * {FIVE_MIN_US} AS window_start_us,
+  event_type,
+  count(*)                      AS n_events,
+  round(sum(value) + 1e-9, 4)   AS sum_value,
+  round(avg(value) + 1e-9, 4)   AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# events_sessionize — 30-minute-gap sessions per user
+# ---------------------------------------------------------------------------
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_us(spark, sf_dir).select("user_id", "event_id", "ts_us", "value")
+    order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("ts_us").over(order)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(prev.isNull() | (F.col("ts_us") - prev > SESSION_GAP_US), 1).otherwise(0),
+    )
+    running = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = flagged.withColumn("session_idx", F.sum("new_session").over(running))
+    return (
+        sessions.groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") + 1e-9, 4).alias("total_value"),
+        )
+    )
+
+
+EVENTS_SESSIONIZE_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
+),
+flagged AS (
+  SELECT *,
+    CASE WHEN lag(ts_us) OVER w IS NULL
+              OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_US}
+         THEN 1 ELSE 0 END AS new_session
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sessions AS (
+  SELECT *,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       min(ts_us) AS session_start_us,
+       max(ts_us) AS session_end_us,
+       count(*)   AS n_events,
+       round(sum(value) + 1e-9, 4) AS total_value
+FROM sessions
+GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# events_asof_join — each event matched to the latest order of its
+# user at a per-event cutoff date (deterministic as-of semantics)
+# ---------------------------------------------------------------------------
+
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").cast("date").alias("o_date"), "o_totalprice"
+    )
+    cutoff = F.date_add(F.lit("1995-01-01").cast("date"), (F.col("event_id") % 2400).cast("int"))
+    ev = ev.withColumn("cutoff_date", cutoff)
+    joined = ev.join(
+        orders,
+        (ev.user_id == orders.o_custkey) & (orders.o_date <= ev.cutoff_date),
+        "left",
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("event_id").orderBy(
+            F.col("o_date").desc_nulls_last(), F.col("o_orderkey").desc_nulls_last()
+        )
+    )
+    return (
+        joined.withColumn("rn", rank)
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "cutoff_date",
+            "o_orderkey",
+            F.col("o_date").alias("o_orderdate"),
+            F.round(F.col("o_totalprice") + 1e-9, 4).alias("o_totalprice"),
+        )
+    )
+
+
+EVENTS_ASOF_JOIN_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id,
+         DATE '1995-01-01' + CAST(event_id % 2400 AS INTEGER) AS cutoff_date
+  FROM events
+),
+joined AS (
+  SELECT ev.event_id, ev.user_id, ev.cutoff_date,
+         o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_date, o.o_totalprice
+  FROM ev LEFT JOIN orders o
+    ON ev.user_id = o.o_custkey AND CAST(o.o_orderdate AS DATE) <= ev.cutoff_date
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_id
+                               ORDER BY o_date DESC NULLS LAST,
+                                        o_orderkey DESC NULLS LAST) AS rn
+  FROM joined
+)
+SELECT event_id, user_id, cutoff_date, o_orderkey,
+       o_date AS o_orderdate,
+       round(o_totalprice + 1e-9, 4) AS o_totalprice
+FROM ranked WHERE rn = 1
+"""
+
+# ---------------------------------------------------------------------------
+# events_json_extract — JSON property extraction + aggregation
+# ---------------------------------------------------------------------------
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "props")
+    k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k") + 1e-9, 4).alias("avg_k"),
+        )
+    )
+
+
+EVENTS_JSON_EXTRACT_SQL = r"""
+SELECT event_type,
+       count(*) AS n_events,
+       min(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER)) AS min_k,
+       max(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER)) AS max_k,
+       round(avg(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER)) + 1e-9, 4) AS avg_k
+FROM events
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "events_tumbling_agg": (events_tumbling_agg, EVENTS_TUMBLING_AGG_SQL),
+    "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
+    "events_asof_join": (events_asof_join, EVENTS_ASOF_JOIN_SQL),
+    "events_json_extract": (events_json_extract, EVENTS_JSON_EXTRACT_SQL),
+}

@@ -30,15 +30,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.sum("l_quantity") + 1e-9, 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice") + 1e-9, 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-9, 4).alias("sum_disc_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 4
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))) + 1e-9, 4
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.avg("l_quantity") + 1e-9, 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice") + 1e-9, 4).alias("avg_price"),
+            F.round(F.avg("l_discount") + 1e-9, 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -48,13 +48,13 @@ Q1_SQL = """
 SELECT
   l_returnflag,
   l_linestatus,
-  round(sum(l_quantity), 4)                                           AS sum_qty,
-  round(sum(l_extendedprice), 4)                                      AS sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 4)                   AS sum_disc_price,
-  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)     AS sum_charge,
-  round(avg(l_quantity), 4)                                           AS avg_qty,
-  round(avg(l_extendedprice), 4)                                      AS avg_price,
-  round(avg(l_discount), 4)                                           AS avg_disc,
+  round(sum(l_quantity) + 1e-9, 4)                                           AS sum_qty,
+  round(sum(l_extendedprice) + 1e-9, 4)                                      AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4)                   AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) + 1e-9, 4)     AS sum_charge,
+  round(avg(l_quantity) + 1e-9, 4)                                           AS avg_qty,
+  round(avg(l_extendedprice) + 1e-9, 4)                                      AS avg_price,
+  round(avg(l_discount) + 1e-9, 4)                                           AS avg_disc,
   count(*)                                                            AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -74,7 +74,7 @@ def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(cust.join(orders, cust.c_custkey == orders.o_custkey).select("o_orderkey", "o_orderdate")),
                 F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-9, 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
@@ -84,7 +84,7 @@ Q3_SQL = """
 SELECT
   l_orderkey,
   o_orderdate,
-  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+  round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -118,14 +118,14 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cnr), F.col("o_custkey") == cnr.c_custkey)
         .join(F.broadcast(supp), (F.col("l_suppkey") == supp.s_suppkey) & (supp.s_nationkey == F.col("n_nationkey")))
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-9, 4).alias("revenue"))
     )
 
 
 Q5_SQL = """
 SELECT
   n_name,
-  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+  round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -152,14 +152,14 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")) + 1e-9, 4).alias("revenue"),
              F.count(F.lit(1)).alias("n_items"))
     )
 
 
 Q6_SQL = """
 SELECT
-  round(sum(l_extendedprice * l_discount), 4) AS revenue,
+  round(sum(l_extendedprice * l_discount) + 1e-9, 4) AS revenue,
   count(*)                                    AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -177,7 +177,7 @@ def top_customers_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     per_cust = (
         orders.groupBy("o_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 4).alias("total_spent"), F.count(F.lit(1)).alias("n_orders"))
+        .agg(F.round(F.sum("o_totalprice") + 1e-9, 4).alias("total_spent"), F.count(F.lit(1)).alias("n_orders"))
         .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
     )
     w = F.row_number().over(
@@ -198,7 +198,7 @@ FROM (
     row_number() OVER (PARTITION BY c_mktsegment ORDER BY total_spent DESC, c_custkey) AS rank_in_segment,
     c_custkey, c_name, total_spent, n_orders
   FROM (
-    SELECT o_custkey, round(sum(o_totalprice), 4) AS total_spent, count(*) AS n_orders
+    SELECT o_custkey, round(sum(o_totalprice) + 1e-9, 4) AS total_spent, count(*) AS n_orders
     FROM orders GROUP BY o_custkey
   ) per_cust
   JOIN customer ON o_custkey = c_custkey

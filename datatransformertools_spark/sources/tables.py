@@ -28,6 +28,14 @@ TABLE_NAMES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; read it as epoch-nanos int64 instead. Set at
+        # runtime so it works under the driver's own SparkSession too.
+        # Temporal operators derive buckets from the int64 directly —
+        # integer arithmetic is also the only representation that is
+        # bit-exact across engines (the DuckDB oracles use epoch_ns(ts)).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,0 +1,131 @@
+"""Unit tests per operator family — edge cases the oracle parity
+suite can't see (it only compares engines on the shipped data)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from datatransformertools_spark.functions.bbox import clip_box, from_yolo, iou_xywh, to_yolo
+from datatransformertools_spark.operators.annotations import train_val_split
+from datatransformertools_spark.operators.dedup import dedup_exact, dedup_ngram_jaccard
+from datatransformertools_spark.operators.evaluation import detection_eval
+from datatransformertools_spark.operators.multimodal import decode_media, media_frame
+from datatransformertools_spark.operators.similarity import ann_bruteforce_topk, ann_lsh_topk
+
+
+def _one(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+class TestBboxMath:
+    def _apply(self, spark, fn, **kw):
+        df = spark.createDataFrame([Row(**kw)])
+        cols = fn(F.col("x"), F.col("y"), F.col("w"), F.col("h"), F.col("img_w"), F.col("img_h"))
+        return _one(df.select(*[c.alias(f"c{i}") for i, c in enumerate(cols)]))
+
+    def test_clip_inside(self, spark):
+        r = self._apply(spark, clip_box, x=10.0, y=20.0, w=30.0, h=40.0, img_w=100.0, img_h=100.0)
+        assert (r.c0, r.c1, r.c2, r.c3) == (10.0, 20.0, 30.0, 40.0)
+
+    def test_clip_overflow(self, spark):
+        # box extends past the image → clipped to the boundary
+        # (reference converter_to_yolo_data.py:84-87)
+        r = self._apply(spark, clip_box, x=90.0, y=95.0, w=30.0, h=40.0, img_w=100.0, img_h=100.0)
+        assert (r.c0, r.c1, r.c2, r.c3) == (90.0, 95.0, 10.0, 5.0)
+
+    def test_clip_negative_origin(self, spark):
+        r = self._apply(spark, clip_box, x=-10.0, y=-5.0, w=30.0, h=40.0, img_w=100.0, img_h=100.0)
+        assert (r.c0, r.c1) == (0.0, 0.0)
+
+    def test_yolo_zero_size_image(self, spark):
+        # zero-dim image → all zeros, like the reference's guard
+        # (converter_to_yolo_data.py:88-91)
+        r = self._apply(spark, to_yolo, x=1.0, y=1.0, w=2.0, h=2.0, img_w=0.0, img_h=0.0)
+        assert (r.c0, r.c1, r.c2, r.c3) == (0.0, 0.0, 0.0, 0.0)
+
+    def test_roundtrip(self, spark):
+        df = spark.createDataFrame([Row(x=12.0, y=24.0, w=30.0, h=40.0, img_w=200.0, img_h=100.0)])
+        xc, yc, wn, hn = to_yolo(F.col("x"), F.col("y"), F.col("w"), F.col("h"), F.col("img_w"), F.col("img_h"))
+        back = from_yolo(xc, yc, wn, hn, F.col("img_w"), F.col("img_h"))
+        r = _one(df.select(*[c.alias(f"c{i}") for i, c in enumerate(back)]))
+        assert (round(r.c0, 6), round(r.c1, 6), round(r.c2, 6), round(r.c3, 6)) == (12.0, 24.0, 30.0, 40.0)
+
+    def test_iou_identical_and_disjoint(self, spark):
+        df = spark.createDataFrame([Row(dummy=1)])
+        same = iou_xywh(*(F.lit(v) for v in (0.0, 0.0, 10.0, 10.0, 0.0, 0.0, 10.0, 10.0)))
+        disj = iou_xywh(*(F.lit(v) for v in (0.0, 0.0, 10.0, 10.0, 50.0, 50.0, 10.0, 10.0)))
+        half = iou_xywh(*(F.lit(v) for v in (0.0, 0.0, 10.0, 10.0, 5.0, 0.0, 10.0, 10.0)))
+        r = _one(df.select(same.alias("s"), disj.alias("d"), half.alias("h")))
+        assert r.s == 1.0 and r.d == 0.0 and r.h == pytest.approx(5 / 15)
+
+
+class TestSplitDeterminism:
+    def test_split_stable_and_ratio(self, spark, sf_dir):
+        a = {r.file_name: r.split for r in train_val_split(spark, sf_dir).collect()}
+        b = {r.file_name: r.split for r in train_val_split(spark, sf_dir).collect()}
+        assert a == b  # reproducible across runs (seeded split parity)
+        frac = sum(1 for v in a.values() if v == "train") / len(a)
+        assert 0.6 < frac < 0.95  # 80% in expectation
+
+
+class TestDedup:
+    def test_exact_dedup_finds_planted_dup(self, spark):
+        rows = [
+            Row(doc_id=1, text="Hello   World"),
+            Row(doc_id=2, text="hello world"),  # same after normalization
+            Row(doc_id=3, text="something else"),
+        ]
+        df = spark.createDataFrame(rows)
+        # route through a temp view via the same expressions dedup_exact uses
+        from datatransformertools_spark.functions.text import normalize_text
+
+        out = (
+            df.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("h"))
+            .groupBy("h")
+            .agg(F.min("doc_id").alias("keep"), F.count(F.lit(1)).alias("n"))
+        ).collect()
+        by_n = sorted([(r.n, r.keep) for r in out])
+        assert by_n == [(1, 3), (2, 1)]
+
+    def test_jaccard_pairs_are_high_sim(self, spark, sf_dir):
+        pairs = dedup_ngram_jaccard(spark, sf_dir).collect()
+        assert all(r.jaccard >= 0.3 for r in pairs)
+
+
+class TestSimilarity:
+    def test_lsh_recall_vs_bruteforce(self, spark, sf_dir):
+        exact = {(r.query_id, r.neighbor_id) for r in ann_bruteforce_topk(spark, sf_dir).collect()}
+        approx = {(r.query_id, r.neighbor_id) for r in ann_lsh_topk(spark, sf_dir).collect()}
+        assert len(approx) > 0
+        # 8-bit sign-LSH on near-orthogonal random vectors is a weak
+        # filter; demand meaningful-but-partial recall, not magic.
+        recall = len(exact & approx) / len(exact)
+        assert recall > 0.05, f"recall {recall}"
+
+
+class TestEvaluation:
+    def test_detection_eval_consistency(self, spark, sf_dir):
+        r = _one(detection_eval(spark, sf_dir))
+        assert r.tp > 0 and r.fp > 0 and r.fn > 0
+        assert r.precision == pytest.approx(r.tp / (r.tp + r.fp), abs=1e-5)
+        assert r.recall == pytest.approx(r.tp / (r.tp + r.fn), abs=1e-5)
+
+
+class TestMultimodal:
+    def test_decode_plumbing(self, spark, sf_dir):
+        decoded = decode_media(media_frame(spark, sf_dir))
+        rows = decoded.collect()
+        assert len(rows) > 0
+        kinds = {r.media_kind for r in rows}
+        assert kinds <= {"image", "audio", "video"}
+        for r in rows[:20]:
+            assert r.n_bytes > 0
+            assert isinstance(r.feature, (bytes, bytearray))
+            if r.media_kind == "image":
+                assert r.n_frames == 1
+            else:
+                assert r.n_frames >= 1
