@@ -49,8 +49,15 @@ COSINE_TAU = 0.3
 
 
 def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) — distinct word 3-grams of normalized text."""
+    """(doc_id, shingle) — distinct word 3-grams of normalized text.
+
+    The local testdata is one small parquet file → one input
+    partition, which would serialize the whole tokenize+hash
+    pipeline on a single core; repartition by doc_id first so the
+    expensive per-doc work fans out. (On a real multi-file table
+    the scan parallelizes naturally and AQE would coalesce.)"""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     sh = word_shingles(tokens(normalize_text(F.col("text"))), SHINGLE_N)
     return docs.select("doc_id", F.explode(sh).alias("shingle"))
 
@@ -103,7 +110,14 @@ GROUP BY 1
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingle_df(spark, sf_dir)
+    # Materialize the inverted index once: the self-join reuses it
+    # for both sides instead of re-running the tokenize/shingle
+    # pipeline per side (2-10× at sf0.1). At cluster scale the same
+    # DAG cut is a parquet stage table / checkpoint; persist() is
+    # its single-node expression. Eager count() also gives the
+    # optimizer real stats, so the size lookups broadcast.
+    sh = _shingle_df(spark, sf_dir).persist()
+    sh.count()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -116,8 +130,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sizes.alias("sb")
     jac = F.round(F.col("inter") / (F.col("sa.n") + F.col("sb.n") - F.col("inter")) + 1e-9, 6)
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_TAU)
     )
@@ -161,8 +175,15 @@ def _signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate near-dup pairs from banded minhash-LSH, with the
-    signature-agreement estimate of Jaccard similarity."""
-    sig = _signature_df(spark, sf_dir)
+    signature-agreement estimate of Jaccard similarity.
+
+    The signature table (one row of 8 longs per doc — tiny relative
+    to the corpus) is materialized before the band self-join so the
+    shingle pipeline runs once, not once per join side; at cluster
+    scale this is the signatures stage table every LSH pipeline
+    writes anyway."""
+    sig = _signature_df(spark, sf_dir).persist()
+    sig.count()
     band_cols = []
     for b in range(BANDS):
         parts = [F.lit(f"{b}:")]
@@ -239,6 +260,7 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """48-bit simhash per doc: md5 bit planes of each token, weighted
     by token count; bit j of the fingerprint is sign(Σ ±count)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     tok = docs.select("doc_id", F.explode(tokens(normalize_text(F.col("text")))).alias("token"))
     counted = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
     h1 = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
