@@ -299,8 +299,12 @@ FROM flagged
 
 
 def class_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rows = [(k, v) for k, v in sorted(CLASS_MAP.items())]
-    return spark.createDataFrame(rows, "category_id int, category_name string")
+    # Pure Catalyst LocalRelation (VALUES) — avoids the RDD-backed
+    # createDataFrame path, whose py4j/job overhead dwarfs a 6-row dim.
+    values = ", ".join(f"({k}, '{v}')" for k, v in sorted(CLASS_MAP.items()))
+    return spark.sql(
+        f"SELECT category_id, category_name FROM (VALUES {values}) AS t(category_id, category_name)"
+    ).select(F.col("category_id").cast("int"), "category_name")
 
 
 CLASS_MAP_SQL = """

@@ -209,9 +209,62 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# events_skew_join_salted — hot-key join via explicit salting
+# ---------------------------------------------------------------------------
+
+N_SALT = 8
+
+
+def events_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events ⋈ per-user order profile with explicit key salting.
+
+    Event streams are Zipf-skewed by user; a plain shuffle join puts
+    every row of a hot user in one task. Salting fans each hot key
+    over N_SALT reducers: the big side gets salt = event_id % N_SALT
+    appended to its key, the small side is exploded into N_SALT
+    copies. AQE's skew handling does this adaptively at runtime —
+    this operator is the explicit form, and its oracle is the plain
+    (unsalted) join, proving salting never changes results."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    profile = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice") + 1e-9, 4).alias("lifetime_value"),
+        )
+    )
+    salted_profile = profile.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1)))
+    )
+    salted_ev = ev.withColumn("salt", (F.col("event_id") % N_SALT).cast("int"))
+    return (
+        salted_ev.join(
+            salted_profile,
+            (salted_ev.user_id == salted_profile.o_custkey)
+            & (salted_ev.salt == salted_profile.salt),
+        )
+        .select("event_id", "user_id", "n_orders", "lifetime_value")
+    )
+
+
+EVENTS_SKEW_JOIN_SALTED_SQL = """
+WITH profile AS (
+  SELECT o_custkey,
+         count(*) AS n_orders,
+         round(sum(o_totalprice) + 1e-9, 4) AS lifetime_value
+  FROM orders GROUP BY 1
+)
+SELECT event_id, user_id, n_orders, lifetime_value
+FROM events JOIN profile ON user_id = o_custkey
+"""
+
+
 QUERIES = {
     "events_tumbling_agg": (events_tumbling_agg, EVENTS_TUMBLING_AGG_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
     "events_asof_join": (events_asof_join, EVENTS_ASOF_JOIN_SQL),
     "events_json_extract": (events_json_extract, EVENTS_JSON_EXTRACT_SQL),
+    "events_skew_join_salted": (events_skew_join_salted, EVENTS_SKEW_JOIN_SALTED_SQL),
 }

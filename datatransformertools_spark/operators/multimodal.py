@@ -90,18 +90,27 @@ DECODED_SCHEMA = StructType(
 )
 
 
-def _decode_kernel(payload: bytes, kind: str) -> dict:
-    """STUB decode: the real implementation would call PIL/ffmpeg
-    here (absent from this container by design). The stub derives
-    deterministic pseudo-metadata from the payload bytes so the
-    pipeline stays testable end to end; swapping in a real codec
-    changes only this function."""
-    n = len(payload)
-    if kind == "image":
-        return {"width": 64 + n % 512, "height": 64 + n % 384, "n_frames": 1}
-    if kind == "video":
-        return {"width": 320, "height": 240, "n_frames": 1 + n % 120}
-    return {"width": 0, "height": 0, "n_frames": 1 + n % 600}  # audio: frames≈chunks
+def _make_decode_kernel():
+    # Factory so the kernel's qualname contains `<locals>` →
+    # cloudpickle serializes it BY VALUE into the mapInPandas
+    # closure; cluster Python workers never import this package.
+    def decode_kernel(payload: bytes, kind: str) -> dict:
+        """STUB decode: the real implementation would call PIL/ffmpeg
+        here (absent from this container by design). The stub derives
+        deterministic pseudo-metadata from the payload bytes so the
+        pipeline stays testable end to end; swapping in a real codec
+        changes only this function."""
+        n = len(payload)
+        if kind == "image":
+            return {"width": 64 + n % 512, "height": 64 + n % 384, "n_frames": 1}
+        if kind == "video":
+            return {"width": 320, "height": 240, "n_frames": 1 + n % 120}
+        return {"width": 0, "height": 0, "n_frames": 1 + n % 600}  # audio: frames≈chunks
+
+    return decode_kernel
+
+
+_decode_kernel = _make_decode_kernel()
 
 
 def decode_media(df: DataFrame) -> DataFrame:
@@ -114,9 +123,13 @@ def decode_media(df: DataFrame) -> DataFrame:
     instead of paid per row.
     """
 
+    # Bind the kernel locally so cloudpickle ships the closure by
+    # value — cluster Python workers don't have this package on path.
+    decode_kernel = _decode_kernel
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [_decode_kernel(p, k) for p, k in zip(pdf["payload"], pdf["media_kind"])]
+            metas = [decode_kernel(p, k) for p, k in zip(pdf["payload"], pdf["media_kind"])]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -150,6 +163,148 @@ def media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).repartition(8, "doc_id")
 
 
+# ---------------------------------------------------------------------------
+# batch_inference — the reference server's predict loop as a
+# distributed Arrow-batched pipeline (Tools/server.py:43-117,
+# predictions_to_json.py:62-117)
+# ---------------------------------------------------------------------------
+
+PAGE_SIZE = 1000  # stub page coordinate space (px)
+CONF_THRESHOLD = 0.25
+N_CLASSES = 6
+
+INFERENCE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("det_idx", IntegerType()),
+        StructField("category_id", IntegerType()),
+        StructField("x", IntegerType()),
+        StructField("y", IntegerType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("confidence", LongType()),  # millis: conf*1000, exact int
+    ]
+)
+
+
+def batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched model inference over binary pages.
+
+    The reference server decodes a PDF into page images and runs the
+    model over the page batch on one machine (server.py:71-88). Here
+    each Arrow batch of (doc_id, payload) rows flows through
+    mapInPandas — batching is per-partition and the "model" sees
+    whole columnar batches, so 1000 executors each run their own
+    batched predict. Downstream is the reference's postprocessing
+    (predictions_to_json.py): confidence filter + id→name mapping
+    via a broadcast dim join.
+
+    Returns one row per detection above threshold, with absolute
+    xywh boxes and the class name."""
+    from datatransformertools_spark.operators.annotations import class_map
+
+    pages = media_frame(spark, sf_dir).select("doc_id", "payload")
+
+    # The closure must be fully self-contained (constants bound to
+    # locals, kernel nested) so cloudpickle ships it BY VALUE —
+    # Python workers on a real cluster don't have this package on
+    # their PYTHONPATH, only the serialized closure.
+    page_size, n_classes = PAGE_SIZE, N_CLASSES
+    out_columns = [f.name for f in INFERENCE_SCHEMA.fields]
+
+    def predict(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def fake_detections(doc_id: int, n_bytes: int) -> list[dict]:
+            # STUB model: where the reference calls `model(images)`
+            # (server.py:84), derive deterministic detections from
+            # md5(doc_id:det:n_bytes) so batching, bbox clip,
+            # xyxy→xywh and the confidence filter are value-checked
+            # end to end. A real model changes only this function.
+            dets = []
+            for j in range(1 + doc_id % 3):
+                hx = hashlib.md5(f"{doc_id}:{j}:{n_bytes}".encode()).hexdigest()
+                cx = int(hx[4:8], 16) % page_size
+                cy = int(hx[8:12], 16) % page_size
+                bw = 1 + int(hx[12:16], 16) % 400
+                bh = 1 + int(hx[16:20], 16) % 400
+                x1 = max(cx - bw // 2, 0)
+                y1 = max(cy - bh // 2, 0)
+                x2 = min(cx + bw // 2, page_size)
+                y2 = min(cy + bh // 2, page_size)
+                dets.append(
+                    {
+                        "det_idx": j,
+                        "category_id": int(hx[20:22], 16) % n_classes,
+                        "x": x1,
+                        "y": y1,
+                        "w": x2 - x1,  # xyxy→xywh, as server.py:100-105
+                        "h": y2 - y1,
+                        "confidence": int(hx[0:4], 16) % 1001,
+                    }
+                )
+            return dets
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for det in fake_detections(int(doc_id), len(payload)):
+                    rows.append({"doc_id": int(doc_id), **det})
+            yield pd.DataFrame(rows, columns=out_columns)
+
+    preds = pages.mapInPandas(predict, INFERENCE_SCHEMA)
+    names = class_map(spark, sf_dir)
+    return (
+        preds.filter(F.col("confidence") >= int(CONF_THRESHOLD * 1000))
+        .join(F.broadcast(names), "category_id")
+        .select(
+            "doc_id", "det_idx", "category_id", "category_name",
+            "x", "y", "w", "h",
+            F.round(F.col("confidence") / 1000.0 + 1e-9, 4).alias("conf"),
+        )
+    )
+
+
+BATCH_INFERENCE_SQL = f"""
+WITH pages AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
+),
+dets AS (
+  SELECT doc_id, CAST(j AS INTEGER) AS det_idx,
+         md5(doc_id || ':' || j || ':' || n_bytes) AS hx
+  FROM pages, unnest(range(0, 1 + doc_id % 3)) AS t(j)
+),
+raw AS (
+  SELECT doc_id, det_idx,
+         CAST(('0x' || substr(hx, 21, 2))::BIGINT % {N_CLASSES} AS INTEGER) AS category_id,
+         ('0x' || substr(hx, 1, 4))::BIGINT % 1001                  AS conf_milli,
+         ('0x' || substr(hx, 5, 4))::BIGINT % {PAGE_SIZE}           AS cx,
+         ('0x' || substr(hx, 9, 4))::BIGINT % {PAGE_SIZE}           AS cy,
+         1 + ('0x' || substr(hx, 13, 4))::BIGINT % 400              AS bw,
+         1 + ('0x' || substr(hx, 17, 4))::BIGINT % 400              AS bh
+  FROM dets
+),
+boxes AS (
+  SELECT doc_id, det_idx, category_id, conf_milli,
+         greatest(cx - bw // 2, 0)           AS x1,
+         greatest(cy - bh // 2, 0)           AS y1,
+         least(cx + bw // 2, {PAGE_SIZE})    AS x2,
+         least(cy + bh // 2, {PAGE_SIZE})    AS y2
+  FROM raw
+)
+SELECT doc_id, det_idx, category_id,
+       CASE category_id WHEN 0 THEN 'Background' WHEN 1 THEN 'Text'
+                        WHEN 2 THEN 'Title' WHEN 3 THEN 'List'
+                        WHEN 4 THEN 'Table' ELSE 'Figure' END AS category_name,
+       CAST(x1 AS INTEGER) AS x, CAST(y1 AS INTEGER) AS y,
+       CAST(x2 - x1 AS INTEGER) AS w, CAST(y2 - y1 AS INTEGER) AS h,
+       round(conf_milli / 1000.0 + 1e-9, 4) AS conf
+FROM boxes
+WHERE conf_milli >= {int(CONF_THRESHOLD * 1000)}
+"""
+
+
 QUERIES = {
     "multimodal_manifest": (multimodal_manifest, MULTIMODAL_MANIFEST_SQL),
+    "batch_inference": (batch_inference, BATCH_INFERENCE_SQL),
 }

@@ -235,9 +235,85 @@ GROUP BY o_orderpriority
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated min) on the available columns: for
+    each large part, the supplier offering its minimum effective
+    price. The correlated `= (SELECT min ...)` is expressed as a
+    per-part window min — one shuffle on l_partkey instead of a
+    re-scan per part, which is the distributed form of a correlated
+    subquery. part and supplier are broadcast dims."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 45)
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    offer = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.round(F.sum("l_extendedprice") / F.sum("l_quantity") + 1e-9, 4).alias("unit_price"))
+    )
+    best = F.min("unit_price").over(Window.partitionBy("l_partkey"))
+    return (
+        offer.withColumn("min_price", best)
+        .filter(F.col("unit_price") == F.col("min_price"))
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "p_partkey", "p_name", "p_size",
+            F.col("s_suppkey").alias("best_suppkey"),
+            F.col("s_name").alias("best_suppname"),
+            F.col("unit_price").alias("min_unit_price"),
+        )
+    )
+
+
+Q2_SQL = """
+WITH offer AS (
+  SELECT l_partkey, l_suppkey,
+         round(sum(l_extendedprice) / sum(l_quantity) + 1e-9, 4) AS unit_price
+  FROM lineitem
+  GROUP BY 1, 2
+)
+SELECT p_partkey, p_name, p_size,
+       s_suppkey AS best_suppkey,
+       s_name    AS best_suppname,
+       unit_price AS min_unit_price
+FROM offer
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE p_size >= 45
+  AND unit_price = (SELECT min(o2.unit_price) FROM offer o2 WHERE o2.l_partkey = offer.l_partkey)
+"""
+
+
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate over (o_orderpriority, o_orderstatus) with
+    grouping_id — subtotals and grand total in one pass. Spark plans
+    a single Expand + partial agg, so the hierarchy costs one
+    shuffle, not one scan per level."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice") + 1e-9, 4).alias("total_price"),
+            F.grouping_id().alias("grouping_level"),
+        )
+    )
+
+
+ORDERS_ROLLUP_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(o_totalprice) + 1e-9, 4) AS total_price,
+       GROUPING(o_orderpriority, o_orderstatus) AS grouping_level
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q3_top_unshipped": (q3_top_unshipped, Q3_SQL),
+    "orders_rollup": (orders_rollup, ORDERS_ROLLUP_SQL),
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "top_customers_window": (top_customers_window, TOP_CUSTOMERS_SQL),

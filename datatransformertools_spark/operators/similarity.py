@@ -207,7 +207,119 @@ SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= {TOP_K}
 ANN_LSH_SQL = _lsh_sql()
 
 
+# ---------------------------------------------------------------------------
+# ann_ivf_topk — inverted-file index: coarse cells + probed rerank
+# ---------------------------------------------------------------------------
+
+N_CELLS = 8
+N_PROBE = 2
+
+
+def _with_cells(emb: DataFrame, cents: DataFrame, rank_limit: int, id_col: str) -> DataFrame:
+    """Assign each vector to its `rank_limit` nearest coarse cells
+    (1 for indexing, N_PROBE for querying)."""
+    sim = F.round(
+        cosine_prenormed(F.col("v"), F.col("cell_v"), F.col("nrm"), F.col("cell_nrm")) + 1e-9, 6
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(F.col("cell_sim").desc(), F.col("cell_id"))
+    )
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("cell_sim", sim)
+        .withColumn("cell_rank", rn)
+        .filter(F.col("cell_rank") <= rank_limit)
+        .drop("cell_v", "cell_nrm", "cell_sim", "cell_rank")
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: index vectors live in their nearest coarse cell;
+    each query probes its N_PROBE nearest cells and reranks only
+    those cells' members with exact cosine. At 100 TB the cell id
+    is the partition key — a probe touches N_PROBE/N_CELLS of the
+    corpus instead of all of it, and the rerank is per-cell work."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    # Codebook: the first N_CELLS candidate vectors — a deterministic
+    # stand-in for the offline k-means centroids IVF trains
+    # out-of-band. The engine-side mechanics (broadcast codebook,
+    # argmax assignment, cell-equality join) are the production shape.
+    cents = emb.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CELLS)
+    ).select(
+        (F.col("vec_id") - N_QUERIES).alias("cell_id"),
+        F.col("v").alias("cell_v"),
+        F.col("nrm").alias("cell_nrm"),
+    )
+    cands = _with_cells(emb.filter(F.col("vec_id") >= N_QUERIES), cents, 1, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"), "cell_id",
+    )
+    queries = _with_cells(emb.filter(F.col("vec_id") < N_QUERIES), cents, N_PROBE, "vec_id").select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"), "cell_id",
+    )
+    pairs = cands.join(F.broadcast(queries), "cell_id")
+    cos = F.round(cosine_prenormed(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")) + 1e-9, 6)
+    scored = pairs.select("query_id", "neighbor_id", cos.alias("cos_sim"))
+    rank = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    )
+    return (
+        scored.withColumn("rank", rank)
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
+_COS_SQL = """round(
+           CASE WHEN sqrt(list_sum(list_transform({a}, x -> x * x)))
+                     * sqrt(list_sum(list_transform({b}, x -> x * x))) > 0
+                THEN list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))
+                     / (sqrt(list_sum(list_transform({a}, x -> x * x)))
+                        * sqrt(list_sum(list_transform({b}, x -> x * x))))
+                ELSE 0.0 END + 1e-9, 6)"""
+
+ANN_IVF_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT vec_id - {N_QUERIES} AS cell_id, v AS cell_v
+  FROM e WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CELLS}
+),
+cand_cells AS (
+  SELECT vec_id AS neighbor_id, cv, cell_id FROM (
+    SELECT e.vec_id, e.v AS cv, c.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS_SQL.format(a='e.v', b='c.cell_v')} DESC, c.cell_id) AS rn
+    FROM e CROSS JOIN cents c WHERE e.vec_id >= {N_QUERIES}
+  ) WHERE rn = 1
+),
+query_cells AS (
+  SELECT vec_id AS query_id, qv, cell_id FROM (
+    SELECT e.vec_id, e.v AS qv, c.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS_SQL.format(a='e.v', b='c.cell_v')} DESC, c.cell_id) AS rn
+    FROM e CROSS JOIN cents c WHERE e.vec_id < {N_QUERIES}
+  ) WHERE rn <= {N_PROBE}
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {_COS_SQL.format(a='qv', b='cv')} AS cos_sim
+  FROM cand_cells JOIN query_cells USING (cell_id)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
+    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
 }

@@ -189,6 +189,48 @@ FROM scored
 LANG_ID_SQL = _lang_id_sql()
 
 # ---------------------------------------------------------------------------
+# token_count_bpe — whitespace + BPE-ish regex token counting
+# ---------------------------------------------------------------------------
+
+# BPE-style pre-tokenizer classes (letter runs / digit runs / single
+# punctuation), the standard approximation of GPT-2's pre-tokenizer
+# split. Deliberately ASCII-class-based so Java regex and DuckDB's
+# RE2 agree byte-for-byte.
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish
+    regex pre-tokenization (letter runs, digit runs, punctuation
+    singles — the GPT-2 pre-split shape). `chars_per_token` is the
+    budget-estimation ratio a training pipeline tracks per corpus
+    slice. Pure per-row regexp projection: zero shuffles, scan-bound."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = normalize_text(F.col("text"))
+    n_ws = F.size(tokens(norm))
+    n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0))
+    n_chars = F.length(F.col("text"))
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(F.when(n_bpe > 0, n_chars / n_bpe).otherwise(F.lit(0.0)) + 1e-9, 6).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+TOKEN_COUNT_BPE_SQL = rf"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), '\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS n_bpe_tokens,
+       round(CASE WHEN len(regexp_extract_all(text, '{_BPE_PATTERN}')) > 0
+                  THEN length(text)::DOUBLE / len(regexp_extract_all(text, '{_BPE_PATTERN}'))
+                  ELSE 0.0 END + 1e-9, 6) AS chars_per_token
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
 # doc_fingerprint — md5 + 60-bit integer fingerprint of normalized text
 # ---------------------------------------------------------------------------
 
@@ -215,5 +257,6 @@ QUERIES = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),
+    "token_count_bpe": (token_count_bpe, TOKEN_COUNT_BPE_SQL),
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
 }

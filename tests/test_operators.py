@@ -106,6 +106,29 @@ class TestSimilarity:
         recall = len(exact & approx) / len(exact)
         assert recall > 0.05, f"recall {recall}"
 
+    def test_ivf_shape_and_scores(self, spark, sf_dir):
+        from datatransformertools_spark.operators.similarity import TOP_K, ann_ivf_topk
+
+        rows = ann_ivf_topk(spark, sf_dir).collect()
+        assert len(rows) > 0
+        per_query = {}
+        for r in rows:
+            per_query.setdefault(r.query_id, []).append(r)
+        exact = {
+            (r.query_id, r.neighbor_id, r.cos_sim)
+            for r in ann_bruteforce_topk(spark, sf_dir).collect()
+        }
+        for q, rs in per_query.items():
+            assert len(rs) <= TOP_K
+            ranks = sorted(r.rank for r in rs)
+            assert ranks == list(range(1, len(rs) + 1))
+            # IVF scores are exact cosines — any pair IVF shares with
+            # brute force must carry the identical score.
+            for r in rs:
+                bf = {(qq, nn) for qq, nn, _ in exact}
+                if (r.query_id, r.neighbor_id) in bf:
+                    assert (r.query_id, r.neighbor_id, r.cos_sim) in exact
+
 
 class TestEvaluation:
     def test_detection_eval_consistency(self, spark, sf_dir):
@@ -113,6 +136,23 @@ class TestEvaluation:
         assert r.tp > 0 and r.fp > 0 and r.fn > 0
         assert r.precision == pytest.approx(r.tp / (r.tp + r.fp), abs=1e-5)
         assert r.recall == pytest.approx(r.tp / (r.tp + r.fn), abs=1e-5)
+
+
+class TestBatchInference:
+    def test_detections_clip_and_threshold(self, spark, sf_dir):
+        from datatransformertools_spark.operators.multimodal import (
+            CONF_THRESHOLD,
+            PAGE_SIZE,
+            batch_inference,
+        )
+
+        rows = batch_inference(spark, sf_dir).collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert r.conf >= CONF_THRESHOLD
+            assert 0 <= r.x and r.x + r.w <= PAGE_SIZE
+            assert 0 <= r.y and r.y + r.h <= PAGE_SIZE
+            assert r.category_name in {"Background", "Text", "Title", "List", "Table", "Figure"}
 
 
 class TestMultimodal:
