@@ -52,13 +52,85 @@ def stream_tumbling_agg(events: DataFrame, watermark: str = "10 minutes") -> Dat
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str, checkpoint_dir: str):
+def stream_session_agg(events: DataFrame, watermark: str = "60 minutes") -> DataFrame:
+    """30-minute-gap sessionization with the native session_window —
+    the streaming twin of ``events_sessionize``. State is keyed by
+    (session_window, user_id), so it distributes and expires by
+    watermark like any windowed agg."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", "30 minutes"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "60 minutes") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark — the
+    streaming form of the training-pipeline dedup gate. State holds
+    only ids inside the watermark horizon, so it is bounded."""
+    return events.withWatermark("event_time", watermark).dropDuplicates(["event_id"])
+
+
+USER_COUNTS_SCHEMA = "user_id long, n_events long, total_value double"
+USER_STATE_SCHEMA = "n_events long, total_value double"
+
+
+def stream_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-user event counts/value totals, emitted every microbatch.
+
+    This is the escape hatch for stateful logic the built-in
+    windowed aggs can't express (per-key model state, custom
+    eviction). State is one tiny tuple per user, partitioned by the
+    grouping key across executors. The kernel is self-contained so
+    cloudpickle ships it by value to workers."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            n, total = state.get
+        else:
+            n, total = 0, 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=USER_COUNTS_SCHEMA,
+            stateStructType=USER_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, checkpoint_dir: str, output_mode: str = "complete"
+):
     """Drain all available input with availableNow and park results
     in a memory sink (test/backfill harness)."""
     return (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

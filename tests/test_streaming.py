@@ -12,7 +12,10 @@ from pyspark.sql import functions as F
 from datatransformertools_spark.streaming.events import (
     read_events_stream,
     run_available_now,
+    stream_dedup,
+    stream_session_agg,
     stream_tumbling_agg,
+    stream_user_totals,
 )
 
 
@@ -45,4 +48,73 @@ def test_stream_matches_batch(spark, sf_dir):
 
     assert got == want
     assert len(got) > 0
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _staged_events(sf_dir):
+    tmp = Path(tempfile.mkdtemp(prefix="dtt-stream-"))
+    src = tmp / "events"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part-0.parquet")
+    return tmp, src
+
+
+def test_stream_session_window_matches_batch(spark, sf_dir):
+    tmp, src = _staged_events(sf_dir)
+    stream = read_events_stream(spark, str(src))
+    q = run_available_now(stream_session_agg(stream), "stream_sessions", str(tmp / "ckpt"))
+    q.awaitTermination(120)
+    got = {
+        (r["session_start"], r["user_id"]): (r["n_events"], round(r["total_value"], 4))
+        for r in spark.sql("SELECT * FROM stream_sessions").collect()
+    }
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = (
+        spark.read.parquet(str(src))
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        .groupBy(F.session_window("event_time", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .select(F.col("session_window.start").alias("ws"), "user_id", "n", "s")
+    )
+    want = {(r["ws"], r["user_id"]): (r["n"], round(r["s"], 4)) for r in batch.collect()}
+    assert len(got) > 0
+    assert got == want
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_dedup_drops_resent_batch(spark, sf_dir):
+    tmp, src = _staged_events(sf_dir)
+    # the same file twice = an exactly-resent batch, the common
+    # at-least-once-delivery case streaming dedup exists for
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part-1.parquet")
+    stream = read_events_stream(spark, str(src))
+    q = run_available_now(stream_dedup(stream), "stream_dedup", str(tmp / "ckpt"), "append")
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM stream_dedup").first()
+    n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert got["n"] == got["d"] == n_src
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_user_totals_stateful(spark, sf_dir):
+    tmp, src = _staged_events(sf_dir)
+    stream = read_events_stream(spark, str(src))
+    q = run_available_now(stream_user_totals(stream), "stream_user_totals", str(tmp / "ckpt"), "update")
+    q.awaitTermination(120)
+    # update-mode memory sink may hold one row per microbatch per
+    # user; the LAST emission per user is the running total
+    rows = spark.sql("SELECT * FROM stream_user_totals").collect()
+    got = {}
+    for r in rows:
+        got[r["user_id"]] = (r["n_events"], round(r["total_value"], 4))
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 4))
+        for r in spark.read.parquet(str(src))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert len(got) > 0
+    assert got == want
     shutil.rmtree(tmp, ignore_errors=True)
