@@ -267,8 +267,90 @@ FULL OUTER JOIN m ON COALESCE(g.cls, p.cls) = m.cls
 """
 
 
+SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def detection_eval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 swept over IoU thresholds — the PR-curve
+    extension of the notebook's single IoU@0.5 cell. One pass builds
+    the pairs; each threshold re-runs only the tiny mutual-best
+    windows (partitioned by threshold+box id), so the sweep costs
+    one pairs-join plus T window passes, never T scans."""
+    pairs = _pairs_df(spark, sf_dir)
+    thr = spark.sql(
+        "SELECT CAST(thr AS DOUBLE) AS thr FROM (VALUES "
+        + ", ".join(f"({t})" for t in SWEEP_THRESHOLDS)
+        + ") AS t(thr)"
+    )
+    swept = pairs.crossJoin(F.broadcast(thr)).filter(F.col("iou") >= F.col("thr"))
+    rn_p = F.row_number().over(
+        Window.partitionBy("thr", "pred_id").orderBy(F.col("iou").desc(), F.col("gt_id"))
+    )
+    rn_g = F.row_number().over(
+        Window.partitionBy("thr", "gt_id").orderBy(F.col("iou").desc(), F.col("pred_id"))
+    )
+    tp_per_thr = (
+        swept.withColumn("rn_p", rn_p)
+        .withColumn("rn_g", rn_g)
+        .filter((F.col("rn_p") == 1) & (F.col("rn_g") == 1))
+        .groupBy("thr")
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    n_pred = _pred_df(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_pred"))
+    n_gt = _gt_df(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_gt"))
+    joined = thr.join(tp_per_thr, "thr", "left").crossJoin(n_pred).crossJoin(n_gt)
+    tp = F.coalesce(F.col("tp"), F.lit(0))
+    precision = tp / F.col("n_pred")
+    recall = tp / F.col("n_gt")
+    return joined.select(
+        F.col("thr").alias("iou_threshold"),
+        tp.alias("tp"),
+        (F.col("n_pred") - tp).alias("fp"),
+        (F.col("n_gt") - tp).alias("fn"),
+        F.round(precision + 1e-9, 6).alias("precision"),
+        F.round(recall + 1e-9, 6).alias("recall"),
+        F.round(
+            F.when(precision + recall > 0, 2 * precision * recall / (precision + recall)).otherwise(0.0)
+            + 1e-9, 6,
+        ).alias("f1"),
+    )
+
+
+DETECTION_EVAL_SWEEP_SQL = f"""
+WITH {_GT_SQL},
+{_PAIRS_SQL},
+thresholds AS (SELECT thr FROM (VALUES {", ".join(f"({t})" for t in SWEEP_THRESHOLDS)}) AS t(thr)),
+ranked AS (
+  SELECT pairs.*, thr,
+    row_number() OVER (PARTITION BY thr, pred_id ORDER BY iou DESC, gt_id)  AS rn_p,
+    row_number() OVER (PARTITION BY thr, gt_id  ORDER BY iou DESC, pred_id) AS rn_g
+  FROM pairs CROSS JOIN thresholds WHERE iou >= thr
+),
+tp_per AS (
+  SELECT thr, count(*) AS tp FROM ranked WHERE rn_p = 1 AND rn_g = 1 GROUP BY thr
+),
+counts AS (
+  SELECT t.thr, COALESCE(tp_per.tp, 0) AS tp,
+         (SELECT count(*) FROM pred) AS n_pred,
+         (SELECT count(*) FROM gt)   AS n_gt
+  FROM thresholds t LEFT JOIN tp_per ON t.thr = tp_per.thr
+)
+SELECT thr AS iou_threshold, tp,
+       n_pred - tp AS fp,
+       n_gt - tp   AS fn,
+       round(CAST(tp AS DOUBLE) / n_pred + 1e-9, 6) AS precision,
+       round(CAST(tp AS DOUBLE) / n_gt + 1e-9, 6)   AS recall,
+       round(CASE WHEN CAST(tp AS DOUBLE) / n_pred + CAST(tp AS DOUBLE) / n_gt > 0
+                  THEN 2 * (CAST(tp AS DOUBLE) / n_pred) * (CAST(tp AS DOUBLE) / n_gt)
+                       / (CAST(tp AS DOUBLE) / n_pred + CAST(tp AS DOUBLE) / n_gt)
+                  ELSE 0.0 END + 1e-9, 6) AS f1
+FROM counts
+"""
+
+
 QUERIES = {
     "bbox_iou_pairs": (bbox_iou_pairs, BBOX_IOU_PAIRS_SQL),
     "detection_eval": (detection_eval, DETECTION_EVAL_SQL),
     "detection_eval_per_class": (detection_eval_per_class, DETECTION_EVAL_PER_CLASS_SQL),
+    "detection_eval_sweep": (detection_eval_sweep, DETECTION_EVAL_SWEEP_SQL),
 }

@@ -210,6 +210,50 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# events_user_mad — grouped-map applyInPandas (custom per-key kernel)
+# ---------------------------------------------------------------------------
+
+
+def events_user_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user robust dispersion: median and median-absolute-
+    deviation of event values via applyInPandas — the grouped-map
+    escape hatch for per-key kernels the built-in aggregates can't
+    express (robust stats, per-key model fits). Each user's rows
+    land on one executor via the groupBy shuffle; the kernel sees
+    a whole group as one pandas frame. Closure is self-contained so
+    cloudpickle ships it by value to workers."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        med = float(np.median(pdf["value"]))
+        mad = float(np.median(np.abs(pdf["value"] - med)))
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "median_value": [round(med + 1e-9, 6)],
+                "mad_value": [round(mad + 1e-9, 6)],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        kernel, "user_id long, n_events long, median_value double, mad_value double"
+    )
+
+
+EVENTS_USER_MAD_SQL = """
+SELECT user_id,
+       count(*) AS n_events,
+       round(median(value) + 1e-9, 6) AS median_value,
+       round(mad(value) + 1e-9, 6)    AS mad_value
+FROM events
+GROUP BY user_id
+"""
+
+# ---------------------------------------------------------------------------
 # events_skew_join_salted — hot-key join via explicit salting
 # ---------------------------------------------------------------------------
 
@@ -267,4 +311,5 @@ QUERIES = {
     "events_asof_join": (events_asof_join, EVENTS_ASOF_JOIN_SQL),
     "events_json_extract": (events_json_extract, EVENTS_JSON_EXTRACT_SQL),
     "events_skew_join_salted": (events_skew_join_salted, EVENTS_SKEW_JOIN_SALTED_SQL),
+    "events_user_mad": (events_user_mad, EVENTS_USER_MAD_SQL),
 }

@@ -147,6 +147,70 @@ def decode_media(df: DataFrame) -> DataFrame:
     return df.mapInPandas(decode, DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_kind", StringType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("thumb", BinaryType()),
+    ]
+)
+
+
+def resize_media(df: DataFrame, target: int = 224) -> DataFrame:
+    """Resize plumbing over (doc_id, media_kind, payload): every item
+    is normalized to a target×target thumbnail. The stub kernel
+    derives a deterministic "thumbnail" (truncated payload) — a real
+    implementation swaps in PIL's resize inside the same Arrow batch
+    loop (reference decodes + resizes per file, server.py:76-82)."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_kind": pdf["media_kind"],
+                    "out_w": target,
+                    "out_h": target,
+                    # stub: first target bytes stand in for resized pixels
+                    "thumb": [bytes(p[:target]) for p in pdf["payload"]],
+                }
+            )
+
+    return df.mapInPandas(resize, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: one input row
+    fans out to one row per sampled frame (the row-explosion shape
+    real video pipelines have). The stub treats each 64-byte chunk
+    of the payload as a "frame" and keeps every `every_n`-th; a real
+    decoder swaps in ffmpeg keyframe extraction."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = {"doc_id": [], "frame_idx": [], "frame": []}
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = max(len(payload) // 64, 1)
+                for idx in range(0, n_frames, every_n):
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_idx"].append(idx)
+                    rows["frame"].append(bytes(payload[idx * 64 : idx * 64 + 64]))
+        yield pd.DataFrame(rows)
+
+    return df.mapInPandas(sample, FRAMES_SCHEMA)
+
+
 def media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, media_kind, payload) frame used by the decode tests:
     payload is the utf-8 text, kind assigned deterministically,

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from datatransformertools_spark.functions.hashing import md5_long
 from datatransformertools_spark.functions.text import normalize_text, tokens
@@ -253,8 +254,69 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus_prep_pipeline — the composed training-data prep plan
+# ---------------------------------------------------------------------------
+
+
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter → exact-dedup → tokenize as ONE declarative
+    plan. This is the point of the Spark-first design: the stages
+    fuse — quality scoring and hashing happen in the same scan
+    projection, the only shuffle is the dedup groupBy on
+    (16-byte hash, doc_id), and the survivor set never
+    rematerializes between stages."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    norm = normalize_text(F.col("text"))
+    tok = tokens(norm)
+    n_tokens = F.size(tok)
+    uniq_ratio = F.when(n_tokens > 0, F.size(F.array_distinct(tok)) / n_tokens).otherwise(F.lit(0.0))
+    score = F.round(
+        0.5 * uniq_ratio + 0.5 * F.least(F.col("n_chars") / F.lit(400.0), F.lit(1.0)) + 1e-9, 6
+    )
+    scored = docs.select(
+        "doc_id",
+        F.md5(norm).alias("text_hash"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0)).alias("n_bpe_tokens"),
+        score.alias("quality_score"),
+    ).filter(score >= 0.5)
+    keeper = F.row_number().over(
+        Window.partitionBy("text_hash").orderBy("doc_id")
+    )
+    return (
+        scored.withColumn("rn", keeper)
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text_hash", "n_tokens", "n_bpe_tokens", "quality_score")
+    )
+
+
+CORPUS_PREP_SQL = rf"""
+WITH scored AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_hash,
+         len(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), '\s+')) AS n_tokens,
+         len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS n_bpe_tokens,
+         round(
+           0.5 * (CASE WHEN len(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), '\s+')) > 0
+                       THEN len(list_distinct(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), '\s+')))::DOUBLE
+                            / len(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), '\s+'))
+                       ELSE 0.0 END)
+           + 0.5 * least(n_chars / 400.0, 1.0) + 1e-9, 6) AS quality_score
+  FROM documents
+),
+kept AS (
+  SELECT *, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
+  FROM scored WHERE quality_score >= 0.5
+)
+SELECT doc_id, text_hash, n_tokens, n_bpe_tokens, quality_score
+FROM kept WHERE rn = 1
+"""
+
+
 QUERIES = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
+    "corpus_prep_pipeline": (corpus_prep_pipeline, CORPUS_PREP_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),
     "token_count_bpe": (token_count_bpe, TOKEN_COUNT_BPE_SQL),

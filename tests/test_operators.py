@@ -155,7 +155,57 @@ class TestBatchInference:
             assert r.category_name in {"Background", "Text", "Title", "List", "Table", "Figure"}
 
 
+class TestEvalSweep:
+    def test_sweep_monotone_in_threshold(self, spark, sf_dir):
+        from datatransformertools_spark.operators.evaluation import detection_eval_sweep
+
+        rows = sorted(detection_eval_sweep(spark, sf_dir).collect(), key=lambda r: r.iou_threshold)
+        assert len(rows) == 5
+        # stricter IoU can only lose matches
+        tps = [r.tp for r in rows]
+        assert tps == sorted(tps, reverse=True)
+        assert rows[0].tp > 0
+
+
+class TestGroupedMap:
+    def test_user_mad_matches_driver_math(self, spark, sf_dir):
+        import numpy as np
+
+        from datatransformertools_spark.operators.events import events_user_mad
+        from datatransformertools_spark.sources.tables import load_table
+
+        got = {r.user_id: (r.n_events, r.median_value, r.mad_value)
+               for r in events_user_mad(spark, sf_dir).collect()}
+        pdf = load_table(spark, sf_dir, "events").select("user_id", "value").toPandas()
+        for user_id, grp in pdf.groupby("user_id"):
+            med = float(np.median(grp["value"]))
+            mad = float(np.median(np.abs(grp["value"] - med)))
+            n, gmed, gmad = got[user_id]
+            assert n == len(grp)
+            assert abs(gmed - med) < 1e-5 and abs(gmad - mad) < 1e-5
+
+
 class TestMultimodal:
+    def test_resize_plumbing(self, spark, sf_dir):
+        from datatransformertools_spark.operators.multimodal import media_frame, resize_media
+
+        rows = resize_media(media_frame(spark, sf_dir), target=64).collect()
+        assert len(rows) > 0
+        assert all(r.out_w == 64 and r.out_h == 64 for r in rows)
+        assert all(len(r.thumb) <= 64 for r in rows)
+
+    def test_frame_sampling_explodes_rows(self, spark, sf_dir):
+        from datatransformertools_spark.operators.multimodal import media_frame, sample_frames
+
+        src = media_frame(spark, sf_dir)
+        frames = sample_frames(src, every_n=2).collect()
+        assert len(frames) > src.count()  # fan-out happened
+        by_doc = {}
+        for r in frames:
+            by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+        for idxs in by_doc.values():
+            assert sorted(idxs) == list(range(0, max(idxs) + 1, 2))
+
     def test_decode_plumbing(self, spark, sf_dir):
         decoded = decode_media(media_frame(spark, sf_dir))
         rows = decoded.collect()
