@@ -400,10 +400,96 @@ SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= {COSINE_TAU}
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup_components — candidate pairs → duplicate clusters → keepers
+# ---------------------------------------------------------------------------
+
+MAX_CC_ITERS = 20
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the minhash-LSH candidate graph:
+    every doc gets the min doc_id of its duplicate cluster as
+    `component` (the keeper). This is the step that turns pairwise
+    near-dup hits into an actual deduplicated corpus.
+
+    Iterative min-label propagation: each round joins labels to the
+    (tiny) edge list and takes the per-node min — the standard
+    large-graph CC under Pregel/GraphX, expressed as DataFrame
+    joins. Converges in O(component diameter) rounds; near-dup
+    clusters are shallow, so 3-5 rounds in practice. The driver
+    only checks a scalar convergence count per round."""
+    edges = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges_bi = edges.unionByName(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = docs.select("doc_id", F.col("doc_id").alias("component")).persist()
+    labels.count()
+    for _ in range(MAX_CC_ITERS):
+        neigh = (
+            edges_bi.join(labels, edges_bi.doc_a == labels.doc_id)
+            .select(F.col("doc_b").alias("doc_id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "doc_id")
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.withColumn("is_keeper", (F.col("doc_id") == F.col("component")).cast("int"))
+
+
+DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE {_SHINGLE_SQL},
+sig AS (
+  SELECT doc_id,
+    {", ".join(f"min(('0x' || substr(md5('{i}:' || shingle), 1, 15))::BIGINT) AS sig{i}" for i in range(NUM_PERM))}
+  FROM shingles GROUP BY doc_id
+),
+banded AS (
+  SELECT *,
+    {", ".join("md5('%d:' || %s) AS band%d" % (b, " || ".join(f"CAST(sig{b * ROWS_PER_BAND + r} AS VARCHAR) || ','" for r in range(ROWS_PER_BAND)), b) for b in range(BANDS))}
+  FROM sig
+),
+exploded AS (
+  {" UNION ALL ".join(f"SELECT doc_id, band{b} AS band_key FROM banded" for b in range(BANDS))}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM exploded a JOIN exploded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.doc_b, r.root FROM reach r JOIN edges e ON e.doc_a = r.node
+)
+SELECT node AS doc_id,
+       min(root) AS component,
+       CASE WHEN node = min(root) THEN 1 ELSE 0 END AS is_keeper
+FROM reach GROUP BY node
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
+    "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
 }

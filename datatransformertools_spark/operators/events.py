@@ -210,6 +210,48 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# events_top_k_per_window — windowed top-k (rank inside time buckets)
+# ---------------------------------------------------------------------------
+
+HOUR_US = 3_600_000_000
+WINDOW_TOP_K = 3
+
+
+def events_top_k_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 users by total value within each 1-hour tumbling
+    window. The rank partitions by window, so every sort is local
+    to one window's partition — no global ordering anywhere."""
+    ev = _events_us(spark, sf_dir)
+    win = (F.expr(f"ts_us div {HOUR_US}") * HOUR_US).alias("window_start_us")
+    per_user = (
+        ev.groupBy(win, "user_id")
+        .agg(F.round(F.sum("value") + 1e-9, 4).alias("total_value"))
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("window_start_us").orderBy(F.col("total_value").desc(), F.col("user_id"))
+    )
+    return (
+        per_user.withColumn("rank_in_window", rank)
+        .filter(F.col("rank_in_window") <= WINDOW_TOP_K)
+    )
+
+
+EVENTS_TOP_K_SQL = f"""
+WITH per_user AS (
+  SELECT (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS window_start_us,
+         user_id,
+         round(sum(value) + 1e-9, 4) AS total_value
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY window_start_us
+                               ORDER BY total_value DESC, user_id) AS rank_in_window
+  FROM per_user
+)
+SELECT * FROM ranked WHERE rank_in_window <= {WINDOW_TOP_K}
+"""
+
+# ---------------------------------------------------------------------------
 # events_user_mad — grouped-map applyInPandas (custom per-key kernel)
 # ---------------------------------------------------------------------------
 
@@ -312,4 +354,5 @@ QUERIES = {
     "events_json_extract": (events_json_extract, EVENTS_JSON_EXTRACT_SQL),
     "events_skew_join_salted": (events_skew_join_salted, EVENTS_SKEW_JOIN_SALTED_SQL),
     "events_user_mad": (events_user_mad, EVENTS_USER_MAD_SQL),
+    "events_top_k_per_window": (events_top_k_per_window, EVENTS_TOP_K_SQL),
 }

@@ -309,11 +309,45 @@ GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
 
 
+def part_brand_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per part brand pivoted by return flag — Spark's
+    pivot() with an EXPLICIT value list (implicit pivot runs a
+    distinct-scan first; at 100 TB you always enumerate). Plans as
+    one groupBy with conditional aggregates — same single shuffle
+    as the unpivoted agg."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag", "l_extendedprice", "l_discount")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum(rev) + 1e-9, 4))
+        .select(
+            "p_brand",
+            F.coalesce(F.col("A"), F.lit(0.0)).alias("rev_a"),
+            F.coalesce(F.col("N"), F.lit(0.0)).alias("rev_n"),
+            F.coalesce(F.col("R"), F.lit(0.0)).alias("rev_r"),
+        )
+    )
+
+
+PART_BRAND_PIVOT_SQL = """
+SELECT p_brand,
+       COALESCE(round(sum(CASE WHEN l_returnflag = 'A' THEN l_extendedprice * (1 - l_discount) END) + 1e-9, 4), 0.0) AS rev_a,
+       COALESCE(round(sum(CASE WHEN l_returnflag = 'N' THEN l_extendedprice * (1 - l_discount) END) + 1e-9, 4), 0.0) AS rev_n,
+       COALESCE(round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice * (1 - l_discount) END) + 1e-9, 4), 0.0) AS rev_r
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q3_top_unshipped": (q3_top_unshipped, Q3_SQL),
     "orders_rollup": (orders_rollup, ORDERS_ROLLUP_SQL),
+    "part_brand_pivot": (part_brand_pivot, PART_BRAND_PIVOT_SQL),
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "top_customers_window": (top_customers_window, TOP_CUSTOMERS_SQL),

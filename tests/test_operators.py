@@ -95,6 +95,23 @@ class TestDedup:
         pairs = dedup_ngram_jaccard(spark, sf_dir).collect()
         assert all(r.jaccard >= 0.3 for r in pairs)
 
+    def test_components_consistent_with_pairs(self, spark, sf_dir):
+        from datatransformertools_spark.operators.dedup import (
+            dedup_components,
+            dedup_minhash_lsh,
+        )
+
+        comp = {r.doc_id: r.component for r in dedup_components(spark, sf_dir).collect()}
+        pairs = dedup_minhash_lsh(spark, sf_dir).collect()
+        assert len(pairs) > 0
+        # every candidate pair must have collapsed into one component
+        for r in pairs:
+            assert comp[r.doc_a] == comp[r.doc_b]
+        # components are canonical: the component id is a member's min id
+        assert all(comp[d] <= d for d in comp)
+        # and at least one real cluster exists (not all singletons)
+        assert any(comp[d] != d for d in comp)
+
 
 class TestSimilarity:
     def test_lsh_recall_vs_bruteforce(self, spark, sf_dir):
