@@ -420,12 +420,28 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters are shallow, so 3-5 rounds in practice. The driver
     only checks a scalar convergence count per round."""
     edges = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    edges_bi = edges.unionByName(
-        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    labels = docs.select("doc_id", F.col("doc_id").alias("component")).persist()
-    labels.count()
+    # Iterate ONLY over edge-touched nodes (isolated docs are their
+    # own component and rejoin at the end): the loop's working set
+    # is the candidate graph, which is orders of magnitude smaller
+    # than the corpus. 8 partitions — the frames are tiny relative
+    # to any cluster; at larger graphs AQE re-coalesces anyway.
+    edges_bi = (
+        edges.unionByName(
+            edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .repartition(8, "doc_a")
+        .persist()
+    )
+    labels = (
+        edges_bi.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("component"))
+        .persist()
+    )
+    # Convergence via the label-sum invariant: min-propagation only
+    # ever lowers labels, so the sum strictly decreases until the
+    # fixpoint — one scalar agg per round instead of a compare-join.
+    prev_sum = labels.agg(F.sum("component")).first()[0]
     for _ in range(MAX_CC_ITERS):
         neigh = (
             edges_bi.join(labels, edges_bi.doc_a == labels.doc_id)
@@ -437,16 +453,17 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("component").alias("component"))
             .persist()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "old"), "doc_id")
-            .filter(F.col("component") != F.col("old"))
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("component")).first()[0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
-    return labels.withColumn("is_keeper", (F.col("doc_id") == F.col("component")).cast("int"))
+        prev_sum = new_sum
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = docs.join(F.broadcast(labels), "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("component")
+    )
+    return out.withColumn("is_keeper", (F.col("doc_id") == F.col("component")).cast("int"))
 
 
 DEDUP_COMPONENTS_SQL = f"""
