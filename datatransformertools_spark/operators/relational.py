@@ -342,10 +342,167 @@ GROUP BY p_brand
 """
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by year.
+    Both nation hops are broadcasts; the only shuffle is
+    lineitem⋈orders plus the small final agg."""
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01")) & (F.col("l_shipdate") <= F.lit("1996-12-31"))
+    )
+    supp_n = supp.join(
+        F.broadcast(nation.filter(F.col("n_name").isin("FRANCE", "GERMANY"))),
+        supp.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust_n = cust.join(
+        F.broadcast(nation.filter(F.col("n_name").isin("FRANCE", "GERMANY"))),
+        cust.c_nationkey == nation.n_nationkey,
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == supp_n.s_suppkey)
+        .join(F.broadcast(cust_n), F.col("o_custkey") == cust_n.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-9, 4).alias("revenue"))
+    )
+
+
+Q7_SQL = """
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('FRANCE', 'GERMANY')
+  AND cn.n_name IN ('FRANCE', 'GERMANY')
+  AND sn.n_name <> cn.n_name
+  AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+GROUP BY 1, 2, 3
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20.
+    Aggregate first, then the tiny ranked head joins customer — the
+    fact-side shuffle carries only (custkey, revenue)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01")) & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-9, 4).alias("revenue"))
+    )
+    return (
+        per_cust.join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .select("c_custkey", "c_name", "c_acctbal", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, revenue
+FROM (
+  SELECT o_custkey, round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1995-10-01'
+    AND o_orderdate <  TIMESTAMP '1996-01-01'
+  GROUP BY o_custkey
+) r JOIN customer ON o_custkey = c_custkey
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q12_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: bucket by linestatus instead of the
+    absent shipmode): high- vs low-priority order counts per
+    lineitem status — conditional aggregation after one equi-join."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).alias("high_priority_count"),
+            F.sum(1 - high).alias("low_priority_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_priority_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_priority_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a
+    threshold — the grouped-HAVING semi-join. The HAVING filter runs
+    on the aggregated (small) side before any wide join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity") + 1e-9, 4).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            F.round(F.col("o_totalprice") + 1e-9, 4).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(o_orderdate AS DATE) AS o_orderdate,
+       round(o_totalprice + 1e-9, 4) AS o_totalprice,
+       total_qty
+FROM (
+  SELECT l_orderkey, round(sum(l_quantity) + 1e-9, 4) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity) + 1e-9, 4) > 300
+) big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q3_top_unshipped": (q3_top_unshipped, Q3_SQL),
+    "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "q12_priority_shipmode": (q12_priority_shipmode, Q12_SQL),
+    "q18_large_orders": (q18_large_orders, Q18_SQL),
     "orders_rollup": (orders_rollup, ORDERS_ROLLUP_SQL),
     "part_brand_pivot": (part_brand_pivot, PART_BRAND_PIVOT_SQL),
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),

@@ -318,8 +318,56 @@ SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# label_centroids — distributed vector mean per class
+# ---------------------------------------------------------------------------
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean embedding per label — the codebook-training primitive
+    (one k-means step / class prototypes). Dims explode to
+    (label, dim, val) rows so the average is an ordinary partial
+    agg: map-side combine reduces every partition to
+    |labels|·DIM rows before the shuffle, independent of corpus
+    size. The centroid reassembles via a sort-free struct collect."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", as_double(F.col("embedding")).alias("v")
+    )
+    dims = emb.select(
+        "label", F.explode(F.sequence(F.lit(0), F.lit(DIM - 1))).alias("dim"), "v"
+    ).select("label", "dim", F.element_at("v", F.col("dim") + 1).alias("val"))
+    per_dim = dims.groupBy("label", "dim").agg(
+        F.round(F.avg("val") + 1e-9, 6).alias("cval"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return per_dim.groupBy("label").agg(
+        (F.sum("n") / DIM).cast("long").alias("n_vectors"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cval"))), lambda s: s.cval
+        ).alias("centroid"),
+    )
+
+
+LABEL_CENTROIDS_SQL = f"""
+WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (
+  SELECT label, i - 1 AS dim, v[i] AS val
+  FROM e CROSS JOIN range(1, {DIM} + 1) t(i)
+),
+per_dim AS (
+  SELECT label, dim, round(avg(val) + 1e-9, 6) AS cval, count(*) AS n
+  FROM dims GROUP BY 1, 2
+)
+SELECT label,
+       CAST(sum(n) / {DIM} AS BIGINT) AS n_vectors,
+       list(cval ORDER BY dim) AS centroid
+FROM per_dim GROUP BY label
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
+    "label_centroids": (label_centroids, LABEL_CENTROIDS_SQL),
 }

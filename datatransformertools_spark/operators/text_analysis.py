@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from datatransformertools_spark.functions.hashing import md5_long
-from datatransformertools_spark.functions.text import normalize_text, tokens
+from datatransformertools_spark.functions.text import normalize_text, tokens, word_shingles
 from datatransformertools_spark.sources.tables import load_table
 
 # English-ish function words used by the marker heuristic.
@@ -314,8 +314,55 @@ FROM kept WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# ngram_topk — corpus-wide vocabulary / collocation extraction
+# ---------------------------------------------------------------------------
+
+NGRAM_TOP_K = 50
+
+
+def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K corpus bigrams with document frequency — the vocabulary
+    building pass of a training pipeline. Map-side partial counts do
+    the heavy lifting; the shuffle carries one row per distinct
+    bigram, and only the final K-row head is ordered."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bigrams = word_shingles(tokens(normalize_text(F.col("text"))), 2)
+    exploded = docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+    return (
+        exploded.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("bigram"))
+        .limit(NGRAM_TOP_K)
+    )
+
+
+NGRAM_TOPK_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS t
+  FROM documents
+),
+bigrams AS (
+  SELECT DISTINCT doc_id, b
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                                 i -> t[i] || ' ' || t[i+1])) AS b
+    FROM toks
+  )
+)
+SELECT b AS bigram, count(*) AS doc_freq
+FROM bigrams
+GROUP BY b
+ORDER BY doc_freq DESC, bigram
+LIMIT {NGRAM_TOP_K}
+"""
+
+
 QUERIES = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
+    "ngram_topk": (ngram_topk, NGRAM_TOPK_SQL),
     "corpus_prep_pipeline": (corpus_prep_pipeline, CORPUS_PREP_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),
