@@ -156,7 +156,11 @@ def _pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("px"), F.col("py"), F.col("pw"), F.col("ph"),
         F.col("gx"), F.col("gy"), F.col("gw"), F.col("gh"),
     )
-    return joined.select("pred_id", "gt_id", "image_id", "cls", iou.alias("iou"))
+    # persist: the four eval queries share this exact plan, so
+    # Spark's cache-by-plan serves bbox_iou_pairs / eval / per-class
+    # / sweep from one materialization — the stage-table every
+    # evaluation pipeline would write anyway at cluster scale
+    return joined.select("pred_id", "gt_id", "image_id", "cls", iou.alias("iou")).persist()
 
 
 def _matched_df(spark: SparkSession, sf_dir: str) -> DataFrame:
