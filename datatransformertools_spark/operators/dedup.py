@@ -432,11 +432,15 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(8, "doc_a")
         .persist()
     )
+    # localCheckpoint (not persist): iterative plans grow their
+    # lineage every round, so analysis/AQE replanning cost compounds
+    # — checkpointing truncates the plan to the materialized data,
+    # keeping each iteration O(current data), not O(history).
     labels = (
         edges_bi.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .select("doc_id", F.col("doc_id").alias("component"))
-        .persist()
+        .localCheckpoint()
     )
     # Convergence via the label-sum invariant: min-propagation only
     # ever lowers labels, so the sum strictly decreases until the
@@ -451,10 +455,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.unionByName(neigh)
             .groupBy("doc_id")
             .agg(F.min("component").alias("component"))
-            .persist()
+            .localCheckpoint()
         )
         new_sum = new_labels.agg(F.sum("component")).first()[0]
-        labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
             break

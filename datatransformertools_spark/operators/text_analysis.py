@@ -327,6 +327,10 @@ def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the heavy lifting; the shuffle carries one row per distinct
     bigram, and only the final K-row head is ordered."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # single-file local scan = one partition; fan the per-doc
+    # tokenize+explode out before the heavy work (a multi-file lake
+    # parallelizes at the scan and AQE coalesces the remainder)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     bigrams = word_shingles(tokens(normalize_text(F.col("text"))), 2)
     exploded = docs.select("doc_id", F.explode(bigrams).alias("bigram"))
     return (

@@ -33,6 +33,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "datatransformertools_spark.operators.text_analysis",
         "datatransformertools_spark.operators.multimodal",
         "datatransformertools_spark.operators.events",
+        "datatransformertools_spark.streaming.events",
     ]
     merged: dict[str, tuple[QueryFn, str | None]] = {}
     for mod_name in modules:

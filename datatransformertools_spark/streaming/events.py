@@ -122,6 +122,70 @@ def stream_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window agg EXECUTED AS A STREAM: readStream over
+    the events parquet, drained with availableNow into a memory
+    sink, result returned as a bounded DataFrame. Same bucket
+    arithmetic as the batch `events_tumbling_agg`, so the DuckDB
+    oracle value-checks the streaming runtime itself — the
+    one-codebase-two-runtimes guarantee, enforced by the gate."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F  # noqa: F811 (self-contained)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file stream source requires a DIRECTORY; stage one with a
+    # symlink to the table file (a real deployment streams from the
+    # landing directory to begin with)
+    src_dir = tempfile.mkdtemp(prefix="dtt-stream-src-")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events.parquet")
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+    five_min_us = 300_000_000
+    agg = (
+        raw.withColumn("ts_us", F.expr("ts div 1000"))
+        .groupBy(
+            (F.expr(f"ts_us div {five_min_us}") * five_min_us).alias("window_start_us"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") + 1e-9, 4).alias("sum_value"),
+            F.round(F.avg("value") + 1e-9, 4).alias("avg_value"),
+        )
+    )
+    name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dtt-stream-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+# oracle: identical to the batch tumbling agg — the stream must
+# produce exactly what the batch plan produces
+EVENTS_STREAM_TUMBLING_SQL = """
+SELECT
+  (epoch_us(ts) // 300000000) * 300000000 AS window_start_us,
+  event_type,
+  count(*)                      AS n_events,
+  round(sum(value) + 1e-9, 4)   AS sum_value,
+  round(avg(value) + 1e-9, 4)   AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+QUERIES = {
+    "events_stream_tumbling": (events_stream_tumbling, EVENTS_STREAM_TUMBLING_SQL),
+}
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, checkpoint_dir: str, output_mode: str = "complete"
 ):
