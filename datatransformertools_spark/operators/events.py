@@ -252,6 +252,119 @@ SELECT * FROM ranked WHERE rank_in_window <= {WINDOW_TOP_K}
 """
 
 # ---------------------------------------------------------------------------
+# events_range_join_binned — range join via discretized bins
+# ---------------------------------------------------------------------------
+
+TIERS = [
+    ("bronze", 0.0, 25.0),
+    ("silver", 25.0, 50.0),
+    ("gold", 50.0, 75.0),
+    ("platinum", 75.0, 1e9),
+]
+BIN_W = 25.0
+
+
+def events_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (value BETWEEN lo AND hi) via bin discretization.
+
+    A naive big×big range join plans as a nested-loop; the scale
+    technique is to shatter each range into fixed-width bins, join
+    on the bin EQUALITY key (hash join!), then re-check the exact
+    predicate. Here tiers are deliberately tiny (the oracle is the
+    plain range join) — the point is the pattern: bin width trades
+    fan-out for candidate precision, and the shuffle is an
+    equi-shuffle either way."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    tiers = spark.sql(
+        "SELECT tier, CAST(lo AS DOUBLE) lo, CAST(hi AS DOUBLE) hi FROM (VALUES "
+        + ", ".join(f"('{t}', {lo}, {hi})" for t, lo, hi in TIERS)
+        + ") AS t(tier, lo, hi)"
+    )
+    # explode each tier into the bins it overlaps (hi capped to the
+    # observed max so the open-ended tier doesn't explode)
+    max_bin = F.least(F.floor(F.col("hi") / BIN_W), F.lit(100.0)).cast("long")
+    binned_tiers = tiers.withColumn(
+        "bin", F.explode(F.sequence(F.floor(F.col("lo") / BIN_W).cast("long"), max_bin))
+    )
+    binned_ev = ev.withColumn("bin", F.floor(F.col("value") / BIN_W).cast("long"))
+    return (
+        binned_ev.join(F.broadcast(binned_tiers), "bin")
+        .filter((F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
+        .select("event_id", F.round(F.col("value") + 1e-9, 4).alias("value"), "tier")
+    )
+
+
+EVENTS_RANGE_JOIN_SQL = f"""
+WITH tiers AS (
+  SELECT * FROM (VALUES {", ".join(f"('{t}', {lo}, {hi})" for t, lo, hi in TIERS)}) AS t(tier, lo, hi)
+)
+SELECT event_id, round(value + 1e-9, 4) AS value, tier
+FROM events JOIN tiers ON value >= lo AND value < hi
+"""
+
+# ---------------------------------------------------------------------------
+# events_multi_rollup — hypertable-style continuous-aggregate chain
+# ---------------------------------------------------------------------------
+
+ROLLUP_RESOLUTIONS = (("5m", 300_000_000), ("1h", 3_600_000_000), ("1d", 86_400_000_000))
+
+
+def events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup (5m → 1h → 1d) where each coarser
+    level REAGGREGATES the finer one instead of rescanning raw —
+    the continuous-aggregate pattern: raw is read once, the 1h pass
+    touches |5m-windows| rows, the 1d pass |1h-windows| rows.
+    count/sum reaggregate losslessly (avg would be derived as
+    sum/count at read time)."""
+    ev = _events_us(spark, sf_dir)
+    res5, res1h, res1d = (us for _, us in ROLLUP_RESOLUTIONS)
+    fine = (
+        ev.groupBy((F.expr(f"ts_us div {res5}") * res5).alias("w5"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .localCheckpoint()  # the materialized 5m aggregate table
+    )
+    hourly = fine.groupBy((F.expr(f"w5 div {res1h}") * res1h).alias("w1h")).agg(
+        F.sum("n").alias("n"), F.sum("s").alias("s")
+    )
+    daily = hourly.groupBy((F.expr(f"w1h div {res1d}") * res1d).alias("w1d")).agg(
+        F.sum("n").alias("n"), F.sum("s").alias("s")
+    )
+    out = None
+    for name, df, col in (("5m", fine, "w5"), ("1h", hourly, "w1h"), ("1d", daily, "w1d")):
+        level = df.select(
+            F.lit(name).alias("resolution"),
+            F.col(col).alias("window_start_us"),
+            F.col("n").alias("n_events"),
+            F.round(F.col("s") + 1e-9, 4).alias("sum_value"),
+        )
+        out = level if out is None else out.unionByName(level)
+    return out
+
+
+EVENTS_MULTI_ROLLUP_SQL = f"""
+WITH fine AS (
+  SELECT (epoch_us(ts) // {ROLLUP_RESOLUTIONS[0][1]}) * {ROLLUP_RESOLUTIONS[0][1]} AS w5,
+         count(*) AS n, sum(value) AS s
+  FROM events GROUP BY 1
+),
+hourly AS (
+  SELECT (w5 // {ROLLUP_RESOLUTIONS[1][1]}) * {ROLLUP_RESOLUTIONS[1][1]} AS w1h,
+         sum(n) AS n, sum(s) AS s
+  FROM fine GROUP BY 1
+),
+daily AS (
+  SELECT (w1h // {ROLLUP_RESOLUTIONS[2][1]}) * {ROLLUP_RESOLUTIONS[2][1]} AS w1d,
+         sum(n) AS n, sum(s) AS s
+  FROM hourly GROUP BY 1
+)
+SELECT '5m' AS resolution, w5 AS window_start_us, n AS n_events, round(s + 1e-9, 4) AS sum_value FROM fine
+UNION ALL
+SELECT '1h', w1h, n, round(s + 1e-9, 4) FROM hourly
+UNION ALL
+SELECT '1d', w1d, n, round(s + 1e-9, 4) FROM daily
+"""
+
+# ---------------------------------------------------------------------------
 # events_user_mad — grouped-map applyInPandas (custom per-key kernel)
 # ---------------------------------------------------------------------------
 
@@ -355,4 +468,6 @@ QUERIES = {
     "events_skew_join_salted": (events_skew_join_salted, EVENTS_SKEW_JOIN_SALTED_SQL),
     "events_user_mad": (events_user_mad, EVENTS_USER_MAD_SQL),
     "events_top_k_per_window": (events_top_k_per_window, EVENTS_TOP_K_SQL),
+    "events_range_join_binned": (events_range_join_binned, EVENTS_RANGE_JOIN_SQL),
+    "events_multi_rollup": (events_multi_rollup, EVENTS_MULTI_ROLLUP_SQL),
 }

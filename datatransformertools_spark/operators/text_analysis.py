@@ -255,6 +255,53 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# doc_tfidf_topk — per-document top terms by TF-IDF
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 5
+
+
+def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per document by TF-IDF. Term frequencies are a
+    map-side-combined groupBy; document frequencies aggregate the
+    same exploded frame once and broadcast back as the IDF lookup —
+    raw text is scanned exactly once, and the per-doc ranking
+    windows on doc_id so sorts stay partition-local."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    tok = docs.select("doc_id", F.explode(tokens(normalize_text(F.col("text")))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    score = F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) + 1e-9, 6)
+    scored = tf.join(F.broadcast(df_), "term").select("doc_id", "term", "tf", "df", score.alias("tfidf"))
+    rank = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    )
+    return scored.withColumn("rank", rank).filter(F.col("rank") <= TFIDF_TOP_K)
+
+
+DOC_TFIDF_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT doc_id, tf.term, tf, df,
+         round(tf * ln((SELECT count(*) FROM documents)::DOUBLE / df) + 1e-9, 6) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+# ---------------------------------------------------------------------------
 # corpus_prep_pipeline — the composed training-data prep plan
 # ---------------------------------------------------------------------------
 
@@ -367,6 +414,7 @@ LIMIT {NGRAM_TOP_K}
 QUERIES = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "ngram_topk": (ngram_topk, NGRAM_TOPK_SQL),
+    "doc_tfidf_topk": (doc_tfidf_topk, DOC_TFIDF_SQL),
     "corpus_prep_pipeline": (corpus_prep_pipeline, CORPUS_PREP_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),
