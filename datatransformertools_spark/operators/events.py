@@ -124,33 +124,55 @@ GROUP BY 1, 2
 
 
 def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via the union-merge pattern: interleave both
+    streams sorted by (user, time) and carry the latest order
+    forward with last(ignorenulls) — ONE window pass over n+m rows
+    per user instead of the n·m inequality join a naive as-of
+    plans. Orders at the same date sort before events (ties are
+    inclusive, `o_date <= cutoff`) and by ascending orderkey so the
+    carried order is the max-date, max-key one — identical
+    semantics to the ranked-join oracle."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    cutoff = F.date_add(F.lit("1995-01-01").cast("date"), (F.col("event_id") % 2400).cast("int"))
+    ev = ev.withColumn("cutoff_date", cutoff)
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", F.col("o_orderdate").cast("date").alias("o_date"), "o_totalprice"
     )
-    cutoff = F.date_add(F.lit("1995-01-01").cast("date"), (F.col("event_id") % 2400).cast("int"))
-    ev = ev.withColumn("cutoff_date", cutoff)
-    joined = ev.join(
-        orders,
-        (ev.user_id == orders.o_custkey) & (orders.o_date <= ev.cutoff_date),
-        "left",
+    ev_rows = ev.select(
+        F.col("user_id").alias("uid"),
+        F.col("cutoff_date").alias("ts"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("date").alias("o_date"),
+        F.lit(None).cast("double").alias("o_totalprice"),
     )
-    rank = F.row_number().over(
-        Window.partitionBy("event_id").orderBy(
-            F.col("o_date").desc_nulls_last(), F.col("o_orderkey").desc_nulls_last()
-        )
+    ord_rows = orders.select(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_date").alias("ts"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+        "o_date",
+        "o_totalprice",
     )
-    return (
-        joined.withColumn("rn", rank)
-        .filter(F.col("rn") == 1)
-        .select(
-            "event_id",
-            "user_id",
-            "cutoff_date",
-            "o_orderkey",
-            F.col("o_date").alias("o_orderdate"),
-            F.round(F.col("o_totalprice") + 1e-9, 4).alias("o_totalprice"),
-        )
+    merged = ev_rows.unionByName(ord_rows)
+    carry = Window.partitionBy("uid").orderBy(
+        "ts", "is_event", F.col("o_orderkey").asc_nulls_last()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_last = merged.select(
+        "*",
+        F.last("o_orderkey", ignorenulls=True).over(carry).alias("last_orderkey"),
+        F.last("o_date", ignorenulls=True).over(carry).alias("last_date"),
+        F.last("o_totalprice", ignorenulls=True).over(carry).alias("last_price"),
+    )
+    return with_last.filter(F.col("is_event") == 1).select(
+        "event_id",
+        F.col("uid").alias("user_id"),
+        F.col("ts").alias("cutoff_date"),
+        F.col("last_orderkey").alias("o_orderkey"),
+        F.col("last_date").alias("o_orderdate"),
+        F.round(F.col("last_price") + 1e-9, 4).alias("o_totalprice"),
     )
 
 

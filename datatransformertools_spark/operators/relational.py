@@ -495,6 +495,107 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — a conditional-sum
+    ratio in one pass over the joined scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev) + 1e-9, 4).alias("promo_revenue_pct"),
+            F.round(F.sum(rev) + 1e-9, 4).alias("total_revenue"),
+        )
+    )
+
+
+Q14_SQL = """
+SELECT
+  round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+        / sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS promo_revenue_pct,
+  round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4)   AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate <  TIMESTAMP '1996-04-01'
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly
+    revenue. The `= (SELECT max(...))` correlated view becomes a
+    max over a window spanning the whole (small, aggregated) frame
+    — the raw scan is aggregated before any global comparison."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    per_supp = (
+        li.groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-9, 4).alias("total_revenue"))
+    )
+    best = per_supp.withColumn("max_rev", F.max("total_revenue").over(Window.partitionBy()))
+    return (
+        best.filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate across the join — the
+    complex-pushdown exercise. Catalyst extracts the common
+    conjuncts (quantity/size bounds) below the join and evaluates
+    the residual disjunction after it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    b1 = (
+        (F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 21)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 25))
+        & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#34") & (F.col("p_size").between(1, 35))
+        & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 40)
+    )
+    return joined.filter(b1 | b2 | b3).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-9, 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q19_SQL = """
+SELECT
+  round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS revenue,
+  count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1  AND 21)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
@@ -502,7 +603,10 @@ QUERIES = {
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),
     "q12_priority_shipmode": (q12_priority_shipmode, Q12_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "q18_large_orders": (q18_large_orders, Q18_SQL),
+    "q19_discounted_revenue": (q19_discounted_revenue, Q19_SQL),
     "orders_rollup": (orders_rollup, ORDERS_ROLLUP_SQL),
     "part_brand_pivot": (part_brand_pivot, PART_BRAND_PIVOT_SQL),
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),
