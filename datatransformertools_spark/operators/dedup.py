@@ -55,11 +55,17 @@ def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition, which would serialize the whole tokenize+hash
     pipeline on a single core; repartition by doc_id first so the
     expensive per-doc work fans out. (On a real multi-file table
-    the scan parallelizes naturally and AQE would coalesce.)"""
+    the scan parallelizes naturally and AQE would coalesce.)
+
+    Persisted here, once: jaccard's inverted index, the minhash
+    signature pipeline, and connected components all contain this
+    exact subplan, so Spark's cache-by-plan serves every consumer
+    from one materialization — the shingle stage table of a real
+    dedup pipeline."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     sh = word_shingles(tokens(normalize_text(F.col("text"))), SHINGLE_N)
-    return docs.select("doc_id", F.explode(sh).alias("shingle"))
+    return docs.select("doc_id", F.explode(sh).alias("shingle")).persist()
 
 
 _SHINGLE_SQL = r"""
@@ -110,13 +116,11 @@ GROUP BY 1
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Materialize the inverted index once: the self-join reuses it
-    # for both sides instead of re-running the tokenize/shingle
-    # pipeline per side (2-10× at sf0.1). At cluster scale the same
-    # DAG cut is a parquet stage table / checkpoint; persist() is
-    # its single-node expression. Eager count() also gives the
-    # optimizer real stats, so the size lookups broadcast.
-    sh = _shingle_df(spark, sf_dir).persist()
+    # The persisted inverted index (see _shingle_df) feeds both
+    # sides of the self-join instead of re-running tokenize/shingle
+    # per side (2-10× at sf0.1). Eager count() gives the optimizer
+    # real stats, so the size lookups broadcast.
+    sh = _shingle_df(spark, sf_dir)
     sh.count()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")

@@ -1,0 +1,44 @@
+"""Sketch operators: approximate aggregates vs their exact answers.
+
+HLL++ (approx_count_distinct) and t-digest-style quantiles
+(percentile_approx) are the sketches a 100 TB pipeline uses when the
+exact shuffle is unaffordable. Sketch values are engine-specific, so
+there is no cross-engine oracle — instead these tests bound the
+approximation error against the exact aggregate on the same data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datatransformertools_spark.sources.tables import load_table
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", rsd=0.05).alias("approx"),
+        )
+        .collect()
+    )
+    assert len(rows) > 0
+    for r in rows:
+        assert abs(r.approx - r.exact) <= max(0.15 * r.exact, 5), (r.event_type, r.exact, r.approx)
+
+
+def test_percentile_approx_brackets_exact(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    r = ev.agg(
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+        F.expr("percentile(value, 0.95)").alias("exact_p95"),
+        F.percentile_approx("value", 0.95, 10000).alias("approx_p95"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    ).first()
+    spread = r.hi - r.lo
+    assert abs(r.approx_p50 - r.exact_p50) <= 0.05 * spread
+    assert abs(r.approx_p95 - r.exact_p95) <= 0.05 * spread
