@@ -266,10 +266,17 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     tok = docs.select("doc_id", F.explode(tokens(normalize_text(F.col("text")))).alias("token"))
-    counted = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    # hash BEFORE the groupBy: the count shuffle then carries two
+    # longs per row instead of the token string, and the md5 runs
+    # map-side. Grouping by (h1, h2) ≡ grouping by token (64
+    # matching md5 bits); the DuckDB oracle groups the same way.
     h1 = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
     h2 = F.conv(F.substring(F.md5(F.col("token")), 9, 8), 16, 10).cast("long")
-    hashed = counted.select("doc_id", "cnt", h1.alias("h1"), h2.alias("h2"))
+    hashed = (
+        tok.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+        .groupBy("doc_id", "h1", "h2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
 
     def bit(j: int):
         if j < 24:
@@ -337,12 +344,12 @@ WITH toks AS (
          unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS token
   FROM documents
 ),
-counted AS (SELECT doc_id, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
 hashed AS (
-  SELECT doc_id, cnt,
+  SELECT doc_id,
          ('0x' || substr(md5(token), 1, 8))::BIGINT AS h1,
-         ('0x' || substr(md5(token), 9, 8))::BIGINT AS h2
-  FROM counted
+         ('0x' || substr(md5(token), 9, 8))::BIGINT AS h2,
+         count(*) AS cnt
+  FROM toks GROUP BY 1, 2, 3
 ),
 sums AS (
   SELECT doc_id,

@@ -274,6 +274,109 @@ SELECT * FROM ranked WHERE rank_in_window <= {WINDOW_TOP_K}
 """
 
 # ---------------------------------------------------------------------------
+# events_funnel — ordered view→click→purchase conversion
+# ---------------------------------------------------------------------------
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked AFTER the
+    first view, then purchased AFTER that click. Three chained
+    conditional-min windows over ONE per-user partitioning — Spark
+    plans a single shuffle and evaluates the stages in consecutive
+    projections, so the funnel costs one pass regardless of depth."""
+    ev = _events_us(spark, sf_dir).select("user_id", "event_type", "ts_us")
+    w = Window.partitionBy("user_id")
+    s1 = ev.withColumn("v", F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w))
+    s2 = s1.withColumn(
+        "c",
+        F.min(
+            F.when((F.col("event_type") == "click") & (F.col("ts_us") >= F.col("v")), F.col("ts_us"))
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "p",
+        F.min(
+            F.when((F.col("event_type") == "purchase") & (F.col("ts_us") >= F.col("c")), F.col("ts_us"))
+        ).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max("v").alias("v"), F.max("c").alias("c"), F.max("p").alias("p")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("v").alias("viewed"),
+        F.count("c").alias("clicked_after_view"),
+        F.count("p").alias("purchased_after_click"),
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+s1 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+              OVER (PARTITION BY user_id) AS v
+  FROM ev
+),
+s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts_us >= v THEN ts_us END)
+              OVER (PARTITION BY user_id) AS c
+  FROM s1
+),
+s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_us >= c THEN ts_us END)
+              OVER (PARTITION BY user_id) AS p
+  FROM s2
+),
+per_user AS (
+  SELECT user_id, max(v) AS v, max(c) AS c, max(p) AS p FROM s3 GROUP BY user_id
+)
+SELECT count(*)  AS n_users,
+       count(v)  AS viewed,
+       count(c)  AS clicked_after_view,
+       count(p)  AS purchased_after_click
+FROM per_user
+"""
+
+# ---------------------------------------------------------------------------
+# orders_cohort_retention — first-order cohort × month offset
+# ---------------------------------------------------------------------------
+
+
+def orders_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: customers grouped by first-order month,
+    counted per months-since-cohort. First-order month is a per-key
+    window min (no self-join); the final matrix is one groupBy over
+    (cohort, offset)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    )
+    w = Window.partitionBy("o_custkey")
+    with_cohort = orders.withColumn("cohort", F.min("month").over(w))
+    offset = (
+        (F.year("month") - F.year("cohort")) * 12 + (F.month("month") - F.month("cohort"))
+    ).alias("month_offset")
+    return (
+        with_cohort.select("o_custkey", "cohort", offset)
+        .groupBy("cohort", "month_offset")
+        .agg(F.count_distinct(F.col("o_custkey")).alias("n_customers"))
+    )
+
+
+ORDERS_COHORT_SQL = """
+WITH o AS (
+  SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS month FROM orders
+),
+with_cohort AS (
+  SELECT *, min(month) OVER (PARTITION BY o_custkey) AS cohort FROM o
+)
+SELECT cohort,
+       (year(month) - year(cohort)) * 12 + (month(month) - month(cohort)) AS month_offset,
+       count(DISTINCT o_custkey) AS n_customers
+FROM with_cohort
+GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
 # events_range_join_binned — range join via discretized bins
 # ---------------------------------------------------------------------------
 
@@ -492,4 +595,6 @@ QUERIES = {
     "events_top_k_per_window": (events_top_k_per_window, EVENTS_TOP_K_SQL),
     "events_range_join_binned": (events_range_join_binned, EVENTS_RANGE_JOIN_SQL),
     "events_multi_rollup": (events_multi_rollup, EVENTS_MULTI_ROLLUP_SQL),
+    "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
+    "orders_cohort_retention": (orders_cohort_retention, ORDERS_COHORT_SQL),
 }
