@@ -235,12 +235,11 @@ FROM counts
 """
 
 
-def detection_eval_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-class TP/FP/FN breakdown (accuracy.ipynb per_class_stats)."""
+def _per_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched = _matched_df(spark, sf_dir).groupBy("cls").agg(F.count(F.lit(1)).alias("tp"))
     n_pred = _pred_df(spark, sf_dir).groupBy("cls").agg(F.count(F.lit(1)).alias("n_pred"))
     n_gt = _gt_df(spark, sf_dir).groupBy("cls").agg(F.count(F.lit(1)).alias("n_gt"))
-    out = (
+    return (
         n_gt.join(n_pred, "cls", "full_outer")
         .join(matched, "cls", "full_outer")
         .select(
@@ -250,24 +249,94 @@ def detection_eval_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("n_gt"), F.lit(0)) - F.coalesce(F.col("tp"), F.lit(0))).alias("fn"),
         )
     )
-    return out
 
+
+def _prf(tp, fp, fn):
+    precision = F.when(tp + fp > 0, tp / (tp + fp)).otherwise(F.lit(0.0))
+    recall = F.when(tp + fn > 0, tp / (tp + fn)).otherwise(F.lit(0.0))
+    f1 = F.when(precision + recall > 0, 2 * precision * recall / (precision + recall)).otherwise(F.lit(0.0))
+    return precision, recall, f1
+
+
+def detection_eval_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class TP/FP/FN + P/R/F1 (accuracy.ipynb per_class_stats
+    printout, zero-denominator guards included)."""
+    counts = _per_class_counts(spark, sf_dir)
+    precision, recall, f1 = _prf(F.col("tp"), F.col("fp"), F.col("fn"))
+    return counts.select(
+        "cls", "tp", "fp", "fn",
+        F.round(precision + 1e-9, 6).alias("precision"),
+        F.round(recall + 1e-9, 6).alias("recall"),
+        F.round(f1 + 1e-9, 6).alias("f1"),
+    )
+
+
+def detection_eval_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Macro-averaged per-class metrics — the notebook's "simplified
+    mAP@0.5": the unweighted mean of per-class precision (and the
+    macro recall/F1 alongside)."""
+    counts = _per_class_counts(spark, sf_dir)
+    precision, recall, f1 = _prf(F.col("tp"), F.col("fp"), F.col("fn"))
+    per_class = counts.select(
+        precision.alias("p"), recall.alias("r"), f1.alias("f")
+    )
+    return per_class.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.round(F.avg("p") + 1e-9, 6).alias("map50_simplified"),
+        F.round(F.avg("r") + 1e-9, 6).alias("macro_recall"),
+        F.round(F.avg("f") + 1e-9, 6).alias("macro_f1"),
+    )
+
+
+_PER_CLASS_COUNTS_SQL = """
+m AS (SELECT cls, count(*) AS tp FROM matched GROUP BY cls),
+p AS (SELECT cls, count(*) AS n_pred FROM pred GROUP BY cls),
+g AS (SELECT cls, count(*) AS n_gt FROM gt GROUP BY cls),
+counts AS (
+  SELECT
+    COALESCE(g.cls, p.cls, m.cls) AS cls,
+    COALESCE(m.tp, 0) AS tp,
+    COALESCE(p.n_pred, 0) - COALESCE(m.tp, 0) AS fp,
+    COALESCE(g.n_gt, 0) - COALESCE(m.tp, 0) AS fn
+  FROM g
+  FULL OUTER JOIN p ON g.cls = p.cls
+  FULL OUTER JOIN m ON COALESCE(g.cls, p.cls) = m.cls
+),
+prf AS (
+  SELECT *,
+    CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END AS p_,
+    CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END AS r_
+  FROM counts
+),
+prf2 AS (
+  SELECT *,
+    CASE WHEN p_ + r_ > 0 THEN 2 * p_ * r_ / (p_ + r_) ELSE 0.0 END AS f_
+  FROM prf
+)
+"""
 
 DETECTION_EVAL_PER_CLASS_SQL = f"""
 WITH {_GT_SQL},
 {_PAIRS_SQL},
 {_MATCHED_SQL},
-m AS (SELECT cls, count(*) AS tp FROM matched GROUP BY cls),
-p AS (SELECT cls, count(*) AS n_pred FROM pred GROUP BY cls),
-g AS (SELECT cls, count(*) AS n_gt FROM gt GROUP BY cls)
-SELECT
-  COALESCE(g.cls, p.cls, m.cls) AS cls,
-  COALESCE(m.tp, 0) AS tp,
-  COALESCE(p.n_pred, 0) - COALESCE(m.tp, 0) AS fp,
-  COALESCE(g.n_gt, 0) - COALESCE(m.tp, 0) AS fn
-FROM g
-FULL OUTER JOIN p ON g.cls = p.cls
-FULL OUTER JOIN m ON COALESCE(g.cls, p.cls) = m.cls
+{_PER_CLASS_COUNTS_SQL}
+SELECT cls, tp, fp, fn,
+       round(p_ + 1e-9, 6) AS precision,
+       round(r_ + 1e-9, 6) AS recall,
+       round(f_ + 1e-9, 6) AS f1
+FROM prf2
+"""
+
+DETECTION_EVAL_MACRO_SQL = f"""
+WITH {_GT_SQL},
+{_PAIRS_SQL},
+{_MATCHED_SQL},
+{_PER_CLASS_COUNTS_SQL}
+SELECT count(*) AS n_classes,
+       round(avg(p_) + 1e-9, 6) AS map50_simplified,
+       round(avg(r_) + 1e-9, 6) AS macro_recall,
+       round(avg(f_) + 1e-9, 6) AS macro_f1
+FROM prf2
 """
 
 
@@ -356,5 +425,6 @@ QUERIES = {
     "bbox_iou_pairs": (bbox_iou_pairs, BBOX_IOU_PAIRS_SQL),
     "detection_eval": (detection_eval, DETECTION_EVAL_SQL),
     "detection_eval_per_class": (detection_eval_per_class, DETECTION_EVAL_PER_CLASS_SQL),
+    "detection_eval_macro": (detection_eval_macro, DETECTION_EVAL_MACRO_SQL),
     "detection_eval_sweep": (detection_eval_sweep, DETECTION_EVAL_SWEEP_SQL),
 }
