@@ -596,6 +596,40 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
 """
 
 
+def revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per return flag — lag window
+    over a tiny pre-aggregated frame (the raw scan reduces to
+    |years|·|flags| rows before any window runs)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    yearly = (
+        li.groupBy(F.year("l_shipdate").alias("l_year"), "l_returnflag")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-9, 4).alias("revenue"))
+    )
+    prev = F.lag("revenue").over(Window.partitionBy("l_returnflag").orderBy("l_year"))
+    growth = F.when(prev > 0, F.round(100.0 * (F.col("revenue") - prev) / prev + 1e-9, 4))
+    return yearly.select(
+        "l_year", "l_returnflag", "revenue",
+        F.round(prev + 1e-9, 4).alias("prev_revenue"),
+        growth.alias("yoy_growth_pct"),
+    )
+
+
+REVENUE_YOY_SQL = """
+WITH yearly AS (
+  SELECT year(l_shipdate) AS l_year, l_returnflag,
+         round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS revenue
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_year, l_returnflag, revenue,
+       round(lag(revenue) OVER w + 1e-9, 4) AS prev_revenue,
+       CASE WHEN lag(revenue) OVER w > 0
+            THEN round(100.0 * (revenue - lag(revenue) OVER w) / lag(revenue) OVER w + 1e-9, 4)
+       END AS yoy_growth_pct
+FROM yearly
+WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_year)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
@@ -609,6 +643,7 @@ QUERIES = {
     "q19_discounted_revenue": (q19_discounted_revenue, Q19_SQL),
     "orders_rollup": (orders_rollup, ORDERS_ROLLUP_SQL),
     "part_brand_pivot": (part_brand_pivot, PART_BRAND_PIVOT_SQL),
+    "revenue_yoy_growth": (revenue_yoy_growth, REVENUE_YOY_SQL),
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "top_customers_window": (top_customers_window, TOP_CUSTOMERS_SQL),
