@@ -41,11 +41,16 @@ def main() -> None:
     queries["q6_forecast_revenue"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     queries["text_stats"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    from datatransformertools_spark.caching import release_caches
+
     timings: dict[str, float] = {}
     for name in sorted(queries):
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+    # drop stage-table caches the dedup/eval families registered so a
+    # long-lived session doesn't accumulate blocks across runs
+    release_caches()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

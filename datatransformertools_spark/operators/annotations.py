@@ -285,10 +285,10 @@ flagged AS (
 SELECT
   count(*)        AS images,
   count(*)        AS labels,
-  sum(n_boxes)    AS boxes,
-  sum(is_missing) AS missing_json,
-  sum(is_train)   AS train_images,
-  sum(1 - is_train) AS val_images
+  CAST(sum(n_boxes)      AS BIGINT) AS boxes,
+  CAST(sum(is_missing)   AS BIGINT) AS missing_json,
+  CAST(sum(is_train)     AS BIGINT) AS train_images,
+  CAST(sum(1 - is_train) AS BIGINT) AS val_images
 FROM flagged
 """
 

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datatransformertools_spark.caching import track
 from datatransformertools_spark.functions.hashing import lsh_band_keys, md5_bits32
 from datatransformertools_spark.functions.text import normalize_text, tokens, word_shingles
 from datatransformertools_spark.functions.vectors import as_double, cosine_prenormed, norm
@@ -58,15 +59,16 @@ def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     expensive per-doc work fans out. (On a real multi-file table
     the scan parallelizes naturally and AQE would coalesce.)
 
-    Persisted here, once: jaccard's inverted index, the minhash
-    signature pipeline, and connected components all contain this
-    exact subplan, so Spark's cache-by-plan serves every consumer
-    from one materialization — the shingle stage table of a real
-    dedup pipeline."""
+    Persisted here (via caching.track, so bench/tests can release
+    it), once: jaccard's inverted index, the minhash signature
+    pipeline, and connected components all contain this exact
+    subplan, so Spark's cache-by-plan serves every consumer from one
+    materialization — the shingle stage table of a real dedup
+    pipeline."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     sh = word_shingles(tokens(normalize_text(F.col("text"))), SHINGLE_N)
-    return docs.select("doc_id", F.explode(sh).alias("shingle")).persist()
+    return track(docs.select("doc_id", F.explode(sh).alias("shingle")))
 
 
 _SHINGLE_SQL = r"""
@@ -119,10 +121,9 @@ GROUP BY 1
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The persisted inverted index (see _shingle_df) feeds both
     # sides of the self-join instead of re-running tokenize/shingle
-    # per side (2-10× at sf0.1). Eager count() gives the optimizer
-    # real stats, so the size lookups broadcast.
+    # per side (2-10× at sf0.1). No eager action: AQE reads the
+    # materialized sizes at exchange time.
     sh = _shingle_df(spark, sf_dir)
-    sh.count()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -134,9 +135,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.round(F.col("inter") / (F.col("sa.n") + F.col("sb.n") - F.col("inter")) + 1e-9, 6)
+    # sizes is a per-document table — it scales with the corpus, so
+    # it must shuffle-join on doc_id, never broadcast (AQE still
+    # upgrades to broadcast at small SF from runtime stats).
     return (
-        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_TAU)
     )
@@ -190,8 +194,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle pipeline runs once, not once per join side; at cluster
     scale this is the signatures stage table every LSH pipeline
     writes anyway."""
-    sig = _signature_df(spark, sf_dir).persist()
-    sig.count()
+    sig = track(_signature_df(spark, sf_dir))
     keys = lsh_band_keys(
         F.array(*[F.col(f"sig{i}") for i in range(NUM_PERM)]), BANDS, ROWS_PER_BAND
     )
@@ -436,12 +439,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is the candidate graph, which is orders of magnitude smaller
     # than the corpus. 8 partitions — the frames are tiny relative
     # to any cluster; at larger graphs AQE re-coalesces anyway.
-    edges_bi = (
+    edges_bi = track(
         edges.unionByName(
             edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-        )
-        .repartition(8, "doc_a")
-        .persist()
+        ).repartition(8, "doc_a")
     )
     # localCheckpoint (not persist): iterative plans grow their
     # lineage every round, so analysis/AQE replanning cost compounds
@@ -473,8 +474,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    # labels scales with the candidate graph (per-doc at worst) →
+    # shuffle join on doc_id, never broadcast.
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    out = docs.join(F.broadcast(labels), "doc_id", "left").select(
+    out = docs.join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("component")
     )
     return out.withColumn("is_keeper", (F.col("doc_id") == F.col("component")).cast("int"))

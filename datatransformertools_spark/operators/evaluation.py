@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from datatransformertools_spark.caching import track
 from datatransformertools_spark.functions.bbox import clip_box, iou_xywh
 from datatransformertools_spark.operators.annotations import ANN_BASE_SQL, annotations_df
 
@@ -156,11 +157,12 @@ def _pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("px"), F.col("py"), F.col("pw"), F.col("ph"),
         F.col("gx"), F.col("gy"), F.col("gw"), F.col("gh"),
     )
-    # persist: the four eval queries share this exact plan, so
-    # Spark's cache-by-plan serves bbox_iou_pairs / eval / per-class
-    # / sweep from one materialization — the stage-table every
-    # evaluation pipeline would write anyway at cluster scale
-    return joined.select("pred_id", "gt_id", "image_id", "cls", iou.alias("iou")).persist()
+    # persist (tracked, releasable): the four eval queries share
+    # this exact plan, so Spark's cache-by-plan serves
+    # bbox_iou_pairs / eval / per-class / sweep from one
+    # materialization — the stage-table every evaluation pipeline
+    # would write anyway at cluster scale
+    return track(joined.select("pred_id", "gt_id", "image_id", "cls", iou.alias("iou")))
 
 
 def _matched_df(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -104,8 +104,8 @@ flagged AS (
 ),
 sessions AS (
   SELECT *,
-    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
   FROM flagged
 )
 SELECT user_id, session_idx,
@@ -420,6 +420,7 @@ TIERS = [
     ("platinum", 75.0, 1e9),
 ]
 BIN_W = 25.0
+BIN_CAP = 100  # last bin; must exceed every finite tier bound / BIN_W
 
 
 def events_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -438,13 +439,20 @@ def events_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ", ".join(f"('{t}', {lo}, {hi})" for t, lo, hi in TIERS)
         + ") AS t(tier, lo, hi)"
     )
-    # explode each tier into the bins it overlaps (hi capped to the
-    # observed max so the open-ended tier doesn't explode)
-    max_bin = F.least(F.floor(F.col("hi") / BIN_W), F.lit(100.0)).cast("long")
+    # Explode each tier into the bins it overlaps, capping the
+    # open-ended tier's fan-out at BIN_CAP — and clamp the EVENT bin
+    # to the same cap, so any value past the cap still lands in the
+    # last bin and matches the open-ended tier there (the exact
+    # range predicate below re-checks it). BIN_CAP only has to sit
+    # above every finite tier boundary's bin (here ≤ 3), never above
+    # the data's max, so no value can be silently dropped.
+    max_bin = F.least(F.floor(F.col("hi") / BIN_W), F.lit(float(BIN_CAP))).cast("long")
     binned_tiers = tiers.withColumn(
         "bin", F.explode(F.sequence(F.floor(F.col("lo") / BIN_W).cast("long"), max_bin))
     )
-    binned_ev = ev.withColumn("bin", F.floor(F.col("value") / BIN_W).cast("long"))
+    binned_ev = ev.withColumn(
+        "bin", F.least(F.floor(F.col("value") / BIN_W), F.lit(float(BIN_CAP))).cast("long")
+    )
     return (
         binned_ev.join(F.broadcast(binned_tiers), "bin")
         .filter((F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
@@ -507,12 +515,12 @@ WITH fine AS (
 ),
 hourly AS (
   SELECT (w5 // {ROLLUP_RESOLUTIONS[1][1]}) * {ROLLUP_RESOLUTIONS[1][1]} AS w1h,
-         sum(n) AS n, sum(s) AS s
+         CAST(sum(n) AS BIGINT) AS n, sum(s) AS s
   FROM fine GROUP BY 1
 ),
 daily AS (
   SELECT (w1h // {ROLLUP_RESOLUTIONS[2][1]}) * {ROLLUP_RESOLUTIONS[2][1]} AS w1d,
-         sum(n) AS n, sum(s) AS s
+         CAST(sum(n) AS BIGINT) AS n, sum(s) AS s
   FROM hourly GROUP BY 1
 )
 SELECT '5m' AS resolution, w5 AS window_start_us, n AS n_events, round(s + 1e-9, 4) AS sum_value FROM fine

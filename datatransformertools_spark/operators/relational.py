@@ -1,9 +1,13 @@
 """Relational analytics core over the star schema.
 
 TPC-H-style plans adapted to the available columns. Scale design:
-- dimension tables (region/nation/supplier/part, and customer where
-  it is the small side) go through ``F.broadcast`` — no shuffle of
-  the fact table for those joins;
+- fixed-size dimension tables (region/nation, and part/supplier
+  where they are genuinely the small side) go through
+  ``F.broadcast`` — no shuffle of the fact table for those joins;
+- customer-derived frames are NEVER force-broadcast: customer grows
+  with SF (billions of rows at 100 TB), so those joins shuffle on
+  the key and AQE upgrades them to broadcast at runtime only when
+  the actual stats allow;
 - aggregations are expressed as groupBy().agg() so Catalyst plans
   partial (map-side) aggregation before the exchange;
 - filters sit directly on the scan so they push into parquet
@@ -64,14 +68,16 @@ GROUP BY l_returnflag, l_linestatus
 
 def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 style: revenue of orders for one market segment.
-    customer is the small side → broadcast; orders⋈lineitem
-    shuffles on o_orderkey only after both sides were filtered, so
-    the exchange carries the minimum rows."""
+    customer and orders both scale with the data, so neither side is
+    force-broadcast: orders⋈customer shuffles on custkey, then
+    orders⋈lineitem shuffles on orderkey, each after its pushdown
+    filter so the exchanges carry the minimum rows. AQE converts a
+    join to broadcast at runtime if a side turns out tiny."""
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15"))
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15"))
     return (
-        li.join(F.broadcast(cust.join(orders, cust.c_custkey == orders.o_custkey).select("o_orderkey", "o_orderdate")),
+        li.join(cust.join(orders, cust.c_custkey == orders.o_custkey).select("o_orderkey", "o_orderdate"),
                 F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-9, 4).alias("revenue"))
@@ -112,11 +118,14 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     nr = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    # nation/region are fixed-size (25/5 rows) → broadcast; customer
+    # and supplier grow with SF, so cnr/supp shuffle-join (AQE may
+    # still broadcast them at small SF from runtime stats).
     cnr = cust.join(F.broadcast(nr), cust.c_nationkey == nr.n_nationkey).select("c_custkey", "n_nationkey", "n_name")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cnr), F.col("o_custkey") == cnr.c_custkey)
-        .join(F.broadcast(supp), (F.col("l_suppkey") == supp.s_suppkey) & (supp.s_nationkey == F.col("n_nationkey")))
+        .join(cnr, F.col("o_custkey") == cnr.c_custkey)
+        .join(supp, (F.col("l_suppkey") == supp.s_suppkey) & (supp.s_nationkey == F.col("n_nationkey")))
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-9, 4).alias("revenue"))
     )
@@ -178,7 +187,10 @@ def top_customers_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = (
         orders.groupBy("o_custkey")
         .agg(F.round(F.sum("o_totalprice") + 1e-9, 4).alias("total_spent"), F.count(F.lit(1)).alias("n_orders"))
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        # per-customer agg ⋈ customer: both sides are |customer|-scale,
+        # so shuffle-join on custkey — never broadcast a frame that
+        # grows with the data.
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
     )
     w = F.row_number().over(
         Window.partitionBy("c_mktsegment").orderBy(F.col("total_spent").desc(), F.col("c_custkey"))
@@ -344,8 +356,10 @@ GROUP BY p_brand
 
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: shipping volume between two nations by year.
-    Both nation hops are broadcasts; the only shuffle is
-    lineitem⋈orders plus the small final agg."""
+    The 25-row nation table is broadcast into supplier/customer;
+    the nation-filtered supp_n/cust_n frames still scale with SF,
+    so they shuffle-join the fact side (AQE broadcasts them at
+    small SF from runtime stats)."""
     nation = load_table(spark, sf_dir, "nation")
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
@@ -363,8 +377,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", F.col("n_name").alias("cust_nation"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp_n), F.col("l_suppkey") == supp_n.s_suppkey)
-        .join(F.broadcast(cust_n), F.col("o_custkey") == cust_n.c_custkey)
+        .join(supp_n, F.col("l_suppkey") == supp_n.s_suppkey)
+        .join(cust_n, F.col("o_custkey") == cust_n.c_custkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-9, 4).alias("revenue"))
@@ -405,7 +419,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-9, 4).alias("revenue"))
     )
     return (
-        per_cust.join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        # per_cust is ≤|customer| rows but still SF-scale → shuffle
+        # join on custkey; AQE broadcasts it when runtime stats allow.
+        per_cust.join(cust, F.col("o_custkey") == cust.c_custkey)
         .select("c_custkey", "c_name", "c_acctbal", "revenue")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
@@ -448,8 +464,8 @@ def q12_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q12_SQL = """
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_priority_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_priority_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -471,7 +487,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey", "c_name", "o_orderkey",
             F.col("o_orderdate").cast("date").alias("o_orderdate"),

@@ -329,22 +329,19 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     (label, dim, val) rows so the average is an ordinary partial
     agg: map-side combine reduces every partition to
     |labels|·DIM rows before the shuffle, independent of corpus
-    size. The centroid reassembles via a sort-free struct collect."""
+    size. Output stays in the exploded (label, dim, cval) form —
+    |labels|·DIM scalar rows — which is both the join-friendly shape
+    downstream consumers (ANN rerank, IVF codebooks) want and a
+    schema every engine can hash (no array column)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "label", as_double(F.col("embedding")).alias("v")
     )
     dims = emb.select(
         "label", F.explode(F.sequence(F.lit(0), F.lit(DIM - 1))).alias("dim"), "v"
     ).select("label", "dim", F.element_at("v", F.col("dim") + 1).alias("val"))
-    per_dim = dims.groupBy("label", "dim").agg(
+    return dims.groupBy("label", "dim").agg(
         F.round(F.avg("val") + 1e-9, 6).alias("cval"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    return per_dim.groupBy("label").agg(
-        (F.sum("n") / DIM).cast("long").alias("n_vectors"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "cval"))), lambda s: s.cval
-        ).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vectors"),
     )
 
 
@@ -353,15 +350,9 @@ WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
 dims AS (
   SELECT label, i - 1 AS dim, v[i] AS val
   FROM e CROSS JOIN range(1, {DIM} + 1) t(i)
-),
-per_dim AS (
-  SELECT label, dim, round(avg(val) + 1e-9, 6) AS cval, count(*) AS n
-  FROM dims GROUP BY 1, 2
 )
-SELECT label,
-       CAST(sum(n) / {DIM} AS BIGINT) AS n_vectors,
-       list(cval ORDER BY dim) AS centroid
-FROM per_dim GROUP BY label
+SELECT label, dim, round(avg(val) + 1e-9, 6) AS cval, count(*) AS n_vectors
+FROM dims GROUP BY 1, 2
 """
 
 

@@ -264,17 +264,26 @@ TFIDF_TOP_K = 5
 def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 terms per document by TF-IDF. Term frequencies are a
     map-side-combined groupBy; document frequencies aggregate the
-    same exploded frame once and broadcast back as the IDF lookup —
-    raw text is scanned exactly once, and the per-doc ranking
-    windows on doc_id so sorts stay partition-local."""
+    same exploded frame once and join back on term — df is already
+    partitioned by term from its own groupBy, so the IDF join reuses
+    that partitioning (the vocabulary grows with the corpus, so it
+    is never force-broadcast; AQE upgrades at small SF). Raw text is
+    scanned exactly once, and the per-doc ranking windows on doc_id
+    so sorts stay partition-local. The corpus size rides in as a
+    broadcast single-row aggregate (no eager driver-side count, no
+    second scan of documents)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    n_docs = load_table(spark, sf_dir, "documents").count()
+    n_docs_df = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tok = docs.select("doc_id", F.explode(tokens(normalize_text(F.col("text")))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    score = F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) + 1e-9, 6)
-    scored = tf.join(F.broadcast(df_), "term").select("doc_id", "term", "tf", "df", score.alias("tfidf"))
+    score = F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")) + 1e-9, 6)
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs_df))
+        .select("doc_id", "term", "tf", "df", score.alias("tfidf"))
+    )
     rank = F.row_number().over(
         Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     )

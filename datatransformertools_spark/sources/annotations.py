@@ -87,10 +87,13 @@ def write_yolo_labels(df: DataFrame, path: str, split_col: str | None = None) ->
         " ",
         F.regexp_replace("file_name", r"\.[a-zA-Z]+$", ""),
         F.col("category_id").cast("string"),
-        F.format_number("x_center", 6),
-        F.format_number("y_center", 6),
-        F.format_number("w_norm", 6),
-        F.format_number("h_norm", 6),
+        # format_string('%.6f') — NOT format_number, which inserts
+        # comma grouping for values >= 1000 and diverges from the
+        # reference's f'{v:.6f}' (converter_to_yolo_data.py:92)
+        F.format_string("%.6f", F.col("x_center")),
+        F.format_string("%.6f", F.col("y_center")),
+        F.format_string("%.6f", F.col("w_norm")),
+        F.format_string("%.6f", F.col("h_norm")),
     )
     out = df.select(line.alias("value"), *( [F.col(split_col)] if split_col else [] ))
     writer = out.write.mode("overwrite")

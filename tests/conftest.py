@@ -14,6 +14,9 @@ def spark():
 
     s = get_spark("dtt-tests")
     yield s
+    from datatransformertools_spark.caching import release_caches
+
+    release_caches()
 
 
 @pytest.fixture(scope="session")

@@ -20,6 +20,24 @@ def _plan(spark, sf_dir, name: str) -> str:
     return _QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
 
 
+def _plan_hints_only(spark, sf_dir, name: str) -> str:
+    """Physical plan with AQE + size-based auto-broadcast disabled:
+    every BroadcastExchange left in the plan comes from an explicit
+    F.broadcast hint in the operator code. This is how we assert the
+    100 TB contract — a hint forces the broadcast at ANY scale, so a
+    hint on a data-sized frame is a latent OOM even when the sf0.001
+    stats would make it look fine."""
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        return _plan(spark, sf_dir, name)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+
+
 def test_q6_pushdown_and_pruning(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q6_forecast_revenue")
     scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
@@ -30,10 +48,37 @@ def test_q6_pushdown_and_pruning(spark, sf_dir):
     assert len(cols.split(",")) == 4, cols
 
 
-def test_q5_broadcasts_all_dims(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "q5_region_revenue")
-    assert plan.count("BroadcastHashJoin") >= 4
-    assert "SortMergeJoin" not in plan
+def test_q5_broadcasts_fixed_dims_only(spark, sf_dir):
+    # region→nation are fixed-size (5/25 rows) → exactly those two
+    # joins are hint-broadcast; customer/supplier-derived frames
+    # shuffle (SortMergeJoin here; AQE upgrades them at small SF).
+    plan = _plan_hints_only(spark, sf_dir, "q5_region_revenue")
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" in plan
+
+
+def test_customer_scale_frames_never_hint_broadcast(spark, sf_dir):
+    # These queries join customer-scale or per-document frames; a
+    # broadcast HINT on any of them would OOM at 100 TB. With size-
+    # based broadcast off, their plans must contain no
+    # BroadcastExchange at all (they have no fixed-size dims).
+    for name in (
+        "q3_top_unshipped",
+        "q10_returned_items",
+        "q18_large_orders",
+        "top_customers_window",
+        "dedup_ngram_jaccard",
+    ):
+        plan = _plan_hints_only(spark, sf_dir, name)
+        assert "BroadcastExchange" not in plan, f"{name} force-broadcasts:\n{plan}"
+
+
+def test_q7_broadcasts_nation_only(spark, sf_dir):
+    # the two 25-row nation hops are the only hinted broadcasts;
+    # supp_n/cust_n (customer/supplier-scale) shuffle-join.
+    plan = _plan_hints_only(spark, sf_dir, "q7_volume_shipping")
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" in plan
 
 
 def test_text_ops_are_shuffle_free(spark, sf_dir):
