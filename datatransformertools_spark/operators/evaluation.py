@@ -342,6 +342,124 @@ FROM prf2
 """
 
 
+# ---------------------------------------------------------------------------
+# detection_eval_greedy — exact greedy-loop parity with the notebook
+# ---------------------------------------------------------------------------
+
+_GREEDY_MATCH_SCHEMA = "image_id long, pred_id long, gt_id long, cls int, iou double"
+
+
+def _make_greedy_kernel():
+    # Factory so cloudpickle serializes the kernel BY VALUE into the
+    # applyInPandas closure — cluster Python workers never import
+    # this package.
+    def greedy_match(pdf):
+        """The notebook's `match_detections` loop verbatim
+        (Test/accuracy.ipynb, matching cell), over one image's
+        candidate pairs: predictions in pred_id order each claim the
+        unmatched same-class GT with the highest IoU (strict `>` ⇒
+        ties go to the lowest gt_id, the GT enumeration order)."""
+        pdf = pdf.sort_values(
+            ["pred_id", "iou", "gt_id"], ascending=[True, False, True], kind="mergesort"
+        )
+        taken: set = set()
+        keep = []
+        cur_pred = None
+        cur_matched = False
+        for row in pdf.itertuples():
+            if row.pred_id != cur_pred:
+                cur_pred = row.pred_id
+                cur_matched = False
+            if cur_matched or row.gt_id in taken:
+                continue
+            taken.add(row.gt_id)
+            cur_matched = True
+            keep.append(row.Index)
+        return pdf.loc[keep, ["image_id", "pred_id", "gt_id", "cls", "iou"]]
+
+    return greedy_match
+
+
+def detection_eval_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global P/R/F1 with the notebook's EXACT greedy matching
+    (accuracy.ipynb `match_detections`): sequential over predictions,
+    each claiming the best unmatched GT. The loop is inherently
+    order-dependent per image, so it runs as a grouped-map
+    `applyInPandas` keyed by image_id — each executor matches its own
+    images (dozens of boxes each), which distributes perfectly at
+    100 TB while preserving the single-image loop semantics
+    `detection_eval`'s mutual-best formulation only approximates."""
+    cand = _pairs_df(spark, sf_dir).filter(F.col("iou") >= IOU_THRESHOLD)
+    matched = cand.groupBy("image_id").applyInPandas(
+        _make_greedy_kernel(), _GREEDY_MATCH_SCHEMA
+    )
+    tp_df = matched.agg(F.count(F.lit(1)).alias("tp"))
+    n_pred = _pred_df(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_pred"))
+    n_gt = _gt_df(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_gt"))
+    joined = tp_df.crossJoin(n_pred).crossJoin(n_gt)
+    tp, np_, ng = F.col("tp"), F.col("n_pred"), F.col("n_gt")
+    precision = tp / np_
+    recall = tp / ng
+    return joined.select(
+        tp,
+        (np_ - tp).alias("fp"),
+        (ng - tp).alias("fn"),
+        F.round(precision + 1e-9, 6).alias("precision"),
+        F.round(recall + 1e-9, 6).alias("recall"),
+        F.round(F.when(precision + recall > 0, 2 * precision * recall / (precision + recall)).otherwise(0.0) + 1e-9, 6).alias("f1"),
+    )
+
+
+# The oracle replays the sequential loop as a recursive CTE: one
+# recursion step per prediction (per image, all images advancing in
+# parallel), carrying the matched-GT list; the LATERAL picks the
+# best unmatched GT exactly like the kernel's sorted walk.
+DETECTION_EVAL_GREEDY_SQL = f"""
+WITH RECURSIVE {_GT_SQL},
+{_PAIRS_SQL},
+cand AS (SELECT * FROM pairs WHERE iou >= 0.5),
+preds_seq AS (
+  SELECT image_id, pred_id,
+         row_number() OVER (PARTITION BY image_id ORDER BY pred_id) AS rn
+  FROM (SELECT DISTINCT image_id, pred_id FROM cand)
+),
+maxrn AS (SELECT image_id, max(rn) AS n FROM preds_seq GROUP BY 1),
+greedy AS (
+  SELECT image_id, 0 AS rn, CAST([] AS BIGINT[]) AS mg, 0 AS tp FROM maxrn
+  UNION ALL
+  SELECT g.image_id, g.rn + 1,
+         CASE WHEN b.gt_id IS NULL THEN g.mg ELSE list_append(g.mg, b.gt_id) END,
+         g.tp + CASE WHEN b.gt_id IS NULL THEN 0 ELSE 1 END
+  FROM greedy g
+  JOIN preds_seq s ON s.image_id = g.image_id AND s.rn = g.rn + 1
+  LEFT JOIN LATERAL (
+    SELECT c.gt_id FROM cand c
+    WHERE c.image_id = g.image_id AND c.pred_id = s.pred_id
+      AND NOT list_contains(g.mg, c.gt_id)
+    ORDER BY c.iou DESC, c.gt_id
+    LIMIT 1
+  ) b ON TRUE
+),
+counts AS (
+  SELECT (SELECT COALESCE(sum(g.tp), 0) FROM greedy g
+          JOIN maxrn m ON g.image_id = m.image_id AND g.rn = m.n) AS tp,
+         (SELECT count(*) FROM pred) AS n_pred,
+         (SELECT count(*) FROM gt)   AS n_gt
+)
+SELECT
+  CAST(tp AS BIGINT) AS tp,
+  CAST(n_pred - tp AS BIGINT) AS fp,
+  CAST(n_gt - tp AS BIGINT)   AS fn,
+  round(CAST(tp AS DOUBLE) / n_pred + 1e-9, 6) AS precision,
+  round(CAST(tp AS DOUBLE) / n_gt + 1e-9, 6)   AS recall,
+  round(CASE WHEN CAST(tp AS DOUBLE) / n_pred + CAST(tp AS DOUBLE) / n_gt > 0
+             THEN 2 * (CAST(tp AS DOUBLE) / n_pred) * (CAST(tp AS DOUBLE) / n_gt)
+                  / (CAST(tp AS DOUBLE) / n_pred + CAST(tp AS DOUBLE) / n_gt)
+             ELSE 0.0 END + 1e-9, 6) AS f1
+FROM counts
+"""
+
+
 SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
 
 
@@ -429,4 +547,5 @@ QUERIES = {
     "detection_eval_per_class": (detection_eval_per_class, DETECTION_EVAL_PER_CLASS_SQL),
     "detection_eval_macro": (detection_eval_macro, DETECTION_EVAL_MACRO_SQL),
     "detection_eval_sweep": (detection_eval_sweep, DETECTION_EVAL_SWEEP_SQL),
+    "detection_eval_greedy": (detection_eval_greedy, DETECTION_EVAL_GREEDY_SQL),
 }

@@ -228,6 +228,83 @@ def media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# pdf_to_pages — the reference's PDF → per-page fan-out
+# (Tools/server.py:64-74, accuracy.ipynb pdf_to_images)
+# ---------------------------------------------------------------------------
+
+PDF_PAGE_BYTES = 120  # stub: source bytes "rendered" per page (small enough that real docs fan out to multiple pages)
+PDF_PAGE_W, PDF_PAGE_H = 612, 792  # 72-dpi US-Letter, fitz get_pixmap default
+
+PAGES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("page_idx", IntegerType()),
+        StructField("page_name", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("page_bytes", BinaryType()),
+    ]
+)
+
+
+def pdf_to_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF → per-page row fan-out, the reference server's upload path
+    (server.py:64-74): each document explodes into
+    `<file>_page<N>` rows (1-based, full filename kept — the server's
+    naming, not the notebook's stem) with per-page width/height.
+
+    One input row yields ceil(n_bytes / PDF_PAGE_BYTES) page rows via
+    Arrow-batched mapInPandas — the real row-explosion plumbing; the
+    "render" is a deterministic stub (fixed 72-dpi US-Letter dims +
+    a byte-slice payload) since the container has no PyMuPDF; a real
+    deployment swaps fitz.open/get_pixmap into the same loop."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    page_bytes, page_w, page_h = PDF_PAGE_BYTES, PDF_PAGE_W, PDF_PAGE_H
+
+    def paginate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "page_idx", "page_name", "width", "height", "page_bytes")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                fname = f"doc_{int(doc_id)}.pdf"
+                n_pages = max(1, -(-len(payload) // page_bytes))
+                for i in range(1, n_pages + 1):
+                    rows["doc_id"].append(int(doc_id))
+                    rows["page_idx"].append(i)
+                    rows["page_name"].append(f"{fname}_page{i}")
+                    rows["width"].append(page_w)
+                    rows["height"].append(page_h)
+                    rows["page_bytes"].append(bytes(payload[(i - 1) * page_bytes : i * page_bytes]))
+            yield pd.DataFrame(rows)
+
+    pages = src.mapInPandas(paginate, PAGES_SCHEMA)
+    return pages.select(
+        "doc_id", "page_idx", "page_name", "width", "height",
+        F.octet_length("page_bytes").alias("n_bytes"),
+    )
+
+
+PDF_TO_PAGES_SQL = f"""
+WITH src AS (
+  SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+),
+pages AS (
+  SELECT doc_id, n, CAST(i AS INTEGER) AS page_idx
+  FROM src,
+       unnest(range(1, greatest(1, CAST(ceil(n / {PDF_PAGE_BYTES}.0) AS BIGINT)) + 1)) AS t(i)
+)
+SELECT doc_id, page_idx,
+       'doc_' || doc_id || '.pdf_page' || page_idx AS page_name,
+       {PDF_PAGE_W} AS width, {PDF_PAGE_H} AS height,
+       CAST(least({PDF_PAGE_BYTES}, n - (page_idx - 1) * {PDF_PAGE_BYTES}) AS INTEGER) AS n_bytes
+FROM pages
+"""
+
+
+# ---------------------------------------------------------------------------
 # batch_inference — the reference server's predict loop as a
 # distributed Arrow-batched pipeline (Tools/server.py:43-117,
 # predictions_to_json.py:62-117)
@@ -371,4 +448,5 @@ WHERE conf_milli >= {int(CONF_THRESHOLD * 1000)}
 QUERIES = {
     "multimodal_manifest": (multimodal_manifest, MULTIMODAL_MANIFEST_SQL),
     "batch_inference": (batch_inference, BATCH_INFERENCE_SQL),
+    "pdf_to_pages": (pdf_to_pages, PDF_TO_PAGES_SQL),
 }
