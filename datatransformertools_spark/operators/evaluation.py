@@ -349,24 +349,40 @@ FROM prf2
 _GREEDY_MATCH_SCHEMA = "image_id long, pred_id long, gt_id long, cls int, iou double"
 
 
+N_GREEDY_BUCKETS = 256
+
+
 def _make_greedy_kernel():
     # Factory so cloudpickle serializes the kernel BY VALUE into the
     # applyInPandas closure — cluster Python workers never import
     # this package.
     def greedy_match(pdf):
         """The notebook's `match_detections` loop verbatim
-        (Test/accuracy.ipynb, matching cell), over one image's
-        candidate pairs: predictions in pred_id order each claim the
+        (Test/accuracy.ipynb, matching cell), applied independently
+        per image: predictions in pred_id order each claim the
         unmatched same-class GT with the highest IoU (strict `>` ⇒
-        ties go to the lowest gt_id, the GT enumeration order)."""
+        ties go to the lowest gt_id, the GT enumeration order).
+
+        The grouping key is a hash BUCKET of image_id, not image_id
+        itself: one Arrow transfer + pandas call handles a few
+        hundred images instead of paying per-group overhead on
+        thousands of tiny groups (the loop below still isolates each
+        image, so semantics are identical)."""
         pdf = pdf.sort_values(
-            ["pred_id", "iou", "gt_id"], ascending=[True, False, True], kind="mergesort"
+            ["image_id", "pred_id", "iou", "gt_id"],
+            ascending=[True, True, False, True],
+            kind="mergesort",
         )
-        taken: set = set()
         keep = []
+        cur_img = None
+        taken: set = set()
         cur_pred = None
         cur_matched = False
         for row in pdf.itertuples():
+            if row.image_id != cur_img:
+                cur_img = row.image_id
+                taken = set()
+                cur_pred = None
             if row.pred_id != cur_pred:
                 cur_pred = row.pred_id
                 cur_matched = False
@@ -390,8 +406,11 @@ def detection_eval_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB while preserving the single-image loop semantics
     `detection_eval`'s mutual-best formulation only approximates."""
     cand = _pairs_df(spark, sf_dir).filter(F.col("iou") >= IOU_THRESHOLD)
-    matched = cand.groupBy("image_id").applyInPandas(
-        _make_greedy_kernel(), _GREEDY_MATCH_SCHEMA
+    bucket = F.pmod(F.hash("image_id"), F.lit(N_GREEDY_BUCKETS))
+    matched = (
+        cand.withColumn("_bucket", bucket)
+        .groupBy("_bucket")
+        .applyInPandas(_make_greedy_kernel(), _GREEDY_MATCH_SCHEMA)
     )
     tp_df = matched.agg(F.count(F.lit(1)).alias("tp"))
     n_pred = _pred_df(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_pred"))
