@@ -1,0 +1,291 @@
+"""Corpus governance operators for training-data pipelines.
+
+The ops a 100 TB pretraining corpus needs before anything else
+touches it:
+
+- ``pii_scrub`` — regex masking of emails / phone numbers / SSNs
+  with per-document hit counts. Pure JVM ``regexp_replace`` /
+  ``regexp_count`` — the scrub is scan-bound, zero shuffle, at any
+  scale. (The synthetic corpus has no PII, so deterministic PII is
+  injected from doc_id arithmetic in BOTH engines first; the
+  scrubber is then value-checked end to end against text that
+  definitely contains what it must remove.)
+- ``contamination_check`` — n-gram containment of every corpus
+  document against a benchmark set (here modeled as the doc_id%97
+  slice): the shingle inverted index joins on the shingle key, so
+  each executor intersects only its shingle partition — never an
+  all-pairs comparison, and the benchmark side is never assumed
+  broadcastable.
+- ``stratified_sample`` / ``corpus_mix_summary`` — reproducible
+  hash-based per-source sampling (the data-mixing step of corpus
+  assembly). Keep/drop is a pure function of (salt, doc_id), so the
+  sample is identical on every run, cluster size, and engine — the
+  property ``DataFrame.sample`` cannot give you.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datatransformertools_spark.functions.hashing import md5_long
+from datatransformertools_spark.operators.dedup import _SHINGLE_SQL, _shingle_df
+from datatransformertools_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# pii_scrub
+# ---------------------------------------------------------------------------
+
+# RE2/Java-compatible subset: ASCII classes, \b, bounded repeats —
+# identical semantics in Spark (java.util.regex) and DuckDB (RE2).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+
+
+def _with_injected_pii(docs: DataFrame) -> DataFrame:
+    """Deterministically append PII to a subset of documents (same
+    arithmetic as the oracle) so the scrubber has real work."""
+    did = F.col("doc_id")
+    email = F.when(
+        did % 5 == 0, F.concat(F.lit(" contact: user"), did.cast("string"), F.lit("@example.com"))
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 7 == 0,
+        F.concat(
+            F.lit(" call 555-"),
+            (did % 900 + 100).cast("string"),
+            F.lit("-"),
+            (did % 9000 + 1000).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    ssn = F.when(
+        did % 11 == 0, F.concat(F.lit(" ssn 123-45-"), (did % 9000 + 1000).cast("string"))
+    ).otherwise(F.lit(""))
+    return docs.withColumn("text", F.concat(F.col("text"), email, phone, ssn))
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mask emails, phone numbers, and SSNs; count each kind per doc.
+
+    SSN runs first (its pattern is disjoint from the phone pattern's
+    3-3-4 digit grouping, but ordering is pinned anyway so the
+    masking is deterministic), then phone, then email. All built-in
+    JVM regex — no UDF, no shuffle: a pure map stage that rides the
+    parquet scan at any corpus size."""
+    docs = _with_injected_pii(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    t = F.col("text")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(t, SSN_RE, "[SSN]"), PHONE_RE, "[PHONE]"),
+        EMAIL_RE,
+        "[EMAIL]",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).alias("n_phones"),
+        F.regexp_count(t, F.lit(SSN_RE)).alias("n_ssns"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+_PII_BASE_SQL = r"""
+pii_docs AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' contact: user' || doc_id || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' call 555-' || (doc_id % 900 + 100) || '-' || (doc_id % 9000 + 1000)
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' ssn 123-45-' || (doc_id % 9000 + 1000) ELSE '' END AS text
+  FROM documents
+)
+"""
+
+PII_SCRUB_SQL = (
+    "WITH "
+    + _PII_BASE_SQL
+    + r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '"""
+    + EMAIL_RE
+    + r"""')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(text, '"""
+    + PHONE_RE
+    + r"""')) AS INTEGER) AS n_phones,
+       CAST(len(regexp_extract_all(text, '"""
+    + SSN_RE
+    + r"""')) AS INTEGER) AS n_ssns,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '"""
+    + SSN_RE
+    + r"""', '[SSN]', 'g'),
+         '"""
+    + PHONE_RE
+    + r"""', '[PHONE]', 'g'),
+         '"""
+    + EMAIL_RE
+    + r"""', '[EMAIL]', 'g') AS scrubbed
+FROM pii_docs
+"""
+)
+
+# ---------------------------------------------------------------------------
+# contamination_check
+# ---------------------------------------------------------------------------
+
+BENCH_MOD = 97  # doc_id % 97 == 0 → "benchmark" slice
+CONTAM_TAU = 0.8
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: max 3-gram containment of every
+    corpus doc against the benchmark set, plus a flag at τ=0.8.
+
+    The corpus side and the benchmark side meet on the SHINGLE key
+    (inverted index), so the work is one shuffle of (shingle,
+    doc_id) pairs — never doc × benchmark all-pairs, and no
+    assumption that the benchmark fits in memory (real benchmark
+    suites do, AQE will broadcast them from runtime stats; a
+    contamination sweep against another corpus would not, and this
+    plan still holds)."""
+    sh = _shingle_df(spark, sf_dir)
+    bench = sh.filter(F.col("doc_id") % BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    corpus = sh.filter(F.col("doc_id") % BENCH_MOD != 0)
+    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        corpus.join(bench, "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    best = (
+        inter.join(sizes, "doc_id")
+        .withColumn("containment", F.col("n_inter") / F.col("n_sh"))
+        .groupBy("doc_id")
+        .agg(F.round(F.max("containment") + 1e-9, 6).alias("max_containment"))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % BENCH_MOD != 0
+    )
+    return docs.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("max_containment"), F.lit(0.0)).alias("max_containment"),
+        (F.coalesce(F.col("max_containment"), F.lit(0.0)) >= CONTAM_TAU)
+        .cast("int")
+        .alias("contaminated"),
+    )
+
+
+CONTAMINATION_CHECK_SQL = (
+    "WITH "
+    + _SHINGLE_SQL.strip()
+    + f"""
+, bench AS (
+  SELECT doc_id AS bench_id, shingle FROM shingles WHERE doc_id % {BENCH_MOD} = 0
+),
+corpus AS (
+  SELECT * FROM shingles WHERE doc_id % {BENCH_MOD} <> 0
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM corpus GROUP BY 1),
+inter AS (
+  SELECT c.doc_id, b.bench_id, count(*) AS n_inter
+  FROM corpus c JOIN bench b USING (shingle)
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT i.doc_id, round(max(i.n_inter * 1.0 / s.n_sh) + 1e-9, 6) AS max_containment
+  FROM inter i JOIN sizes s USING (doc_id)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(b.max_containment, 0.0) AS max_containment,
+       CAST(COALESCE(b.max_containment, 0.0) >= {CONTAM_TAU} AS INTEGER) AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {BENCH_MOD} <> 0) d
+LEFT JOIN best b USING (doc_id)
+"""
+)
+
+# ---------------------------------------------------------------------------
+# stratified_sample / corpus_mix_summary
+# ---------------------------------------------------------------------------
+
+SAMPLE_SALT = "sample:"
+SAMPLE_BUCKETS = 10000
+
+
+def _target_rate_col() -> F.Column:
+    # src0..src19 → rates 0.1 .. 1.0 (deterministic function of the
+    # source name; a production pipeline reads these from a mix plan)
+    n = F.substring(F.col("source"), 4, 10).cast("int")
+    return ((n % 10 + 1) / 10.0).alias("target_rate")
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source reproducible sampling: keep a doc iff
+    md5(salt‖doc_id) mod 10000 < rate(source)·10000. The keep
+    decision is a pure per-row function — no shuffle, no RNG state,
+    identical output on any cluster, any partitioning, any engine
+    (``df.sample`` is none of those). Sources get rates 0.1–1.0
+    from their name; a real mix plan would join them in."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    key = md5_long(F.col("doc_id").cast("string"), salt=SAMPLE_SALT) % SAMPLE_BUCKETS
+    return (
+        docs.withColumn("sample_key", key)
+        .withColumn("target_rate", _target_rate_col())
+        .filter(F.col("sample_key") < F.col("target_rate") * SAMPLE_BUCKETS)
+        .select("doc_id", "source", "sample_key")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, source,
+       ('0x' || substr(md5('{SAMPLE_SALT}' || doc_id), 1, 15))::BIGINT % {SAMPLE_BUCKETS} AS sample_key
+FROM documents
+WHERE ('0x' || substr(md5('{SAMPLE_SALT}' || doc_id), 1, 15))::BIGINT % {SAMPLE_BUCKETS}
+      < (CAST(substr(source, 4, 10) AS INTEGER) % 10 + 1) / 10.0 * {SAMPLE_BUCKETS}
+"""
+
+
+def corpus_mix_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit the mix: per-source totals, kept counts, target vs
+    realized rate. One partial-agg shuffle on source."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    key = md5_long(F.col("doc_id").cast("string"), salt=SAMPLE_SALT) % SAMPLE_BUCKETS
+    kept = (key < _target_rate_col() * SAMPLE_BUCKETS).cast("long")
+    return (
+        docs.withColumn("kept", kept)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+            F.round(F.first(_target_rate_col()) + 1e-9, 4).alias("target_rate"),
+            F.round(F.sum("kept") / F.count(F.lit(1)) + 1e-9, 4).alias("actual_rate"),
+        )
+    )
+
+
+CORPUS_MIX_SUMMARY_SQL = f"""
+SELECT source,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN ('0x' || substr(md5('{SAMPLE_SALT}' || doc_id), 1, 15))::BIGINT % {SAMPLE_BUCKETS}
+                          < (CAST(substr(source, 4, 10) AS INTEGER) % 10 + 1) / 10.0 * {SAMPLE_BUCKETS}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round((CAST(substr(source, 4, 10) AS INTEGER) % 10 + 1) / 10.0 + 1e-9, 4) AS target_rate,
+       round(sum(CASE WHEN ('0x' || substr(md5('{SAMPLE_SALT}' || doc_id), 1, 15))::BIGINT % {SAMPLE_BUCKETS}
+                           < (CAST(substr(source, 4, 10) AS INTEGER) % 10 + 1) / 10.0 * {SAMPLE_BUCKETS}
+                      THEN 1 ELSE 0 END) * 1.0 / count(*) + 1e-9, 4) AS actual_rate
+FROM documents
+GROUP BY source
+"""
+
+
+QUERIES = {
+    "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
+    "contamination_check": (contamination_check, CONTAMINATION_CHECK_SQL),
+    "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
+    "corpus_mix_summary": (corpus_mix_summary, CORPUS_MIX_SUMMARY_SQL),
+}

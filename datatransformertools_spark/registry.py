@@ -34,6 +34,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "datatransformertools_spark.streaming.events",
         "datatransformertools_spark.operators.relational",
         "datatransformertools_spark.operators.dedup",
+        "datatransformertools_spark.operators.corpus",
         "datatransformertools_spark.operators.similarity",
         "datatransformertools_spark.operators.text_analysis",
         "datatransformertools_spark.operators.multimodal",
@@ -64,6 +65,10 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "q1_pricing_summary",
         "q2_min_cost_supplier",
         "q14_promo_revenue",
+        "q6_forecast_revenue",
+        "q19_discounted_revenue",
+        "orders_rollup",
+        "part_brand_pivot",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})
