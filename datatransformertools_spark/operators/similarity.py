@@ -356,9 +356,158 @@ FROM dims GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# kmeans_embeddings — iterative Lloyd's clustering
+# ---------------------------------------------------------------------------
+
+K_CLUSTERS = 8
+KMEANS_ITERS = 3
+
+
+def _kmeans_dist(c) -> F.Column:  # squared L2, summed in dim order
+    return F.aggregate(
+        F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means, the MLlib way: centroids live on the driver
+    (K·DIM doubles) and ship into each assignment pass as a literal
+    array, so assignment is a pure codegen'd projection over the
+    scan — no K-way data explosion, no shuffle beyond the K·DIM
+    partial agg per update. Inter-iteration collects move only the
+    centroid matrix (512 doubles), exactly what MLlib's KMeans
+    broadcasts per step; the FINAL assignment + update stays lazy in
+    the returned plan.
+
+    Cross-engine determinism: centroids are quantized to 6 dp at
+    every iteration boundary (init included) in BOTH engines, so
+    float summation-order noise cannot compound across iterations;
+    argmin ties break toward the lowest cluster id. Output is the
+    exploded (cluster, dim, cval) centroid matrix with member
+    counts; empty clusters keep their previous centroid."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    init_rows = (
+        emb.orderBy("vec_id")
+        .limit(K_CLUSTERS)
+        .select(F.transform("v", lambda x: F.round(x + 1e-9, 6)).alias("v"))
+        .collect()
+    )
+    cents = [list(r["v"]) for r in init_rows]
+
+    def cent_literal() -> F.Column:
+        return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+
+    def assigned_df() -> DataFrame:
+        best = F.array_min(
+            F.transform(
+                cent_literal(),
+                lambda c, i: F.struct(_kmeans_dist(c).alias("d"), i.alias("cluster")),
+            )
+        )
+        return emb.withColumn("cluster", best["cluster"])
+
+    for _ in range(KMEANS_ITERS - 1):
+        per_dim = (
+            assigned_df()
+            .select("cluster", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.round(F.avg("val") + 1e-9, 6).alias("cval"))
+        )
+        new = {(r["cluster"], r["dim"]): r["cval"] for r in per_dim.collect()}
+        cents = [
+            [new.get((k, d), cents[k][d]) for d in range(DIM)] for k in range(K_CLUSTERS)
+        ]
+
+    # final round, fully lazy: assignment from the last literal
+    # centroids → per-dim update + member counts in one plan
+    final = (
+        assigned_df()
+        .select("cluster", F.posexplode("v").alias("dim", "val"))
+        .groupBy("cluster", "dim")
+        .agg(F.round(F.avg("val") + 1e-9, 6).alias("cval"), F.count(F.lit(1)).alias("n_members"))
+    )
+    prev = spark.createDataFrame(
+        [(k, d, cents[k][d]) for k in range(K_CLUSTERS) for d in range(DIM)],
+        "cluster int, dim int, prev_cval double",
+    )
+    return prev.join(final, ["cluster", "dim"], "left").select(
+        "cluster",
+        "dim",
+        F.coalesce(F.col("cval"), F.col("prev_cval")).alias("cval"),
+        F.coalesce(F.col("n_members"), F.lit(0)).alias("n_members"),
+    )
+
+
+def _kmeans_sql() -> str:
+    """Unrolled Lloyd's iterations as chained CTEs — same init, same
+    6-dp quantization, same lowest-cluster tie-break."""
+    dist = "list_sum(list_transform(range(1, {dim} + 1), i -> (e.v[i]-cl.c[i])*(e.v[i]-cl.c[i])))".format(dim=DIM)
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""seed AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster, v
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {K_CLUSTERS})
+)""",
+        f"""c0 AS (
+  SELECT cluster, CAST(d AS INTEGER) AS dim, round(v[d + 1] + 1e-9, 6) AS cval
+  FROM seed CROSS JOIN range(0, {DIM}) t(d)
+)""",
+    ]
+    for n in range(1, KMEANS_ITERS + 1):
+        prev = f"c{n - 1}"
+        parts.append(
+            f"""cl{n} AS (
+  SELECT cluster, list(cval ORDER BY dim) AS c FROM {prev} GROUP BY cluster
+)"""
+        )
+        parts.append(
+            f"""a{n} AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT e.vec_id, e.v, cl.cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist}, cl.cluster) AS rn
+    FROM e CROSS JOIN cl{n} cl
+  ) WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"""c{n}_new AS (
+  SELECT cluster, CAST(d AS INTEGER) AS dim,
+         round(avg(v[d + 1]) + 1e-9, 6) AS cval, count(*) AS n_members
+  FROM a{n} CROSS JOIN range(0, {DIM}) t(d)
+  GROUP BY 1, 2
+)"""
+        )
+        parts.append(
+            f"""c{n} AS (
+  SELECT p.cluster, p.dim, COALESCE(n.cval, p.cval) AS cval
+  FROM {prev} p LEFT JOIN c{n}_new n ON p.cluster = n.cluster AND p.dim = n.dim
+)"""
+        )
+    last = KMEANS_ITERS
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT c.cluster, c.dim, c.cval,
+       CAST(COALESCE(n.n_members, 0) AS BIGINT) AS n_members
+FROM c{last} c
+LEFT JOIN c{last}_new n ON c.cluster = n.cluster AND c.dim = n.dim
+"""
+    )
+
+
+KMEANS_EMBEDDINGS_SQL = _kmeans_sql()
+
+
 QUERIES = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "label_centroids": (label_centroids, LABEL_CENTROIDS_SQL),
+    "kmeans_embeddings": (kmeans_embeddings, KMEANS_EMBEDDINGS_SQL),
 }

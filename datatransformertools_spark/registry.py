@@ -69,6 +69,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "q19_discounted_revenue",
         "orders_rollup",
         "part_brand_pivot",
+        "q15_top_supplier",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})
