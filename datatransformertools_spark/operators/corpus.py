@@ -27,8 +27,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from datatransformertools_spark.functions.hashing import md5_long
+from datatransformertools_spark.functions.text import normalize_text, tokens
 from datatransformertools_spark.operators.dedup import _SHINGLE_SQL, _shingle_df
 from datatransformertools_spark.sources.tables import load_table
 
@@ -283,9 +285,80 @@ GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# pack_sequences — context-window packing for training
+# ---------------------------------------------------------------------------
+
+CTX_LEN = 256  # tokens per training context window
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate each source's documents (in
+    doc_id order) into one token stream and chunk it into CTX_LEN
+    windows — the pretraining-batch assembly step. Each doc gets its
+    stream offset, the window it starts in, and whether it straddles
+    a window boundary. One window pass per source partition: sources
+    pack independently, so 1000 executors each pack their own
+    shards; no shuffle beyond the per-source sort."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    n_tok = F.size(tokens(normalize_text(F.col("text"))))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        docs.withColumn("n_tokens", n_tok)
+        .withColumn("start_offset", (cum - F.col("n_tokens")).cast("long"))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "start_offset",
+            F.floor(F.col("start_offset") / CTX_LEN).alias("window_id"),
+            (
+                F.floor(F.col("start_offset") / CTX_LEN)
+                != F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / CTX_LEN)
+            )
+            .cast("int")
+            .alias("crosses_boundary"),
+        )
+    )
+
+
+PACK_SEQUENCES_SQL = (
+    r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), '\s+')) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS start_offset
+  FROM toks
+)
+SELECT doc_id, source, n_tokens, start_offset,
+       start_offset // """
+    + str(CTX_LEN)
+    + r""" AS window_id,
+       CAST(start_offset // """
+    + str(CTX_LEN)
+    + r""" <> (start_offset + n_tokens - 1) // """
+    + str(CTX_LEN)
+    + r""" AS INTEGER) AS crosses_boundary
+FROM packed
+"""
+)
+
+
 QUERIES = {
     "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
     "contamination_check": (contamination_check, CONTAMINATION_CHECK_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "corpus_mix_summary": (corpus_mix_summary, CORPUS_MIX_SUMMARY_SQL),
+    "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
 }

@@ -70,6 +70,8 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "orders_rollup",
         "part_brand_pivot",
         "q15_top_supplier",
+        "revenue_yoy_growth",
+        "order_priority_exists",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

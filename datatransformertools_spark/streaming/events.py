@@ -181,8 +181,86 @@ FROM events
 GROUP BY 1, 2
 """
 
+def events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native `session_window` sessionization EXECUTED AS A STREAM
+    (readStream → availableNow drain → memory sink), value-checked
+    by the gate against a DuckDB replay of session_window's exact
+    semantics: an event at t joins the open session iff
+    t < last + gap (strictly), and the emitted window ends at
+    last + gap. This is the second streaming-runtime query under the
+    oracle — windowed aggs and session state both gate-checked."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F  # noqa: F811 (self-contained)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src_dir = tempfile.mkdtemp(prefix="dtt-stream-sess-src-")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events.parquet")
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+    ev = raw.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        ev.withWatermark("event_time", "60 minutes")
+        .groupBy(F.session_window("event_time", "30 minutes"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") + 1e-9, 4).alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"stream_sessionize_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dtt-stream-sess-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+# session_window replay: new session iff gap >= 30 min (session
+# windows are half-open — an event landing exactly at last+gap does
+# NOT extend); window end = last event + gap
+EVENTS_STREAM_SESSIONIZE_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
+),
+flagged AS (
+  SELECT *,
+    CASE WHEN lag(ts_us) OVER w IS NULL
+              OR ts_us - lag(ts_us) OVER w >= 1800000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sessions AS (
+  SELECT *,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+)
+SELECT min(ts_us)              AS session_start_us,
+       max(ts_us) + 1800000000 AS session_end_us,
+       user_id,
+       count(*)                AS n_events,
+       round(sum(value) + 1e-9, 4) AS total_value
+FROM sessions
+GROUP BY user_id, session_idx
+"""
+
 QUERIES = {
     "events_stream_tumbling": (events_stream_tumbling, EVENTS_STREAM_TUMBLING_SQL),
+    "events_stream_sessionize": (events_stream_sessionize, EVENTS_STREAM_SESSIONIZE_SQL),
 }
 
 
