@@ -1,13 +1,14 @@
 """Relational analytics core over the star schema.
 
 TPC-H-style plans adapted to the available columns. Scale design:
-- fixed-size dimension tables (region/nation, and part/supplier
-  where they are genuinely the small side) go through
-  ``F.broadcast`` — no shuffle of the fact table for those joins;
-- customer-derived frames are NEVER force-broadcast: customer grows
-  with SF (billions of rows at 100 TB), so those joins shuffle on
-  the key and AQE upgrades them to broadcast at runtime only when
-  the actual stats allow;
+- ONLY fixed-size dimension tables (region: 5 rows, nation: 25 rows,
+  literal lookup frames) carry an ``F.broadcast`` hint — a hint
+  forces the broadcast at ANY scale, so it is reserved for frames
+  whose size does not grow with SF;
+- customer/part/supplier-derived frames are NEVER force-broadcast:
+  all three grow with SF (billions of rows at 100 TB), so those
+  joins shuffle on the key and AQE upgrades them to broadcast at
+  runtime only when the actual stats allow;
 - aggregations are expressed as groupBy().agg() so Catalyst plans
   partial (map-side) aggregation before the exchange;
 - filters sit directly on the scan so they push into parquet
@@ -253,7 +254,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     price. The correlated `= (SELECT min ...)` is expressed as a
     per-part window min — one shuffle on l_partkey instead of a
     re-scan per part, which is the distributed form of a correlated
-    subquery. part and supplier are broadcast dims."""
+    subquery. part/supplier joins carry no broadcast hint (both grow
+    with SF); AQE picks broadcast at small scale from real stats."""
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 45)
     supp = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
@@ -265,8 +267,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         offer.withColumn("min_price", best)
         .filter(F.col("unit_price") == F.col("min_price"))
-        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .select(
             "p_partkey", "p_name", "p_size",
             F.col("s_suppkey").alias("best_suppkey"),
@@ -331,7 +333,7 @@ def part_brand_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .pivot("l_returnflag", ["A", "N", "R"])
         .agg(F.round(F.sum(rev) + 1e-9, 4))
@@ -368,11 +370,11 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1995-01-01")) & (F.col("l_shipdate") <= F.lit("1996-12-31"))
     )
     supp_n = supp.join(
-        F.broadcast(nation.filter(F.col("n_name").isin("FRANCE", "GERMANY"))),
+        F.broadcast(nation.filter(F.col("n_name").isin("NATION_1", "NATION_2"))),
         supp.s_nationkey == nation.n_nationkey,
     ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
     cust_n = cust.join(
-        F.broadcast(nation.filter(F.col("n_name").isin("FRANCE", "GERMANY"))),
+        F.broadcast(nation.filter(F.col("n_name").isin("NATION_1", "NATION_2"))),
         cust.c_nationkey == nation.n_nationkey,
     ).select("c_custkey", F.col("n_name").alias("cust_nation"))
     return (
@@ -396,8 +398,8 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation sn ON s_nationkey = sn.n_nationkey
 JOIN customer ON o_custkey = c_custkey
 JOIN nation cn ON c_nationkey = cn.n_nationkey
-WHERE sn.n_name IN ('FRANCE', 'GERMANY')
-  AND cn.n_name IN ('FRANCE', 'GERMANY')
+WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+  AND cn.n_name IN ('NATION_1', 'NATION_2')
   AND sn.n_name <> cn.n_name
   AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
 GROUP BY 1, 2, 3
@@ -521,7 +523,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(100.0 * F.sum(promo) / F.sum(rev) + 1e-9, 4).alias("promo_revenue_pct"),
             F.round(F.sum(rev) + 1e-9, 4).alias("total_revenue"),
@@ -556,7 +558,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = per_supp.withColumn("max_rev", F.max("total_revenue").over(Window.partitionBy()))
     return (
         best.filter(F.col("total_revenue") == F.col("max_rev"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -582,7 +584,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the residual disjunction after it."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     b1 = (
         (F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 15))
         & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 21)
@@ -646,6 +648,289 @@ WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_year)
 """
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier-nation's share of ECONOMY-part
+    revenue sold into one region, per order year. The widest join in
+    the suite (lineitem ⋈ part ⋈ orders ⋈ customer ⋈ supplier with
+    nation/region hops). Only the fixed-size nation/region frames are
+    hint-broadcast; part/customer/supplier joins shuffle on their
+    keys — at 100 TB each of those sides is data-scale."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    nr = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey).select("n_nationkey")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nr), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    supp_n = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(part, F.col("l_partkey") == part.p_partkey)
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(supp_n, F.col("l_suppkey") == supp_n.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(100.0 * F.sum(target) / F.sum(rev) + 1e-9, 4).alias("mkt_share_pct"),
+            F.round(F.sum(rev) + 1e-9, 4).alias("total_revenue"),
+        )
+    )
+
+
+Q8_SQL = """
+SELECT year(o_orderdate) AS o_year,
+       round(100.0 * sum(CASE WHEN sn.n_name = 'NATION_5'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS mkt_share_pct,
+       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4)   AS total_revenue
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region   ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+GROUP BY 1
+"""
+
+
+def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier nation per order year for
+    one part family. No partsupp table ships, so supply cost is
+    modeled as 60% of retail price — the plan shape (4-way fact join
+    + nation rollup) is the point. nation is the only hinted
+    broadcast; part/supplier shuffle-join."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation_name"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(part, F.col("l_partkey") == part.p_partkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .groupBy("nation_name", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit) + 1e-9, 4).alias("sum_profit"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation_name,
+       year(o_orderdate) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity) + 1e-9, 4) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of order counts per customer,
+    INCLUDING zero-order customers — the left-outer-join + double
+    aggregation shape. First shuffle joins customer⋈orders on
+    custkey (both data-scale, no hint), second groupBy reduces to
+    |distinct counts| rows."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .select("o_orderkey", "o_custkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+Q13_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust
+GROUP BY c_count
+"""
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from small-quantity orders of one
+    brand — the correlated AVG subquery (`l_quantity < 0.2 * avg per
+    part`) expressed as a per-part window avg: one shuffle on
+    l_partkey over the brand-filtered rows instead of a rescan per
+    part. Threshold rounded to 6 dp in both engines so boundary rows
+    can't flip on float summation order."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    j = li.join(part, F.col("l_partkey") == part.p_partkey)
+    thr = F.round(0.2 * F.avg("l_quantity").over(Window.partitionBy("l_partkey")), 6)
+    return (
+        j.withColumn("thr", thr)
+        .filter(F.col("l_quantity") < F.col("thr"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0 + 1e-9, 4).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+Q17_SQL = """
+WITH j AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23'
+),
+t AS (
+  SELECT *, round(0.2 * avg(l_quantity) OVER (PARTITION BY l_partkey), 6) AS thr
+  FROM j
+)
+SELECT round(sum(l_extendedprice) / 7.0 + 1e-9, 4) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_small
+FROM t
+WHERE l_quantity < thr
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers in one nation who were the ONLY
+    late shipper on a multi-supplier order. No receipt/commit dates
+    ship, so "late" = shipped more than 60 days after the order
+    date. The EXISTS / NOT EXISTS pair collapses into per-order
+    window aggregates (supplier count, late-supplier count) — one
+    shuffle on orderkey, no self-joins. Deterministic top-20 via
+    (numwait DESC, s_name) tiebreak."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).cast("int")
+    per_supp = (
+        li.join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("was_late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_supp.select(
+        "l_orderkey",
+        "l_suppkey",
+        "was_late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("was_late").over(w).alias("n_late"),
+    )
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        flagged.filter((F.col("was_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+WITH per_supp AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS was_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_orderkey, l_suppkey
+),
+flagged AS (
+  SELECT *,
+         CAST(count(*) OVER (PARTITION BY l_orderkey) AS BIGINT) AS n_supp,
+         CAST(sum(was_late) OVER (PARTITION BY l_orderkey) AS BIGINT) AS n_late
+  FROM per_supp
+)
+SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM flagged
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE was_late = 1 AND n_supp > 1 AND n_late = 1 AND n_name = 'NATION_3'
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: rich customers with no orders, rolled up by
+    nation. The scalar AVG subquery is a 1-row aggregate cross-joined
+    into the scan (broadcast of one row — never a collect), and NOT
+    EXISTS is a left_anti join on custkey against recent orders (the
+    orders-side filter pushes into the scan before the anti-join
+    shuffle). Threshold rounded to 4 dp in both engines for
+    float-stable comparison."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.round(F.avg("c_acctbal"), 4).alias("avg_bal"))
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal") + 1e-9, 4).alias("total_acctbal"),
+        )
+    )
+
+
+Q22_SQL = """
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_custs,
+       round(sum(c_acctbal) + 1e-9, 4) AS total_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT round(avg(c_acctbal), 4) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
@@ -664,5 +949,11 @@ QUERIES = {
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "top_customers_window": (top_customers_window, TOP_CUSTOMERS_SQL),
     "order_priority_exists": (order_priority_exists, ORDER_PRIORITY_SQL),
+    "q8_market_share": (q8_market_share, Q8_SQL),
+    "q9_profit_by_nation": (q9_profit_by_nation, Q9_SQL),
+    "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
+    "q17_small_qty_revenue": (q17_small_qty_revenue, Q17_SQL),
+    "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
+    "q22_global_sales_opportunity": (q22_global_sales_opportunity, Q22_SQL),
 }
 

@@ -58,16 +58,22 @@ def test_q5_broadcasts_fixed_dims_only(spark, sf_dir):
 
 
 def test_customer_scale_frames_never_hint_broadcast(spark, sf_dir):
-    # These queries join customer-scale or per-document frames; a
-    # broadcast HINT on any of them would OOM at 100 TB. With size-
-    # based broadcast off, their plans must contain no
-    # BroadcastExchange at all (they have no fixed-size dims).
+    # These queries join customer/part/supplier-scale or per-document
+    # frames; a broadcast HINT on any of them would OOM at 100 TB
+    # (all of those tables grow with SF). With size-based broadcast
+    # off, their plans must contain no BroadcastExchange at all
+    # (they have no fixed-size dims).
     for name in (
         "q3_top_unshipped",
         "q10_returned_items",
         "q18_large_orders",
         "top_customers_window",
         "dedup_ngram_jaccard",
+        "q2_min_cost_supplier",
+        "part_brand_pivot",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q19_discounted_revenue",
     ):
         plan = _plan_hints_only(spark, sf_dir, name)
         assert "BroadcastExchange" not in plan, f"{name} force-broadcasts:\n{plan}"
