@@ -504,10 +504,75 @@ LEFT JOIN c{last}_new n ON c.cluster = n.cluster AND c.dim = n.dim
 KMEANS_EMBEDDINGS_SQL = _kmeans_sql()
 
 
+# ---------------------------------------------------------------------------
+# embedding_quantize — int8 scalar quantization with error audit
+# ---------------------------------------------------------------------------
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column: global
+    per-dimension [min, max] → 256 uniform levels, code =
+    floor((v - min) / range * 256) clamped to 255. Returns a per-
+    vector audit row (code checksum + max/mean reconstruction
+    error) instead of the array (the gate canonicalizer can't hash
+    lists). Shape: explode to (vec_id, dim, val) → per-dim min/max
+    agg (output is DIM rows regardless of corpus size → hint-
+    broadcast back) → quantize per row → re-agg by vec_id. Both
+    shuffles carry 3-number rows; floor() keeps the code boundary
+    deterministic across engines where round() would tie-break
+    differently."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.posexplode(as_double(F.col("embedding"))).alias("dim", "val")
+    )
+    dim_stats = emb.groupBy("dim").agg(
+        F.min("val").alias("dmin"), F.max("val").alias("dmax")
+    )
+    rng = F.col("dmax") - F.col("dmin")
+    code = F.least(
+        F.lit(255), F.floor((F.col("val") - F.col("dmin")) / rng * 256)
+    ).cast("long")
+    recon = F.col("dmin") + (F.col("code") + 0.5) * rng / 256.0
+    return (
+        emb.join(F.broadcast(dim_stats), "dim")  # DIM rows: fixed-size
+        .withColumn("code", code)
+        .withColumn("abs_err", F.abs(F.col("val") - recon))
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum("code").alias("code_checksum"),
+            F.round(F.max("abs_err") + 1e-12, 6).alias("max_abs_err"),
+            F.round(F.avg("abs_err") + 1e-12, 6).alias("mean_abs_err"),
+        )
+    )
+
+
+EMBEDDING_QUANTIZE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, i - 1 AS dim, (embedding::DOUBLE[])[i] AS val
+  FROM embeddings CROSS JOIN range(1, {DIM} + 1) t(i)
+),
+stats AS (
+  SELECT dim, min(val) AS dmin, max(val) AS dmax FROM e GROUP BY dim
+),
+quant AS (
+  SELECT vec_id, label,
+         least(255, CAST(floor((val - dmin) / (dmax - dmin) * 256) AS BIGINT)) AS code,
+         val, dmin, dmax
+  FROM e JOIN stats USING (dim)
+)
+SELECT vec_id, label,
+       CAST(sum(code) AS BIGINT) AS code_checksum,
+       round(max(abs(val - (dmin + (code + 0.5) * (dmax - dmin) / 256.0))) + 1e-12, 6) AS max_abs_err,
+       round(avg(abs(val - (dmin + (code + 0.5) * (dmax - dmin) / 256.0))) + 1e-12, 6) AS mean_abs_err
+FROM quant
+GROUP BY vec_id, label
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "label_centroids": (label_centroids, LABEL_CENTROIDS_SQL),
     "kmeans_embeddings": (kmeans_embeddings, KMEANS_EMBEDDINGS_SQL),
+    "embedding_quantize": (embedding_quantize, EMBEDDING_QUANTIZE_SQL),
 }

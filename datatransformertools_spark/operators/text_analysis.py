@@ -420,6 +420,201 @@ LIMIT {NGRAM_TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# repetition_stats — Gopher-style intra-document repetition signals
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals (the Gopher/MassiveText
+    quality rules adapted to single-line docs): duplicate-token
+    ratio, duplicate-bigram ratio, and most-frequent-token share.
+    Distinct-token and distinct-bigram counts are pure array ops
+    (zero shuffle); the token mode runs as the classic word-count
+    shape — explode → (doc_id, token) partial-agg → per-doc max —
+    whose exchanges carry only (doc_id, count) pairs, never text."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = tokens(normalize_text(F.col("text")))
+    bigrams = word_shingles(tok, 2)
+    base = docs.select(
+        "doc_id",
+        tok.alias("tok"),
+        F.size(tok).alias("n_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_distinct"),
+        # word_shingles dedups; total bigrams = n_tokens - 1
+        F.size(bigrams).alias("n_distinct_bigrams"),
+    )
+    counts = (
+        base.select("doc_id", "n_tokens", F.explode("tok").alias("t"))
+        .groupBy("doc_id", "n_tokens", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_count"))
+    )
+    return (
+        base.drop("tok")
+        .join(counts, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(1.0 - F.col("n_distinct") / F.col("n_tokens") + 1e-9, 6).alias("dup_token_ratio"),
+            F.round(
+                1.0 - F.col("n_distinct_bigrams") / (F.col("n_tokens") - 1) + 1e-9, 6
+            ).alias("dup_bigram_ratio"),
+            F.round(F.col("top_count") / F.col("n_tokens") + 1e-9, 6).alias("top_token_ratio"),
+        )
+    )
+
+
+REPETITION_STATS_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), '\s+') AS tok
+  FROM documents
+),
+sizes AS (
+  SELECT doc_id, tok,
+         len(tok) AS n_tokens,
+         len(list_distinct(tok)) AS n_distinct,
+         len(list_distinct([tok[i] || ' ' || tok[i+1] FOR i IN range(1, len(tok))])) AS n_distinct_bigrams
+  FROM base
+),
+modes AS (
+  SELECT doc_id, max(c) AS top_count
+  FROM (
+    SELECT doc_id, t, count(*) AS c
+    FROM base, unnest(tok) AS u(t)
+    GROUP BY doc_id, t
+  )
+  GROUP BY doc_id
+)
+SELECT s.doc_id,
+       s.n_tokens,
+       round(1.0 - s.n_distinct / s.n_tokens + 1e-9, 6)                 AS dup_token_ratio,
+       round(1.0 - s.n_distinct_bigrams / (s.n_tokens - 1) + 1e-9, 6)   AS dup_bigram_ratio,
+       round(m.top_count / s.n_tokens + 1e-9, 6)                        AS top_token_ratio
+FROM sizes s JOIN modes m ON s.doc_id = m.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# doc_chunk_windows — RAG-style overlapping chunk fan-out
+# ---------------------------------------------------------------------------
+
+CHUNK_LEN = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # tokens between chunk starts (16-token overlap)
+
+
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking: each document fans out into overlapping
+    CHUNK_LEN-token windows every CHUNK_STRIDE tokens (final partial
+    chunk kept). Pure per-row explode — the fan-out happens inside
+    the scan partition with zero shuffle, so 1000 executors chunk
+    1000 shards independently; chunk text is sliced from the token
+    array, never re-tokenized."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = tokens(normalize_text(F.col("text")))
+    n = F.size(tok)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(CHUNK_LEN)) / F.lit(CHUNK_STRIDE)) + 1
+    ).cast("int")
+    base = docs.select("doc_id", tok.alias("tok"), n.alias("n_tokens"), n_chunks.alias("n_chunks"))
+    idx = F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx")
+    start = F.col("chunk_idx") * CHUNK_STRIDE
+    clen = F.least(F.lit(CHUNK_LEN), F.col("n_tokens") - start)
+    return (
+        base.select("doc_id", "tok", "n_tokens", idx)
+        .select(
+            "doc_id",
+            "chunk_idx",
+            start.cast("long").alias("start_tok"),
+            clen.cast("long").alias("chunk_tokens"),
+            F.concat_ws(" ", F.slice(F.col("tok"), start + 1, clen)).alias("chunk_text"),
+        )
+    )
+
+
+DOC_CHUNK_WINDOWS_SQL = (
+    r"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), '\s+') AS tok
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, tok, len(tok) AS n_tokens,
+         greatest(1, CAST(ceil((len(tok) - CHUNK_LEN) / (CHUNK_STRIDE * 1.0)) AS INTEGER) + 1) AS n_chunks
+  FROM base
+)
+SELECT doc_id,
+       i AS chunk_idx,
+       CAST(i * CHUNK_STRIDE AS BIGINT) AS start_tok,
+       CAST(least(CHUNK_LEN, n_tokens - i * CHUNK_STRIDE) AS BIGINT) AS chunk_tokens,
+       array_to_string(tok[i * CHUNK_STRIDE + 1 : i * CHUNK_STRIDE + least(CHUNK_LEN, n_tokens - i * CHUNK_STRIDE)], ' ') AS chunk_text
+FROM sized, unnest(range(0, n_chunks)) AS u(i)
+""".replace("CHUNK_LEN", str(CHUNK_LEN)).replace("CHUNK_STRIDE", str(CHUNK_STRIDE))
+)
+
+
+# ---------------------------------------------------------------------------
+# token_length_histogram — corpus length distribution audit
+# ---------------------------------------------------------------------------
+
+HIST_BUCKET_W = 16  # tokens per histogram bucket
+
+
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram per source: fixed-width token-count
+    buckets with doc and token totals — the corpus-audit pass that
+    sizes a tokenization run. Map-side bucket assignment + one
+    partial-agg shuffle of (source, bucket) keys; output cardinality
+    is |sources|·|buckets| regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    n = F.size(tokens(normalize_text(F.col("text"))))
+    bucket = F.floor(n / HIST_BUCKET_W).cast("long")
+    return (
+        docs.select("source", n.alias("n_tokens"), bucket.alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+        .select(
+            "source",
+            "bucket",
+            (F.col("bucket") * HIST_BUCKET_W).alias("bucket_lo"),
+            ((F.col("bucket") + 1) * HIST_BUCKET_W - 1).alias("bucket_hi"),
+            "n_docs",
+            "sum_tokens",
+            "min_tokens",
+            "max_tokens",
+        )
+    )
+
+
+TOKEN_LENGTH_HISTOGRAM_SQL = (
+    r"""
+WITH toks AS (
+  SELECT source,
+         len(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), '\s+')) AS n_tokens
+  FROM documents
+)
+SELECT source,
+       CAST(n_tokens // BW AS BIGINT)            AS bucket,
+       CAST(n_tokens // BW * BW AS BIGINT)       AS bucket_lo,
+       CAST((n_tokens // BW + 1) * BW - 1 AS BIGINT) AS bucket_hi,
+       CAST(count(*) AS BIGINT)                  AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT)             AS sum_tokens,
+       CAST(min(n_tokens) AS BIGINT)             AS min_tokens,
+       CAST(max(n_tokens) AS BIGINT)             AS max_tokens
+FROM toks
+GROUP BY source, n_tokens // BW
+""".replace("BW", str(HIST_BUCKET_W))
+)
+
+
 QUERIES = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "ngram_topk": (ngram_topk, NGRAM_TOPK_SQL),
@@ -429,4 +624,7 @@ QUERIES = {
     "lang_id": (lang_id, LANG_ID_SQL),
     "token_count_bpe": (token_count_bpe, TOKEN_COUNT_BPE_SQL),
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
+    "repetition_stats": (repetition_stats, REPETITION_STATS_SQL),
+    "doc_chunk_windows": (doc_chunk_windows, DOC_CHUNK_WINDOWS_SQL),
+    "token_length_histogram": (token_length_histogram, TOKEN_LENGTH_HISTOGRAM_SQL),
 }

@@ -52,7 +52,29 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
     # are deferred to the tail so newer / recently-fixed queries fit
     # inside the gate's first-50 horizon. Rotate this list each
     # round so everything accumulates driver-gate evidence over time.
+    # Listed in priority order: the head of this list still lands in
+    # the gate window when slots remain (50 - |non-deferred|).
     deferred = [
+        # changed since r01 (plan-level only; values locked by tests)
+        "doc_tfidf_topk",
+        "q2_min_cost_supplier",
+        "part_brand_pivot",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q19_discounted_revenue",
+        # r01 gate-green and untouched
+        "corpus_prep_pipeline",
+        "text_stats",
+        "ngram_topk",
+        "text_quality",
+        "lang_id",
+        "token_count_bpe",
+        "doc_fingerprint",
+        "multimodal_manifest",
+        "batch_inference",
+        "ann_bruteforce_topk",
+        "ann_lsh_topk",
+        "ann_ivf_topk",
         "yolo_normalize",
         "yolo_denormalize",
         "train_val_split",
@@ -63,13 +85,8 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "detection_eval_macro",
         "detection_eval_sweep",
         "q1_pricing_summary",
-        "q2_min_cost_supplier",
-        "q14_promo_revenue",
         "q6_forecast_revenue",
-        "q19_discounted_revenue",
         "orders_rollup",
-        "part_brand_pivot",
-        "q15_top_supplier",
         "revenue_yoy_growth",
         "order_priority_exists",
     ]

@@ -258,9 +258,76 @@ FROM sessions
 GROUP BY user_id, session_idx
 """
 
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup EXECUTED AS A STREAM: collapse events
+    to one row per (user_id, event_type, 5-minute bucket) with
+    `dropDuplicates` — the at-least-once-delivery gate a streaming
+    ingest pipeline runs before anything else. The dedup subset
+    includes the watermarked bucket timestamp, so the state store
+    expires keys older than the watermark instead of growing without
+    bound. The drained, deduped rows are then counted per type (a
+    bounded batch agg after the availableNow drain), and the DuckDB
+    oracle recomputes the same distinct-triple counts — the
+    streaming dedup state machine itself is value-checked."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F  # noqa: F811 (self-contained)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src_dir = tempfile.mkdtemp(prefix="dtt-stream-dedup-src-")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events.parquet")
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+    five_min_us = 300_000_000
+    deduped = (
+        raw.withColumn("ts_us", F.expr("ts div 1000"))
+        .withColumn(
+            "bucket_time",
+            F.timestamp_micros(F.expr(f"ts_us div {five_min_us}") * five_min_us),
+        )
+        .withWatermark("bucket_time", "10 minutes")
+        .dropDuplicates(["user_id", "event_type", "bucket_time"])
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dtt-stream-dedup-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_unique"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+# oracle: distinct (user, type, 5-min bucket) triples per type —
+# exactly what survives the streaming dedup
+EVENTS_STREAM_DEDUP_SQL = """
+WITH triples AS (
+  SELECT DISTINCT user_id, event_type, epoch_us(ts) // 300000000 AS bucket
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT)              AS n_unique,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM triples
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "events_stream_tumbling": (events_stream_tumbling, EVENTS_STREAM_TUMBLING_SQL),
     "events_stream_sessionize": (events_stream_sessionize, EVENTS_STREAM_SESSIONIZE_SQL),
+    "events_stream_dedup": (events_stream_dedup, EVENTS_STREAM_DEDUP_SQL),
 }
 
 
