@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datatransformertools_spark.caching import track
-from datatransformertools_spark.functions.hashing import lsh_band_keys, md5_bits32
+from datatransformertools_spark.functions.hashing import lsh_band_keys
 from datatransformertools_spark.functions.text import normalize_text, tokens, word_shingles
 from datatransformertools_spark.functions.vectors import as_double, cosine_prenormed, norm
 from datatransformertools_spark.sources.tables import load_table
@@ -269,16 +269,18 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     tok = docs.select("doc_id", F.explode(tokens(normalize_text(F.col("text")))).alias("token"))
-    # hash BEFORE the groupBy: the count shuffle then carries two
-    # longs per row instead of the token string, and the md5 runs
-    # map-side. Grouping by (h1, h2) ≡ grouping by token (64
-    # matching md5 bits); the DuckDB oracle groups the same way.
-    h1 = md5_bits32(F.col("token"), 1)
-    h2 = md5_bits32(F.col("token"), 9)
-    hashed = (
-        tok.select("doc_id", h1.alias("h1"), h2.alias("h2"))
-        .groupBy("doc_id", "h1", "h2")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    # hash map-side, md5 computed ONCE per token (both 32-bit planes
+    # slice the same hex string), then fold straight into the 48
+    # per-bit sums in a single groupBy(doc_id): summing ±1 over all
+    # token OCCURRENCES equals summing ±count over distinct tokens,
+    # so the intermediate (doc_id, token)-count aggregation is pure
+    # overhead. Partial aggregation reduces each map partition to one
+    # 48-long row per doc before the only shuffle.
+    hx = tok.select("doc_id", F.md5("token").alias("hx"))
+    hashed = hx.select(
+        "doc_id",
+        F.conv(F.substring("hx", 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring("hx", 9, 8), 16, 10).cast("long").alias("h2"),
     )
 
     def bit(j: int):
@@ -287,7 +289,7 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.shiftright(F.col("h2"), j - 24).bitwiseAND(F.lit(1))
 
     sums = [
-        F.sum(F.when(bit(j) == 1, F.col("cnt")).otherwise(-F.col("cnt"))).alias(f"s{j}")
+        F.sum(F.when(bit(j) == 1, F.lit(1)).otherwise(F.lit(-1))).alias(f"s{j}")
         for j in range(SIMHASH_BITS)
     ]
     per_doc = hashed.groupBy("doc_id").agg(*sums)
@@ -332,7 +334,7 @@ def _simhash_sql() -> str:
         return f"(h2 >> {j - 24}) & 1"
 
     sums = ",\n    ".join(
-        f"sum(CASE WHEN {bit(j)} = 1 THEN cnt ELSE -cnt END) AS s{j}" for j in range(SIMHASH_BITS)
+        f"sum(CASE WHEN {bit(j)} = 1 THEN 1 ELSE -1 END) AS s{j}" for j in range(SIMHASH_BITS)
     )
     fp = " + ".join(f"(CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(SIMHASH_BITS))
     nb = SIMHASH_BITS // SIMHASH_BAND_BITS
@@ -350,9 +352,8 @@ WITH toks AS (
 hashed AS (
   SELECT doc_id,
          ('0x' || substr(md5(token), 1, 8))::BIGINT AS h1,
-         ('0x' || substr(md5(token), 9, 8))::BIGINT AS h2,
-         count(*) AS cnt
-  FROM toks GROUP BY 1, 2, 3
+         ('0x' || substr(md5(token), 9, 8))::BIGINT AS h2
+  FROM toks
 ),
 sums AS (
   SELECT doc_id,

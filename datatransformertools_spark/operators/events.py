@@ -626,6 +626,70 @@ FROM events JOIN profile ON user_id = o_custkey
 """
 
 
+# ---------------------------------------------------------------------------
+# events_hopping_agg — native sliding (hopping) windows
+# ---------------------------------------------------------------------------
+
+HOP_WIN_US = 600_000_000  # 10-minute window
+HOP_SLIDE_US = 300_000_000  # sliding every 5 minutes
+
+
+def events_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows via Spark's native `F.window` with a
+    slide: 10-minute windows every 5 minutes, so each event lands in
+    exactly win/slide = 2 windows. The operator fans out map-side
+    (TimeWindow explodes before the exchange) and then runs the same
+    partial-agg shuffle as a tumbling window — the oracle replays the
+    fan-out arithmetic with an explicit 2-row cross join."""
+    ev = _events_us(spark, sf_dir).withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
+    return (
+        ev.groupBy(
+            F.window("event_time", "10 minutes", "5 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") + 1e-9, 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+EVENTS_HOPPING_AGG_SQL = f"""
+SELECT (epoch_us(ts) // {HOP_SLIDE_US} - k) * {HOP_SLIDE_US} AS window_start_us,
+       event_type,
+       count(*)                    AS n_events,
+       round(sum(value) + 1e-9, 4) AS sum_value
+FROM events CROSS JOIN range(0, {HOP_WIN_US // HOP_SLIDE_US}) t(k)
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_user_count_hll — HyperLogLog distinct users (the sketch path)
+# ---------------------------------------------------------------------------
+
+
+def events_user_count_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via `approx_count_distinct`
+    (HyperLogLog++). At 100 TB exact COUNT(DISTINCT) shuffles every
+    key once; the HLL sketch merges in constant memory per group —
+    this is the default cardinality path at scale. Sketch estimates
+    are implementation-specific, so there is no cross-engine oracle
+    (the driver records the rows-only check); the ≤2%-error contract
+    vs the exact count is asserted in tests/test_sketches.py."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 QUERIES = {
     "events_tumbling_agg": (events_tumbling_agg, EVENTS_TUMBLING_AGG_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
@@ -639,4 +703,6 @@ QUERIES = {
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
     "orders_cohort_retention": (orders_cohort_retention, ORDERS_COHORT_SQL),
     "events_value_quantiles": (events_value_quantiles, EVENTS_VALUE_QUANTILES_SQL),
+    "events_hopping_agg": (events_hopping_agg, EVENTS_HOPPING_AGG_SQL),
+    "events_user_count_hll": (events_user_count_hll, None),
 }

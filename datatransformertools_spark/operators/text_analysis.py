@@ -429,40 +429,47 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition signals (the Gopher/MassiveText
     quality rules adapted to single-line docs): duplicate-token
     ratio, duplicate-bigram ratio, and most-frequent-token share.
-    Distinct-token and distinct-bigram counts are pure array ops
-    (zero shuffle); the token mode runs as the classic word-count
-    shape — explode → (doc_id, token) partial-agg → per-doc max —
-    whose exchanges carry only (doc_id, count) pairs, never text."""
+    Everything — including the token MODE — is a per-row array op
+    with ZERO shuffles: the mode count is the longest run in the
+    sorted token array, folded with `F.aggregate` inside whole-stage
+    codegen, so no (doc_id, token) explosion ever hits an exchange.
+    (The oracle computes the same mode the unnest-and-group way —
+    oracle cost is irrelevant, value parity is what's checked.)"""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tok = tokens(normalize_text(F.col("text")))
     bigrams = word_shingles(tok, 2)
+    # longest run in the sorted array == max token multiplicity
+    top_count = F.aggregate(
+        F.array_sort(tok),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
     base = docs.select(
         "doc_id",
-        tok.alias("tok"),
         F.size(tok).alias("n_tokens"),
         F.size(F.array_distinct(tok)).alias("n_distinct"),
         # word_shingles dedups; total bigrams = n_tokens - 1
         F.size(bigrams).alias("n_distinct_bigrams"),
+        top_count.alias("top_count"),
     )
-    counts = (
-        base.select("doc_id", "n_tokens", F.explode("tok").alias("t"))
-        .groupBy("doc_id", "n_tokens", "t")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_count"))
-    )
-    return (
-        base.drop("tok")
-        .join(counts, "doc_id")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.round(1.0 - F.col("n_distinct") / F.col("n_tokens") + 1e-9, 6).alias("dup_token_ratio"),
-            F.round(
-                1.0 - F.col("n_distinct_bigrams") / (F.col("n_tokens") - 1) + 1e-9, 6
-            ).alias("dup_bigram_ratio"),
-            F.round(F.col("top_count") / F.col("n_tokens") + 1e-9, 6).alias("top_token_ratio"),
-        )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.round(1.0 - F.col("n_distinct") / F.col("n_tokens") + 1e-9, 6).alias("dup_token_ratio"),
+        F.round(
+            1.0 - F.col("n_distinct_bigrams") / (F.col("n_tokens") - 1) + 1e-9, 6
+        ).alias("dup_bigram_ratio"),
+        F.round(F.col("top_count") / F.col("n_tokens") + 1e-9, 6).alias("top_token_ratio"),
     )
 
 

@@ -29,6 +29,27 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir):
         assert abs(r.approx - r.exact) <= max(0.15 * r.exact, 5), (r.event_type, r.exact, r.approx)
 
 
+def test_events_user_count_hll_query_error_bound(spark, sf_dir):
+    # the registered rows-only query must stay within its documented
+    # 2% error contract vs the exact distinct count
+    from datatransformertools_spark.operators.events import events_user_count_hll
+
+    approx = events_user_count_hll(spark, sf_dir)
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    rows = approx.join(exact, "event_type").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) <= max(0.02 * r.exact_users, 2), (
+            r.event_type,
+            r.exact_users,
+            r.approx_users,
+        )
+
+
 def test_percentile_approx_brackets_exact(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     r = ev.agg(
