@@ -254,11 +254,18 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     price. The correlated `= (SELECT min ...)` is expressed as a
     per-part window min — one shuffle on l_partkey instead of a
     re-scan per part, which is the distributed form of a correlated
-    subquery. part/supplier joins carry no broadcast hint (both grow
+    subquery. The p_size filter prunes BEFORE the aggregation via a
+    semi-join on part keys (agg-then-filter ≡ filter-then-agg here:
+    unit_price depends only on lineitem), so the agg + window
+    exchanges carry only the matching fraction of lineitem; at scale
+    the semi-join's hash partitioning on l_partkey is reused by both
+    the groupBy (subset clustering) and the window — one data shuffle
+    total. part/supplier joins carry no broadcast hint (both grow
     with SF); AQE picks broadcast at small scale from real stats."""
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 45)
     supp = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    li = li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"), "left_semi")
     offer = (
         li.groupBy("l_partkey", "l_suppkey")
         .agg(F.round(F.sum("l_extendedprice") / F.sum("l_quantity") + 1e-9, 4).alias("unit_price"))
