@@ -690,6 +690,63 @@ def events_user_count_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# events_rolling_avg — per-user row-frame moving average
+# ---------------------------------------------------------------------------
+
+
+def events_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling mean of `value` over the last 5 events
+    (ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), ordered by
+    (ts, event_id) so ties are deterministic. One shuffle on
+    user_id; the frame is row-bounded, so state per row is O(5)
+    and the window never buffers a whole user's history."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w) + 1e-9, 4).alias("rolling_avg_5"),
+    )
+
+
+EVENTS_ROLLING_AVG_SQL = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) + 1e-9, 4) AS rolling_avg_5
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_value_quantiles_sketch — t-digest-style approximate quantiles
+# ---------------------------------------------------------------------------
+
+
+def events_value_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p25/median/p75/p95 per event type via
+    `percentile_approx` (Greenwald-Khanna sketch, accuracy 10000).
+    The constant-memory quantile path at 100 TB — the exact
+    sort-based `events_value_quantiles` is the baseline it is
+    error-bounded against in tests/test_sketches.py. Sketch
+    estimates are engine-specific, so there is no cross-engine
+    oracle (rows-only at the gate)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    qs = {"p25": 0.25, "median": 0.5, "p75": 0.75, "p95": 0.95}
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.round(F.percentile_approx("value", q, 10000) + 1e-9, 4).alias(f"{name}_approx")
+            for name, q in qs.items()
+        ],
+    )
+
+
 QUERIES = {
     "events_tumbling_agg": (events_tumbling_agg, EVENTS_TUMBLING_AGG_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
@@ -705,4 +762,6 @@ QUERIES = {
     "events_value_quantiles": (events_value_quantiles, EVENTS_VALUE_QUANTILES_SQL),
     "events_hopping_agg": (events_hopping_agg, EVENTS_HOPPING_AGG_SQL),
     "events_user_count_hll": (events_user_count_hll, None),
+    "events_rolling_avg": (events_rolling_avg, EVENTS_ROLLING_AVG_SQL),
+    "events_value_quantiles_sketch": (events_value_quantiles_sketch, None),
 }

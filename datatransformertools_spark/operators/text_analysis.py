@@ -622,6 +622,95 @@ GROUP BY source, n_tokens // BW
 )
 
 
+# ---------------------------------------------------------------------------
+# doc_unigram_logprob — corpus-trained unigram LM quality score
+# ---------------------------------------------------------------------------
+
+
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality score from a unigram language model trained on the
+    corpus itself: each doc's mean log p(token), where p(token) =
+    corpus_count(token) / corpus_total. The CCNet/Gopher-style
+    "perplexity bucket" signal, exact and self-contained (no external
+    LM). Plan shape: one token-count groupBy (map-side combined, the
+    vocabulary shuffle), the corpus total rides in as a broadcast
+    single-row aggregate (never a driver-side count), and the
+    score join on token reuses the vocabulary's own partitioning —
+    the vocab grows with the corpus, so it is never force-broadcast
+    (AQE upgrades at small SF from real sizes)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    tok = docs.select("doc_id", F.explode(tokens(normalize_text(F.col("text")))).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("total"))
+    return (
+        tok.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") / F.col("total"))) + 1e-9, 6).alias("avg_logprob"),
+        )
+    )
+
+
+DOC_UNIGRAM_LOGPROB_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS token
+  FROM documents
+),
+vocab AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+total AS (SELECT sum(c)::DOUBLE AS total FROM vocab)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT)                       AS n_tokens,
+       round(avg(ln(c / total)) + 1e-9, 6)            AS avg_logprob
+FROM tok JOIN vocab USING (token) CROSS JOIN total
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# vocab_topk — frequency-ranked tokenizer vocabulary induction
+# ---------------------------------------------------------------------------
+
+VOCAB_TOP_V = 1000
+
+
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary induction: the top-V corpus tokens with
+    dense ids assigned by (count DESC, token) — the deterministic
+    frequency-rank id assignment every BPE/WordPiece trainer starts
+    from. The count groupBy is the only data-scale shuffle;
+    orderBy+limit plans as TakeOrderedAndProject (per-partition
+    top-V then a V-row merge — no global sort), and the id window
+    runs over the already-limited V rows, so its single-partition
+    sort is O(V) regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    tok = docs.select(F.explode(tokens(normalize_text(F.col("text")))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(F.col("cnt").desc(), "token").limit(VOCAB_TOP_V)
+    rank = F.row_number().over(Window.orderBy(F.col("cnt").desc(), "token"))
+    return top.withColumn("token_id", rank).select("token_id", "token", "cnt")
+
+
+VOCAB_TOPK_SQL = (
+    r"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS token
+  FROM documents
+),
+counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1)
+SELECT row_number() OVER (ORDER BY cnt DESC, token) AS token_id,
+       token,
+       CAST(cnt AS BIGINT) AS cnt
+FROM counts
+ORDER BY cnt DESC, token
+LIMIT TOPV
+""".replace("TOPV", str(VOCAB_TOP_V))
+)
+
+
 QUERIES = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "ngram_topk": (ngram_topk, NGRAM_TOPK_SQL),
@@ -634,4 +723,6 @@ QUERIES = {
     "repetition_stats": (repetition_stats, REPETITION_STATS_SQL),
     "doc_chunk_windows": (doc_chunk_windows, DOC_CHUNK_WINDOWS_SQL),
     "token_length_histogram": (token_length_histogram, TOKEN_LENGTH_HISTOGRAM_SQL),
+    "doc_unigram_logprob": (doc_unigram_logprob, DOC_UNIGRAM_LOGPROB_SQL),
+    "vocab_topk": (vocab_topk, VOCAB_TOPK_SQL),
 }

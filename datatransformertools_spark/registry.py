@@ -55,6 +55,13 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
     # Listed in priority order: the head of this list still lands in
     # the gate window when slots remain (50 - |non-deferred|).
     deferred = [
+        # new in r02 after the gate window was frozen (verified by
+        # the local fresh-process oracle sweep; first in line to
+        # rotate into the gate next round)
+        "events_rolling_avg",
+        "events_value_quantiles_sketch",
+        "doc_unigram_logprob",
+        "vocab_topk",
         # changed since r01 (plan-level only; values locked by tests)
         "doc_tfidf_topk",
         "q2_min_cost_supplier",

@@ -114,3 +114,24 @@ def test_salted_join_no_skew_single_key(spark, sf_dir):
     # join key must include the salt column, not user_id alone
     join_line = next(l for l in plan.splitlines() if "Join" in l and "salt" in l)
     assert join_line
+
+
+def test_unigram_logprob_vocab_never_hint_broadcast(spark, sf_dir):
+    # the vocabulary and the per-token frame both grow with the
+    # corpus; only the 1-row corpus total may broadcast
+    plan = _plan_hints_only(spark, sf_dir, "doc_unigram_logprob")
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan  # 1-row total
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "SortMergeJoin" in plan
+
+
+def test_vocab_topk_no_global_sort(spark, sf_dir):
+    # top-V must plan as TakeOrderedAndProject (per-partition top-V
+    # + V-row merge), never a full sort of the vocabulary
+    plan = _plan(spark, sf_dir, "vocab_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_rolling_avg_single_user_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_rolling_avg")
+    assert plan.count("Exchange") == 1, plan

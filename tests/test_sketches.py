@@ -50,6 +50,25 @@ def test_events_user_count_hll_query_error_bound(spark, sf_dir):
         )
 
 
+def test_events_value_quantiles_sketch_vs_exact(spark, sf_dir):
+    # the registered rows-only sketch query must track the exact
+    # sort-based quantiles within a small relative error
+    from datatransformertools_spark.operators.events import (
+        events_value_quantiles,
+        events_value_quantiles_sketch,
+    )
+
+    approx = events_value_quantiles_sketch(spark, sf_dir)
+    exact = events_value_quantiles(spark, sf_dir)
+    rows = approx.join(exact, ["event_type"]).collect()
+    assert len(rows) > 0
+    for r in rows:
+        for name in ["p25", "median", "p75", "p95"]:
+            a, e = r[f"{name}_approx"], r[name]
+            spread = abs(r.p95 - r.p25) or 1.0
+            assert abs(a - e) <= 0.05 * spread, (r.event_type, name, e, a)
+
+
 def test_percentile_approx_brackets_exact(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     r = ev.agg(
