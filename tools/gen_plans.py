@@ -110,6 +110,45 @@ SECTIONS = [
         "embedding array.",
         False,
     ),
+    (
+        "q2_min_cost_supplier",
+        "Semi-join prunes lineitem by the filtered part keys BEFORE the "
+        "per-(partkey,suppkey) aggregation; at scale the semi-join's "
+        "l_partkey partitioning is reused by both the groupBy (subset "
+        "clustering) and the window — one data shuffle, no forced "
+        "broadcast of part or supplier.",
+        True,
+    ),
+    (
+        "dedup_simhash",
+        "Token md5 runs map-side and folds straight into the 48 per-bit "
+        "partial sums — the only full shuffle carries one 48-long row per "
+        "doc per map partition; band candidates then bucket-join.",
+        False,
+    ),
+    (
+        "repetition_stats",
+        "All three repetition signals — including the token MODE, folded "
+        "as the longest run of the sorted token array — are per-row array "
+        "ops: zero exchanges at any scale.",
+        False,
+    ),
+    (
+        "doc_unigram_logprob",
+        "Unigram-LM scoring: vocabulary groupBy is the only data-scale "
+        "shuffle, the corpus total rides as a broadcast 1-row aggregate, "
+        "and the token⋈vocab score join reuses the vocab partitioning "
+        "(never a forced broadcast — the vocabulary grows with the "
+        "corpus).",
+        True,
+    ),
+    (
+        "vocab_topk",
+        "Top-V vocabulary via TakeOrderedAndProject: per-partition top-V "
+        "then a V-row merge — no global sort; the id-assignment window "
+        "sorts only the V surviving rows.",
+        False,
+    ),
 ]
 
 MAX_LINES = 40
