@@ -62,6 +62,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "events_value_quantiles_sketch",
         "doc_unigram_logprob",
         "vocab_topk",
+        "events_stream_hopping",
         # changed since r01 (plan-level only; values locked by tests)
         "doc_tfidf_topk",
         "q2_min_cost_supplier",

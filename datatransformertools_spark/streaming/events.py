@@ -17,12 +17,40 @@ Design notes for the cluster:
 
 from __future__ import annotations
 
+import os
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 EVENTS_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, value double, props string"
 )
+
+# A streaming query's state-store partition count is pinned to
+# spark.sql.shuffle.partitions at FIRST checkpoint — it is the one
+# knob that must be sized to the keyspace up front (repartitioning
+# state later means a new checkpoint). Each HDFS-backed store
+# instance carries per-microbatch open/commit overhead, so
+# over-partitioning a small keyspace costs real wall-clock: the
+# bounded gate drains here run 2-3× faster at 8 than at 32. At
+# 100 TB you RAISE this (state ∝ live keys), which is exactly why
+# it is surfaced as an explicit env knob instead of inherited
+# silently from the batch shuffle setting.
+STREAM_STATE_PARTITIONS = int(os.environ.get("DTT_STREAM_STATE_PARTITIONS", "8"))
+
+
+@contextmanager
+def _state_partitions(spark: SparkSession, n: int = STREAM_STATE_PARTITIONS):
+    """Scope spark.sql.shuffle.partitions to the stream start so the
+    checkpoint is created with a state layout sized for the keyspace,
+    without disturbing the session's batch shuffle setting."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
@@ -156,15 +184,16 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="dtt-stream-ckpt-"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="dtt-stream-ckpt-"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name)
 
 
@@ -216,15 +245,16 @@ def events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"stream_sessionize_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="dtt-stream-sess-ckpt-"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="dtt-stream-sess-ckpt-"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name)
 
 
@@ -290,15 +320,16 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["user_id", "event_type", "bucket_time"])
     )
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="dtt-stream-dedup-ckpt-"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _state_partitions(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="dtt-stream-dedup-ckpt-"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return (
         spark.table(name)
         .groupBy("event_type")
@@ -324,10 +355,65 @@ GROUP BY event_type
 """
 
 
+def events_stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows EXECUTED AS A STREAM: native
+    `F.window` with a 10 min/5 min slide over readStream, drained
+    with availableNow into a memory sink. Each event fans out to
+    win/slide = 2 windows map-side before the keyed-state agg —
+    identical arithmetic to the batch `events_hopping_agg`, so the
+    same DuckDB cross-join oracle value-checks the streaming
+    runtime's sliding-window state machine."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F  # noqa: F811 (self-contained)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src_dir = tempfile.mkdtemp(prefix="dtt-stream-hop-src-")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events.parquet")
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+    ev = raw.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        ev.groupBy(F.window("event_time", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") + 1e-9, 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"stream_hopping_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="dtt-stream-hop-ckpt-"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.table(name)
+
+
+def _hopping_oracle() -> str:
+    # the stream must produce exactly what the batch hopping agg
+    # produces — share its cross-join fan-out oracle
+    from datatransformertools_spark.operators.events import EVENTS_HOPPING_AGG_SQL
+
+    return EVENTS_HOPPING_AGG_SQL
+
+
 QUERIES = {
     "events_stream_tumbling": (events_stream_tumbling, EVENTS_STREAM_TUMBLING_SQL),
     "events_stream_sessionize": (events_stream_sessionize, EVENTS_STREAM_SESSIONIZE_SQL),
     "events_stream_dedup": (events_stream_dedup, EVENTS_STREAM_DEDUP_SQL),
+    "events_stream_hopping": (events_stream_hopping, _hopping_oracle()),
 }
 
 
