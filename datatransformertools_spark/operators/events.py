@@ -747,6 +747,81 @@ def events_value_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# ---------------------------------------------------------------------------
+# events_cube — full CUBE over (event_type, hour-of-day)
+# ---------------------------------------------------------------------------
+
+
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, hour-of-day): all four grouping sets —
+    detail, per-type, per-hour, grand total — in ONE pass. Spark
+    plans a single Expand (4× map-side fan-out) feeding one
+    partial-agg shuffle, so the whole lattice costs one exchange of
+    pre-aggregated rows, not one scan per grouping set. grouping_id
+    disambiguates rolled-up NULLs from data NULLs."""
+    ev = _events_us(spark, sf_dir).withColumn(
+        "hr", (F.expr("ts_us div 3600000000") % 24).cast("long")
+    )
+    return ev.cube("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value") + 1e-9, 4).alias("sum_value"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+EVENTS_CUBE_SQL = """
+WITH ev AS (
+  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hr, value FROM events
+)
+SELECT event_type, hr,
+       CAST(count(*) AS BIGINT)                 AS n_events,
+       round(sum(value) + 1e-9, 4)              AS sum_value,
+       CAST(GROUPING(event_type, hr) AS BIGINT) AS gid
+FROM ev
+GROUP BY CUBE (event_type, hr)
+"""
+
+
+# ---------------------------------------------------------------------------
+# user_value_deciles — exact ntile decile boundaries per event type
+# ---------------------------------------------------------------------------
+
+
+def user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decile boundaries of `value` per event type via
+    ntile(10) over a deterministic (value, event_id) order — the
+    feature-bucketing shape. The sort is partition-local per
+    event_type; at 100 TB the approximate path
+    (`events_value_quantiles_sketch`) replaces the exact full sort
+    when sketch error is acceptable."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    w = Window.partitionBy("event_type").orderBy(F.col("value"), F.col("event_id"))
+    return (
+        ev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value") + 1e-9, 4).alias("lo"),
+            F.round(F.max("value") + 1e-9, 4).alias("hi"),
+        )
+    )
+
+
+USER_VALUE_DECILES_SQL = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
+  FROM events
+)
+SELECT event_type, decile,
+       CAST(count(*) AS BIGINT)      AS n,
+       round(min(value) + 1e-9, 4)   AS lo,
+       round(max(value) + 1e-9, 4)   AS hi
+FROM ranked
+GROUP BY event_type, decile
+"""
+
+
 QUERIES = {
     "events_tumbling_agg": (events_tumbling_agg, EVENTS_TUMBLING_AGG_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
@@ -764,4 +839,6 @@ QUERIES = {
     "events_user_count_hll": (events_user_count_hll, None),
     "events_rolling_avg": (events_rolling_avg, EVENTS_ROLLING_AVG_SQL),
     "events_value_quantiles_sketch": (events_value_quantiles_sketch, None),
+    "events_cube": (events_cube, EVENTS_CUBE_SQL),
+    "user_value_deciles": (user_value_deciles, USER_VALUE_DECILES_SQL),
 }

@@ -63,6 +63,8 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "doc_unigram_logprob",
         "vocab_topk",
         "events_stream_hopping",
+        "events_cube",
+        "user_value_deciles",
         # changed since r01 (plan-level only; values locked by tests)
         "doc_tfidf_topk",
         "q2_min_cost_supplier",
