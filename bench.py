@@ -40,6 +40,11 @@ def main() -> None:
     # pipeline every text/dedup query shares
     queries["q6_forecast_revenue"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     queries["text_stats"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # spin up the Arrow Python worker pool so the first mapInPandas
+    # query isn't charged the one-time fork/import cost
+    spark.range(64).repartition(int(cpus)).mapInArrow(lambda it: it, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     from datatransformertools_spark.caching import release_caches
 

@@ -822,6 +822,40 @@ GROUP BY event_type, decile
 """
 
 
+# ---------------------------------------------------------------------------
+# events_latest_snapshot — upsert compaction to the latest row per key
+# ---------------------------------------------------------------------------
+
+
+def events_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-row-per-key compaction — the CDC/upsert snapshot every
+    lakehouse merge reduces to: for each (user_id, event_type) keep
+    the most recent event's value. Expressed as `max_by` aggregation
+    (one partial-agg shuffle, map-side combined) rather than a
+    row_number window + filter, which would sort every group instead
+    of keeping one running champion per key. Ties on ts break by
+    event_id via the (ts_us, event_id) ordering struct."""
+    ev = _events_us(spark, sf_dir).select("user_id", "event_type", "ts_us", "event_id", "value")
+    ord_key = F.struct(F.col("ts_us"), F.col("event_id"))
+    return ev.groupBy("user_id", "event_type").agg(
+        F.max("ts_us").alias("last_ts_us"),
+        F.max_by("value", ord_key).alias("last_value"),
+        F.count(F.lit(1)).alias("n_versions"),
+    )
+
+
+EVENTS_LATEST_SNAPSHOT_SQL = """
+SELECT user_id, event_type,
+       max(epoch_us(ts)) AS last_ts_us,
+       -- DuckDB arg_max keys must be scalar; zero-padded string
+       -- composite == lexicographic == (ts_us, event_id) order
+       arg_max(value, printf('%020d|%020d', epoch_us(ts), event_id)) AS last_value,
+       CAST(count(*) AS BIGINT) AS n_versions
+FROM events
+GROUP BY user_id, event_type
+"""
+
+
 QUERIES = {
     "events_tumbling_agg": (events_tumbling_agg, EVENTS_TUMBLING_AGG_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
@@ -841,4 +875,5 @@ QUERIES = {
     "events_value_quantiles_sketch": (events_value_quantiles_sketch, None),
     "events_cube": (events_cube, EVENTS_CUBE_SQL),
     "user_value_deciles": (user_value_deciles, USER_VALUE_DECILES_SQL),
+    "events_latest_snapshot": (events_latest_snapshot, EVENTS_LATEST_SNAPSHOT_SQL),
 }

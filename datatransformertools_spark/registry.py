@@ -65,6 +65,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "events_stream_hopping",
         "events_cube",
         "user_value_deciles",
+        "events_latest_snapshot",
         # changed since r01 (plan-level only; values locked by tests)
         "doc_tfidf_topk",
         "q2_min_cost_supplier",
