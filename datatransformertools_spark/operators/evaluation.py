@@ -169,7 +169,10 @@ def _matched_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _pairs_df(spark, sf_dir).filter(F.col("iou") >= IOU_THRESHOLD)
     rn_p = F.row_number().over(Window.partitionBy("pred_id").orderBy(F.col("iou").desc(), F.col("gt_id")))
     rn_g = F.row_number().over(Window.partitionBy("gt_id").orderBy(F.col("iou").desc(), F.col("pred_id")))
-    return (
+    # tracked like the pairs stage: eval / per-class / macro all
+    # consume this exact plan, so one materialization serves all
+    # three instead of re-running both mutual-best windows each time
+    return track(
         pairs.withColumn("rn_p", rn_p)
         .withColumn("rn_g", rn_g)
         .filter((F.col("rn_p") == 1) & (F.col("rn_g") == 1))
