@@ -823,6 +823,126 @@ GROUP BY event_type, decile
 
 
 # ---------------------------------------------------------------------------
+# events_gap_fill — dense 5-minute timeline with zero-filled gaps
+# ---------------------------------------------------------------------------
+
+
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-type 5-minute timeline: every bucket between each
+    event_type's first and last event, zero-filled where no events
+    landed — the hypertable time_bucket_gapfill shape. The per-type
+    [min, max] range collapses to ONE row per type before
+    `F.sequence` explodes it back to buckets, so the fan-out input
+    is |types| rows regardless of corpus size; the generated spine
+    then left-joins the real bucket aggregates on (type, bucket)."""
+    five_min_us = 300_000_000
+    ev = _events_us(spark, sf_dir).withColumn(
+        "bucket_us", F.expr(f"ts_us div {five_min_us}") * five_min_us
+    )
+    agg = ev.groupBy("event_type", "bucket_us").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value") + 1e-9, 4).alias("sum_value"),
+    )
+    spine = (
+        ev.groupBy("event_type")
+        .agg(F.min("bucket_us").alias("lo"), F.max("bucket_us").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"), F.lit(five_min_us))).alias(
+                "bucket_us"
+            ),
+        )
+    )
+    return spine.join(agg, ["event_type", "bucket_us"], "left").select(
+        "event_type",
+        "bucket_us",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
+    )
+
+
+EVENTS_GAP_FILL_SQL = """
+WITH ev AS (
+  SELECT event_type, (epoch_us(ts) // 300000000) * 300000000 AS bucket_us, value
+  FROM events
+),
+agg AS (
+  SELECT event_type, bucket_us,
+         count(*) AS n_events,
+         round(sum(value) + 1e-9, 4) AS sum_value
+  FROM ev GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(bucket_us) AS lo, max(bucket_us) AS hi FROM ev GROUP BY 1
+),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, 300000000)) AS bucket_us
+  FROM bounds
+)
+SELECT spine.event_type, spine.bucket_us,
+       CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+       coalesce(sum_value, 0.0)              AS sum_value
+FROM spine LEFT JOIN agg USING (event_type, bucket_us)
+"""
+
+
+# ---------------------------------------------------------------------------
+# orders_percent_rank — relative standing within each priority class
+# ---------------------------------------------------------------------------
+
+
+def orders_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist of order value within each priority
+    class, bucketed to top-1% / top-10% / rest — the relative-
+    standing feature shape. Sort is partition-local per priority;
+    output is one row per order (the bucket agg keeps the gate
+    result small)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    ranked = orders.select(
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    tier = (
+        F.when(F.col("pr") < 0.01, F.lit("top_1pct"))
+        .when(F.col("pr") < 0.10, F.lit("top_10pct"))
+        .otherwise(F.lit("rest"))
+    )
+    return (
+        ranked.withColumn("tier", tier)
+        .groupBy("o_orderpriority", "tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("cd") + 1e-9, 6).alias("avg_cume_dist"),
+        )
+    )
+
+
+ORDERS_PERCENT_RANK_SQL = """
+WITH ranked AS (
+  SELECT o_orderpriority,
+         percent_rank() OVER w AS pr,
+         cume_dist()    OVER w AS cd
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+)
+SELECT o_orderpriority,
+       CASE WHEN pr < 0.01 THEN 'top_1pct'
+            WHEN pr < 0.10 THEN 'top_10pct'
+            ELSE 'rest' END AS tier,
+       CAST(count(*) AS BIGINT)    AS n_orders,
+       round(avg(cd) + 1e-9, 6)    AS avg_cume_dist
+FROM ranked
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # events_latest_snapshot — upsert compaction to the latest row per key
 # ---------------------------------------------------------------------------
 
@@ -876,4 +996,6 @@ QUERIES = {
     "events_cube": (events_cube, EVENTS_CUBE_SQL),
     "user_value_deciles": (user_value_deciles, USER_VALUE_DECILES_SQL),
     "events_latest_snapshot": (events_latest_snapshot, EVENTS_LATEST_SNAPSHOT_SQL),
+    "events_gap_fill": (events_gap_fill, EVENTS_GAP_FILL_SQL),
+    "orders_percent_rank": (orders_percent_rank, ORDERS_PERCENT_RANK_SQL),
 }

@@ -66,6 +66,8 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "events_cube",
         "user_value_deciles",
         "events_latest_snapshot",
+        "events_gap_fill",
+        "orders_percent_rank",
         # changed since r01 (plan-level only; values locked by tests)
         "doc_tfidf_topk",
         "q2_min_cost_supplier",
