@@ -976,6 +976,89 @@ GROUP BY user_id, event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# events_user_entropy — behavioral diversity per user
+# ---------------------------------------------------------------------------
+
+
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity feature a recommendation / anomaly pipeline
+    computes per key. Two-level aggregation: (user, type) partial
+    counts combine map-side, then one user_id shuffle folds them
+    into H = ln(N) − Σ n·ln(n)/N. The inner Σ runs over exact long
+    counts, so both engines evaluate the same IEEE expression and
+    the 6-dp round is stable. Shuffle rows = |users|·|types| partial
+    counts regardless of corpus size."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    per = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    n_total = F.sum("n")
+    entropy = F.log(n_total) - F.sum(F.col("n") * F.log("n")) / n_total
+    return per.groupBy("user_id").agg(
+        n_total.alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(entropy + 1e-9, 6).alias("entropy"),
+    )
+
+
+EVENTS_USER_ENTROPY_SQL = """
+WITH per AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_types,
+       round(ln(sum(n)) - sum(n * ln(n)) / sum(n) + 1e-9, 6) AS entropy
+FROM per
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_transition_matrix — Markov transition counts between types
+# ---------------------------------------------------------------------------
+
+
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: for every consecutive (type → next_type) step, the
+    transition count and mean gap seconds. One lead() window per
+    user (deterministic (ts, event_id) order) feeds a |types|²-row
+    aggregate — the shuffle after the window carries pre-combined
+    partials, and the output is bounded by the type-alphabet size
+    at any corpus scale. Mean gap divides an exact long sum of
+    microsecond gaps, so both engines round identically."""
+    ev = _events_us(spark, sf_dir).select("user_id", "event_type", "ts_us", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.lead("ts_us").over(w) - F.col("ts_us")).alias("gap_us"),
+    ).filter(F.col("next_type").isNotNull())
+    return seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.round(F.sum("gap_us") / F.count(F.lit(1)) / 1e6 + 1e-9, 4).alias("avg_gap_s"),
+    )
+
+
+EVENTS_TRANSITION_MATRIX_SQL = """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER w AS next_type,
+         lead(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type, next_type,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1e6 + 1e-9, 4) AS avg_gap_s
+FROM seq
+WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_tumbling_agg": (events_tumbling_agg, EVENTS_TUMBLING_AGG_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
@@ -998,4 +1081,6 @@ QUERIES = {
     "events_latest_snapshot": (events_latest_snapshot, EVENTS_LATEST_SNAPSHOT_SQL),
     "events_gap_fill": (events_gap_fill, EVENTS_GAP_FILL_SQL),
     "orders_percent_rank": (orders_percent_rank, ORDERS_PERCENT_RANK_SQL),
+    "events_user_entropy": (events_user_entropy, EVENTS_USER_ENTROPY_SQL),
+    "events_transition_matrix": (events_transition_matrix, EVENTS_TRANSITION_MATRIX_SQL),
 }

@@ -938,6 +938,149 @@ GROUP BY c_nationkey
 """
 
 
+# ---------------------------------------------------------------------------
+# customer_rfm — recency/frequency/monetary segmentation
+# ---------------------------------------------------------------------------
+
+
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, days since last order
+    (recency), order count (frequency), and total spend (monetary),
+    quartiled with ntile(4) WITHIN the customer's market segment so
+    every ranking sort is partition-local (an unpartitioned global
+    ntile would funnel all customers through one task — the
+    documented 100 TB fallback is the percentile_approx boundary
+    path). The reference date is the corpus max order date, carried
+    as a broadcast 1-row aggregate. Quartile orderings tie-break on
+    c_custkey so both engines rank identically. The customer join
+    shuffles on custkey (customer grows with SF — never
+    hint-broadcast)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ref = orders.agg(F.max("o_orderdate").alias("ref_date"))
+    per = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice") + 1e-9, 2).alias("monetary"),
+    )
+    per = (
+        per.join(cust, per.o_custkey == cust.c_custkey)
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.datediff(F.col("ref_date"), F.col("last_order")).cast("long").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    wr = Window.partitionBy("c_mktsegment").orderBy(F.col("recency_days").asc(), F.col("c_custkey"))
+    wf = Window.partitionBy("c_mktsegment").orderBy(F.col("frequency").desc(), F.col("c_custkey"))
+    wm = Window.partitionBy("c_mktsegment").orderBy(F.col("monetary").desc(), F.col("c_custkey"))
+    scored = per.select(
+        "c_custkey",
+        "c_mktsegment",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(wr).alias("r_quartile"),
+        F.ntile(4).over(wf).alias("f_quartile"),
+        F.ntile(4).over(wm).alias("m_quartile"),
+    )
+    r, f = F.col("r_quartile"), F.col("f_quartile")
+    segment = (
+        F.when((r == 1) & (f == 1), F.lit("champion"))
+        .when((r <= 2) & (f <= 2), F.lit("loyal"))
+        .when((r >= 3) & (f <= 2), F.lit("at_risk"))
+        .otherwise(F.lit("casual"))
+    )
+    return scored.withColumn("segment", segment)
+
+
+CUSTOMER_RFM_SQL = """
+WITH per AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         CAST(count(*) AS BIGINT) AS frequency,
+         round(sum(o_totalprice) + 1e-9, 2) AS monetary
+  FROM orders GROUP BY 1
+),
+j AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(datediff('day', last_order, (SELECT max(o_orderdate) FROM orders)) AS BIGINT)
+           AS recency_days,
+         frequency, monetary
+  FROM per JOIN customer ON o_custkey = c_custkey
+),
+scored AS (
+  SELECT *,
+         ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY recency_days ASC, c_custkey) AS r_quartile,
+         ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY frequency DESC, c_custkey)   AS f_quartile,
+         ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY monetary DESC, c_custkey)    AS m_quartile
+  FROM j
+)
+SELECT c_custkey, c_mktsegment, recency_days, frequency, monetary,
+       r_quartile, f_quartile, m_quartile,
+       CASE WHEN r_quartile = 1 AND f_quartile = 1 THEN 'champion'
+            WHEN r_quartile <= 2 AND f_quartile <= 2 THEN 'loyal'
+            WHEN r_quartile >= 3 AND f_quartile <= 2 THEN 'at_risk'
+            ELSE 'casual' END AS segment
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# orders_market_basket — frequent part-pair co-occurrence
+# ---------------------------------------------------------------------------
+
+MB_PART_MIN_ORDERS = 3  # apriori prune: parts in fewer orders can't form a frequent pair
+MB_PAIR_MIN_ORDERS = 2
+
+
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent part pairs bought in the same order (market-basket /
+    co-occurrence mining). Scale design is apriori support pruning:
+    a pair can only reach support s if BOTH parts individually
+    appear in ≥ s orders, so the per-part frequency filter runs
+    first and the self-join fans out only pruned baskets. The pair
+    fan-out is bounded by basket size (TPC-H baskets are ≤7 lines),
+    and both join sides shuffle on l_orderkey — no broadcast of the
+    order-scale frame. Output is pairs with support ≥
+    MB_PAIR_MIN_ORDERS, bounded by the frequent-part vocabulary,
+    not the corpus."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    freq = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("part_orders"))
+        .filter(F.col("part_orders") >= MB_PART_MIN_ORDERS)
+        .select("l_partkey")
+    )
+    pruned = li.join(freq, "l_partkey")
+    a = pruned.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = pruned.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = a.join(b, "l_orderkey").filter(F.col("part_a") < F.col("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= MB_PAIR_MIN_ORDERS)
+    )
+
+
+ORDERS_MARKET_BASKET_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+freq AS (
+  SELECT l_partkey FROM li GROUP BY 1 HAVING count(*) >= {MB_PART_MIN_ORDERS}
+),
+pruned AS (SELECT li.* FROM li JOIN freq USING (l_partkey))
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM pruned a JOIN pruned b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= {MB_PAIR_MIN_ORDERS}
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
@@ -962,5 +1105,7 @@ QUERIES = {
     "q17_small_qty_revenue": (q17_small_qty_revenue, Q17_SQL),
     "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
     "q22_global_sales_opportunity": (q22_global_sales_opportunity, Q22_SQL),
+    "customer_rfm": (customer_rfm, CUSTOMER_RFM_SQL),
+    "orders_market_basket": (orders_market_basket, ORDERS_MARKET_BASKET_SQL),
 }
 

@@ -311,6 +311,83 @@ SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= {TFIDF_TOP_K}
 """
 
 # ---------------------------------------------------------------------------
+# doc_bm25_topk — BM25-scored top terms per document
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per document by BM25 (k1=1.2, b=0.75) — the
+    retrieval-grade upgrade of TF-IDF with document-length
+    normalization. Same one-scan shape as doc_tfidf_topk: term
+    frequencies are one map-side-combined groupBy; doc length and
+    document frequency each re-aggregate that frame (no second text
+    scan); the df join reuses the term partitioning from its own
+    groupBy and the vocabulary is never force-broadcast (it grows
+    with the corpus — AQE upgrades at small SF). Corpus constants
+    (N, avgdl) ride in as a broadcast 1-row aggregate. All BM25
+    inputs (tf, df, dl, N) are exact longs, so the IEEE expression
+    is identical in both engines and the 6-dp round is stable."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    tok = docs.select("doc_id", F.explode(tokens(normalize_text(F.col("text")))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    norm = F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    score = F.round(idf * F.col("tf") * (BM25_K1 + 1.0) / norm + 1e-9, 6)
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(df_, "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", "tf", "df", "dl", score.alias("bm25"))
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("bm25").desc(), F.col("term"))
+    )
+    return scored.withColumn("rank", rank).filter(F.col("rank") <= TFIDF_TOP_K)
+
+
+DOC_BM25_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df, dl.dl,
+         round(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * ({BM25_K1} + 1.0)
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
+               + 1e-9, 6) AS bm25
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term
+  CROSS JOIN stats
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY bm25 DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, dl, bm25, rank FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+# ---------------------------------------------------------------------------
 # corpus_prep_pipeline — the composed training-data prep plan
 # ---------------------------------------------------------------------------
 
@@ -725,4 +802,5 @@ QUERIES = {
     "token_length_histogram": (token_length_histogram, TOKEN_LENGTH_HISTOGRAM_SQL),
     "doc_unigram_logprob": (doc_unigram_logprob, DOC_UNIGRAM_LOGPROB_SQL),
     "vocab_topk": (vocab_topk, VOCAB_TOPK_SQL),
+    "doc_bm25_topk": (doc_bm25_topk, DOC_BM25_SQL),
 }

@@ -68,6 +68,11 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "events_latest_snapshot",
         "events_gap_fill",
         "orders_percent_rank",
+        "events_user_entropy",
+        "events_transition_matrix",
+        "customer_rfm",
+        "orders_market_basket",
+        "doc_bm25_topk",
         # changed since r01 (plan-level only; values locked by tests)
         "doc_tfidf_topk",
         "q2_min_cost_supplier",

@@ -135,3 +135,33 @@ def test_vocab_topk_no_global_sort(spark, sf_dir):
 def test_rolling_avg_single_user_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_rolling_avg")
     assert plan.count("Exchange") == 1, plan
+
+
+def test_market_basket_no_hint_broadcast(spark, sf_dir):
+    # the pruned basket frame is order-scale; both self-join sides
+    # must shuffle on l_orderkey, never broadcast
+    plan = _plan_hints_only(spark, sf_dir, "orders_market_basket")
+    assert "BroadcastExchange" not in plan, plan
+
+
+def test_customer_rfm_broadcasts_only_ref_date(spark, sf_dir):
+    # customer grows with SF → shuffle join; the single allowed
+    # broadcast is the 1-row reference-date aggregate
+    plan = _plan_hints_only(spark, sf_dir, "customer_rfm")
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_bm25_vocab_never_hint_broadcast(spark, sf_dir):
+    # df/dl frames grow with the corpus; only the 1-row (N, avgdl)
+    # stats frame may broadcast
+    plan = _plan_hints_only(spark, sf_dir, "doc_bm25_topk")
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_transition_matrix_single_user_shuffle(spark, sf_dir):
+    # one user_id exchange for the lead() window; the final
+    # |types|²-row aggregate combines map-side before its exchange
+    plan = _plan(spark, sf_dir, "events_transition_matrix")
+    assert plan.count("Exchange") == 2, plan
