@@ -1059,6 +1059,54 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# events_anomaly_zscore — per-key σ-outlier detection
+# ---------------------------------------------------------------------------
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value deviates more than 2σ from their
+    (user, type) mean — the built-in-window outlier path next to the
+    robust median/MAD kernel in events_user_mad. One shuffle on the
+    (user, type) key serves both window aggregates (mean and sample
+    stddev share the frame); constant-variance groups (σ=0) are
+    excluded in both engines. Output is only the outliers, so it is
+    a vanishing fraction of the corpus at any scale."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    w = Window.partitionBy("user_id", "event_type")
+    mean = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    z = (F.col("value") - mean) / sd
+    return (
+        ev.withColumn("sd", sd)
+        .withColumn("z", z)
+        .filter((F.col("sd") > 0) & (F.abs(F.col("z")) > 2.0))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round(F.col("value") + 1e-9, 4).alias("value"),
+            F.round(F.col("z") + 1e-9, 4).alias("zscore"),
+        )
+    )
+
+
+EVENTS_ANOMALY_ZSCORE_SQL = """
+WITH stats AS (
+  SELECT event_id, user_id, event_type, value,
+         avg(value)         OVER w AS mean_v,
+         stddev_samp(value) OVER w AS sd
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type)
+)
+SELECT event_id, user_id, event_type,
+       round(value + 1e-9, 4) AS value,
+       round((value - mean_v) / sd + 1e-9, 4) AS zscore
+FROM stats
+WHERE sd > 0 AND abs((value - mean_v) / sd) > 2.0
+"""
+
+
 QUERIES = {
     "events_tumbling_agg": (events_tumbling_agg, EVENTS_TUMBLING_AGG_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
@@ -1083,4 +1131,5 @@ QUERIES = {
     "orders_percent_rank": (orders_percent_rank, ORDERS_PERCENT_RANK_SQL),
     "events_user_entropy": (events_user_entropy, EVENTS_USER_ENTROPY_SQL),
     "events_transition_matrix": (events_transition_matrix, EVENTS_TRANSITION_MATRIX_SQL),
+    "events_anomaly_zscore": (events_anomaly_zscore, EVENTS_ANOMALY_ZSCORE_SQL),
 }

@@ -34,6 +34,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "datatransformertools_spark.streaming.events",
         "datatransformertools_spark.operators.relational",
         "datatransformertools_spark.operators.dedup",
+        "datatransformertools_spark.operators.graph",
         "datatransformertools_spark.operators.corpus",
         "datatransformertools_spark.operators.similarity",
         "datatransformertools_spark.operators.text_analysis",
@@ -73,6 +74,8 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "customer_rfm",
         "orders_market_basket",
         "doc_bm25_topk",
+        "part_pagerank",
+        "events_anomaly_zscore",
         # changed since r01 (plan-level only; values locked by tests)
         "doc_tfidf_topk",
         "q2_min_cost_supplier",
