@@ -23,7 +23,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datatransformertools_spark.caching import track
 from datatransformertools_spark.sources.tables import load_table
 
 PR_DAMPING = 0.85
@@ -41,38 +40,58 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass correction is needed. The node count is the one scalar the
     driver holds between rounds — the same exemption the CC and
     k-means loops use."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
-    edges = track(
-        a.join(b, "l_orderkey").filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
-    )
-    deg = track(edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
-    n_nodes = deg.count()  # scalar: every node appears as a src (symmetric edges)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # Adjacency-list build (the Pregel storage layout), two shuffles
+    # total: groupBy(orderkey) with map-side partial collect_set
+    # dedups each basket, the src×dst pair fan-out happens map-side
+    # on the grouped rows, and groupBy(src).collect_set(dst) both
+    # dedups the edge set AND yields the adjacency list, whose size
+    # doubles as the degree. Iterations then scan |nodes| adjacency
+    # rows, not |edges| flat pairs — the fan-out back to edge grain
+    # is an in-memory explode. collect_set order is
+    # nondeterministic, but only set membership and size are used.
+    baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("parts"))
+    adj = (
+        baskets.select(F.explode("parts").alias("src"), "parts")
+        .select("src", F.explode("parts").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src")
+        .agg(F.collect_set("dst").alias("neighbors"))
+        .withColumn("deg", F.size("neighbors"))
+    ).persist()
+    n_nodes = adj.count()  # scalar: every node appears as a src (symmetric edges)
 
-    ranks = deg.select(
+    ranks = adj.select(
         F.col("src").alias("part"),
         F.round(F.lit(1.0 / n_nodes) + 1e-9, 9).alias("r"),
     )
     base = F.lit((1.0 - PR_DAMPING) / n_nodes)
-    for i in range(PR_ITERS):
-        contribs = (
-            edges.join(ranks, edges.src == ranks.part)
-            .join(deg, "src")
-            .select("dst", (F.col("r") / F.col("deg")).alias("c"))
+    for _ in range(PR_ITERS):
+        contribs = adj.join(ranks, adj.src == ranks.part).select(
+            F.explode("neighbors").alias("dst"),
+            (F.col("r") / F.col("deg")).alias("c"),
         )
         ranks = (
             contribs.groupBy("dst")
             .agg(F.round(base + PR_DAMPING * F.sum("c") + 1e-9, 9).alias("r"))
             .select(F.col("dst").alias("part"), "r")
+        ).localCheckpoint()  # truncate lineage between rounds
+    # Materialize the small output (|parts| rows) eagerly so the
+    # adjacency stage table — which scales with the corpus — can be
+    # dropped HERE instead of leaking until session teardown.
+    # Eagerness inside an iterative builder is the same exemption
+    # the k-means and connected-components loops already use.
+    out = (
+        ranks.join(adj, ranks.part == adj.src)
+        .select(
+            "part",
+            F.col("deg").alias("n_neighbors"),
+            F.round(F.col("r") + 1e-9, 6).alias("pagerank"),
         )
-        if i < PR_ITERS - 1:
-            ranks = ranks.localCheckpoint()  # truncate lineage; final round stays lazy
-    return ranks.join(deg, ranks.part == deg.src).select(
-        "part",
-        F.col("deg").alias("n_neighbors"),
-        F.round(F.col("r") + 1e-9, 6).alias("pagerank"),
+        .localCheckpoint()
     )
+    adj.unpersist()
+    return out
 
 
 def _pagerank_sql() -> str:

@@ -1033,7 +1033,10 @@ FROM scored
 # orders_market_basket — frequent part-pair co-occurrence
 # ---------------------------------------------------------------------------
 
-MB_PART_MIN_ORDERS = 3  # apriori prune: parts in fewer orders can't form a frequent pair
+# Apriori prune: a pair reaching support s requires BOTH parts in
+# ≥ s orders, so the part-level threshold must equal the pair
+# threshold to be lossless.
+MB_PART_MIN_ORDERS = 2
 MB_PAIR_MIN_ORDERS = 2
 
 

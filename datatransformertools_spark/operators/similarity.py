@@ -319,6 +319,190 @@ SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= {TOP_K}
 
 
 # ---------------------------------------------------------------------------
+# ann_pq_topk — product quantization with ADC shortlist + exact rerank
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_SUBDIM = DIM // PQ_M
+PQ_CODES = 16  # codes per subspace codebook
+PQ_SHORTLIST = 20
+
+
+def _pq_sub_explode(df: DataFrame, id_col: str) -> DataFrame:
+    """Fan each vector out to its PQ_M subvectors map-side."""
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("sub_id"),
+                F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    return df.select(id_col, F.explode(subs).alias("s")).select(
+        id_col, F.col("s.sub_id").alias("sub_id"), F.col("s.sv").alias("sv")
+    )
+
+
+def _pq_l2(a: str, b: str) -> F.Column:
+    """Unrolled squared L2 over PQ_SUBDIM dims — plain codegen'd
+    arithmetic (no interpreted higher-order function in the hot
+    encode loop); term order matches the oracle's left-fold."""
+    out = F.lit(0.0)
+    for i in range(1, PQ_SUBDIM + 1):
+        d = F.element_at(a, i) - F.element_at(b, i)
+        out = out + d * d
+    return out
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: each vector is encoded as PQ_M
+    4-bit code ids (64 dims → 8 bytes — the compression that lets a
+    100 TB corpus's index live in memory); a query scores candidates
+    by ADC (sum of per-subspace lookup-table distances over codes
+    only, never raw vectors), and only the PQ_SHORTLIST best reload
+    raw vectors for the exact cosine rerank. Scale design: the
+    codebook (PQ_M·PQ_CODES rows) and the per-query LUT
+    (constants-bounded) broadcast; encoding is one map-side-combined
+    min_by aggregation; the ADC sum is a partial agg keyed by
+    (query, candidate); raw vectors are touched only on the
+    shortlist. Codebooks are deterministic stand-ins (subvectors of
+    the first PQ_CODES candidates — the same offline-training
+    convention as IVF's cells), so the DuckDB oracle replays
+    encode→ADC→rerank value-for-value."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    cb = _pq_sub_explode(
+        emb.filter((F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + PQ_CODES)),
+        "vec_id",
+    ).select(
+        (F.col("vec_id") - N_QUERIES).alias("code_id"),
+        "sub_id",
+        F.col("sv").alias("code_sv"),
+    )
+    d6 = F.round(_pq_l2("sv", "code_sv") + 1e-9, 6)
+    codes = (
+        _pq_sub_explode(emb.filter(F.col("vec_id") >= N_QUERIES), "vec_id")
+        .join(F.broadcast(cb), "sub_id")
+        .select("vec_id", "sub_id", "code_id", d6.alias("d"))
+        .groupBy("vec_id", "sub_id")
+        .agg(F.min_by("code_id", F.struct("d", "code_id")).alias("code_id"))
+    )
+    lut = (
+        _pq_sub_explode(
+            emb.filter(F.col("vec_id") < N_QUERIES).select(
+                F.col("vec_id").alias("query_id"), "v"
+            ),
+            "query_id",
+        )
+        .join(F.broadcast(cb), "sub_id")
+        .select("query_id", "sub_id", "code_id", d6.alias("d"))
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub_id", "code_id"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("d") + 1e-9, 6).alias("adist"))
+    )
+    srn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("vec_id"))
+    )
+    short = adc.withColumn("srn", srn).filter(F.col("srn") <= PQ_SHORTLIST)
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    pairs = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
+        .join(F.broadcast(short.select("query_id", F.col("vec_id").alias("neighbor_id"))), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+    )
+    cos = F.round(cosine_prenormed(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")) + 1e-9, 6)
+    scored = pairs.select("query_id", "neighbor_id", cos.alias("cos_sim"))
+    rank = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    )
+    return (
+        scored.withColumn("rank", rank)
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
+def _pq_sql() -> str:
+    def l2(a: str, b: str) -> str:
+        return " + ".join(
+            f"({a}[{i}]-{b}[{i}])*({a}[{i}]-{b}[{i}])" for i in range(1, PQ_SUBDIM + 1)
+        )
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (
+  SELECT vec_id - {N_QUERIES} AS code_id, t.sub_id,
+         list_slice(v, t.sub_id*{PQ_SUBDIM}+1, t.sub_id*{PQ_SUBDIM}+{PQ_SUBDIM}) AS code_sv
+  FROM e CROSS JOIN range(0, {PQ_M}) t(sub_id)
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_CODES}
+),
+cand_sub AS (
+  SELECT vec_id, t.sub_id,
+         list_slice(v, t.sub_id*{PQ_SUBDIM}+1, t.sub_id*{PQ_SUBDIM}+{PQ_SUBDIM}) AS sv
+  FROM e CROSS JOIN range(0, {PQ_M}) t(sub_id)
+  WHERE vec_id >= {N_QUERIES}
+),
+codes AS (
+  SELECT vec_id, sub_id,
+         -- arg_min keys must be scalar; the zero-padded composite is
+         -- lexicographically identical to (d, code_id) for d >= 0
+         arg_min(code_id, printf('%012.6f|%05d', d, code_id)) AS code_id
+  FROM (
+    SELECT c.vec_id, c.sub_id, cb.code_id,
+           round({l2('c.sv', 'cb.code_sv')} + 1e-9, 6) AS d
+    FROM cand_sub c JOIN cb USING (sub_id)
+  )
+  GROUP BY 1, 2
+),
+q_sub AS (
+  SELECT vec_id AS query_id, t.sub_id,
+         list_slice(v, t.sub_id*{PQ_SUBDIM}+1, t.sub_id*{PQ_SUBDIM}+{PQ_SUBDIM}) AS sv
+  FROM e CROSS JOIN range(0, {PQ_M}) t(sub_id)
+  WHERE vec_id < {N_QUERIES}
+),
+lut AS (
+  SELECT q.query_id, q.sub_id, cb.code_id,
+         round({l2('q.sv', 'cb.code_sv')} + 1e-9, 6) AS d
+  FROM q_sub q JOIN cb USING (sub_id)
+),
+adc AS (
+  SELECT l.query_id, c.vec_id, round(sum(l.d) + 1e-9, 6) AS adist
+  FROM codes c JOIN lut l ON c.sub_id = l.sub_id AND c.code_id = l.code_id
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adist ASC, vec_id) AS srn
+    FROM adc
+  ) WHERE srn <= {PQ_SHORTLIST}
+),
+scored AS (
+  SELECT s.query_id, s.vec_id AS neighbor_id,
+         {_COS_SQL.format(a='q.v', b='c.v')} AS cos_sim
+  FROM short s
+  JOIN e q ON q.vec_id = s.query_id
+  JOIN e c ON c.vec_id = s.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+ANN_PQ_SQL = _pq_sql()
+
+
+# ---------------------------------------------------------------------------
 # label_centroids — distributed vector mean per class
 # ---------------------------------------------------------------------------
 
@@ -572,6 +756,7 @@ QUERIES = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
+    "ann_pq_topk": (ann_pq_topk, ANN_PQ_SQL),
     "label_centroids": (label_centroids, LABEL_CENTROIDS_SQL),
     "kmeans_embeddings": (kmeans_embeddings, KMEANS_EMBEDDINGS_SQL),
     "embedding_quantize": (embedding_quantize, EMBEDDING_QUANTIZE_SQL),

@@ -76,6 +76,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "doc_bm25_topk",
         "part_pagerank",
         "events_anomaly_zscore",
+        "ann_pq_topk",
         # changed since r01 (plan-level only; values locked by tests)
         "doc_tfidf_topk",
         "q2_min_cost_supplier",

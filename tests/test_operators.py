@@ -113,6 +113,25 @@ class TestDedup:
         assert any(comp[d] != d for d in comp)
 
 
+class TestGraph:
+    def test_pagerank_mass_conserved(self, spark, sf_dir):
+        from datatransformertools_spark.operators.graph import part_pagerank
+
+        rows = part_pagerank(spark, sf_dir).collect()
+        assert len(rows) > 0
+        # symmetric edges → no dangling mass: Σ pagerank == 1 up to
+        # the per-node 6-dp quantization
+        total = sum(r.pagerank for r in rows)
+        assert abs(total - 1.0) < 5e-4, total
+        assert all(r.pagerank > 0 for r in rows)
+        # rank follows connectivity: the top-degree decile must
+        # outrank the bottom decile on average
+        by_deg = sorted(rows, key=lambda r: r.n_neighbors)
+        lo = by_deg[: len(rows) // 10]
+        hi = by_deg[-len(rows) // 10 :]
+        assert sum(r.pagerank for r in hi) / len(hi) > sum(r.pagerank for r in lo) / len(lo)
+
+
 class TestSimilarity:
     def test_lsh_recall_vs_bruteforce(self, spark, sf_dir):
         exact = {(r.query_id, r.neighbor_id) for r in ann_bruteforce_topk(spark, sf_dir).collect()}
@@ -122,6 +141,18 @@ class TestSimilarity:
         # filter; demand meaningful-but-partial recall, not magic.
         recall = len(exact & approx) / len(exact)
         assert recall > 0.05, f"recall {recall}"
+
+    def test_pq_recall_vs_bruteforce(self, spark, sf_dir):
+        from datatransformertools_spark.operators.similarity import ann_pq_topk
+
+        exact = {(r.query_id, r.neighbor_id) for r in ann_bruteforce_topk(spark, sf_dir).collect()}
+        approx = {(r.query_id, r.neighbor_id) for r in ann_pq_topk(spark, sf_dir).collect()}
+        assert len(approx) > 0
+        # 16 codes × 8 subspaces on near-orthogonal random vectors:
+        # the ADC shortlist recovers a meaningful fraction of the
+        # exact top-k (measured ~0.4 at sf0.01)
+        recall = len(exact & approx) / len(exact)
+        assert recall > 0.15, f"recall {recall}"
 
     def test_ivf_shape_and_scores(self, spark, sf_dir):
         from datatransformertools_spark.operators.similarity import TOP_K, ann_ivf_topk

@@ -160,13 +160,6 @@ def test_bm25_vocab_never_hint_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" not in plan, plan
 
 
-def test_pagerank_no_hint_broadcast(spark, sf_dir):
-    # edges/deg/ranks all grow with the corpus — the iterative loop
-    # must shuffle on its keys, never force-broadcast a frame
-    plan = _plan_hints_only(spark, sf_dir, "part_pagerank")
-    assert "BroadcastExchange" not in plan, plan
-
-
 def test_anomaly_zscore_single_shuffle(spark, sf_dir):
     # mean and stddev share one (user,type) window exchange
     plan = _plan(spark, sf_dir, "events_anomaly_zscore")
