@@ -409,11 +409,58 @@ def _hopping_oracle() -> str:
     return EVENTS_HOPPING_AGG_SQL
 
 
+def events_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM STATEFUL operator (`applyInPandasWithState`)
+    executed as a stream and value-checked by the gate: per-user
+    running counts/value totals drained with availableNow into a
+    memory sink. This gates the escape-hatch runtime itself — the
+    per-key state store, the Arrow state round-trip, and the
+    update-mode emission — against a plain GROUP BY oracle. The
+    update-mode sink holds one row per user per microbatch, so the
+    final state per user is the row with the highest running count
+    (max_by), which on a bounded drain equals the batch aggregate."""
+    import os
+    import tempfile
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src_dir = tempfile.mkdtemp(prefix="dtt-stream-ut-src-")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events.parquet")
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+    totals = stream_user_totals(raw)
+    name = f"stream_user_totals_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            totals.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="dtt-stream-ckpt-"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    tbl = spark.table(name)
+    return tbl.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max_by("total_value", "n_events") + 1e-9, 4).alias("total_value"),
+    )
+
+
+EVENTS_STREAM_USER_TOTALS_SQL = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT)    AS n_events,
+       round(sum(value) + 1e-9, 4) AS total_value
+FROM events
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "events_stream_tumbling": (events_stream_tumbling, EVENTS_STREAM_TUMBLING_SQL),
     "events_stream_sessionize": (events_stream_sessionize, EVENTS_STREAM_SESSIONIZE_SQL),
     "events_stream_dedup": (events_stream_dedup, EVENTS_STREAM_DEDUP_SQL),
     "events_stream_hopping": (events_stream_hopping, _hopping_oracle()),
+    "events_stream_user_totals": (events_stream_user_totals, EVENTS_STREAM_USER_TOTALS_SQL),
 }
 
 
