@@ -1042,26 +1042,26 @@ MB_PAIR_MIN_ORDERS = 2
 
 def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent part pairs bought in the same order (market-basket /
-    co-occurrence mining). Scale design is apriori support pruning:
-    a pair can only reach support s if BOTH parts individually
-    appear in ≥ s orders, so the per-part frequency filter runs
-    first and the self-join fans out only pruned baskets. The pair
-    fan-out is bounded by basket size (TPC-H baskets are ≤7 lines),
-    and both join sides shuffle on l_orderkey — no broadcast of the
-    order-scale frame. Output is pairs with support ≥
-    MB_PAIR_MIN_ORDERS, bounded by the frequent-part vocabulary,
-    not the corpus."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    freq = (
-        li.groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("part_orders"))
-        .filter(F.col("part_orders") >= MB_PART_MIN_ORDERS)
-        .select("l_partkey")
+    co-occurrence mining). Plan shape is basket-explode: one
+    groupBy(orderkey) shuffle whose map-side partial collect_set
+    dedups each basket, then the a<b pair fan-out happens map-side
+    on the grouped rows (bounded by basket size — TPC-H baskets are
+    ≤7 lines) into one map-side-combined pair aggregate. Two
+    shuffles total, no self-join, no broadcast of any order-scale
+    frame. The oracle keeps the classic apriori formulation
+    (per-part frequency prune before the pair join): at
+    MB_PART_MIN_ORDERS == MB_PAIR_MIN_ORDERS the prune is provably
+    lossless — a pair reaching support s forces both parts into ≥ s
+    orders — so both formulations emit identical pairs; at 100 TB
+    the prune variant is the lever to pull when baskets are long
+    and the part vocabulary is heavy-tailed."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("parts"))
+    pairs = (
+        baskets.select(F.explode("parts").alias("part_a"), "parts")
+        .select("part_a", F.explode("parts").alias("part_b"))
+        .filter(F.col("part_a") < F.col("part_b"))
     )
-    pruned = li.join(freq, "l_partkey")
-    a = pruned.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = pruned.select("l_orderkey", F.col("l_partkey").alias("part_b"))
-    pairs = a.join(b, "l_orderkey").filter(F.col("part_a") < F.col("part_b"))
     return (
         pairs.groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))

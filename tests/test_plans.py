@@ -137,11 +137,12 @@ def test_rolling_avg_single_user_shuffle(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan
 
 
-def test_market_basket_no_hint_broadcast(spark, sf_dir):
-    # the pruned basket frame is order-scale; both self-join sides
-    # must shuffle on l_orderkey, never broadcast
+def test_market_basket_two_shuffles_no_broadcast(spark, sf_dir):
+    # basket-explode shape: groupBy(orderkey) + pair aggregate —
+    # exactly two exchanges, pair fan-out map-side, no joins at all
     plan = _plan_hints_only(spark, sf_dir, "orders_market_basket")
     assert "BroadcastExchange" not in plan, plan
+    assert plan.count("Exchange") == 2, plan
 
 
 def test_customer_rfm_broadcasts_only_ref_date(spark, sf_dir):
