@@ -355,10 +355,54 @@ FROM packed
 )
 
 
+# ---------------------------------------------------------------------------
+# dedup_rate_by_source — per-source duplication audit
+# ---------------------------------------------------------------------------
+
+
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate audit — the governance metric that
+    decides which crawl sources get down-weighted before training.
+    Two-level aggregation: (source, md5) partial counts combine
+    map-side, then one source-keyed fold emits docs / unique texts /
+    dup ratio / the largest duplicate cluster. Shuffle payload is
+    (source, 16-byte hash, count) — text never moves, and the output
+    is |sources| rows at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    per_hash = docs.select(
+        "source", F.md5(normalize_text(F.col("text"))).alias("h")
+    ).groupBy("source", "h").agg(F.count(F.lit(1)).alias("n"))
+    return per_hash.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.round((F.lit(1.0) - F.count(F.lit(1)) / F.sum("n")) + 1e-9, 6).alias("dup_ratio"),
+        F.max("n").alias("max_cluster"),
+    )
+
+
+DEDUP_RATE_BY_SOURCE_SQL = r"""
+WITH per_hash AS (
+  SELECT source,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
+         count(*) AS n
+  FROM documents
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(n) AS BIGINT)   AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_unique,
+       round((1.0 - count(*) / CAST(sum(n) AS DOUBLE)) + 1e-9, 6) AS dup_ratio,
+       CAST(max(n) AS BIGINT)   AS max_cluster
+FROM per_hash
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
     "contamination_check": (contamination_check, CONTAMINATION_CHECK_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "corpus_mix_summary": (corpus_mix_summary, CORPUS_MIX_SUMMARY_SQL),
     "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
+    "dedup_rate_by_source": (dedup_rate_by_source, DEDUP_RATE_BY_SOURCE_SQL),
 }

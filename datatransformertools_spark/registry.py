@@ -78,6 +78,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "events_anomaly_zscore",
         "ann_pq_topk",
         "events_stream_user_totals",
+        "dedup_rate_by_source",
         # changed since r01 (plan-level only; values locked by tests)
         "doc_tfidf_topk",
         "q2_min_cost_supplier",
