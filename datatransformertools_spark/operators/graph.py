@@ -4,12 +4,13 @@ schema.
 `part_pagerank` runs the classic distributed PageRank loop (the
 GraphX/Pregel shape) over the part co-purchase graph: parts are
 nodes, an undirected edge connects two parts bought in the same
-order. Each iteration is one shuffle (contributions grouped by
-destination); the edge and degree tables are built once, persisted,
-and reused every round; `localCheckpoint` truncates lineage between
-rounds exactly like the connected-components loop in
-``operators/dedup.py``. Driver-side state is two scalars (node
-count, iteration index) — never row data.
+order. The graph is stored as a persisted adjacency-list table
+(neighbors + degree per node) reused every round; each iteration is
+one shuffle (contributions grouped by destination);
+`localCheckpoint` truncates lineage between rounds exactly like the
+connected-components loop in ``operators/dedup.py``. Driver-side
+state is two scalars (node count, iteration index) — never row
+data.
 
 Cross-engine determinism follows the k-means recipe
 (``operators/similarity.py``): ranks are quantized to 9 dp at every
@@ -31,13 +32,13 @@ PR_ITERS = 5
 
 def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the part co-purchase graph. Scale design: the
-    distinct edge list shuffles on l_orderkey once to build (the
-    same apriori shape as orders_market_basket, fan-out bounded by
-    basket size); every iteration shuffles only (dst, contribution)
-    pairs with map-side partial sums; degree rides a persisted
-    src-keyed table so the per-round join reuses one partitioning.
-    All nodes have ≥1 in-edge (edges are symmetric), so no dangling
-    mass correction is needed. The node count is the one scalar the
+    adjacency table builds in two shuffles (basket-explode, same
+    shape as orders_market_basket, fan-out bounded by basket size);
+    every iteration scans |nodes| adjacency rows from cache, fans
+    back out to edge grain map-side, and shuffles only
+    (dst, contribution) pairs with map-side partial sums. All nodes
+    have ≥1 in-edge (edges are symmetric), so no dangling mass
+    correction is needed. The node count is the one scalar the
     driver holds between rounds — the same exemption the CC and
     k-means loops use."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
