@@ -149,6 +149,76 @@ SECTIONS = [
         "sorts only the V surviving rows.",
         False,
     ),
+    (
+        "orders_market_basket",
+        "Basket-explode shape: exactly two exchanges — groupBy(orderkey) "
+        "with map-side partial collect_set (basket dedup), then the a<b "
+        "pair fan-out runs inside codegen on the grouped rows into a "
+        "map-side-combined pair aggregate. No joins, no broadcast.",
+        True,
+    ),
+    (
+        "customer_rfm",
+        "All three ntile(4) windows share ONE c_mktsegment exchange (three "
+        "in-partition sorts, no re-shuffle between them); the reference "
+        "date is the only broadcast (1-row aggregate); the customer join "
+        "is a shuffle SortMergeJoin — customer is never hint-broadcast.",
+        True,
+    ),
+    (
+        "doc_bm25_topk",
+        "The repartitioned text scan is a ReusedExchange across the "
+        "tf/dl/df/stats branches; (N, avgdl) ride a 1-row "
+        "BroadcastNestedLoopJoin; the per-doc top-5 is "
+        "WindowGroupLimit-pruned map-side before the final doc_id "
+        "exchange; the vocabulary join is a shuffle SortMergeJoin — never "
+        "hint-broadcast.",
+        True,
+    ),
+    (
+        "events_transition_matrix",
+        "One user_id exchange for the lead() window, then the |types|² "
+        "aggregate combines map-side before its own exchange; gap sum "
+        "stays an exact long until the final divide.",
+        False,
+    ),
+    (
+        "events_anomaly_zscore",
+        "Mean and stddev_samp share a single (user_id, event_type) "
+        "exchange; the filter runs before the output projection so only "
+        "outliers leave the window stage.",
+        False,
+    ),
+    (
+        "ann_pq_topk",
+        "Everything constants-bounded broadcasts (codebook, per-query LUT, "
+        "200-row shortlist); the encode argmin is a map-side-combined "
+        "min_by SortAggregate; the ADC sum is one (query, candidate) "
+        "exchange with partial sums; both top-k windows are "
+        "WindowGroupLimit-pruned before their exchanges; raw vectors are "
+        "only touched on the shortlist rerank.",
+        True,
+    ),
+]
+
+# Iterative operators whose returned plan is a checkpoint scan (their
+# rounds materialize eagerly inside the builder) — documented in
+# prose instead of a capture.
+PROSE_SECTIONS = [
+    (
+        "part_pagerank (prose — iterative)",
+        "The returned plan is a localCheckpoint scan: the five rounds "
+        "materialize eagerly inside the builder (the k-means / "
+        "connected-components exemption) so the adjacency stage table can "
+        "be unpersisted before return instead of leaking. Per round, the "
+        "executed plan is: adjacency scan (|nodes| rows from cache) -> "
+        "AQE-broadcast rank join -> map-side explode to edge grain -> one "
+        "hashpartitioning(dst) exchange with partial sums -> 9-dp "
+        "quantized update. Build is two shuffles total: groupBy(orderkey) "
+        "with partial collect_set (basket dedup) and "
+        "groupBy(src).collect_set(dst) (edge dedup + adjacency + degree "
+        "in one pass).",
+    ),
 ]
 
 MAX_LINES = 40
@@ -184,9 +254,11 @@ def main() -> None:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         tag = " (hints-only capture)" if hints_only else ""
         out += ["", f"## {name}{tag}", "", note, "", "```", *lines_of(plan), "```"]
+    for title, note in PROSE_SECTIONS:
+        out += ["", f"## {title}", "", note]
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out) + "\n")
-    print(f"wrote PLANS.md ({len(SECTIONS)} sections)")
+    print(f"wrote PLANS.md ({len(SECTIONS) + len(PROSE_SECTIONS)} sections)")
 
 
 if __name__ == "__main__":
