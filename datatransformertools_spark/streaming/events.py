@@ -455,12 +455,115 @@ GROUP BY 1
 """
 
 
+def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join executed as a stream and
+    value-checked by the gate: a `click` stream inner-joins a
+    `purchase` stream on user_id with the purchase falling in
+    [click, click + 30 min] — the click→purchase attribution join
+    every event pipeline runs. This gates the last big Structured
+    Streaming state machine the mirrors don't cover: the symmetric
+    join state store. Both sides carry a 60-minute watermark and the
+    join condition bounds event time in BOTH directions, so Spark
+    can evict matched/expired rows instead of buffering each side
+    forever — the property that makes the join runnable on an
+    unbounded 100 TB/day feed. The drained pairs are then collapsed
+    per user into exact-integer (n_pairs, total/max lag) so the
+    DuckDB range-join oracle hashes stably."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F  # noqa: F811 (self-contained)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # stage each side as its own file-source directory: in production
+    # these are two topics/landing zones (clicks, purchases)
+    def _side(prefix: str, event_type: str, user: str, tcol: str, ucol: str) -> DataFrame:
+        src_dir = tempfile.mkdtemp(prefix=prefix)
+        os.symlink(
+            os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events.parquet"
+        )
+        raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+        return (
+            raw.filter(F.col("event_type") == event_type)
+            .withColumn(tcol, F.timestamp_micros(F.expr("ts div 1000")))
+            .select(
+                F.col("user_id").alias(user),
+                F.col(tcol),
+                F.expr("ts div 1000").alias(ucol),
+            )
+            .withWatermark(tcol, "60 minutes")
+        )
+
+    clicks = _side("dtt-stream-ij-c-", "click", "c_user", "click_time", "click_us")
+    purchases = _side("dtt-stream-ij-p-", "purchase", "p_user", "purchase_time", "purchase_us")
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            c_user = p_user AND
+            purchase_time >= click_time AND
+            purchase_time <= click_time + interval 30 minutes
+            """
+        ),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        (F.col("purchase_us") - F.col("click_us")).alias("lag_us"),
+    )
+    name = f"stream_interval_join_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="dtt-stream-ij-ckpt-"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("lag_us").alias("total_lag_us"),
+            F.max("lag_us").alias("max_lag_us"),
+        )
+    )
+
+
+# oracle: the same attribution join as a DuckDB range self-join —
+# exact-integer lags, so no float canonicalization risk
+EVENTS_STREAM_INTERVAL_JOIN_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+)
+SELECT a.user_id,
+       CAST(count(*) AS BIGINT)               AS n_pairs,
+       CAST(sum(b.ts_us - a.ts_us) AS BIGINT) AS total_lag_us,
+       CAST(max(b.ts_us - a.ts_us) AS BIGINT) AS max_lag_us
+FROM e a
+JOIN e b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click'
+ AND b.event_type = 'purchase'
+ AND b.ts_us >= a.ts_us
+ AND b.ts_us <= a.ts_us + 1800000000
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "events_stream_tumbling": (events_stream_tumbling, EVENTS_STREAM_TUMBLING_SQL),
     "events_stream_sessionize": (events_stream_sessionize, EVENTS_STREAM_SESSIONIZE_SQL),
     "events_stream_dedup": (events_stream_dedup, EVENTS_STREAM_DEDUP_SQL),
     "events_stream_hopping": (events_stream_hopping, _hopping_oracle()),
     "events_stream_user_totals": (events_stream_user_totals, EVENTS_STREAM_USER_TOTALS_SQL),
+    "events_stream_interval_join": (
+        events_stream_interval_join,
+        EVENTS_STREAM_INTERVAL_JOIN_SQL,
+    ),
 }
 
 

@@ -146,3 +146,35 @@ def test_stream_user_totals_stateful(spark, sf_dir):
     assert len(got) > 0
     assert got == want
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_interval_join_boundary(spark):
+    """The stream-stream attribution join uses CLOSED bounds: a
+    purchase exactly 30 min after the click matches; one microsecond
+    later does not."""
+    import pandas as pd
+
+    from datatransformertools_spark.streaming.events import events_stream_interval_join
+
+    tmp = Path(tempfile.mkdtemp(prefix="dtt-ij-boundary-"))
+    t0 = 1_700_000_000_000_000_000  # epoch nanos
+    half_hour_ns = 1_800_000_000_000
+    rows = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": [t0, t0 + half_hour_ns, t0 + half_hour_ns + 1000, t0 - 1000],
+            "user_id": [7, 7, 7, 7],
+            "event_type": ["click", "purchase", "purchase", "purchase"],
+            "value": [0.0, 1.0, 2.0, 3.0],
+            "props": ["{}"] * 4,
+        }
+    )
+    rows.to_parquet(tmp / "events.parquet")
+    got = events_stream_interval_join(spark, str(tmp)).collect()
+    # only the exactly-at-boundary purchase joins (the +1us one is
+    # past the upper bound; the earlier one precedes the click)
+    assert len(got) == 1
+    assert got[0]["user_id"] == 7
+    assert got[0]["n_pairs"] == 1
+    assert got[0]["total_lag_us"] == half_hour_ns // 1000
+    shutil.rmtree(tmp, ignore_errors=True)
