@@ -1107,6 +1107,95 @@ WHERE sd > 0 AND abs((value - mean_v) / sd) > 2.0
 """
 
 
+# ---------------------------------------------------------------------------
+# events_column_profile — one-pass distributed data-profiling audit
+# ---------------------------------------------------------------------------
+
+
+def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profiling audit (null count, exact distinct count,
+    min/max) over the events table in ONE aggregation pass — the
+    data-quality gate a training pipeline runs on every new drop
+    before anything downstream touches it.
+
+    Scale design: all six columns profile in a single `agg`; Spark
+    plans the multi-distinct via Expand (each row fans out once per
+    distinct-column), with partial aggregation keyed on
+    (gid, value) map-side, so the shuffle carries per-partition
+    DISTINCT values, never raw rows. The unpivot to (col_name, ...)
+    rows is a `stack` over the single 1-row aggregate — free. At
+    100 TB the same plan holds; if exact distincts get too hot,
+    swap `count_distinct` for `approx_count_distinct` (HLL, one
+    sketch per column, no Expand) — kept exact here so the DuckDB
+    oracle can value-check the audit.
+
+    Numeric min/max render via round(+1e-9, 4) → string in both
+    engines so the gate hash is format-stable.
+    """
+    ev = _events_us(spark, sf_dir)
+
+    def _num(col: str):  # integer-typed columns render as plain longs
+        return [
+            F.sum(F.col(col).isNull().cast("long")).alias(f"{col}_nulls"),
+            F.count_distinct(F.col(col)).alias(f"{col}_distinct"),
+            F.min(col).cast("string").alias(f"{col}_min"),
+            F.max(col).cast("string").alias(f"{col}_max"),
+        ]
+
+    def _dbl(col: str):  # doubles round to 4 dp before rendering
+        return [
+            F.sum(F.col(col).isNull().cast("long")).alias(f"{col}_nulls"),
+            F.count_distinct(F.col(col)).alias(f"{col}_distinct"),
+            F.round(F.min(col) + 1e-9, 4).cast("string").alias(f"{col}_min"),
+            F.round(F.max(col) + 1e-9, 4).cast("string").alias(f"{col}_max"),
+        ]
+
+    cols = ["event_id", "ts_us", "user_id", "event_type", "value", "props"]
+    exprs = []
+    for c in cols:
+        exprs.extend(_dbl(c) if c == "value" else _num(c))
+    exprs.append(F.count(F.lit(1)).alias("n_rows"))
+    one = ev.agg(*exprs)
+    stack_args = ", ".join(
+        f"'{c}', {c}_nulls, {c}_distinct, {c}_min, {c}_max" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col_name, n_nulls, n_distinct, min_val, max_val)",
+        "n_rows",
+    )
+
+
+def _profile_oracle() -> str:
+    def leg(col: str, expr: str, render_min: str, render_max: str) -> str:
+        return f"""
+SELECT '{col}' AS col_name,
+       CAST(count(*) - count({expr}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {expr}) AS BIGINT)   AS n_distinct,
+       {render_min} AS min_val,
+       {render_max} AS max_val,
+       CAST(count(*) AS BIGINT)                 AS n_rows
+FROM events"""
+
+    legs = [
+        leg("event_id", "event_id", "CAST(min(event_id) AS VARCHAR)", "CAST(max(event_id) AS VARCHAR)"),
+        leg("ts_us", "epoch_us(ts)", "CAST(min(epoch_us(ts)) AS VARCHAR)", "CAST(max(epoch_us(ts)) AS VARCHAR)"),
+        leg("user_id", "user_id", "CAST(min(user_id) AS VARCHAR)", "CAST(max(user_id) AS VARCHAR)"),
+        leg("event_type", "event_type", "min(event_type)", "max(event_type)"),
+        leg(
+            "value",
+            "value",
+            "CAST(round(min(value) + 1e-9, 4) AS VARCHAR)",
+            "CAST(round(max(value) + 1e-9, 4) AS VARCHAR)",
+        ),
+        leg("props", "props", "min(props)", "max(props)"),
+    ]
+    return "\nUNION ALL\n".join(legs)
+
+
+EVENTS_COLUMN_PROFILE_SQL = _profile_oracle()
+
+
 QUERIES = {
     "events_tumbling_agg": (events_tumbling_agg, EVENTS_TUMBLING_AGG_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
@@ -1132,4 +1221,5 @@ QUERIES = {
     "events_user_entropy": (events_user_entropy, EVENTS_USER_ENTROPY_SQL),
     "events_transition_matrix": (events_transition_matrix, EVENTS_TRANSITION_MATRIX_SQL),
     "events_anomaly_zscore": (events_anomaly_zscore, EVENTS_ANOMALY_ZSCORE_SQL),
+    "events_column_profile": (events_column_profile, EVENTS_COLUMN_PROFILE_SQL),
 }

@@ -80,6 +80,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "events_stream_user_totals",
         "dedup_rate_by_source",
         "events_stream_interval_join",
+        "events_column_profile",
         # changed since r01 (plan-level only; values locked by tests)
         "doc_tfidf_topk",
         "q2_min_cost_supplier",

@@ -172,3 +172,12 @@ def test_transition_matrix_single_user_shuffle(spark, sf_dir):
     # |types|²-row aggregate combines map-side before its exchange
     plan = _plan(spark, sf_dir, "events_transition_matrix")
     assert plan.count("Exchange") == 2, plan
+
+
+def test_column_profile_expand_multi_distinct(spark, sf_dir):
+    # all six columns profile in ONE pass: the multi-distinct plans
+    # as a single Expand (row fan-out per column) with map-side
+    # partial aggregation — no per-column rescans of the table
+    plan = _plan(spark, sf_dir, "events_column_profile")
+    assert plan.count("Expand") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan

@@ -190,6 +190,15 @@ SECTIONS = [
         False,
     ),
     (
+        "events_column_profile",
+        "One-pass multi-distinct profile: Expand fans each row out once "
+        "per profiled column, then partial aggregation keyed on "
+        "(gid, value) runs map-side, so the shuffle carries per-partition "
+        "DISTINCT values — never raw rows; the unpivot is a stack over "
+        "the single 1-row aggregate.",
+        False,
+    ),
+    (
         "ann_pq_topk",
         "Everything constants-bounded broadcasts (codebook, per-query LUT, "
         "200-row shortlist); the encode argmin is a map-side-combined "
@@ -205,6 +214,19 @@ SECTIONS = [
 # rounds materialize eagerly inside the builder) — documented in
 # prose instead of a capture.
 PROSE_SECTIONS = [
+    (
+        "events_stream_interval_join (prose — streaming)",
+        "The returned plan is a batch aggregate over the drained memory "
+        "sink; the plan that matters executes inside the stream: a "
+        "stream-stream inner join whose condition bounds purchase_time "
+        "to [click_time, click_time + 30 min] with a 60-minute watermark "
+        "on BOTH sides, so the symmetric hash join's state store evicts "
+        "rows once the watermark passes their join horizon — state is "
+        "bounded by (watermark + interval) x arrival rate, not by "
+        "history. Both sides pre-filter map-side (event_type pushdown "
+        "to the parquet scan) before any state is keyed, and the state "
+        "partitions by user_id across executors.",
+    ),
     (
         "part_pagerank (prose — iterative)",
         "The returned plan is a localCheckpoint scan: the five rounds "
