@@ -81,6 +81,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "dedup_rate_by_source",
         "events_stream_interval_join",
         "events_column_profile",
+        "events_stream_enrich",
         # changed since r01 (plan-level only; values locked by tests)
         "doc_tfidf_topk",
         "q2_min_cost_supplier",

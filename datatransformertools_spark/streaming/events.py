@@ -533,6 +533,77 @@ def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join executed as a stream: each micro-batch of
+    the event stream joins a STATIC per-type reference table (the
+    historical mean value, computed in batch — in production,
+    yesterday's aggregate) and the enriched rows feed a downstream
+    streaming aggregate flagging how many events run above their
+    type's historical mean. This covers the remaining Structured
+    Streaming join path the mirrors don't: the static side is
+    re-planned per micro-batch and broadcast (5 rows —
+    constants-bounded, so the hint survives any scale); no join
+    state is kept, and the downstream complete-mode agg holds only
+    |types| rows of state. The historical mean is quantized to 4 dp
+    in BOTH engines before the comparison so the flag is
+    float-order-stable."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F  # noqa: F811 (self-contained)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the static reference: batch aggregate over the same landing
+    # table (stand-in for the warehouse's historical stats table)
+    static_stats = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.round(F.avg("value") + 1e-9, 4).alias("mean_value"))
+    )
+    src_dir = tempfile.mkdtemp(prefix="dtt-stream-enrich-src-")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events.parquet")
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+    enriched = raw.join(F.broadcast(static_stats), "event_type").withColumn(
+        "above_mean", (F.col("value") > F.col("mean_value")).cast("long")
+    )
+    agg = enriched.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("above_mean").alias("n_above_mean"),
+        F.max("mean_value").alias("mean_value"),
+    )
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="dtt-stream-enrich-ckpt-"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.table(name)
+
+
+# oracle: batch replay of the enrichment — join the per-type
+# 4-dp-quantized mean back and count above-mean events
+EVENTS_STREAM_ENRICH_SQL = """
+WITH stats AS (
+  SELECT event_type, round(avg(value) + 1e-9, 4) AS mean_value
+  FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN e.value > s.mean_value THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_above_mean,
+       max(s.mean_value) AS mean_value
+FROM events e
+JOIN stats s USING (event_type)
+GROUP BY 1
+"""
+
+
 # oracle: the same attribution join as a DuckDB range self-join —
 # exact-integer lags, so no float canonicalization risk
 EVENTS_STREAM_INTERVAL_JOIN_SQL = """
@@ -564,6 +635,7 @@ QUERIES = {
         events_stream_interval_join,
         EVENTS_STREAM_INTERVAL_JOIN_SQL,
     ),
+    "events_stream_enrich": (events_stream_enrich, EVENTS_STREAM_ENRICH_SQL),
 }
 
 
