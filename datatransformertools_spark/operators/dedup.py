@@ -114,6 +114,70 @@ GROUP BY 1
 """
 
 # ---------------------------------------------------------------------------
+# dedup_keep_best — survivor selection by quality, not min-id
+# ---------------------------------------------------------------------------
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with QUALITY-AWARE survivor selection: within
+    each md5(text) duplicate group, keep the doc with the highest
+    `text_quality` score (ties → lowest doc_id) instead of the
+    arbitrary min-id — the pipeline policy that preserves the best
+    copy when near-identical crawls collide.
+
+    Scale design: the score and the hash both compute map-side in
+    the ONE scan, so the single shuffle carries
+    (16-byte hash, score-composite string, doc_id) — never text.
+    The arg-max rides a zero-padded `printf` composite key
+    ('%.6f|%09d' of score and inverted doc_id) because a scalar
+    key is the one formulation whose max_by/arg_max tie-break is
+    bit-identical across Spark and DuckDB."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    from datatransformertools_spark.operators.text_analysis import quality_score_expr
+
+    score = quality_score_expr()
+    keyed = docs.select(
+        F.md5(normalize_text(F.col("text"))).alias("text_hash"),
+        "doc_id",
+        score.alias("s"),
+        F.format_string("%.6f|%09d", score, F.lit(999_999_999) - F.col("doc_id")).alias(
+            "best_key"
+        ),
+    )
+    return (
+        keyed.groupBy("text_hash")
+        .agg(
+            F.expr("max_by(doc_id, best_key)").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.max("s").alias("quality_score"),
+        )
+        .select("keep_doc_id", "n_copies", "quality_score")
+    )
+
+
+DEDUP_KEEP_BEST_SQL = r"""
+WITH m AS (
+  SELECT doc_id, n_chars,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
+         regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), '\s+') AS t
+  FROM documents
+),
+s AS (
+  SELECT doc_id, h,
+         round(0.5 * (CASE WHEN len(t) > 0
+                           THEN len(list_distinct(t))::DOUBLE / len(t)
+                           ELSE 0.0 END)
+               + 0.5 * least(n_chars / 400.0, 1.0) + 1e-9, 6) AS score
+  FROM m
+)
+SELECT arg_max(doc_id, printf('%.6f|%09d', score, 999999999 - doc_id)) AS keep_doc_id,
+       count(*)   AS n_copies,
+       max(score) AS quality_score
+FROM s
+GROUP BY h
+"""
+
+# ---------------------------------------------------------------------------
 # dedup_ngram_jaccard — exact near-dup baseline
 # ---------------------------------------------------------------------------
 
@@ -522,6 +586,7 @@ FROM reach GROUP BY node
 
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),

@@ -85,6 +85,19 @@ FROM m
 # ---------------------------------------------------------------------------
 
 
+def quality_score_expr() -> "F.Column":
+    """The 6-dp-quantized quality score over (text, n_chars) —
+    shared by `text_quality` and the keep-best dedup so both rank
+    documents identically."""
+    norm = normalize_text(F.col("text"))
+    tok = tokens(norm)
+    n_tokens = F.size(tok)
+    n_uniq = F.size(F.array_distinct(tok))
+    uniq_ratio = F.when(n_tokens > 0, n_uniq / n_tokens).otherwise(F.lit(0.0))
+    len_score = F.least(F.col("n_chars") / F.lit(400.0), F.lit(1.0))
+    return F.round(0.5 * uniq_ratio + 0.5 * len_score + 1e-9, 6)
+
+
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
     norm = normalize_text(F.col("text"))
@@ -92,8 +105,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = F.size(tok)
     n_uniq = F.size(F.array_distinct(tok))
     uniq_ratio = F.when(n_tokens > 0, n_uniq / n_tokens).otherwise(F.lit(0.0))
-    len_score = F.least(F.col("n_chars") / F.lit(400.0), F.lit(1.0))
-    score = F.round(0.5 * uniq_ratio + 0.5 * len_score + 1e-9, 6)
+    score = quality_score_expr()
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),

@@ -82,6 +82,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "events_stream_interval_join",
         "events_column_profile",
         "events_stream_enrich",
+        "dedup_keep_best",
         # changed since r01 (plan-level only; values locked by tests)
         "doc_tfidf_topk",
         "q2_min_cost_supplier",

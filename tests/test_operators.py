@@ -91,6 +91,29 @@ class TestDedup:
         by_n = sorted([(r.n, r.keep) for r in out])
         assert by_n == [(1, 3), (2, 1)]
 
+    def test_keep_best_prefers_quality_then_min_id(self, spark, tmp_path):
+        import pandas as pd
+
+        from datatransformertools_spark.operators.dedup import dedup_keep_best
+
+        # docs 1-3 share a text (one dup group); n_chars drives the
+        # length half of the score, so doc 2 (n_chars=300) must win.
+        # docs 10/11 tie exactly -> lowest doc_id survives.
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 10, 11],
+                "text": ["alpha beta gamma delta"] * 3 + ["tie tie"] * 2,
+                "lang": ["en"] * 5,
+                "source": ["web"] * 5,
+                "n_chars": [100, 300, 200, 50, 50],
+            }
+        ).to_parquet(tmp_path / "documents.parquet")
+        out = {r.keep_doc_id: (r.n_copies, r.quality_score) for r in
+               dedup_keep_best(spark, str(tmp_path)).collect()}
+        assert set(out) == {2, 10}
+        assert out[2] == (3, 0.875)     # 0.5*1.0 + 0.5*(300/400)
+        assert out[10] == (2, 0.3125)   # 0.5*0.5 + 0.5*(50/400)
+
     def test_jaccard_pairs_are_high_sim(self, spark, sf_dir):
         pairs = dedup_ngram_jaccard(spark, sf_dir).collect()
         assert all(r.jaccard >= 0.3 for r in pairs)
