@@ -53,9 +53,10 @@ def main() -> None:
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
-    # drop stage-table caches the dedup/eval families registered so a
-    # long-lived session doesn't accumulate blocks across runs
-    release_caches()
+        # per-query release (the caching.track contract): each query
+        # pays for its own stage tables and no cached blocks leak GC
+        # pressure into later queries
+        release_caches()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

@@ -439,6 +439,108 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 DEDUP_SIMHASH_SQL = _simhash_sql()
 
 # ---------------------------------------------------------------------------
+# dedup_winnowing — MOSS fingerprints (Schleimer et al., SIGMOD 2003)
+# ---------------------------------------------------------------------------
+
+K_GRAM = 8  # tokens per fingerprint gram
+WINNOW_G = 4  # winnow window: grams competing per fingerprint slot
+MIN_SHARED_FP = 2  # pair threshold
+MAX_FP_DF = 50  # drop boilerplate fingerprints seen in more docs
+
+
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint dedup (the MOSS algorithm, Schleimer et
+    al. SIGMOD 2003): hash every K_GRAM-token gram, keep only the
+    minimum hash of each WINNOW_G-gram window, and pair documents
+    sharing ≥ MIN_SHARED_FP selected fingerprints. The guarantee:
+    any verbatim token run of ≥ K_GRAM + WINNOW_G - 1 tokens shared
+    by two documents yields a shared fingerprint — exact-substring
+    dedup semantics at ~2/(G+1) of the full shingle volume, the
+    standard copy-detection complement to Jaccard/minhash.
+
+    Scale design: gram hashing and winnowing are per-document
+    (partition-local window over pos), so the only corpus-wide
+    shuffles are the inverted-index join keyed on the 16-hex
+    fingerprint and the pair agg. Boilerplate guard: fingerprints in
+    > MAX_FP_DF docs are dropped via a count-over-fp window BEFORE
+    the self-join (never a broadcast of a per-doc frame), bounding
+    any single join key's fan-out — the same hot-key discipline as
+    the LSH buckets."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    tok = tokens(normalize_text(F.col("text")))
+    base = docs.select("doc_id", tok.alias("tok"), F.size(tok).alias("n"))
+    pos = F.explode(F.sequence(F.lit(0), F.col("n") - K_GRAM)).alias("pos")
+    grams = base.filter(F.col("n") >= K_GRAM).select(
+        "doc_id", "tok", (F.col("n") - K_GRAM).alias("max_pos"), pos
+    ).select(
+        "doc_id",
+        "pos",
+        "max_pos",
+        F.substring(
+            F.md5(F.concat_ws(" ", F.slice(F.col("tok"), F.col("pos") + 1, K_GRAM))), 1, 16
+        ).alias("h"),
+    )
+    w_winnow = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_G - 1)
+    )
+    winnowed = (
+        grams.withColumn("fp", F.min("h").over(w_winnow))
+        .filter(F.col("pos") <= F.col("max_pos") - (WINNOW_G - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    kept = (
+        winnowed.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter(F.col("df") <= MAX_FP_DF)
+        .drop("df")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= MIN_SHARED_FP)
+    )
+
+
+DEDUP_WINNOWING_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS tok
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos,
+         substr(md5(array_to_string(tok[i + 1 : i + {K_GRAM}], ' ')), 1, 16) AS h,
+         len(tok) - {K_GRAM} AS max_pos
+  FROM base, unnest(range(0, greatest(len(tok) - {K_GRAM} + 1, 0))) AS u(i)
+),
+w0 AS (
+  SELECT doc_id, pos, max_pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_G - 1} FOLLOWING) AS fp
+  FROM grams
+),
+winnowed AS (
+  SELECT DISTINCT doc_id, fp FROM w0 WHERE pos <= max_pos - {WINNOW_G - 1}
+),
+kept AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM winnowed
+  ) WHERE df <= {MAX_FP_DF}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {MIN_SHARED_FP}
+"""
+
+# ---------------------------------------------------------------------------
 # dedup_embedding — exact cosine within a blocking key
 # ---------------------------------------------------------------------------
 
@@ -589,6 +691,7 @@ QUERIES = {
     "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
+    "dedup_winnowing": (dedup_winnowing, DEDUP_WINNOWING_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),

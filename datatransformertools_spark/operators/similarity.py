@@ -556,6 +556,48 @@ def _kmeans_dist(c) -> F.Column:  # squared L2, summed in dim order
     )
 
 
+def _init_cents(emb: DataFrame) -> list[list[float]]:
+    """Deterministic seed: the K lowest vec_ids, 6-dp quantized."""
+    rows = (
+        emb.orderBy("vec_id")
+        .limit(K_CLUSTERS)
+        .select(F.transform("v", lambda x: F.round(x + 1e-9, 6)).alias("v"))
+        .collect()
+    )
+    return [list(r["v"]) for r in rows]
+
+
+def _cent_literal(cents: list[list[float]]) -> F.Column:
+    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+
+
+def _assign(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Argmin-distance cluster per vector (ties → lowest cluster id);
+    centroids ship as a literal so assignment is a codegen'd
+    projection over the scan — no join, no shuffle."""
+    best = F.array_min(
+        F.transform(
+            _cent_literal(cents),
+            lambda c, i: F.struct(_kmeans_dist(c).alias("d"), i.alias("cluster")),
+        )
+    )
+    return emb.withColumn("cluster", best["cluster"])
+
+
+def _lloyd_update(emb: DataFrame, cents: list[list[float]]) -> list[list[float]]:
+    """One eager Lloyd's update: per-dim mean of each cluster's
+    members, 6-dp quantized; empty clusters keep their previous
+    centroid. Only the K·DIM centroid matrix crosses the driver."""
+    per_dim = (
+        _assign(emb, cents)
+        .select("cluster", F.posexplode("v").alias("dim", "val"))
+        .groupBy("cluster", "dim")
+        .agg(F.round(F.avg("val") + 1e-9, 6).alias("cval"))
+    )
+    new = {(r["cluster"], r["dim"]): r["cval"] for r in per_dim.collect()}
+    return [[new.get((k, d), cents[k][d]) for d in range(DIM)] for k in range(K_CLUSTERS)]
+
+
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means, the MLlib way: centroids live on the driver
     (K·DIM doubles) and ship into each assignment pass as a literal
@@ -575,42 +617,14 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
-    init_rows = (
-        emb.orderBy("vec_id")
-        .limit(K_CLUSTERS)
-        .select(F.transform("v", lambda x: F.round(x + 1e-9, 6)).alias("v"))
-        .collect()
-    )
-    cents = [list(r["v"]) for r in init_rows]
-
-    def cent_literal() -> F.Column:
-        return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
-
-    def assigned_df() -> DataFrame:
-        best = F.array_min(
-            F.transform(
-                cent_literal(),
-                lambda c, i: F.struct(_kmeans_dist(c).alias("d"), i.alias("cluster")),
-            )
-        )
-        return emb.withColumn("cluster", best["cluster"])
-
+    cents = _init_cents(emb)
     for _ in range(KMEANS_ITERS - 1):
-        per_dim = (
-            assigned_df()
-            .select("cluster", F.posexplode("v").alias("dim", "val"))
-            .groupBy("cluster", "dim")
-            .agg(F.round(F.avg("val") + 1e-9, 6).alias("cval"))
-        )
-        new = {(r["cluster"], r["dim"]): r["cval"] for r in per_dim.collect()}
-        cents = [
-            [new.get((k, d), cents[k][d]) for d in range(DIM)] for k in range(K_CLUSTERS)
-        ]
+        cents = _lloyd_update(emb, cents)
 
     # final round, fully lazy: assignment from the last literal
     # centroids → per-dim update + member counts in one plan
     final = (
-        assigned_df()
+        _assign(emb, cents)
         .select("cluster", F.posexplode("v").alias("dim", "val"))
         .groupBy("cluster", "dim")
         .agg(F.round(F.avg("val") + 1e-9, 6).alias("cval"), F.count(F.lit(1)).alias("n_members"))
@@ -627,10 +641,19 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_sql() -> str:
+_KM_DIST_SQL = (
+    "list_sum(list_transform(range(1, {dim} + 1),"
+    " i -> (e.v[i]-cl.c[i])*(e.v[i]-cl.c[i])))".format(dim=DIM)
+)
+
+
+def _lloyd_cte_parts() -> list[str]:
     """Unrolled Lloyd's iterations as chained CTEs — same init, same
-    6-dp quantization, same lowest-cluster tie-break."""
-    dist = "list_sum(list_transform(range(1, {dim} + 1), i -> (e.v[i]-cl.c[i])*(e.v[i]-cl.c[i])))".format(dim=DIM)
+    6-dp quantization, same lowest-cluster tie-break as the Spark
+    loop. Ends with c{KMEANS_ITERS} (final centroids) and
+    c{KMEANS_ITERS}_new (per-cluster member counts); shared by the
+    kmeans and semdedup oracles."""
+    dist = _KM_DIST_SQL
     parts = [
         "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
         f"""seed AS (
@@ -673,9 +696,13 @@ def _kmeans_sql() -> str:
   FROM {prev} p LEFT JOIN c{n}_new n ON p.cluster = n.cluster AND p.dim = n.dim
 )"""
         )
+    return parts
+
+
+def _kmeans_sql() -> str:
     last = KMEANS_ITERS
     return (
-        ",\n".join(parts)
+        ",\n".join(_lloyd_cte_parts())
         + f"""
 SELECT c.cluster, c.dim, c.cval,
        CAST(COALESCE(n.n_members, 0) AS BIGINT) AS n_members
@@ -686,6 +713,106 @@ LEFT JOIN c{last}_new n ON c.cluster = n.cluster AND c.dim = n.dim
 
 
 KMEANS_EMBEDDINGS_SQL = _kmeans_sql()
+
+
+# ---------------------------------------------------------------------------
+# semdedup — cluster-blocked semantic dedup (SemDeDup shape)
+# ---------------------------------------------------------------------------
+
+SEM_TAU = 0.3
+
+
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): k-means
+    the embeddings, then look for near-duplicates ONLY inside each
+    cluster — a vector is dropped (keep=0) when some lower-id vector
+    in its cluster has cosine ≥ SEM_TAU to it (min-id survivor, the
+    same convention as `dedup_exact`). Returns every vector with its
+    cluster, its max similarity to a lower-id cluster-mate
+    (`nn_sim`, null when it is the cluster's lowest id), and the
+    keep verdict.
+
+    Scale design: this is THE embedding-dedup scale path — the
+    pairwise stage is blocked by cluster, so growing the corpus
+    grows K (clusters ∝ N, bounded cluster size) instead of the
+    pair count; there is never an unkeyed n² join. Assignment is a
+    literal-centroid projection (no join); the only shuffles are
+    Lloyd's K·DIM partial aggs and the in-cluster self-join keyed
+    on cluster id. Cross-engine determinism inherits the kmeans
+    contract: 6-dp centroid quantization at every iteration
+    boundary, lowest-cluster argmin ties, 6-dp rounded cosine."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    cents = _init_cents(emb)
+    for _ in range(KMEANS_ITERS):
+        cents = _lloyd_update(emb, cents)
+    assigned = _assign(emb, cents).withColumn("nrm", norm(F.col("v")))
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = F.round(
+        cosine_prenormed(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")) + 1e-9, 6
+    )
+    nn = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("b.vec_id").alias("vec_id"), cos.alias("c"))
+        .groupBy("vec_id")
+        .agg(F.max("c").alias("nn_sim"))
+    )
+    return assigned.join(nn, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        "nn_sim",
+        F.when(F.col("nn_sim") >= SEM_TAU, F.lit(0)).otherwise(F.lit(1)).alias("keep"),
+    )
+
+
+def _semdedup_sql() -> str:
+    last = KMEANS_ITERS
+    norm_sql = "sqrt(list_sum(list_transform({v}, x -> x * x)))"
+    na, nb = norm_sql.format(v="a.v"), norm_sql.format(v="b.v")
+    cos = (
+        f"CASE WHEN {na} * {nb} > 0 THEN "
+        f"list_sum(list_transform(range(1, {DIM} + 1), i -> a.v[i] * b.v[i]))"
+        f" / ({na} * {nb}) ELSE 0.0 END"
+    )
+    parts = _lloyd_cte_parts()
+    parts.append(
+        f"""clF AS (
+  SELECT cluster, list(cval ORDER BY dim) AS c FROM c{last} GROUP BY cluster
+)"""
+    )
+    parts.append(
+        f"""af AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT e.vec_id, e.v, cl.cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_KM_DIST_SQL}, cl.cluster) AS rn
+    FROM e CROSS JOIN clF cl
+  ) WHERE rn = 1
+)"""
+    )
+    parts.append(
+        f"""nn AS (
+  SELECT b.vec_id, max(round({cos} + 1e-9, 6)) AS nn_sim
+  FROM af a JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  GROUP BY b.vec_id
+)"""
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT af.vec_id, af.cluster, nn.nn_sim,
+       CASE WHEN nn.nn_sim >= {SEM_TAU} THEN 0 ELSE 1 END AS keep
+FROM af LEFT JOIN nn ON af.vec_id = nn.vec_id
+"""
+    )
+
+
+SEMDEDUP_SQL = _semdedup_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -759,5 +886,6 @@ QUERIES = {
     "ann_pq_topk": (ann_pq_topk, ANN_PQ_SQL),
     "label_centroids": (label_centroids, LABEL_CENTROIDS_SQL),
     "kmeans_embeddings": (kmeans_embeddings, KMEANS_EMBEDDINGS_SQL),
+    "semdedup": (semdedup, SEMDEDUP_SQL),
     "embedding_quantize": (embedding_quantize, EMBEDDING_QUANTIZE_SQL),
 }

@@ -83,6 +83,8 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "events_column_profile",
         "events_stream_enrich",
         "dedup_keep_best",
+        "semdedup",
+        "dedup_winnowing",
         # changed since r01 (plan-level only; values locked by tests)
         "doc_tfidf_topk",
         "q2_min_cost_supplier",

@@ -114,6 +114,33 @@ class TestDedup:
         assert out[2] == (3, 0.875)     # 0.5*1.0 + 0.5*(300/400)
         assert out[10] == (2, 0.3125)   # 0.5*0.5 + 0.5*(50/400)
 
+    def test_winnowing_guarantee_on_planted_overlap(self, spark, tmp_path):
+        import pandas as pd
+
+        from datatransformertools_spark.operators.dedup import dedup_winnowing
+
+        # docs 1/2 share a verbatim 40-token run — far above the
+        # K_GRAM + WINNOW_G - 1 = 11 guarantee length, so winnowing
+        # must select well over MIN_SHARED_FP shared fingerprints
+        # (expected ~2·33/(G+1) ≈ 13 distinct); doc 3 shares nothing.
+        shared = " ".join(f"tok{i}" for i in range(40))
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "aaa bbb ccc " + shared + " xxx yyy zzz",
+                    "one two three four five " + shared + " six seven",
+                    " ".join(f"other{i}" for i in range(30)),
+                ],
+                "lang": ["en"] * 3,
+                "source": ["web"] * 3,
+                "n_chars": [100, 100, 100],
+            }
+        ).to_parquet(tmp_path / "documents.parquet")
+        pairs = {(r.doc_a, r.doc_b): r.n_shared for r in dedup_winnowing(spark, str(tmp_path)).collect()}
+        assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+        assert all(3 not in p for p in pairs)
+
     def test_jaccard_pairs_are_high_sim(self, spark, sf_dir):
         pairs = dedup_ngram_jaccard(spark, sf_dir).collect()
         assert all(r.jaccard >= 0.3 for r in pairs)
@@ -199,6 +226,28 @@ class TestSimilarity:
                 bf = {(qq, nn) for qq, nn, _ in exact}
                 if (r.query_id, r.neighbor_id) in bf:
                     assert (r.query_id, r.neighbor_id, r.cos_sim) in exact
+
+
+    def test_semdedup_survivor_invariants(self, spark, sf_dir):
+        from datatransformertools_spark.operators.similarity import SEM_TAU, semdedup
+        from datatransformertools_spark.sources.tables import load_table
+
+        rows = semdedup(spark, sf_dir).collect()
+        n_vecs = load_table(spark, sf_dir, "embeddings").count()
+        assert len(rows) == n_vecs  # verdict for every vector, once
+        # keep verdict is exactly the nn_sim >= tau predicate
+        for r in rows:
+            dropped = r.nn_sim is not None and r.nn_sim >= SEM_TAU
+            assert r.keep == (0 if dropped else 1)
+        # each cluster's lowest vec_id has no lower-id mate -> kept
+        by_cluster: dict[int, list] = {}
+        for r in rows:
+            by_cluster.setdefault(r.cluster, []).append(r)
+        for members in by_cluster.values():
+            head = min(members, key=lambda r: r.vec_id)
+            assert head.nn_sim is None and head.keep == 1
+        # the op must actually dedup something on the test corpus
+        assert any(r.keep == 0 for r in rows)
 
 
 class TestEvaluation:
