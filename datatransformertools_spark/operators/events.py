@@ -5,11 +5,11 @@ batch plans here share the same windowing semantics, which is the
 Spark way: one declarative transform, run over a bounded scan today
 and a stream tomorrow.
 
-Timestamp parity note: events.ts is parquet TIMESTAMP(NANOS);
-Spark reads it as epoch-nanos int64 (see sources/tables.py) while
-DuckDB truncates to microseconds on read. All bucket math therefore
-runs on ``ts div 1000`` (epoch-µs, integer division) so both
-engines see the identical int64 — no float time math anywhere.
+Timestamp parity note: events.ts has shipped as both parquet
+TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across testdata generations;
+``sources.tables.events_ts_us`` normalizes either to epoch-µs int64
+(matching DuckDB's ``epoch_us(ts)``), so all bucket math here runs
+on identical int64 in both engines — no float time math anywhere.
 
 Scale design: every window/sessionization partitions by user_id, so
 state is distributed by key; the as-of join ranks per-event matches
@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from datatransformertools_spark.sources.tables import load_table
+from datatransformertools_spark.sources.tables import events_ts_us, load_table
 
 FIVE_MIN_US = 300_000_000
 SESSION_GAP_US = 1_800_000_000  # 30 min
@@ -30,7 +30,7 @@ SESSION_GAP_US = 1_800_000_000  # 30 min
 
 def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return ev.withColumn("ts_us", F.expr("ts div 1000"))
+    return ev.withColumn("ts_us", events_ts_us(ev))
 
 
 # ---------------------------------------------------------------------------

@@ -23,9 +23,21 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, value double, props string"
-)
+from datatransformertools_spark.sources.tables import events_event_time, events_ts_us
+
+
+def _read_raw(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream over an events parquet landing directory.
+
+    The file stream source needs an explicit schema; probe it from the
+    directory with ONE driver-side batch footer read so the stream is
+    robust to how events.ts materialized across testdata generations
+    (epoch-nanos int64 under nanosAsLong, or native timestamp_ntz
+    micros). Downstream time math goes through events_ts_us /
+    events_event_time, which normalize either shape."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(source_dir).schema
+    return spark.readStream.schema(schema).parquet(source_dir)
 
 # A streaming query's state-store partition count is pinned to
 # spark.sql.shuffle.partitions at FIRST checkpoint — it is the one
@@ -54,11 +66,11 @@ def _state_partitions(spark: SparkSession, n: int = STREAM_STATE_PARTITIONS):
 
 
 def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
-    """File-source stream over events parquet (ts as epoch-nanos
-    int64, same representation as the batch reader)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
-    return raw.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    """File-source stream over events parquet with a normalized
+    `event_time` timestamp column (same µs instants as the batch
+    reader, whatever the parquet physical type)."""
+    raw = _read_raw(spark, source_dir)
+    return raw.withColumn("event_time", events_event_time(raw))
 
 
 def stream_tumbling_agg(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
@@ -163,16 +175,15 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F  # noqa: F811 (self-contained)
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file stream source requires a DIRECTORY; stage one with a
     # symlink to the table file (a real deployment streams from the
     # landing directory to begin with)
     src_dir = tempfile.mkdtemp(prefix="dtt-stream-src-")
     os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events.parquet")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+    raw = _read_raw(spark, src_dir)
     five_min_us = 300_000_000
     agg = (
-        raw.withColumn("ts_us", F.expr("ts div 1000"))
+        raw.withColumn("ts_us", events_ts_us(raw))
         .groupBy(
             (F.expr(f"ts_us div {five_min_us}") * five_min_us).alias("window_start_us"),
             "event_type",
@@ -224,11 +235,10 @@ def events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F  # noqa: F811 (self-contained)
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src_dir = tempfile.mkdtemp(prefix="dtt-stream-sess-src-")
     os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events.parquet")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
-    ev = raw.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = _read_raw(spark, src_dir)
+    ev = raw.withColumn("event_time", events_event_time(raw))
     agg = (
         ev.withWatermark("event_time", "60 minutes")
         .groupBy(F.session_window("event_time", "30 minutes"), F.col("user_id"))
@@ -305,13 +315,12 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F  # noqa: F811 (self-contained)
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src_dir = tempfile.mkdtemp(prefix="dtt-stream-dedup-src-")
     os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events.parquet")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+    raw = _read_raw(spark, src_dir)
     five_min_us = 300_000_000
     deduped = (
-        raw.withColumn("ts_us", F.expr("ts div 1000"))
+        raw.withColumn("ts_us", events_ts_us(raw))
         .withColumn(
             "bucket_time",
             F.timestamp_micros(F.expr(f"ts_us div {five_min_us}") * five_min_us),
@@ -369,11 +378,10 @@ def events_stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F  # noqa: F811 (self-contained)
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src_dir = tempfile.mkdtemp(prefix="dtt-stream-hop-src-")
     os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events.parquet")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
-    ev = raw.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = _read_raw(spark, src_dir)
+    ev = raw.withColumn("event_time", events_event_time(raw))
     agg = (
         ev.groupBy(F.window("event_time", "10 minutes", "5 minutes").alias("w"), "event_type")
         .agg(
@@ -423,10 +431,9 @@ def events_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src_dir = tempfile.mkdtemp(prefix="dtt-stream-ut-src-")
     os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events.parquet")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+    raw = _read_raw(spark, src_dir)
     totals = stream_user_totals(raw)
     name = f"stream_user_totals_{uuid.uuid4().hex[:8]}"
     with _state_partitions(spark):
@@ -475,7 +482,6 @@ def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F  # noqa: F811 (self-contained)
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # stage each side as its own file-source directory: in production
     # these are two topics/landing zones (clicks, purchases)
     def _side(prefix: str, event_type: str, user: str, tcol: str, ucol: str) -> DataFrame:
@@ -483,14 +489,15 @@ def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(
             os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events.parquet"
         )
-        raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+        raw = _read_raw(spark, src_dir)
         return (
             raw.filter(F.col("event_type") == event_type)
-            .withColumn(tcol, F.timestamp_micros(F.expr("ts div 1000")))
+            .withColumn(tcol, events_event_time(raw))
+            .withColumn(ucol, events_ts_us(raw))
             .select(
                 F.col("user_id").alias(user),
                 F.col(tcol),
-                F.expr("ts div 1000").alias(ucol),
+                F.col(ucol),
             )
             .withWatermark(tcol, "60 minutes")
         )
@@ -553,7 +560,6 @@ def events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F  # noqa: F811 (self-contained)
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the static reference: batch aggregate over the same landing
     # table (stand-in for the warehouse's historical stats table)
     static_stats = (
@@ -563,7 +569,7 @@ def events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src_dir = tempfile.mkdtemp(prefix="dtt-stream-enrich-src-")
     os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events.parquet")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+    raw = _read_raw(spark, src_dir)
     enriched = raw.join(F.broadcast(static_stats), "event_type").withColumn(
         "above_mean", (F.col("value") > F.col("mean_value")).cast("long")
     )

@@ -9,6 +9,7 @@ from pathlib import Path
 
 from pyspark.sql import functions as F
 
+from datatransformertools_spark.sources.tables import events_event_time
 from datatransformertools_spark.streaming.events import (
     read_events_stream,
     run_available_now,
@@ -37,10 +38,10 @@ def test_stream_matches_batch(spark, sf_dir):
         for r in spark.sql("SELECT * FROM stream_tumbling").collect()
     }
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_batch = spark.read.parquet(str(src))
     batch = (
-        spark.read.parquet(str(src))
-        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        raw_batch
+        .withColumn("event_time", events_event_time(raw_batch))
         .groupBy(F.window("event_time", "5 minutes"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
         .select(F.col("window.start").alias("ws"), "event_type", "n", "s")
@@ -70,10 +71,10 @@ def test_stream_session_window_matches_batch(spark, sf_dir):
         for r in spark.sql("SELECT * FROM stream_sessions").collect()
     }
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_batch = spark.read.parquet(str(src))
     batch = (
-        spark.read.parquet(str(src))
-        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        raw_batch
+        .withColumn("event_time", events_event_time(raw_batch))
         .groupBy(F.session_window("event_time", "30 minutes"), "user_id")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
         .select(F.col("session_window.start").alias("ws"), "user_id", "n", "s")
@@ -111,10 +112,10 @@ def test_stream_foreachbatch_parquet_sink(spark, sf_dir):
         (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 4))
         for r in landed.collect()
     }
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_batch = spark.read.parquet(str(src))
     batch = (
-        spark.read.parquet(str(src))
-        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        raw_batch
+        .withColumn("event_time", events_event_time(raw_batch))
         .groupBy(F.window("event_time", "5 minutes"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
         .select(F.col("window.start").alias("ws"), "event_type", "n", "s")
