@@ -938,6 +938,187 @@ GROUP BY c_nationkey
 """
 
 
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape on the available columns (no partsupp table in
+    this schema): per-part "stock value" held by one nation's
+    suppliers — sum(l_extendedprice * l_quantity) over that nation's
+    line items — keeping parts whose value exceeds 0.1% of the
+    nation's total. The HAVING-over-global-total scalar subquery is a
+    1-row aggregate cross-joined back (broadcast of one row, never a
+    collect).
+
+    Scale design: lineitem is pruned FIRST by a semi-join against the
+    nation's supplier keys (SF/25 of suppliers — grows with SF, so no
+    broadcast hint; AQE upgrades it at small scale), then one shuffle
+    on l_partkey for the agg. The threshold compare runs in
+    DECIMAL(38,4), which both engines evaluate exactly — no
+    float-sum-order boundary risk — and only the final projection
+    casts to double for the gate.
+
+    Reference parity: mirrors Q11's GROUP BY + HAVING SUM >
+    FRACTION * total shape (reference test queries; see SURVEY.md §2)."""
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * F.col("l_quantity").cast("decimal(18,2)")
+        ).alias("item_value"),
+    )
+    value = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum("item_value").alias("stock_value"))
+    )
+    total = value.agg((F.sum("stock_value") * F.lit(0.001).cast("decimal(10,6)")).alias("threshold"))
+    return (
+        value.crossJoin(F.broadcast(total))
+        .filter(F.col("stock_value") > F.col("threshold"))
+        .select("l_partkey", F.col("stock_value").cast("double").alias("stock_value"))
+    )
+
+
+Q11_SQL = """
+WITH v AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)))
+           AS stock_value
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7')
+  GROUP BY 1
+)
+SELECT l_partkey, CAST(stock_value AS DOUBLE) AS stock_value
+FROM v
+WHERE stock_value > (SELECT sum(stock_value) * CAST(0.001 AS DECIMAL(10,6)) FROM v)
+"""
+
+
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape on the available columns: how many distinct
+    suppliers can deliver each (brand, type, size) bucket of
+    non-premium parts, excluding flagged suppliers. The
+    part-supplier relation is derived from shipped line items
+    (distinct (l_partkey, l_suppkey) — no partsupp table here), the
+    supplier blacklist (negative account balance stands in for Q16's
+    complaints filter) is a left_anti join, and the part attribute
+    filters push into the part scan.
+
+    Scale design: the distinct() on (partkey, suppkey) is one
+    map-side-combined shuffle that collapses lineitem to its
+    relation-size core BEFORE any join; the anti-join side
+    (blacklisted suppliers) is a filtered fraction of supplier and
+    stays unhinted for AQE. count_distinct(suppkey) per attribute
+    bucket is the final single shuffle on the (brand, type, size)
+    key — |buckets| ≈ 25·6·50, bounded regardless of SF."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    flagged = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#5")
+            & (~F.col("p_type").startswith("PREMIUM"))
+            & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        pairs.join(flagged, pairs.l_suppkey == flagged.s_suppkey, "left_anti")
+        .join(part, pairs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type NOT LIKE 'PREMIUM%'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY 1, 2, 3
+"""
+
+
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape on the available columns: suppliers who
+    dominated the 1996 supply of any 'small ...' part — shipping
+    more than half of that part's total shipped quantity. Q20's
+    correlated `ps_availqty > 0.5 * (SELECT sum(l_quantity) ...)`
+    becomes a window sum over the per-(supplier, part) aggregate:
+    the per-part total is computed WITHOUT a second shuffle because
+    the window partitions on l_partkey.
+
+    Scale design: lineitem prunes by date in the scan and by part
+    keys via a semi-join before aggregating; the (suppkey, partkey)
+    groupBy is the one data shuffle, and the l_partkey window reuses
+    no extra exchange beyond its own repartition of the already
+    collapsed aggregate (|pairs|, not |lineitem| rows). l_quantity
+    is integer-valued, so double sums and the 0.5× compare are
+    exact in both engines. The final supplier join shuffles on
+    suppkey (supplier grows with SF — never hint-broadcast)."""
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    shipped = (
+        li.join(parts, li.l_partkey == parts.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    part_total = F.sum("qty").over(Window.partitionBy("l_partkey"))
+    dominant = (
+        shipped.withColumn("part_qty", part_total)
+        .filter(F.col("qty") > 0.5 * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return supp.join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name", F.round(F.col("s_acctbal") + 1e-9, 2).alias("s_acctbal")
+    )
+
+
+Q20_SQL = """
+WITH shipped AS (
+  SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+  GROUP BY 1, 2
+),
+dominant AS (
+  SELECT DISTINCT l_suppkey
+  FROM (SELECT *, sum(qty) OVER (PARTITION BY l_partkey) AS part_qty FROM shipped)
+  WHERE qty > 0.5 * part_qty
+)
+SELECT s_suppkey, s_name, round(s_acctbal + 1e-9, 2) AS s_acctbal
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
+"""
+
+
 # ---------------------------------------------------------------------------
 # customer_rfm — recency/frequency/monetary segmentation
 # ---------------------------------------------------------------------------
@@ -1108,6 +1289,9 @@ QUERIES = {
     "q17_small_qty_revenue": (q17_small_qty_revenue, Q17_SQL),
     "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
     "q22_global_sales_opportunity": (q22_global_sales_opportunity, Q22_SQL),
+    "q11_important_stock": (q11_important_stock, Q11_SQL),
+    "q16_supplier_count": (q16_supplier_count, Q16_SQL),
+    "q20_dominant_suppliers": (q20_dominant_suppliers, Q20_SQL),
     "customer_rfm": (customer_rfm, CUSTOMER_RFM_SQL),
     "orders_market_basket": (orders_market_basket, ORDERS_MARKET_BASKET_SQL),
 }

@@ -59,6 +59,9 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         # new in r02 after the gate window was frozen (verified by
         # the local fresh-process oracle sweep; first in line to
         # rotate into the gate next round)
+        "q11_important_stock",
+        "q16_supplier_count",
+        "q20_dominant_suppliers",
         "events_rolling_avg",
         "events_value_quantiles_sketch",
         "doc_unigram_logprob",
