@@ -181,3 +181,27 @@ def test_column_profile_expand_multi_distinct(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_column_profile")
     assert plan.count("Expand") == 1, plan
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_q11_broadcasts_nation_and_scalar_only(spark, sf_dir):
+    # the 25-row nation dim and the 1-row threshold aggregate are the
+    # only hinted broadcasts; the nation's supplier-key frame and the
+    # per-part aggregate (both grow with SF) shuffle.
+    plan = _plan_hints_only(spark, sf_dir, "q11_important_stock")
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row threshold cross join
+    assert "SortMergeJoin" in plan  # lineitem ⋉ supplier-keys semi-join
+
+
+def test_q16_q20_never_hint_broadcast(spark, sf_dir):
+    # part/supplier/lineitem-derived frames all grow with SF — no
+    # broadcast hints anywhere; AQE may upgrade at runtime from stats.
+    for name in ("q16_supplier_count", "q20_dominant_suppliers"):
+        plan = _plan_hints_only(spark, sf_dir, name)
+        assert "BroadcastExchange" not in plan, f"{name} force-broadcasts:\n{plan}"
+
+
+def test_q20_date_filter_pushed_down(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q20_dominant_suppliers")
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l and "l_shipdate" in l]
+    assert any("PushedFilters: [" in s and "l_shipdate" in s.split("PushedFilters")[1] for s in scans), plan

@@ -208,6 +208,24 @@ SECTIONS = [
         "only touched on the shortlist rerank.",
         True,
     ),
+    (
+        "q11_important_stock",
+        "The 25-row nation dim and the 1-row decimal threshold aggregate "
+        "are the only hinted broadcasts; lineitem prunes via a shuffled "
+        "semi-join on the nation's supplier keys (supplier grows with SF), "
+        "then one l_partkey exchange feeds both the agg and the "
+        "HAVING-over-total compare.",
+        True,
+    ),
+    (
+        "q20_dominant_suppliers",
+        "No hinted broadcast anywhere: the shipdate filter pushes into the "
+        "lineitem scan, part keys prune via a shuffled semi-join, the "
+        "(suppkey, partkey) groupBy is the one data shuffle, and the "
+        "per-part total reuses the aggregate via an l_partkey window — "
+        "the correlated subquery never rescans lineitem.",
+        True,
+    ),
 ]
 
 # Iterative operators whose returned plan is a checkpoint scan (their
