@@ -398,6 +398,169 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# source_temperature_weights — temperature-scaled data-mixing weights
+# ---------------------------------------------------------------------------
+
+EPOCH_TOKEN_BUDGET = 100_000  # chars drawn per training epoch
+
+
+def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights per source (α = 0.5):
+    weight_i = sqrt(n_chars_i) / Σ_j sqrt(n_chars_j) — the standard
+    flattening of a heavy-tailed corpus mix so small sources are not
+    drowned out, plus each source's expected chars per epoch under a
+    fixed budget and the resulting oversampling factor (epochs per
+    pass over that source).
+
+    α is fixed at 0.5 because IEEE sqrt is correctly rounded in
+    every engine — a pow(n, α) for arbitrary α is only
+    faithfully rounded and could flip the 6-dp gate hash.
+
+    Scale design: one partial-agg shuffle on source (|sources| rows
+    out), then the normalizing total rides back as a broadcast 1-row
+    aggregate — weights for a trillion-doc corpus cost one scan and
+    shuffle |sources| longs."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    scaled = per_source.withColumn("scaled", F.sqrt(F.col("total_chars")))
+    total = scaled.agg(F.sum("scaled").alias("z"))
+    weight = F.col("scaled") / F.col("z")
+    return (
+        scaled.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            F.round(weight + 1e-9, 6).alias("mix_weight"),
+            F.round(weight * EPOCH_TOKEN_BUDGET / F.col("total_chars") + 1e-9, 6).alias(
+                "epochs_per_pass"
+            ),
+        )
+    )
+
+
+SOURCE_TEMPERATURE_SQL = f"""
+WITH per_source AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT)     AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM documents GROUP BY 1
+),
+z AS (SELECT sum(sqrt(total_chars)) AS z FROM per_source)
+SELECT source, n_docs, total_chars,
+       round(sqrt(total_chars) / z + 1e-9, 6) AS mix_weight,
+       round(sqrt(total_chars) / z * {EPOCH_TOKEN_BUDGET} / total_chars + 1e-9, 6)
+         AS epochs_per_pass
+FROM per_source CROSS JOIN z
+"""
+
+
+# ---------------------------------------------------------------------------
+# cap_per_source — down-sample over-represented sources, keep the best
+# ---------------------------------------------------------------------------
+
+SOURCE_CAP = 10  # max docs kept per source
+
+
+def cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap: keep at most SOURCE_CAP docs from
+    each source, preferring the highest quality score (ties break on
+    doc_id) — the anti-over-representation gate a web-scale corpus
+    runs on crawl-heavy domains.
+
+    Scale design: one shuffle on source; the rank window sorts
+    partition-locally within each source. A single pathological
+    source (half the corpus from one domain) skews that partition —
+    the documented fallback is pre-filtering with a per-source
+    quality-threshold approximation (percentile_approx) before the
+    exact window, which bounds any partition to ~cap candidates.
+    Quality reuses text_quality's exact scoring expression, so the
+    kept set is consistent with the quality audit."""
+    from datatransformertools_spark.operators.text_analysis import quality_score_expr
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text", "n_chars")
+    scored = docs.select(
+        "doc_id", "source", quality_score_expr().alias("quality_score")
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.col("quality_score").desc(), F.col("doc_id"))
+    )
+    return (
+        scored.withColumn("rank", rank)
+        .filter(F.col("rank") <= SOURCE_CAP)
+        .select("doc_id", "source", "quality_score", "rank")
+    )
+
+
+CAP_PER_SOURCE_SQL = rf"""
+WITH scored AS (
+  SELECT doc_id, source,
+         round(
+           0.5 * (CASE WHEN len(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), '\s+')) > 0
+                       THEN len(list_distinct(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), '\s+')))::DOUBLE
+                            / len(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), '\s+'))
+                       ELSE 0.0 END)
+           + 0.5 * least(n_chars / 400.0, 1.0) + 1e-9, 6) AS quality_score
+  FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY quality_score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT doc_id, source, quality_score, rank FROM ranked WHERE rank <= {SOURCE_CAP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# shard_assignment — deterministic output sharding for dataset export
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 16
+SHARD_SALT = "shard-v1"
+
+
+def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard assignment for dataset export: every doc
+    maps to shard md5(salt‖doc_id) % N_SHARDS, and the audit emits
+    per-shard doc/char counts — the balance check before a
+    `partitionBy("shard")` write fans the corpus into equal-sized
+    training files. Keep/placement is a pure function of
+    (salt, doc_id): re-runs, engines, and cluster sizes all agree,
+    which is what makes incremental re-export and resumable training
+    reads possible.
+
+    Scale design: the shard key is computed map-side from doc_id
+    alone (no text in the hash), one partial-agg shuffle with
+    N_SHARDS groups out."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    shard = (md5_long(F.col("doc_id").cast("string"), salt=SHARD_SALT) % N_SHARDS).alias("shard")
+    return (
+        docs.groupBy(shard)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+SHARD_ASSIGNMENT_SQL = f"""
+SELECT ('0x' || substr(md5('{SHARD_SALT}' || doc_id), 1, 15))::BIGINT % {N_SHARDS} AS shard,
+       CAST(count(*) AS BIGINT)     AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id)                  AS min_doc_id,
+       max(doc_id)                  AS max_doc_id
+FROM documents
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
     "contamination_check": (contamination_check, CONTAMINATION_CHECK_SQL),
@@ -405,4 +568,7 @@ QUERIES = {
     "corpus_mix_summary": (corpus_mix_summary, CORPUS_MIX_SUMMARY_SQL),
     "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
     "dedup_rate_by_source": (dedup_rate_by_source, DEDUP_RATE_BY_SOURCE_SQL),
+    "source_temperature_weights": (source_temperature_weights, SOURCE_TEMPERATURE_SQL),
+    "cap_per_source": (cap_per_source, CAP_PER_SOURCE_SQL),
+    "shard_assignment": (shard_assignment, SHARD_ASSIGNMENT_SQL),
 }

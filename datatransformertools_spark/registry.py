@@ -62,6 +62,9 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "q11_important_stock",
         "q16_supplier_count",
         "q20_dominant_suppliers",
+        "source_temperature_weights",
+        "cap_per_source",
+        "shard_assignment",
         "events_rolling_avg",
         "events_value_quantiles_sketch",
         "doc_unigram_logprob",
