@@ -49,7 +49,7 @@ def main() -> None:
     from datatransformertools_spark.caching import release_caches
 
     timings: dict[str, float] = {}
-    for name in sorted(queries):
+    for i, name in enumerate(sorted(queries)):
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -57,6 +57,13 @@ def main() -> None:
         # pays for its own stage tables and no cached blocks leak GC
         # pressure into later queries
         release_caches()
+        # 100+ plans in one JVM accumulate codegen classes and young-
+        # gen garbage; without an explicit collection, late heavy
+        # queries pay 2-3× their isolated time in GC stalls. A full
+        # GC every few queries keeps each measurement close to what
+        # the query costs in a fresh session.
+        if i % 8 == 7:
+            spark._jvm.System.gc()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
