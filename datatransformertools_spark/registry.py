@@ -36,6 +36,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "datatransformertools_spark.operators.dedup",
         "datatransformertools_spark.operators.graph",
         "datatransformertools_spark.operators.corpus",
+        "datatransformertools_spark.operators.audit",
         "datatransformertools_spark.operators.similarity",
         "datatransformertools_spark.operators.text_analysis",
         "datatransformertools_spark.operators.multimodal",
@@ -65,6 +66,8 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "source_temperature_weights",
         "cap_per_source",
         "shard_assignment",
+        "key_skew_profile",
+        "referential_integrity_audit",
         "events_rolling_avg",
         "events_value_quantiles_sketch",
         "doc_unigram_logprob",
