@@ -1196,6 +1196,86 @@ FROM events"""
 EVENTS_COLUMN_PROFILE_SQL = _profile_oracle()
 
 
+# ---------------------------------------------------------------------------
+# events_watermark_audit — how late does this feed actually arrive?
+# ---------------------------------------------------------------------------
+
+# lateness histogram bucket upper bounds (µs) and labels, in order
+LATENESS_BUCKETS = (
+    (0, "0_in_order"),
+    (60_000_000, "1_under_1m"),
+    (300_000_000, "2_under_5m"),
+    (1_800_000_000, "3_under_30m"),
+    (7_200_000_000, "4_under_2h"),
+)
+LATENESS_OVERFLOW = "5_over_2h"
+
+
+def events_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time lateness distribution — the measurement that sizes
+    a streaming watermark. For each event, lateness is how far its
+    event time sits behind the latest event time already seen on its
+    key (arrival order = event_id, the ingest sequence number);
+    the histogram of that lateness says which `withWatermark`
+    horizon keeps e.g. 99% of events while bounding state. Every
+    watermark in `streaming/events.py` is a constant someone chose —
+    this audit is where the constant comes from.
+
+    Scale design: the running max is a per-user window (one shuffle
+    on user_id, sorts partition-local), and the histogram is a
+    second ~6-group agg. Lateness stays exact int64 µs throughout;
+    shares round at 6 dp."""
+    ev = _events_us(spark, sf_dir).select("user_id", "event_id", "ts_us")
+    seen = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    late = ev.select(
+        (F.max("ts_us").over(seen) - F.col("ts_us")).alias("lateness_us")
+    )
+    bucket = F.when(F.col("lateness_us") <= LATENESS_BUCKETS[0][0], LATENESS_BUCKETS[0][1])
+    for bound, label in LATENESS_BUCKETS[1:]:
+        bucket = bucket.when(F.col("lateness_us") <= bound, label)
+    bucket = bucket.otherwise(LATENESS_OVERFLOW)
+    total = Window.partitionBy()
+    return (
+        late.groupBy(bucket.alias("lateness_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("lateness_us").alias("max_lateness_us"),
+        )
+        .withColumn(
+            "share", F.round(F.col("n_events") / F.sum("n_events").over(total) + 1e-9, 6)
+        )
+    )
+
+
+def _watermark_oracle() -> str:
+    cases = f"WHEN lateness_us <= {LATENESS_BUCKETS[0][0]} THEN '{LATENESS_BUCKETS[0][1]}'"
+    for bound, label in LATENESS_BUCKETS[1:]:
+        cases += f"\n           WHEN lateness_us <= {bound} THEN '{label}'"
+    return f"""
+WITH late AS (
+  SELECT max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS UNBOUNDED PRECEDING) - epoch_us(ts)
+           AS lateness_us
+  FROM events
+),
+hist AS (
+  SELECT CASE {cases}
+           ELSE '{LATENESS_OVERFLOW}' END AS lateness_bucket,
+         CAST(count(*) AS BIGINT)        AS n_events,
+         CAST(max(lateness_us) AS BIGINT) AS max_lateness_us
+  FROM late GROUP BY 1
+)
+SELECT lateness_bucket, n_events, max_lateness_us,
+       round(n_events * 1.0 / sum(n_events) OVER () + 1e-9, 6) AS share
+FROM hist
+"""
+
+
+EVENTS_WATERMARK_AUDIT_SQL = _watermark_oracle()
+
+
 QUERIES = {
     "events_tumbling_agg": (events_tumbling_agg, EVENTS_TUMBLING_AGG_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
@@ -1222,4 +1302,5 @@ QUERIES = {
     "events_transition_matrix": (events_transition_matrix, EVENTS_TRANSITION_MATRIX_SQL),
     "events_anomaly_zscore": (events_anomaly_zscore, EVENTS_ANOMALY_ZSCORE_SQL),
     "events_column_profile": (events_column_profile, EVENTS_COLUMN_PROFILE_SQL),
+    "events_watermark_audit": (events_watermark_audit, EVENTS_WATERMARK_AUDIT_SQL),
 }

@@ -879,6 +879,55 @@ GROUP BY vec_id, label
 """
 
 
+# ---------------------------------------------------------------------------
+# embedding_norm_audit — vector QA before anything consumes embeddings
+# ---------------------------------------------------------------------------
+
+
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding health audit: vector counts, zero/degenerate
+    vectors (cosine against them is undefined — they poison ANN and
+    centroid math), and the L2-norm spread. An un-normalized or
+    partially-zeroed embedding drop is the classic silent failure
+    upstream of every similarity operator; this is the gate that
+    catches it.
+
+    Scale design: the norm folds per row inside codegen (same
+    sequential-double fold as every similarity op, so the numbers are
+    engine-exact), then one |labels|-group partial-agg shuffle —
+    the audit of a billion-vector corpus moves |labels| rows."""
+    emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    n = norm(as_double(F.col("embedding")))
+    return (
+        emb.select("label", n.alias("l2"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum((F.col("l2") == 0.0).cast("long")).alias("n_zero"),
+            F.round(F.min("l2") + 1e-9, 6).alias("min_norm"),
+            F.round(F.max("l2") + 1e-9, 6).alias("max_norm"),
+            F.round(F.avg("l2") + 1e-9, 6).alias("avg_norm"),
+        )
+    )
+
+
+EMBEDDING_NORM_AUDIT_SQL = """
+WITH norms AS (
+  SELECT label,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS l2
+  FROM embeddings
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(CASE WHEN l2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       round(min(l2) + 1e-9, 6) AS min_norm,
+       round(max(l2) + 1e-9, 6) AS max_norm,
+       round(avg(l2) + 1e-9, 6) AS avg_norm
+FROM norms
+GROUP BY label
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
@@ -888,4 +937,5 @@ QUERIES = {
     "kmeans_embeddings": (kmeans_embeddings, KMEANS_EMBEDDINGS_SQL),
     "semdedup": (semdedup, SEMDEDUP_SQL),
     "embedding_quantize": (embedding_quantize, EMBEDDING_QUANTIZE_SQL),
+    "embedding_norm_audit": (embedding_norm_audit, EMBEDDING_NORM_AUDIT_SQL),
 }

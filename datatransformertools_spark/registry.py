@@ -68,6 +68,8 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "shard_assignment",
         "key_skew_profile",
         "referential_integrity_audit",
+        "embedding_norm_audit",
+        "events_watermark_audit",
         "events_rolling_avg",
         "events_value_quantiles_sketch",
         "doc_unigram_logprob",
