@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from datatransformertools_spark.caching import track
 from datatransformertools_spark.functions.hashing import lsh_band_keys
@@ -686,6 +687,78 @@ FROM reach GROUP BY node
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup_incremental — dedup a NEW drop against the already-ingested corpus
+# ---------------------------------------------------------------------------
+
+# every doc_id % DROP_MOD == 0 models the incoming drop; the rest is
+# the corpus already ingested in earlier runs
+DROP_MOD = 5
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: classify each document of a NEW drop
+    against the corpus already ingested — `novel`, `dup_of_corpus`
+    (hash already in the corpus), or `dup_in_drop` (first occurrence
+    wins inside the drop). This is how dedup actually runs in
+    production: the full-corpus pass happens once, every later drop
+    joins against the existing hash index instead of re-deduping
+    petabytes.
+
+    Scale design: both sides collapse to (16-byte md5, min doc_id)
+    before any join — the corpus side is exactly the hash index a
+    real pipeline persists between runs; the membership check is a
+    left join on the hash, so text never shuffles and the drop-side
+    work is O(|drop|), not O(|corpus|)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hashed = docs.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("text_hash")
+    )
+    drop = hashed.filter(F.col("doc_id") % DROP_MOD == 0)
+    corpus_index = (
+        hashed.filter(F.col("doc_id") % DROP_MOD != 0)
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("corpus_doc_id"))
+    )
+    first_in_drop = Window.partitionBy("text_hash").orderBy("doc_id")
+    return (
+        drop.join(corpus_index, "text_hash", "left")
+        .withColumn("rn", F.row_number().over(first_in_drop))
+        .select(
+            "doc_id",
+            "text_hash",
+            F.when(F.col("corpus_doc_id").isNotNull(), "dup_of_corpus")
+            .when(F.col("rn") > 1, "dup_in_drop")
+            .otherwise("novel")
+            .alias("status"),
+        )
+    )
+
+
+DEDUP_INCREMENTAL_SQL = rf"""
+WITH hashed AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_hash
+  FROM documents
+),
+drop_docs AS (SELECT * FROM hashed WHERE doc_id % {DROP_MOD} = 0),
+corpus_index AS (
+  SELECT text_hash, min(doc_id) AS corpus_doc_id
+  FROM hashed WHERE doc_id % {DROP_MOD} <> 0 GROUP BY 1
+),
+classified AS (
+  SELECT d.doc_id, d.text_hash, c.corpus_doc_id,
+         row_number() OVER (PARTITION BY d.text_hash ORDER BY d.doc_id) AS rn
+  FROM drop_docs d LEFT JOIN corpus_index c USING (text_hash)
+)
+SELECT doc_id, text_hash,
+       CASE WHEN corpus_doc_id IS NOT NULL THEN 'dup_of_corpus'
+            WHEN rn > 1 THEN 'dup_in_drop'
+            ELSE 'novel' END AS status
+FROM classified
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
@@ -695,4 +768,5 @@ QUERIES = {
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
+    "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
 }

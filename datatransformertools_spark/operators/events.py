@@ -1276,6 +1276,82 @@ FROM hist
 EVENTS_WATERMARK_AUDIT_SQL = _watermark_oracle()
 
 
+# ---------------------------------------------------------------------------
+# events_drift_psi — distribution drift between time halves (PSI)
+# ---------------------------------------------------------------------------
+
+PSI_BIN_W = 25.0
+PSI_BIN_CAP = 20
+PSI_EPS = 1e-6
+
+
+def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift check on the event value
+    distribution: the stream's first time-half is the reference
+    window, the second half the comparison window, values bucket
+    into fixed-width bins, and each bin contributes
+    (p_b - p_a) · ln(p_b / p_a) (ε-smoothed). Σ contribution is the
+    PSI a feature-drift monitor alerts on (>0.2 = retrain signal);
+    per-bin rows show WHERE the distribution moved.
+
+    Scale design: the split boundary is a 1-row (min+max)/2
+    aggregate cross-joined back (exact int64 µs midpoint — no
+    collect); the histogram is one ≤2·(CAP+1)-group partial agg;
+    shares and PSI round at 6 dp with the same ε in both engines."""
+    ev = _events_us(spark, sf_dir).select("ts_us", "value")
+    # integer floor-division for the midpoint: a float divide + cast
+    # truncates in Spark but rounds-to-nearest in DuckDB, which would
+    # flip boundary events between halves on odd sums
+    bounds = ev.agg(F.min("ts_us").alias("mn"), F.max("ts_us").alias("mx")).select(
+        F.expr("(mn + mx) div 2").alias("mid_us")
+    )
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.col("ts_us") < F.col("mid_us"), "a").otherwise("b").alias("half"),
+        F.least(F.floor(F.col("value") / PSI_BIN_W), F.lit(PSI_BIN_CAP))
+        .cast("long")
+        .alias("bin"),
+    )
+    hist = binned.groupBy("bin").agg(
+        F.sum((F.col("half") == "a").cast("long")).alias("n_a"),
+        F.sum((F.col("half") == "b").cast("long")).alias("n_b"),
+    )
+    tot = Window.partitionBy()
+    pa = F.col("n_a") / F.sum("n_a").over(tot) + PSI_EPS
+    pb = F.col("n_b") / F.sum("n_b").over(tot) + PSI_EPS
+    return hist.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round(pa - PSI_EPS + 1e-9, 6).alias("share_a"),
+        F.round(pb - PSI_EPS + 1e-9, 6).alias("share_b"),
+        F.round((pb - pa) * F.log(pb / pa) + 1e-9, 6).alias("psi_contrib"),
+    )
+
+
+EVENTS_DRIFT_PSI_SQL = f"""
+WITH ev AS (SELECT epoch_us(ts) AS ts_us, value FROM events),
+bounds AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS mid_us FROM ev),
+binned AS (
+  SELECT CASE WHEN ts_us < mid_us THEN 'a' ELSE 'b' END AS half,
+         CAST(least(floor(value / {PSI_BIN_W}), {PSI_BIN_CAP}) AS BIGINT) AS bin
+  FROM ev CROSS JOIN bounds
+),
+hist AS (
+  SELECT bin,
+         CAST(sum(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM binned GROUP BY 1
+)
+SELECT bin, n_a, n_b,
+       round(n_a * 1.0 / sum(n_a) OVER () + 1e-9, 6) AS share_a,
+       round(n_b * 1.0 / sum(n_b) OVER () + 1e-9, 6) AS share_b,
+       round((n_b * 1.0 / sum(n_b) OVER () + {PSI_EPS} - n_a * 1.0 / sum(n_a) OVER () - {PSI_EPS})
+             * ln((n_b * 1.0 / sum(n_b) OVER () + {PSI_EPS})
+                  / (n_a * 1.0 / sum(n_a) OVER () + {PSI_EPS})) + 1e-9, 6) AS psi_contrib
+FROM hist
+"""
+
+
 QUERIES = {
     "events_tumbling_agg": (events_tumbling_agg, EVENTS_TUMBLING_AGG_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
@@ -1303,4 +1379,5 @@ QUERIES = {
     "events_anomaly_zscore": (events_anomaly_zscore, EVENTS_ANOMALY_ZSCORE_SQL),
     "events_column_profile": (events_column_profile, EVENTS_COLUMN_PROFILE_SQL),
     "events_watermark_audit": (events_watermark_audit, EVENTS_WATERMARK_AUDIT_SQL),
+    "events_drift_psi": (events_drift_psi, EVENTS_DRIFT_PSI_SQL),
 }

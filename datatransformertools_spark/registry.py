@@ -70,6 +70,8 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "referential_integrity_audit",
         "embedding_norm_audit",
         "events_watermark_audit",
+        "dedup_incremental",
+        "events_drift_psi",
         "events_rolling_avg",
         "events_value_quantiles_sketch",
         "doc_unigram_logprob",
