@@ -928,6 +928,53 @@ GROUP BY label
 """
 
 
+# ---------------------------------------------------------------------------
+# ann_recall_eval — measure the approximate index against ground truth
+# ---------------------------------------------------------------------------
+
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH index against the brute-force ground
+    truth, measured IN-ENGINE per query: how many of the exact top-k
+    neighbors the approximate index returned. This is the
+    accept/reject gate for any ANN deployment — recall is a property
+    of (data, index parameters), so it must be re-measured on every
+    corpus, not quoted from a paper.
+
+    Scale design: ground truth on the full corpus is itself
+    expensive, so in production this runs on a query SAMPLE (here
+    the same N_QUERIES both indexes already serve); the comparison
+    join is (query_id, neighbor_id) — k·|queries| rows, trivially
+    shuffled. Both inputs reuse the existing gated plans unchanged."""
+    truth = ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ann_lsh_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        truth.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce(F.sum("hit"), F.lit(0)) / F.lit(TOP_K) + 1e-9, 6).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
+# the oracle composes the two existing gated oracles verbatim as
+# derived tables — the recall math is the only new SQL
+ANN_RECALL_EVAL_SQL = f"""
+SELECT t.query_id,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+       round(count(a.neighbor_id) * 1.0 / {TOP_K} + 1e-9, 6) AS recall_at_k
+FROM ({ANN_BRUTEFORCE_SQL}) t
+LEFT JOIN ({ANN_LSH_SQL}) a
+  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+GROUP BY t.query_id
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
@@ -938,4 +985,5 @@ QUERIES = {
     "semdedup": (semdedup, SEMDEDUP_SQL),
     "embedding_quantize": (embedding_quantize, EMBEDDING_QUANTIZE_SQL),
     "embedding_norm_audit": (embedding_norm_audit, EMBEDDING_NORM_AUDIT_SQL),
+    "ann_recall_eval": (ann_recall_eval, ANN_RECALL_EVAL_SQL),
 }

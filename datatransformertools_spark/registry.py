@@ -72,6 +72,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "events_watermark_audit",
         "dedup_incremental",
         "events_drift_psi",
+        "ann_recall_eval",
         "events_rolling_avg",
         "events_value_quantiles_sketch",
         "doc_unigram_logprob",
