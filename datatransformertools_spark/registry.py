@@ -37,6 +37,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "datatransformertools_spark.operators.graph",
         "datatransformertools_spark.operators.corpus",
         "datatransformertools_spark.operators.audit",
+        "datatransformertools_spark.sources.sinks",
         "datatransformertools_spark.operators.similarity",
         "datatransformertools_spark.operators.text_analysis",
         "datatransformertools_spark.operators.multimodal",
@@ -73,6 +74,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "dedup_incremental",
         "events_drift_psi",
         "ann_recall_eval",
+        "bucketed_join_revenue",
         "events_rolling_avg",
         "events_value_quantiles_sketch",
         "doc_unigram_logprob",

@@ -53,3 +53,70 @@ def write_bucketed_table(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+# ---------------------------------------------------------------------------
+# bucketed_join_revenue — the pay-once-join-forever layout, gated
+# ---------------------------------------------------------------------------
+
+_BUCKETS = 8
+
+
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order priority THROUGH the bucketed-table path:
+    orders and lineitem are first written as managed tables bucketed
+    (and sorted) on the order key, then joined out of the catalog —
+    the join runs with ZERO exchanges on either side because both
+    layouts already agree (tests/test_sinks.py asserts the
+    exchange-free plan). This is the recurring-join layout at
+    100 TB: pay the bucketing shuffle once at ingest, then every
+    nightly join of the two biggest tables skips both sort-merge
+    exchanges forever.
+
+    The tiny aggregate materializes eagerly (localCheckpoint — same
+    staged-builder exemption as PageRank/k-means) so the staging
+    tables can be dropped before returning instead of leaking into
+    the session catalog."""
+    from pyspark.sql import functions as F
+
+    from datatransformertools_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+        )
+    )
+    write_bucketed_table(orders, "dtt_bkt_orders", "o_orderkey", _BUCKETS)
+    write_bucketed_table(li, "dtt_bkt_lineitem", "o_orderkey", _BUCKETS)
+    try:
+        out = (
+            spark.table("dtt_bkt_orders")
+            .join(spark.table("dtt_bkt_lineitem"), "o_orderkey")
+            .groupBy("o_orderpriority")
+            .agg(
+                F.round(F.sum("disc_price") + 1e-9, 4).alias("revenue"),
+                F.count(F.lit(1)).alias("n_items"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dtt_bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS dtt_bkt_lineitem")
+    return out
+
+
+BUCKETED_JOIN_REVENUE_SQL = """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "bucketed_join_revenue": (bucketed_join_revenue, BUCKETED_JOIN_REVENUE_SQL),
+}
