@@ -1,0 +1,93 @@
+"""Semantic invariants for the audit / governance operators — the
+properties that must hold on ANY data, beyond the oracle's
+value-equality on this data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datatransformertools_spark.operators.audit import (
+    key_skew_profile,
+    referential_integrity_audit,
+)
+from datatransformertools_spark.operators.corpus import (
+    SOURCE_CAP,
+    shard_assignment,
+    source_temperature_weights,
+)
+from datatransformertools_spark.operators.dedup import dedup_incremental
+from datatransformertools_spark.operators.events import events_watermark_audit
+from datatransformertools_spark.operators.similarity import TOP_K, ann_recall_eval
+from datatransformertools_spark.sources.tables import load_table
+
+
+def test_skew_profile_invariants(spark, sf_dir):
+    rows = key_skew_profile(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_keys <= r.n_rows
+        assert r.max_per_key <= r.n_rows
+        # max/avg >= 1 by definition
+        assert r.skew_factor >= 1.0
+
+
+def test_referential_integrity_clean_schema(spark, sf_dir):
+    # the synthetic star schema is referentially intact — every edge
+    # must report zero orphans (and the audit must still emit a row)
+    rows = referential_integrity_audit(spark, sf_dir).collect()
+    assert len(rows) == 7
+    assert all(r.n_orphan_rows == 0 and r.n_orphan_keys == 0 for r in rows)
+
+
+def test_shard_assignment_covers_corpus(spark, sf_dir):
+    rows = shard_assignment(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == total
+    assert len(rows) <= 16
+
+
+def test_temperature_weights_normalize(spark, sf_dir):
+    rows = source_temperature_weights(spark, sf_dir).collect()
+    assert abs(sum(r.mix_weight for r in rows) - 1.0) < 1e-3
+    # flattening property: every source's weight exceeds its raw
+    # char share's square-root scaling floor (all weights positive)
+    assert all(r.mix_weight > 0 for r in rows)
+
+
+def test_cap_per_source_bounds(spark, sf_dir):
+    from datatransformertools_spark.operators.corpus import cap_per_source
+
+    rows = cap_per_source(spark, sf_dir).collect()
+    per_source: dict[str, int] = {}
+    for r in rows:
+        per_source[r.source] = per_source.get(r.source, 0) + 1
+        assert 1 <= r.rank <= SOURCE_CAP
+    assert all(n <= SOURCE_CAP for n in per_source.values())
+
+
+def test_dedup_incremental_statuses_partition_drop(spark, sf_dir):
+    out = dedup_incremental(spark, sf_dir)
+    rows = out.collect()
+    n_drop = (
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0).count()
+    )
+    assert len(rows) == n_drop
+    assert {r.status for r in rows} <= {"novel", "dup_of_corpus", "dup_in_drop"}
+    # inside the drop, at most one novel doc per hash
+    novel_hashes = [r.text_hash for r in rows if r.status == "novel"]
+    assert len(novel_hashes) == len(set(novel_hashes))
+
+
+def test_ann_recall_bounds(spark, sf_dir):
+    rows = ann_recall_eval(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r.n_hits <= TOP_K
+        assert 0.0 <= r.recall_at_k <= 1.0 + 1e-9
+
+
+def test_watermark_audit_shares_sum_to_one(spark, sf_dir):
+    rows = events_watermark_audit(spark, sf_dir).collect()
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+    n_total = sum(r.n_events for r in rows)
+    assert n_total == load_table(spark, sf_dir, "events").count()

@@ -205,3 +205,21 @@ def test_q20_date_filter_pushed_down(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q20_dominant_suppliers")
     scans = [l for l in plan.splitlines() if "FileScan parquet" in l and "l_shipdate" in l]
     assert any("PushedFilters: [" in s and "l_shipdate" in s.split("PushedFilters")[1] for s in scans), plan
+
+
+def test_audits_never_hint_broadcast(spark, sf_dir):
+    # both audits collapse facts to per-key counts before joining;
+    # neither side is constants-bounded, so no broadcast hints.
+    for name in ("key_skew_profile", "referential_integrity_audit"):
+        plan = _plan_hints_only(spark, sf_dir, name)
+        assert "BroadcastExchange" not in plan, f"{name} force-broadcasts:\n{plan}"
+
+
+def test_dedup_incremental_never_shuffles_text(spark, sf_dir):
+    # the drop/corpus comparison moves (16-byte md5, doc_id) only —
+    # the raw `text` attribute (rendered `text#N`, distinct from
+    # `text_hash#N`) must never reach an exchange
+    plan = _plan(spark, sf_dir, "dedup_incremental")
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
