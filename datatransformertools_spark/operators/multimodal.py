@@ -445,8 +445,87 @@ WHERE conf_milli >= {int(CONF_THRESHOLD * 1000)}
 """
 
 
+# ---------------------------------------------------------------------------
+# image_tiles — sliced-inference (SAHI-style) tile plan fan-out
+# ---------------------------------------------------------------------------
+
+TILE_SIZE = 256
+TILE_STRIDE = 224  # 32 px overlap between adjacent tiles
+
+
+def image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile plan for sliced inference over large images: each image
+    fans out into overlapping TILE_SIZE² tiles on a TILE_STRIDE
+    grid, with an extra edge tile per axis so the right/bottom
+    margins are always covered — the standard slicing layout for
+    running a fixed-input detector over arbitrarily large document
+    scans. Tile boxes are pure integer arithmetic on the manifest's
+    (width, height), so the plan — the part that matters before any
+    pixel is decoded — is exact and oracle-checked; the decode of
+    each tile is the stubbed kernel's job (`decode_media`).
+
+    Scale design: the fan-out is a map-side double explode of
+    per-axis offset arrays (array_union dedups the edge offset when
+    the grid already covers it) — zero shuffles, output rows =
+    Σ tiles which downstream batch inference partitions however it
+    likes. Image dims derive deterministically from doc_id (same
+    arithmetic in the oracle), standing in for the decode-probed
+    dims of a real manifest."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    imgs = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        (512 + (F.col("doc_id") % 4) * 256).cast("long").alias("img_w"),
+        (512 + (F.col("doc_id") % 3) * 256).cast("long").alias("img_h"),
+    )
+    def offsets(dim):
+        grid = F.sequence(F.lit(0).cast("long"), dim - TILE_SIZE, F.lit(TILE_STRIDE).cast("long"))
+        return F.array_union(grid, F.array(dim - TILE_SIZE))
+
+    return (
+        imgs.select("doc_id", "img_w", "img_h", F.explode(offsets(F.col("img_w"))).alias("x0"))
+        .select("doc_id", "img_w", "img_h", "x0", F.explode(offsets(F.col("img_h"))).alias("y0"))
+        .select(
+            "doc_id",
+            "img_w",
+            "img_h",
+            "x0",
+            "y0",
+            (F.col("x0") + TILE_SIZE).alias("x1"),
+            (F.col("y0") + TILE_SIZE).alias("y1"),
+        )
+    )
+
+
+IMAGE_TILES_SQL = f"""
+WITH imgs AS (
+  SELECT doc_id,
+         CAST(512 + (doc_id % 4) * 256 AS BIGINT) AS img_w,
+         CAST(512 + (doc_id % 3) * 256 AS BIGINT) AS img_h
+  FROM documents WHERE doc_id % 3 = 0
+),
+xs AS (
+  SELECT doc_id, img_w, img_h,
+         unnest(list_distinct(list_append(
+           range(0, img_w - {TILE_SIZE} + 1, {TILE_STRIDE}), img_w - {TILE_SIZE}))) AS x0
+  FROM imgs
+)
+SELECT doc_id, img_w, img_h,
+       CAST(x0 AS BIGINT) AS x0,
+       CAST(y0 AS BIGINT) AS y0,
+       CAST(x0 + {TILE_SIZE} AS BIGINT) AS x1,
+       CAST(y0 + {TILE_SIZE} AS BIGINT) AS y1
+FROM (
+  SELECT doc_id, img_w, img_h, x0,
+         unnest(list_distinct(list_append(
+           range(0, img_h - {TILE_SIZE} + 1, {TILE_STRIDE}), img_h - {TILE_SIZE}))) AS y0
+  FROM xs
+)
+"""
+
+
 QUERIES = {
     "multimodal_manifest": (multimodal_manifest, MULTIMODAL_MANIFEST_SQL),
     "batch_inference": (batch_inference, BATCH_INFERENCE_SQL),
     "pdf_to_pages": (pdf_to_pages, PDF_TO_PAGES_SQL),
+    "image_tiles": (image_tiles, IMAGE_TILES_SQL),
 }

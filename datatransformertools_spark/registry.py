@@ -75,6 +75,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "events_drift_psi",
         "ann_recall_eval",
         "bucketed_join_revenue",
+        "image_tiles",
         "events_rolling_avg",
         "events_value_quantiles_sketch",
         "doc_unigram_logprob",
