@@ -218,6 +218,13 @@ SECTIONS = [
         True,
     ),
     (
+        "image_tiles",
+        "Zero-exchange fan-out: the per-axis offset arrays build and "
+        "double-explode entirely map-side inside one WholeStageCodegen "
+        "span — a billion-image tile plan is scan-bound.",
+        False,
+    ),
+    (
         "q20_dominant_suppliers",
         "No hinted broadcast anywhere: the shipdate filter pushes into the "
         "lineitem scan, part keys prune via a shuffled semi-join, the "
@@ -232,6 +239,19 @@ SECTIONS = [
 # rounds materialize eagerly inside the builder) — documented in
 # prose instead of a capture.
 PROSE_SECTIONS = [
+    (
+        "bucketed_join_revenue (prose — staged catalog tables)",
+        "The returned plan is a localCheckpoint scan (the staging tables "
+        "drop before return), so the exhibit lives in "
+        "tests/test_sinks.py::test_bucketed_join_is_shuffle_free: with "
+        "auto-broadcast disabled, the orders x lineitem join out of the "
+        "bucketed+sorted catalog tables contains NO Exchange on either "
+        "side — both layouts already agree on hashpartitioning(orderkey, "
+        "8) from the write. That is the pay-once-join-forever layout: at "
+        "100 TB the bucketing shuffle happens once at ingest and every "
+        "recurring join of the two biggest tables skips both sort-merge "
+        "exchanges.",
+    ),
     (
         "events_stream_interval_join (prose — streaming)",
         "The returned plan is a batch aggregate over the drained memory "
