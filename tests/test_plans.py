@@ -223,3 +223,18 @@ def test_dedup_incremental_never_shuffles_text(spark, sf_dir):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text#" not in line, line
+
+
+def test_global_plan_hygiene(spark, sf_dir):
+    """Engine-wide scale contract: NO query may plan a cartesian
+    product or a row-at-a-time Python UDF (BatchEvalPython). Arrow
+    kernels (FlatMapGroupsInPandas / MapInPandas / MapInArrow) are
+    the sanctioned Python path. Streaming queries are exercised by
+    their own tests — their returned frame is a memory-sink
+    aggregate, so their plan here is not informative."""
+    for name, fn in _QUERIES.items():
+        if name.startswith("events_stream_"):
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian:\n{plan[:2000]}"
+        assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF:\n{plan[:2000]}"
