@@ -1352,6 +1352,89 @@ FROM hist
 """
 
 
+# ---------------------------------------------------------------------------
+# events_scd_join — point-in-time (SCD Type 2) dimension join
+# ---------------------------------------------------------------------------
+
+SCD_VERSIONS = 3
+
+
+def events_scd_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against a versioned (SCD Type 2)
+    dimension: every event joins the dimension version that was
+    valid AT ITS EVENT TIME — the correctness rule feature stores
+    live by (training labels must see the feature value as of the
+    event, not today's). The versioned dimension is synthesized
+    deterministically (per user, SCD_VERSIONS validity windows
+    splitting the corpus time range, tier = (user_id + version) %
+    5) with identical arithmetic in the oracle.
+
+    Scale design: the join is an EQUI-join on user_id (one shuffle)
+    with the validity predicate applied post-join — fan-out is
+    bounded by versions-per-key (here 3; real SCD dims hold a
+    handful of versions), never a time-range bin explosion. The
+    corpus time bounds ride in as a broadcast 1-row aggregate.
+    Window ends use half-open [from, to) with the final version
+    closed at max+1 so every event matches exactly one version."""
+    ev = _events_us(spark, sf_dir).select("user_id", "ts_us", "value")
+    bounds = ev.agg(
+        F.min("ts_us").alias("t0"), (F.max("ts_us") + 1).alias("t_end")
+    )
+    users = ev.select("user_id").distinct()
+    dim = (
+        users.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            "t0",
+            "t_end",
+            F.explode(F.sequence(F.lit(0), F.lit(SCD_VERSIONS - 1))).alias("version"),
+        )
+        .select(
+            "user_id",
+            "version",
+            (F.col("t0") + F.col("version") * F.expr(f"(t_end - t0) div {SCD_VERSIONS}")).alias(
+                "valid_from"
+            ),
+            F.when(
+                F.col("version") == SCD_VERSIONS - 1, F.col("t_end")
+            ).otherwise(
+                F.col("t0") + (F.col("version") + 1) * F.expr(f"(t_end - t0) div {SCD_VERSIONS}")
+            ).alias("valid_to"),
+            ((F.col("user_id") + F.col("version")) % 5).alias("tier"),
+        )
+    )
+    joined = ev.join(dim, "user_id").filter(
+        (F.col("ts_us") >= F.col("valid_from")) & (F.col("ts_us") < F.col("valid_to"))
+    )
+    return joined.groupBy("tier", "version").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value") + 1e-9, 4).alias("total_value"),
+    )
+
+
+EVENTS_SCD_JOIN_SQL = f"""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+bounds AS (SELECT min(ts_us) AS t0, max(ts_us) + 1 AS t_end FROM ev),
+dim AS (
+  SELECT u.user_id, v.version,
+         b.t0 + v.version * ((b.t_end - b.t0) // {SCD_VERSIONS}) AS valid_from,
+         CASE WHEN v.version = {SCD_VERSIONS - 1} THEN b.t_end
+              ELSE b.t0 + (v.version + 1) * ((b.t_end - b.t0) // {SCD_VERSIONS}) END AS valid_to,
+         (u.user_id + v.version) % 5 AS tier
+  FROM (SELECT DISTINCT user_id FROM ev) u
+  CROSS JOIN (SELECT unnest(range(0, {SCD_VERSIONS})) AS version) v
+  CROSS JOIN bounds b
+)
+SELECT d.tier, CAST(d.version AS BIGINT) AS version,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(e.value) + 1e-9, 4) AS total_value
+FROM ev e
+JOIN dim d ON e.user_id = d.user_id
+          AND e.ts_us >= d.valid_from AND e.ts_us < d.valid_to
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_tumbling_agg": (events_tumbling_agg, EVENTS_TUMBLING_AGG_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
@@ -1380,4 +1463,5 @@ QUERIES = {
     "events_column_profile": (events_column_profile, EVENTS_COLUMN_PROFILE_SQL),
     "events_watermark_audit": (events_watermark_audit, EVENTS_WATERMARK_AUDIT_SQL),
     "events_drift_psi": (events_drift_psi, EVENTS_DRIFT_PSI_SQL),
+    "events_scd_join": (events_scd_join, EVENTS_SCD_JOIN_SQL),
 }

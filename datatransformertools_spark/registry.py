@@ -76,6 +76,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "ann_recall_eval",
         "bucketed_join_revenue",
         "image_tiles",
+        "events_scd_join",
         "events_rolling_avg",
         "events_value_quantiles_sketch",
         "doc_unigram_logprob",
