@@ -137,7 +137,79 @@ WHERE k NOT IN (SELECT {pk} FROM {dim})"""
 REFERENTIAL_INTEGRITY_SQL = "\nUNION ALL\n".join(_fk_leg(*e) for e in FK_EDGES)
 
 
+# ---------------------------------------------------------------------------
+# deletion_cascade_audit — right-to-be-forgotten blast radius
+# ---------------------------------------------------------------------------
+
+TOMBSTONE_MOD = 97  # customers with c_custkey % 97 == 0 model the erasure list
+
+
+def deletion_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blast radius of an erasure request BEFORE anything is
+    deleted: given a tombstone list of customers, how many rows must
+    go from each table the subject's data cascades into
+    (customer → orders → lineitem). Every privacy pipeline runs this
+    audit first — the deletion itself is then an anti-join rewrite
+    per table, and the audit is the dry run that sizes and verifies
+    it.
+
+    Scale design: the cascade is a chain of left-semi joins on the
+    FK keys — subjects (|tombstones| rows), their orders (semi on
+    custkey), their line items (semi on orderkey). Each hop shuffles
+    keys only; nothing aggregates until the final per-table counts,
+    and the events leg keys on its own subject id independently."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    subjects = cust.filter(F.col("c_custkey") % TOMBSTONE_MOD == 0)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    hit_orders = orders.join(
+        subjects, orders.o_custkey == subjects.c_custkey, "left_semi"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    hit_li = li.join(hit_orders, li.l_orderkey == hit_orders.o_orderkey, "left_semi")
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    hit_ev = ev.filter(F.col("user_id") % TOMBSTONE_MOD == 0)
+
+    def leg(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows_to_delete"),
+        )
+
+    from functools import reduce as _reduce
+
+    return _reduce(
+        DataFrame.unionByName,
+        (
+            leg("customer", subjects),
+            leg("orders", hit_orders),
+            leg("lineitem", hit_li),
+            leg("events", hit_ev),
+        ),
+    )
+
+
+DELETION_CASCADE_SQL = f"""
+SELECT 'customer' AS table_name,
+       CAST(count(*) AS BIGINT) AS n_rows_to_delete
+FROM customer WHERE c_custkey % {TOMBSTONE_MOD} = 0
+UNION ALL
+SELECT 'orders',
+       CAST(count(*) AS BIGINT)
+FROM orders WHERE o_custkey % {TOMBSTONE_MOD} = 0
+UNION ALL
+SELECT 'lineitem',
+       CAST(count(*) AS BIGINT)
+FROM lineitem WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_custkey % {TOMBSTONE_MOD} = 0)
+UNION ALL
+SELECT 'events',
+       CAST(count(*) AS BIGINT)
+FROM events WHERE user_id % {TOMBSTONE_MOD} = 0
+"""
+
+
 QUERIES = {
     "key_skew_profile": (key_skew_profile, KEY_SKEW_PROFILE_SQL),
     "referential_integrity_audit": (referential_integrity_audit, REFERENTIAL_INTEGRITY_SQL),
+    "deletion_cascade_audit": (deletion_cascade_audit, DELETION_CASCADE_SQL),
 }

@@ -77,6 +77,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "bucketed_join_revenue",
         "image_tiles",
         "events_scd_join",
+        "deletion_cascade_audit",
         "events_rolling_avg",
         "events_value_quantiles_sketch",
         "doc_unigram_logprob",
