@@ -759,6 +759,55 @@ FROM classified
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup_lsh_quality — precision/recall of LSH candidates vs exact Jaccard
+# ---------------------------------------------------------------------------
+
+
+def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the minhash-LSH candidate pairs against
+    the exact n-gram-Jaccard ground truth — measured in-engine, the
+    dedup twin of `ann_recall_eval`. Banding parameters trade
+    recall for candidate volume; this is the audit that says what
+    the chosen (bands, rows) actually buys on THIS corpus, which is
+    what decides whether the exact verify pass after LSH can be
+    dropped at 100 TB.
+
+    Scale design: both inputs reuse their gated plans; the
+    comparison is a full outer join on the (doc_a, doc_b) pair key —
+    |pairs| rows, trivially shuffled — collapsed to one audit row."""
+    exact = dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_exact")
+    )
+    lsh = dedup_minhash_lsh(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_lsh")
+    )
+    both = exact.join(lsh, ["doc_a", "doc_b"], "full")
+    tp = F.sum((F.col("in_exact").isNotNull() & F.col("in_lsh").isNotNull()).cast("long"))
+    n_exact = F.sum(F.coalesce(F.col("in_exact"), F.lit(0)).cast("long"))
+    n_lsh = F.sum(F.coalesce(F.col("in_lsh"), F.lit(0)).cast("long"))
+    return both.agg(
+        n_exact.alias("n_exact_pairs"),
+        n_lsh.alias("n_lsh_pairs"),
+        tp.alias("tp"),
+        F.round(tp / n_lsh + 1e-9, 6).alias("precision"),
+        F.round(tp / n_exact + 1e-9, 6).alias("recall"),
+    )
+
+
+DEDUP_LSH_QUALITY_SQL = f"""
+WITH e AS (SELECT doc_a, doc_b FROM ({DEDUP_NGRAM_JACCARD_SQL})),
+l AS (SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_LSH_SQL}))
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_exact_pairs,
+       (SELECT CAST(count(*) AS BIGINT) FROM l) AS n_lsh_pairs,
+       (SELECT CAST(count(*) AS BIGINT) FROM e JOIN l USING (doc_a, doc_b)) AS tp,
+       round((SELECT count(*) FROM e JOIN l USING (doc_a, doc_b)) * 1.0
+             / (SELECT count(*) FROM l) + 1e-9, 6) AS precision,
+       round((SELECT count(*) FROM e JOIN l USING (doc_a, doc_b)) * 1.0
+             / (SELECT count(*) FROM e) + 1e-9, 6) AS recall
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
@@ -769,4 +818,5 @@ QUERIES = {
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
     "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
+    "dedup_lsh_quality": (dedup_lsh_quality, DEDUP_LSH_QUALITY_SQL),
 }

@@ -78,6 +78,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "image_tiles",
         "events_scd_join",
         "deletion_cascade_audit",
+        "dedup_lsh_quality",
         "events_rolling_avg",
         "events_value_quantiles_sketch",
         "doc_unigram_logprob",
