@@ -82,11 +82,18 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datatransformertools_spark.sources.tables import load_table
 
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    # disc_price in DECIMAL: summed over ~1e5 rows per group, a double
+    # sum's order noise can flip the 4-dp round between engines at
+    # larger SF; decimal accumulation is exact at any scale (prices
+    # and discounts are 2-dp values, so the casts are lossless)
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select(
             F.col("l_orderkey").alias("o_orderkey"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+            (
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+            ).alias("disc_price"),
         )
     )
     write_bucketed_table(orders, "dtt_bkt_orders", "o_orderkey", _BUCKETS)
@@ -97,7 +104,7 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(spark.table("dtt_bkt_lineitem"), "o_orderkey")
             .groupBy("o_orderpriority")
             .agg(
-                F.round(F.sum("disc_price") + 1e-9, 4).alias("revenue"),
+                F.round(F.sum("disc_price").cast("double") + 1e-9, 4).alias("revenue"),
                 F.count(F.lit(1)).alias("n_items"),
             )
             .localCheckpoint()
@@ -110,7 +117,9 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BUCKETED_JOIN_REVENUE_SQL = """
 SELECT o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS revenue,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                  AS DOUBLE) + 1e-9, 4) AS revenue,
        CAST(count(*) AS BIGINT) AS n_items
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY 1
