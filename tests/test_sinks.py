@@ -62,3 +62,20 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_cli_list_and_run(spark, sf_dir, capsys):
+    from datatransformertools_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    names = capsys.readouterr().out.split()
+    assert "q1_pricing_summary" in names and len(names) > 100
+
+    assert main(["run", "nope_not_a_query"]) == 2
+
+    assert main(["run", "q14_promo_revenue", "--sf", sf_dir, "--limit", "5"]) == 0
+    out = capsys.readouterr().out
+    assert "promo_revenue_pct" in out
+
+    assert main(["explain", "q6_forecast_revenue", "--sf", sf_dir]) == 0
+    assert "FileScan" in capsys.readouterr().out
