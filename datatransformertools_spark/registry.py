@@ -79,6 +79,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "events_scd_join",
         "deletion_cascade_audit",
         "dedup_lsh_quality",
+        "events_stream_replay_dedup",
         "events_rolling_avg",
         "events_value_quantiles_sketch",
         "doc_unigram_logprob",

@@ -631,6 +631,62 @@ GROUP BY 1
 """
 
 
+def events_stream_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once landing from an at-least-once feed, EXECUTED AS A
+    STREAM with `dropDuplicatesWithinWatermark`: the landing
+    directory holds the same events file TWICE (an exactly-resent
+    batch, the classic redelivery case), and the watermark-scoped
+    dedup state collapses the replay to one row per event_id. Unlike
+    plain `dropDuplicates`, state here EXPIRES once the watermark
+    passes an id's event time — the property that makes streaming
+    dedup runnable forever on an unbounded feed. The drained result
+    aggregates per type so the DuckDB oracle (plain distinct replay)
+    hashes stably."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F  # noqa: F811 (self-contained)
+
+    src_dir = tempfile.mkdtemp(prefix="dtt-stream-replay-src-")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events-a.parquet")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events-b.parquet")
+    raw = _read_raw(spark, src_dir)
+    deduped = (
+        raw.withColumn("event_time", events_event_time(raw))
+        .withWatermark("event_time", "60 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    name = f"stream_replay_dedup_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="dtt-stream-replay-ckpt-"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("event_id").alias("n_unique_ids"),
+        )
+    )
+
+
+EVENTS_STREAM_REPLAY_DEDUP_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_unique_ids
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "events_stream_tumbling": (events_stream_tumbling, EVENTS_STREAM_TUMBLING_SQL),
     "events_stream_sessionize": (events_stream_sessionize, EVENTS_STREAM_SESSIONIZE_SQL),
@@ -642,6 +698,7 @@ QUERIES = {
         EVENTS_STREAM_INTERVAL_JOIN_SQL,
     ),
     "events_stream_enrich": (events_stream_enrich, EVENTS_STREAM_ENRICH_SQL),
+    "events_stream_replay_dedup": (events_stream_replay_dedup, EVENTS_STREAM_REPLAY_DEDUP_SQL),
 }
 
 
