@@ -1353,6 +1353,63 @@ FROM hist
 
 
 # ---------------------------------------------------------------------------
+# events_active_users — DAU / trailing-7-day WAU (exact rolling distinct)
+# ---------------------------------------------------------------------------
+
+DAY_US = 86_400_000_000
+
+
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily and trailing-7-day active users (DAU/WAU), exact.
+
+    A naive WAU windows `count_distinct` over a 7-day range — but
+    distinct doesn't decompose over window frames, so Spark would
+    buffer each day's full user set per window. The scale shape used
+    here: collapse to distinct (day, user) pairs first (one
+    map-side-combined shuffle), then each pair CONTRIBUTES ITSELF to
+    the 7 target days it supports via a map-side explode, and one
+    count_distinct per target day finishes the job. Cost is a
+    bounded ×7 fan-out of the already-collapsed pair set — no
+    per-window user-set state, no self-join. Target days are
+    restricted to days that actually occur (partial leading windows
+    are still reported, as trailing windows are by convention)."""
+    ev = _events_us(spark, sf_dir).select(
+        F.expr(f"ts_us div {DAY_US}").alias("day"), "user_id"
+    )
+    day_user = ev.distinct()
+    dau = day_user.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = day_user.select(
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day"), "user_id"
+    )
+    wau = (
+        contrib.join(day_user.select("day").distinct(), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return dau.join(wau, "day").select("day", "dau", "wau")
+
+
+EVENTS_ACTIVE_USERS_SQL = f"""
+WITH day_user AS (
+  SELECT DISTINCT epoch_us(ts) // {DAY_US} AS day, user_id FROM events
+),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM day_user GROUP BY 1),
+contrib AS (
+  SELECT day + offs AS day, user_id
+  FROM day_user CROSS JOIN (SELECT unnest(range(0, 7)) AS offs)
+),
+wau AS (
+  SELECT c.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS wau
+  FROM contrib c
+  WHERE c.day IN (SELECT day FROM day_user)
+  GROUP BY 1
+)
+SELECT d.day, d.dau, w.wau
+FROM dau d JOIN wau w USING (day)
+"""
+
+
+# ---------------------------------------------------------------------------
 # events_scd_join — point-in-time (SCD Type 2) dimension join
 # ---------------------------------------------------------------------------
 
@@ -1464,4 +1521,5 @@ QUERIES = {
     "events_watermark_audit": (events_watermark_audit, EVENTS_WATERMARK_AUDIT_SQL),
     "events_drift_psi": (events_drift_psi, EVENTS_DRIFT_PSI_SQL),
     "events_scd_join": (events_scd_join, EVENTS_SCD_JOIN_SQL),
+    "events_active_users": (events_active_users, EVENTS_ACTIVE_USERS_SQL),
 }

@@ -80,6 +80,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "deletion_cascade_audit",
         "dedup_lsh_quality",
         "events_stream_replay_dedup",
+        "events_active_users",
         "events_rolling_avg",
         "events_value_quantiles_sketch",
         "doc_unigram_logprob",
