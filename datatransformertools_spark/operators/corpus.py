@@ -517,6 +517,72 @@ SELECT doc_id, source, quality_score, rank FROM ranked WHERE rank <= {SOURCE_CAP
 
 
 # ---------------------------------------------------------------------------
+# quality_stratified_split — distribution-matched train/val split
+# ---------------------------------------------------------------------------
+
+SPLIT_SALT = "split-v1"
+VAL_PCT = 10  # % of each stratum held out
+
+
+def quality_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val split stratified by quality so the held-out set has
+    the SAME quality distribution as the training set (a uniform
+    random split skews small val sets; an unstratified hash split is
+    uniform only in expectation). Stratum is the quality score
+    bucketed on FIXED boundaries (floor(q·10) — map-side, no global
+    ntile sort to funnel the corpus through), split is a pure
+    function of (salt, doc_id) within each stratum, and the output
+    is the per-(stratum, split) balance audit: counts plus the mean
+    quality each side actually got.
+
+    Scale design: everything up to the final |strata|·2-group agg is
+    per-row map-side arithmetic — one partial-agg shuffle total."""
+    from datatransformertools_spark.operators.text_analysis import quality_score_expr
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    q = quality_score_expr()
+    scored = docs.select(
+        "doc_id",
+        q.alias("quality"),
+        F.least(F.floor(q * 10), F.lit(9)).cast("long").alias("stratum"),
+        F.when(
+            md5_long(F.col("doc_id").cast("string"), salt=SPLIT_SALT) % 100 < VAL_PCT,
+            "val",
+        )
+        .otherwise("train")
+        .alias("split"),
+    )
+    return scored.groupBy("stratum", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality") + 1e-9, 6).alias("mean_quality"),
+    )
+
+
+_QUALITY_SQL_FRAG = r"""round(
+           0.5 * (CASE WHEN len(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), '\s+')) > 0
+                       THEN len(list_distinct(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), '\s+')))::DOUBLE
+                            / len(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), '\s+'))
+                       ELSE 0.0 END)
+           + 0.5 * least(n_chars / 400.0, 1.0) + 1e-9, 6)"""
+
+QUALITY_STRATIFIED_SPLIT_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         {_QUALITY_SQL_FRAG} AS quality,
+         least(CAST(floor({_QUALITY_SQL_FRAG} * 10) AS BIGINT), 9) AS stratum,
+         CASE WHEN ('0x' || substr(md5('{SPLIT_SALT}' || doc_id), 1, 15))::BIGINT % 100 < {VAL_PCT}
+              THEN 'val' ELSE 'train' END AS split
+  FROM documents
+)
+SELECT stratum, split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(quality) + 1e-9, 6) AS mean_quality
+FROM scored
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # shard_assignment — deterministic output sharding for dataset export
 # ---------------------------------------------------------------------------
 
@@ -571,4 +637,5 @@ QUERIES = {
     "source_temperature_weights": (source_temperature_weights, SOURCE_TEMPERATURE_SQL),
     "cap_per_source": (cap_per_source, CAP_PER_SOURCE_SQL),
     "shard_assignment": (shard_assignment, SHARD_ASSIGNMENT_SQL),
+    "quality_stratified_split": (quality_stratified_split, QUALITY_STRATIFIED_SPLIT_SQL),
 }

@@ -81,6 +81,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "dedup_lsh_quality",
         "events_stream_replay_dedup",
         "events_active_users",
+        "quality_stratified_split",
         "events_rolling_avg",
         "events_value_quantiles_sketch",
         "doc_unigram_logprob",
