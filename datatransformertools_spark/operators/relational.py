@@ -1119,6 +1119,53 @@ WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
 """
 
 
+def supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier fulfillment lead time (days from order date to
+    line-item ship date): item counts, mean, exact median/p95, and
+    the late rate beyond a 90-day SLA — the supplier-reliability
+    scorecard a procurement pipeline refreshes nightly.
+
+    Scale design: one shuffle joins lineitem to orders on orderkey
+    (both grow with SF — no broadcast hints; lead-time days are
+    computed map-side as exact integers), then one partial-agg
+    shuffle on suppkey. The exact `percentile` is the baseline; at
+    100 TB the documented swap is `percentile_approx` (t-digest,
+    same convention as events_value_quantiles)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lead = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_suppkey",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("lead_days"),
+    )
+    return lead.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.avg("lead_days") + 1e-9, 4).alias("avg_lead_days"),
+        F.round(F.expr("percentile(lead_days, 0.5)") + 1e-9, 4).alias("median_lead_days"),
+        F.round(F.expr("percentile(lead_days, 0.95)") + 1e-9, 4).alias("p95_lead_days"),
+        F.round(
+            F.avg((F.col("lead_days") > 90).cast("double")) + 1e-9, 4
+        ).alias("late_rate"),
+    )
+
+
+SUPPLIER_LEAD_TIME_SQL = """
+WITH lead AS (
+  SELECT l_suppkey, date_diff('day', o_orderdate, l_shipdate) AS lead_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT l_suppkey,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(avg(lead_days) + 1e-9, 4) AS avg_lead_days,
+       round(quantile_cont(lead_days, 0.5)  + 1e-9, 4) AS median_lead_days,
+       round(quantile_cont(lead_days, 0.95) + 1e-9, 4) AS p95_lead_days,
+       round(avg(CASE WHEN lead_days > 90 THEN 1.0 ELSE 0.0 END) + 1e-9, 4) AS late_rate
+FROM lead
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # customer_rfm — recency/frequency/monetary segmentation
 # ---------------------------------------------------------------------------
@@ -1292,6 +1339,7 @@ QUERIES = {
     "q11_important_stock": (q11_important_stock, Q11_SQL),
     "q16_supplier_count": (q16_supplier_count, Q16_SQL),
     "q20_dominant_suppliers": (q20_dominant_suppliers, Q20_SQL),
+    "supplier_lead_time": (supplier_lead_time, SUPPLIER_LEAD_TIME_SQL),
     "customer_rfm": (customer_rfm, CUSTOMER_RFM_SQL),
     "orders_market_basket": (orders_market_basket, ORDERS_MARKET_BASKET_SQL),
 }
