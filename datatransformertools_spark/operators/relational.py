@@ -1166,6 +1166,53 @@ GROUP BY 1
 """
 
 
+def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly seasonal index of order revenue: each month's share
+    of its year's revenue, averaged across years (index 1/12 ≈ flat;
+    the planning signal behind inventory/capacity decisions).
+
+    Scale design: one partial-agg shuffle to (year, month) — 12·|years|
+    rows — then the per-year total is a window over that tiny frame
+    and the cross-year average is a 12-group agg. Revenue sums run
+    in DECIMAL (prices are 2-dp) so shares are bit-exact
+    cross-engine; only the final shares divide in double."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    monthly = orders.groupBy("yr", "mo").agg(F.sum("price").alias("mrev"))
+    yr_total = F.sum("mrev").over(Window.partitionBy("yr"))
+    share = (F.col("mrev").cast("double") / yr_total.cast("double"))
+    return (
+        monthly.withColumn("share", share)
+        .groupBy("mo")
+        .agg(
+            F.count(F.lit(1)).alias("n_years"),
+            F.round(F.avg("share") + 1e-9, 6).alias("seasonal_index"),
+        )
+    )
+
+
+ORDERS_SEASONALITY_SQL = """
+WITH monthly AS (
+  SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mrev
+  FROM orders GROUP BY 1, 2
+),
+shared AS (
+  SELECT mo,
+         CAST(mrev AS DOUBLE) / CAST(sum(mrev) OVER (PARTITION BY yr) AS DOUBLE) AS share
+  FROM monthly
+)
+SELECT mo,
+       CAST(count(*) AS BIGINT) AS n_years,
+       round(avg(share) + 1e-9, 6) AS seasonal_index
+FROM shared
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # customer_rfm — recency/frequency/monetary segmentation
 # ---------------------------------------------------------------------------
@@ -1340,6 +1387,7 @@ QUERIES = {
     "q16_supplier_count": (q16_supplier_count, Q16_SQL),
     "q20_dominant_suppliers": (q20_dominant_suppliers, Q20_SQL),
     "supplier_lead_time": (supplier_lead_time, SUPPLIER_LEAD_TIME_SQL),
+    "orders_seasonality": (orders_seasonality, ORDERS_SEASONALITY_SQL),
     "customer_rfm": (customer_rfm, CUSTOMER_RFM_SQL),
     "orders_market_basket": (orders_market_basket, ORDERS_MARKET_BASKET_SQL),
 }

@@ -83,6 +83,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "events_active_users",
         "quality_stratified_split",
         "supplier_lead_time",
+        "orders_seasonality",
         "events_rolling_avg",
         "events_value_quantiles_sketch",
         "doc_unigram_logprob",
