@@ -201,6 +201,44 @@ FROM scored
 
 LANG_ID_SQL = _lang_id_sql()
 
+
+def lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic against the
+    corpus's labeled `lang` column — the in-engine accuracy audit
+    run before trusting lang_id gates downstream filtering (the
+    measurement twin of `ann_recall_eval` / `dedup_lsh_quality`).
+    Emits one row per (labeled, predicted) cell with its count and
+    the share of that labeled language it represents.
+
+    Scale design: reuses the gated lang_id plan (zero-shuffle
+    scoring); the confusion matrix is one |langs|²-bounded
+    partial-agg shuffle, and the per-label share is a window over
+    that tiny frame."""
+    pred = lang_id(spark, sf_dir).select("labeled_lang", "pred_lang")
+    cells = pred.groupBy("labeled_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    label_total = F.sum("n_docs").over(Window.partitionBy("labeled_lang"))
+    return cells.select(
+        "labeled_lang",
+        "pred_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / label_total + 1e-9, 6).alias("share_of_label"),
+    )
+
+
+LANG_ID_EVAL_SQL = f"""
+WITH pred AS (SELECT labeled_lang, pred_lang FROM ({LANG_ID_SQL})),
+cells AS (
+  SELECT labeled_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM pred GROUP BY 1, 2
+)
+SELECT labeled_lang, pred_lang, n_docs,
+       round(n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY labeled_lang) + 1e-9, 6)
+         AS share_of_label
+FROM cells
+"""
+
 # ---------------------------------------------------------------------------
 # token_count_bpe — whitespace + BPE-ish regex token counting
 # ---------------------------------------------------------------------------
@@ -807,6 +845,7 @@ QUERIES = {
     "corpus_prep_pipeline": (corpus_prep_pipeline, CORPUS_PREP_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),
+    "lang_id_eval": (lang_id_eval, LANG_ID_EVAL_SQL),
     "token_count_bpe": (token_count_bpe, TOKEN_COUNT_BPE_SQL),
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "repetition_stats": (repetition_stats, REPETITION_STATS_SQL),

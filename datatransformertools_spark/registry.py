@@ -84,6 +84,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "quality_stratified_split",
         "supplier_lead_time",
         "orders_seasonality",
+        "lang_id_eval",
         "events_rolling_avg",
         "events_value_quantiles_sketch",
         "doc_unigram_logprob",
