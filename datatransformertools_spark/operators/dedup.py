@@ -688,6 +688,56 @@ FROM reach GROUP BY node
 
 
 # ---------------------------------------------------------------------------
+# doc_ngram_novelty — how much NEW text does each document add?
+# ---------------------------------------------------------------------------
+
+
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    3-gram shingles that no earlier document (lower doc_id = earlier
+    ingest) already contributed. Plotted over ingest order this is
+    the corpus saturation curve — when marginal novelty collapses,
+    more of the same crawl stops buying training signal.
+
+    Scale design: reuses the shared shingle stage table; first-seen
+    owner per shingle is a min-aggregate keyed on the shingle's
+    16-byte md5 (text never shuffles — same discipline as every
+    dedup op), joined back on that hash, then one per-doc agg.
+    Novelty is an exact integer ratio rounded at 6 dp."""
+    sh = _shingle_df(spark, sf_dir).select(
+        "doc_id", F.md5(F.col("shingle")).alias("h")
+    )
+    first = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles") + 1e-9, 6).alias("novelty_rate"),
+        )
+    )
+
+
+DOC_NGRAM_NOVELTY_SQL = f"""
+WITH {_SHINGLE_SQL},
+first AS (SELECT shingle, min(doc_id) AS first_doc FROM shingles GROUP BY 1)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) * 1.0
+             / count(*) + 1e-9, 6) AS novelty_rate
+FROM shingles s JOIN first f USING (shingle)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup_incremental — dedup a NEW drop against the already-ingested corpus
 # ---------------------------------------------------------------------------
 
@@ -819,4 +869,5 @@ QUERIES = {
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
     "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "dedup_lsh_quality": (dedup_lsh_quality, DEDUP_LSH_QUALITY_SQL),
+    "doc_ngram_novelty": (doc_ngram_novelty, DOC_NGRAM_NOVELTY_SQL),
 }

@@ -85,6 +85,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "supplier_lead_time",
         "orders_seasonality",
         "lang_id_eval",
+        "doc_ngram_novelty",
         "events_rolling_avg",
         "events_value_quantiles_sketch",
         "doc_unigram_logprob",
