@@ -91,3 +91,44 @@ def test_watermark_audit_shares_sum_to_one(spark, sf_dir):
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
     n_total = sum(r.n_events for r in rows)
     assert n_total == load_table(spark, sf_dir, "events").count()
+
+
+def test_lang_id_eval_shares_sum_per_label(spark, sf_dir):
+    from datatransformertools_spark.operators.text_analysis import lang_id_eval
+
+    rows = lang_id_eval(spark, sf_dir).collect()
+    per_label: dict[str, float] = {}
+    for r in rows:
+        per_label[r.labeled_lang] = per_label.get(r.labeled_lang, 0.0) + r.share_of_label
+    assert per_label and all(abs(s - 1.0) < 1e-3 for s in per_label.values())
+
+
+def test_novelty_first_doc_is_fully_novel(spark, sf_dir):
+    from datatransformertools_spark.operators.dedup import doc_ngram_novelty
+
+    rows = {r.doc_id: r for r in doc_ngram_novelty(spark, sf_dir).collect()}
+    first = rows[min(rows)]
+    # the earliest document's shingles have no earlier owner
+    assert first.n_novel == first.n_shingles
+    assert all(0.0 <= r.novelty_rate <= 1.0 + 1e-9 for r in rows.values())
+
+
+def test_scd_join_covers_every_event_once(spark, sf_dir):
+    from datatransformertools_spark.operators.events import events_scd_join
+    from datatransformertools_spark.sources.tables import load_table
+
+    rows = events_scd_join(spark, sf_dir).collect()
+    n_events = load_table(spark, sf_dir, "events").count()
+    # half-open version windows partition the time range: every event
+    # matches exactly one dimension version
+    assert sum(r.n_events for r in rows) == n_events
+
+
+def test_active_users_wau_bounds(spark, sf_dir):
+    from datatransformertools_spark.operators.events import events_active_users
+
+    rows = events_active_users(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # WAU is a superset count of that day's DAU
+        assert r.wau >= r.dau > 0
