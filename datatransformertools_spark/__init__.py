@@ -9,6 +9,7 @@ path, broadcast dims, band/bucket-keyed self-joins — built for a
 1000-executor cluster, tested on local[32].
 """
 
+from datatransformertools_spark import registry
 from datatransformertools_spark.session import get_spark
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "registry"]
