@@ -86,6 +86,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "orders_seasonality",
         "lang_id_eval",
         "doc_ngram_novelty",
+        "events_stream_daily_users",
         "events_rolling_avg",
         "events_value_quantiles_sketch",
         "doc_unigram_logprob",

@@ -687,6 +687,61 @@ GROUP BY event_type
 """
 
 
+def events_stream_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT daily active users computed AS A STREAM: per-day dedup
+    state (dropDuplicates on (user_id, day)) feeds a day-keyed
+    count — the two-stateful-operator chain (dedup → agg) that
+    gives exact streaming distincts, where a single windowed
+    `count_distinct` is unsupported and `approx_count_distinct`
+    would drift from the batch truth. Dedup state is one row per
+    (user, day) inside the watermark horizon, so it is bounded on an
+    unbounded feed; the count state is |days| rows. Value-checked
+    against the batch DAU oracle — the stream and the batch
+    `events_active_users` agree exactly."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F  # noqa: F811 (self-contained)
+
+    day_us = 86_400_000_000
+    src_dir = tempfile.mkdtemp(prefix="dtt-stream-dau-src-")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events.parquet")
+    raw = _read_raw(spark, src_dir)
+    ev = (
+        raw.withColumn("ts_us", events_ts_us(raw))
+        .withColumn("day_start", F.timestamp_micros(F.expr(f"ts_us div {day_us}") * day_us))
+    )
+    dau = (
+        ev.withWatermark("day_start", "1 day")
+        .dropDuplicates(["user_id", "day_start"])
+        .groupBy("day_start")
+        .agg(F.count(F.lit(1)).alias("dau"))
+    )
+    name = f"stream_dau_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            dau.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="dtt-stream-dau-ckpt-"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.table(name).select(
+        F.unix_micros(F.col("day_start")).alias("day_start_us"), "dau"
+    )
+
+
+EVENTS_STREAM_DAILY_USERS_SQL = """
+SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS day_start_us,
+       CAST(count(DISTINCT user_id) AS BIGINT)     AS dau
+FROM events
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "events_stream_tumbling": (events_stream_tumbling, EVENTS_STREAM_TUMBLING_SQL),
     "events_stream_sessionize": (events_stream_sessionize, EVENTS_STREAM_SESSIONIZE_SQL),
@@ -699,6 +754,7 @@ QUERIES = {
     ),
     "events_stream_enrich": (events_stream_enrich, EVENTS_STREAM_ENRICH_SQL),
     "events_stream_replay_dedup": (events_stream_replay_dedup, EVENTS_STREAM_REPLAY_DEDUP_SQL),
+    "events_stream_daily_users": (events_stream_daily_users, EVENTS_STREAM_DAILY_USERS_SQL),
 }
 
 
