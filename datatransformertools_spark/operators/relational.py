@@ -1359,6 +1359,60 @@ HAVING count(*) >= {MB_PAIR_MIN_ORDERS}
 """
 
 
+def orders_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule metrics on the frequent pairs: for each
+    co-purchased (part_a, part_b), support, confidence in BOTH
+    directions, and lift — the ranking that turns raw co-occurrence
+    counts into actual recommendations (lift > 1 = genuinely
+    associated, not just popular).
+
+    Scale design: reuses the gated basket-explode pair plan; the
+    per-part order counts re-aggregate the distinct (order, part)
+    frame once, join back on each pair end (keys only, no broadcast
+    — the part vocabulary grows with the corpus), and the basket
+    total rides in as a broadcast 1-row aggregate. All inputs to
+    the ratios are exact longs; ratios round at 6 dp."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders_df = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("n_baskets")
+    )
+    part_orders = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    pairs = orders_market_basket(spark, sf_dir)
+    joined = (
+        pairs.join(part_orders.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a")), "part_a")
+        .join(part_orders.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b")), "part_b")
+        .crossJoin(F.broadcast(n_orders_df))
+    )
+    return joined.select(
+        "part_a",
+        "part_b",
+        "n_orders",
+        F.round(F.col("n_orders") / F.col("n_baskets") + 1e-9, 6).alias("support"),
+        F.round(F.col("n_orders") / F.col("n_a") + 1e-9, 6).alias("conf_a_to_b"),
+        F.round(F.col("n_orders") / F.col("n_b") + 1e-9, 6).alias("conf_b_to_a"),
+        F.round(
+            F.col("n_orders") * F.col("n_baskets") / (F.col("n_a") * F.col("n_b")) + 1e-9, 6
+        ).alias("lift"),
+    )
+
+
+ORDERS_ASSOCIATION_RULES_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_orders_t AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_baskets FROM li),
+part_orders AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM li GROUP BY 1),
+pairs AS ({ORDERS_MARKET_BASKET_SQL})
+SELECT p.part_a, p.part_b, p.n_orders,
+       round(p.n_orders / t.n_baskets + 1e-9, 6) AS support,
+       round(p.n_orders * 1.0 / pa.n + 1e-9, 6)  AS conf_a_to_b,
+       round(p.n_orders * 1.0 / pb.n + 1e-9, 6)  AS conf_b_to_a,
+       round(p.n_orders * t.n_baskets / (pa.n * pb.n) + 1e-9, 6) AS lift
+FROM pairs p
+JOIN part_orders pa ON p.part_a = pa.l_partkey
+JOIN part_orders pb ON p.part_b = pb.l_partkey
+CROSS JOIN n_orders_t t
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
@@ -1388,6 +1442,7 @@ QUERIES = {
     "q20_dominant_suppliers": (q20_dominant_suppliers, Q20_SQL),
     "supplier_lead_time": (supplier_lead_time, SUPPLIER_LEAD_TIME_SQL),
     "orders_seasonality": (orders_seasonality, ORDERS_SEASONALITY_SQL),
+    "orders_association_rules": (orders_association_rules, ORDERS_ASSOCIATION_RULES_SQL),
     "customer_rfm": (customer_rfm, CUSTOMER_RFM_SQL),
     "orders_market_basket": (orders_market_basket, ORDERS_MARKET_BASKET_SQL),
 }

@@ -87,6 +87,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "lang_id_eval",
         "doc_ngram_novelty",
         "events_stream_daily_users",
+        "orders_association_rules",
         "events_rolling_avg",
         "events_value_quantiles_sketch",
         "doc_unigram_logprob",
