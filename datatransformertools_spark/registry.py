@@ -88,6 +88,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "doc_ngram_novelty",
         "events_stream_daily_users",
         "orders_association_rules",
+        "zorder_layout",
         "events_rolling_avg",
         "events_value_quantiles_sketch",
         "doc_unigram_logprob",

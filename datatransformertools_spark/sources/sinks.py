@@ -126,6 +126,70 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# zorder_layout — multi-dimensional clustering key for lake layout
+# ---------------------------------------------------------------------------
+
+Z_BITS = 16  # bits per dimension interleaved into the 32-bit z-value
+Z_PREFIX_SHIFT = 26  # audit granularity: top 6 bits → 64 layout regions
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout audit for the events table: interleave
+    the bits of (user_id, value-bucket) into one z-value, then count
+    rows per z-prefix region. Range-partitioning + sorting files by
+    this key clusters BOTH dimensions at once, so scans filtered on
+    either user ranges or value ranges prune most files — the
+    multi-dimensional generalization of partitioning by one column,
+    and the layout decision this audit sizes (balanced regions →
+    balanced files).
+
+    Scale design: the interleave is pure per-row integer bit math
+    (identical in every engine), the audit is one ≤64-group
+    partial-agg shuffle. The write itself is then
+    `repartitionByRange(zkey).sortWithinPartitions(zkey)`."""
+    from pyspark.sql import functions as F
+
+    from datatransformertools_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    da = F.pmod(F.col("user_id"), F.lit(1 << Z_BITS)).cast("long")
+    db = F.pmod(F.floor(F.col("value")).cast("long"), F.lit(1 << Z_BITS))
+    z = None
+    for i in range(Z_BITS):
+        bit_a = F.shiftleft(F.shiftright(da, i).bitwiseAND(F.lit(1)), 2 * i)
+        bit_b = F.shiftleft(F.shiftright(db, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        contrib = bit_a.bitwiseOR(bit_b)
+        z = contrib if z is None else z.bitwiseOR(contrib)
+    return (
+        ev.select(F.shiftright(z, Z_PREFIX_SHIFT).alias("z_region"))
+        .groupBy("z_region")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def _z_interleave_sql(col_a: str, col_b: str) -> str:
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"((({col_a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({col_b} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+ZORDER_LAYOUT_SQL = f"""
+WITH dims AS (
+  SELECT user_id % {1 << Z_BITS} AS da,
+         CAST(floor(value) AS BIGINT) % {1 << Z_BITS} AS db
+  FROM events
+)
+SELECT ({_z_interleave_sql('da', 'db')}) >> {Z_PREFIX_SHIFT} AS z_region,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM dims
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "bucketed_join_revenue": (bucketed_join_revenue, BUCKETED_JOIN_REVENUE_SQL),
+    "zorder_layout": (zorder_layout, ZORDER_LAYOUT_SQL),
 }
