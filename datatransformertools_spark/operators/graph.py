@@ -131,6 +131,98 @@ FROM r{PR_ITERS} f JOIN deg d ON f.part = d.src
 PART_PAGERANK_SQL = _pagerank_sql()
 
 
+# ---------------------------------------------------------------------------
+# part_triangles — triangle census of the frequent co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+def part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the frequent co-purchase graph (edges =
+    support-filtered market-basket pairs): edge count, node count,
+    triangle count, and the global clustering ratio
+    triangles/open-wedges — the cohesion metric that distinguishes
+    genuine product communities from hub-and-spoke popularity.
+
+    Scale design: the classic two-join triangle enumeration over
+    id-ORIENTED edges (part_a < part_b everywhere), so each triangle
+    is counted exactly once with no orientation dedup pass; both
+    joins key on a part id and the wedge count reuses the per-node
+    degree aggregate. Edge volume is already bounded by the
+    market-basket support threshold — the same prune a 100 TB run
+    leans on before any graph analytics."""
+    from datatransformertools_spark.operators.relational import orders_market_basket
+
+    edges = orders_market_basket(spark, sf_dir).select("part_a", "part_b")
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    triangles = (
+        e1.join(e2, F.col("e1.part_b") == F.col("e2.part_a"))
+        .join(
+            e3,
+            (F.col("e3.part_a") == F.col("e1.part_a"))
+            & (F.col("e3.part_b") == F.col("e2.part_b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = edges.select(F.col("part_a").alias("p")).unionByName(
+        edges.select(F.col("part_b").alias("p"))
+    )
+    degrees = nodes.groupBy("p").agg(F.count(F.lit(1)).alias("deg"))
+    stats = degrees.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2).cast("long").alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        triangles.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            F.round(
+                F.when(F.col("n_wedges") > 0, 3.0 * F.col("n_triangles") / F.col("n_wedges"))
+                .otherwise(0.0)
+                + 1e-9,
+                6,
+            ).alias("clustering_ratio"),
+        )
+    )
+
+
+def _triangles_sql() -> str:
+    from datatransformertools_spark.operators.relational import ORDERS_MARKET_BASKET_SQL
+
+    return f"""
+WITH edges AS (SELECT part_a, part_b FROM ({ORDERS_MARKET_BASKET_SQL})),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e1.part_b = e2.part_a
+  JOIN edges e3 ON e3.part_a = e1.part_a AND e3.part_b = e2.part_b
+),
+nodes AS (
+  SELECT p, count(*) AS deg FROM (
+    SELECT part_a AS p FROM edges UNION ALL SELECT part_b FROM edges
+  ) GROUP BY 1
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges
+  FROM nodes
+),
+ecnt AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges)
+SELECT n_nodes, n_edges, n_triangles,
+       round(CASE WHEN n_wedges > 0
+                  THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END + 1e-9, 6)
+         AS clustering_ratio
+FROM tri CROSS JOIN ecnt CROSS JOIN stats
+"""
+
+
+PART_TRIANGLES_SQL = _triangles_sql()
+
+
 QUERIES = {
     "part_pagerank": (part_pagerank, PART_PAGERANK_SQL),
+    "part_triangles": (part_triangles, PART_TRIANGLES_SQL),
 }

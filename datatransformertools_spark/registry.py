@@ -89,6 +89,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "events_stream_daily_users",
         "orders_association_rules",
         "zorder_layout",
+        "part_triangles",
         "events_rolling_avg",
         "events_value_quantiles_sketch",
         "doc_unigram_logprob",
