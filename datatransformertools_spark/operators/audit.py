@@ -208,8 +208,109 @@ FROM events WHERE user_id % {TOMBSTONE_MOD} = 0
 """
 
 
+# ---------------------------------------------------------------------------
+# schema_contract_check — does the landed data still match the contract?
+# ---------------------------------------------------------------------------
+
+# The engine's documented column contract per table. Column NAMES are
+# the cross-engine-stable surface (physical types legitimately vary —
+# events.ts has shipped as two different parquet types; the
+# type-level checks live in events_column_profile and the ts
+# normalization helpers).
+SCHEMA_CONTRACT = {
+    "region": ("r_regionkey", "r_name"),
+    "nation": ("n_nationkey", "n_name", "n_regionkey"),
+    "customer": ("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+    "supplier": ("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part": ("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+    "orders": (
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ),
+    "lineitem": (
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    ),
+    "events": ("event_id", "ts", "user_id", "event_type", "value", "props"),
+    "documents": ("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings": ("vec_id", "embedding", "label"),
+}
+
+
+def schema_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-contract gate: per table, do the landed columns still
+    match the engine's documented contract? Emits expected/actual
+    counts, sorted missing/extra column lists, and a pass flag —
+    the check a pipeline runs on every new drop BEFORE any query
+    assumes the contract (a silently renamed or dropped column
+    otherwise surfaces as a mid-DAG analysis error, or worse, a
+    null-filled join).
+
+    This is metadata work by design: only parquet footers are read
+    (one driver-side schema probe per table), and the verdict frame
+    is |tables| literal rows — no scan, no shuffle, identical cost
+    at any data scale."""
+    rows = []
+    for table, expected in SCHEMA_CONTRACT.items():
+        actual = load_table(spark, sf_dir, table).columns
+        missing = sorted(set(expected) - set(actual))
+        extra = sorted(set(actual) - set(expected))
+        rows.append(
+            (
+                table,
+                len(expected),
+                len(actual),
+                ",".join(missing),
+                ",".join(extra),
+                int(not missing and not extra),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "table_name string, n_expected long, n_actual long, "
+        "missing_cols string, extra_cols string, contract_ok long",
+    )
+
+
+def _contract_leg(table: str, expected: tuple) -> str:
+    exp_list = ", ".join(f"'{c}'" for c in expected)
+    actual = (
+        f"SELECT column_name FROM information_schema.columns WHERE table_name = '{table}'"
+    )
+    return f"""
+SELECT '{table}' AS table_name,
+       CAST({len(expected)} AS BIGINT) AS n_expected,
+       (SELECT CAST(count(*) AS BIGINT) FROM ({actual})) AS n_actual,
+       (SELECT coalesce(string_agg(c, ',' ORDER BY c), '')
+        FROM (SELECT unnest([{exp_list}]) AS c EXCEPT {actual})) AS missing_cols,
+       (SELECT coalesce(string_agg(column_name, ',' ORDER BY column_name), '')
+        FROM ({actual} EXCEPT SELECT unnest([{exp_list}]))) AS extra_cols,
+       CAST((SELECT count(*) FROM (SELECT unnest([{exp_list}]) AS c EXCEPT {actual})) = 0
+            AND (SELECT count(*) FROM ({actual} EXCEPT SELECT unnest([{exp_list}]))) = 0
+            AS BIGINT) AS contract_ok"""
+
+
+SCHEMA_CONTRACT_SQL = "\nUNION ALL\n".join(
+    _contract_leg(t, cols) for t, cols in SCHEMA_CONTRACT.items()
+)
+
+
 QUERIES = {
     "key_skew_profile": (key_skew_profile, KEY_SKEW_PROFILE_SQL),
     "referential_integrity_audit": (referential_integrity_audit, REFERENTIAL_INTEGRITY_SQL),
     "deletion_cascade_audit": (deletion_cascade_audit, DELETION_CASCADE_SQL),
+    "schema_contract_check": (schema_contract_check, SCHEMA_CONTRACT_SQL),
 }

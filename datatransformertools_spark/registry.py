@@ -90,6 +90,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "orders_association_rules",
         "zorder_layout",
         "part_triangles",
+        "schema_contract_check",
         "events_rolling_avg",
         "events_value_quantiles_sketch",
         "doc_unigram_logprob",
