@@ -880,6 +880,195 @@ GROUP BY vec_id, label
 
 
 # ---------------------------------------------------------------------------
+# ann_mmr_topk — diversified retrieval (Maximal Marginal Relevance)
+# ---------------------------------------------------------------------------
+
+MMR_LAMBDA = 0.7
+MMR_SHORTLIST = 20
+
+_MMR_SCHEMA = (
+    "query_id long, mmr_rank int, neighbor_id long, rel_sim double, mmr_score double"
+)
+
+
+MMR_MU = 0.3  # diversity weight — an explicit literal, NOT 1 - MMR_LAMBDA
+# (1 - 0.7 is 0.30000000000000004 in binary; both engines must parse
+# the same 0.3 literal or 6-dp-boundary scores could disagree)
+
+
+def _make_mmr_kernel():
+    # factory so cloudpickle ships the kernel by value (same pattern
+    # as the greedy detection-eval kernel); constants are bound as
+    # closure locals so the shipped function is self-contained
+    lam, mu, topk = MMR_LAMBDA, MMR_MU, TOP_K
+
+    def mmr_select(pdf):
+        """Greedy MMR over one query's shortlist: each step takes
+        argmax of λ·rel − (1−λ)·max-sim-to-selected (6-dp-rounded,
+        ties to the lowest neighbor_id). All float math is a
+        SEQUENTIAL left fold so it is bit-identical to the DuckDB
+        oracle's list_sum — no numpy reductions, whose pairwise
+        summation would drift in the last ulp."""
+
+        def dot_seq(a, b):
+            s = 0.0
+            for x, y in zip(a, b):
+                s += x * y
+            return s
+
+        import math
+
+        rows = list(pdf.itertuples())
+        vecs = {r.neighbor_id: list(r.cv) for r in rows}
+        norms = {nid: math.sqrt(dot_seq(v, v)) for nid, v in vecs.items()}
+        rel = {r.neighbor_id: r.rel_sim for r in rows}
+        qid = rows[0].query_id
+        remaining = sorted(rel)
+        selected = []
+        out = []
+        while remaining and len(selected) < topk:
+            best = None
+            for nid in remaining:
+                # true max over selected (cosines can be negative);
+                # 0.0 only when nothing is selected yet — mirrors the
+                # oracle's coalesce(max(...), 0.0)
+                div = 0.0
+                for k, sid in enumerate(selected):
+                    den = norms[nid] * norms[sid]
+                    c = dot_seq(vecs[nid], vecs[sid]) / den if den > 0 else 0.0
+                    if k == 0 or c > div:
+                        div = c
+                score = round(lam * rel[nid] - mu * div + 1e-9, 6)
+                if best is None or score > best[0] or (score == best[0] and nid < best[1]):
+                    best = (score, nid)
+            score, nid = best
+            selected.append(nid)
+            remaining.remove(nid)
+            out.append((qid, len(selected), nid, rel[nid], score))
+
+        import pandas as pd
+
+        return pd.DataFrame(
+            out, columns=["query_id", "mmr_rank", "neighbor_id", "rel_sim", "mmr_score"]
+        )
+
+    return mmr_select
+
+
+def ann_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified top-k via Maximal Marginal Relevance: rerank each
+    query's brute-force shortlist so every pick balances relevance
+    against similarity to what is already picked (λ = 0.7) — the
+    dedup-at-retrieval-time step that stops a result page being five
+    near-copies of one passage.
+
+    Scale design: the O(shortlist²·DIM) greedy loop runs per query
+    as a grouped-map Arrow kernel (groups = queries — embarrassingly
+    parallel), fed by the broadcast-query shortlist plan; the
+    all-corpus work stays in the codegen'd scoring join. Kernel
+    float math is a sequential fold, bit-identical to the oracle's
+    recursive-CTE replay."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cands = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    pairs = cands.crossJoin(F.broadcast(queries))
+    rel = F.round(cosine_prenormed(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")) + 1e-9, 6)
+    scored = pairs.select("query_id", "neighbor_id", "cv", rel.alias("rel_sim"))
+    rank = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.col("rel_sim").desc(), F.col("neighbor_id"))
+    )
+    shortlist = scored.withColumn("rn", rank).filter(F.col("rn") <= MMR_SHORTLIST)
+    return shortlist.groupBy("query_id").applyInPandas(_make_mmr_kernel(), _MMR_SCHEMA)
+
+
+def _mmr_sql() -> str:
+    # unrolled greedy (the kmeans-oracle technique): one CTE pair per
+    # selection step — recursive CTEs cannot express the correlated
+    # diversity max, a fixed K-step chain of plain joins can
+    norm_sql = "sqrt(list_sum(list_transform({v}, x -> x * x)))"
+    dot_ab = f"list_sum(list_transform(range(1, {DIM} + 1), i -> a.cv[i] * b.cv[i]))"
+    na, nb = norm_sql.format(v="a.cv"), norm_sql.format(v="b.cv")
+    pair_cos = f"CASE WHEN {na} * {nb} > 0 THEN {dot_ab} / ({na} * {nb}) ELSE 0.0 END"
+    nq, nc = norm_sql.format(v="qv"), norm_sql.format(v="cv")
+    qdot = f"list_sum(list_transform(range(1, {DIM} + 1), i -> qv[i] * cv[i]))"
+    qcos = f"CASE WHEN {nq} * {nc} > 0 THEN {qdot} / ({nq} * {nc}) ELSE 0.0 END"
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES})",
+        f"c AS (SELECT vec_id AS neighbor_id, v AS cv FROM e WHERE vec_id >= {N_QUERIES})",
+        f"""shortlist AS (
+  SELECT * FROM (
+    SELECT query_id, neighbor_id, cv,
+           round({qcos} + 1e-9, 6) AS rel_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round({qcos} + 1e-9, 6) DESC, neighbor_id) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= {MMR_SHORTLIST}
+)""",
+        f"""pairsim AS (
+  SELECT a.query_id, a.neighbor_id AS cand, b.neighbor_id AS other, {pair_cos} AS sim
+  FROM shortlist a JOIN shortlist b
+    ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+)""",
+        f"""pick1 AS (
+  SELECT query_id, neighbor_id, rel_sim, score, 1 AS mmr_rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) AS prn
+    FROM (SELECT query_id, neighbor_id, rel_sim,
+                 round({MMR_LAMBDA} * rel_sim - {MMR_MU} * 0.0 + 1e-9, 6) AS score
+          FROM shortlist)
+  ) WHERE prn = 1
+)""",
+        "picked1 AS (SELECT query_id, neighbor_id FROM pick1)",
+    ]
+    for k in range(2, TOP_K + 1):
+        parts.append(
+            f"""pick{k} AS (
+  SELECT query_id, neighbor_id, rel_sim, score, {k} AS mmr_rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) AS prn
+    FROM (
+      SELECT s.query_id, s.neighbor_id, s.rel_sim,
+             round({MMR_LAMBDA} * s.rel_sim - {MMR_MU} * coalesce(d.mx, 0.0) + 1e-9, 6)
+               AS score
+      FROM shortlist s
+      LEFT JOIN (
+        SELECT ps.query_id, ps.cand, max(ps.sim) AS mx
+        FROM pairsim ps
+        JOIN picked{k - 1} pk ON ps.query_id = pk.query_id AND ps.other = pk.neighbor_id
+        GROUP BY 1, 2
+      ) d ON d.query_id = s.query_id AND d.cand = s.neighbor_id
+      WHERE NOT EXISTS (SELECT 1 FROM picked{k - 1} pk
+                        WHERE pk.query_id = s.query_id
+                          AND pk.neighbor_id = s.neighbor_id)
+    )
+  ) WHERE prn = 1
+)"""
+        )
+        parts.append(
+            f"""picked{k} AS (
+  SELECT query_id, neighbor_id FROM picked{k - 1}
+  UNION ALL SELECT query_id, neighbor_id FROM pick{k}
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT query_id, CAST(mmr_rank AS INTEGER) AS mmr_rank, neighbor_id, rel_sim, "
+        f"score AS mmr_score FROM pick{k}"
+        for k in range(1, TOP_K + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+ANN_MMR_SQL = _mmr_sql()
+
+
+# ---------------------------------------------------------------------------
 # embedding_norm_audit — vector QA before anything consumes embeddings
 # ---------------------------------------------------------------------------
 
@@ -986,4 +1175,5 @@ QUERIES = {
     "embedding_quantize": (embedding_quantize, EMBEDDING_QUANTIZE_SQL),
     "embedding_norm_audit": (embedding_norm_audit, EMBEDDING_NORM_AUDIT_SQL),
     "ann_recall_eval": (ann_recall_eval, ANN_RECALL_EVAL_SQL),
+    "ann_mmr_topk": (ann_mmr_topk, ANN_MMR_SQL),
 }

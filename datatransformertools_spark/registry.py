@@ -91,6 +91,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "zorder_layout",
         "part_triangles",
         "schema_contract_check",
+        "ann_mmr_topk",
         "events_rolling_avg",
         "events_value_quantiles_sketch",
         "doc_unigram_logprob",
