@@ -688,6 +688,66 @@ FROM reach GROUP BY node
 
 
 # ---------------------------------------------------------------------------
+# dedup_containment — asymmetric near-dup (one doc inside another)
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_TAU = 0.8
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment detection: |A∩B| / |A| ≥ τ means doc A
+    is (mostly) CONTAINED in doc B — the quote/excerpt/boilerplate
+    case symmetric Jaccard misses entirely (a paragraph quoted
+    inside a long article has tiny Jaccard but containment ≈ 1).
+    Emits both directions per intersecting pair; the smaller side of
+    a true subset shows containment ≈ 1 while Jaccard stays low.
+
+    Scale design: identical inverted-index shape as the Jaccard op —
+    one shingle-keyed self-join builds intersections, sizes
+    shuffle-join on doc_id (per-doc table, never broadcast); only
+    the normalization differs. At 100 TB the same LSH prefilter that
+    bounds the Jaccard join bounds this one."""
+    sh = _shingle_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    containment = F.round(F.col("inter") / F.col("sa.n") + 1e-9, 6)
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            F.col("sa.n").alias("n_a"),
+            containment.alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_TAU)
+    )
+
+
+DEDUP_CONTAINMENT_SQL = f"""
+WITH {_SHINGLE_SQL},
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.inter, s.n AS n_a,
+       round(i.inter * 1.0 / s.n + 1e-9, 6) AS containment
+FROM inter i JOIN sizes s ON i.doc_a = s.doc_id
+WHERE round(i.inter * 1.0 / s.n + 1e-9, 6) >= {CONTAINMENT_TAU}
+"""
+
+
+# ---------------------------------------------------------------------------
 # doc_ngram_novelty — how much NEW text does each document add?
 # ---------------------------------------------------------------------------
 
@@ -870,4 +930,5 @@ QUERIES = {
     "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "dedup_lsh_quality": (dedup_lsh_quality, DEDUP_LSH_QUALITY_SQL),
     "doc_ngram_novelty": (doc_ngram_novelty, DOC_NGRAM_NOVELTY_SQL),
+    "dedup_containment": (dedup_containment, DEDUP_CONTAINMENT_SQL),
 }
