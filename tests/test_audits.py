@@ -132,3 +132,39 @@ def test_active_users_wau_bounds(spark, sf_dir):
     for r in rows:
         # WAU is a superset count of that day's DAU
         assert r.wau >= r.dau > 0
+
+
+def test_mmr_first_pick_is_most_relevant(spark, sf_dir):
+    from datatransformertools_spark.operators.similarity import (
+        TOP_K,
+        ann_bruteforce_topk,
+        ann_mmr_topk,
+    )
+
+    mmr = ann_mmr_topk(spark, sf_dir).collect()
+    per_query: dict[int, list] = {}
+    for r in mmr:
+        per_query.setdefault(r.query_id, []).append(r)
+    assert len(per_query) == 10
+    top1 = {
+        r.query_id: r.neighbor_id
+        for r in ann_bruteforce_topk(spark, sf_dir).collect()
+        if r.rank == 1
+    }
+    for qid, rows in per_query.items():
+        assert len(rows) == TOP_K
+        first = min(rows, key=lambda r: r.mmr_rank)
+        # with nothing selected yet, MMR rank 1 == pure relevance rank 1
+        assert first.neighbor_id == top1[qid]
+        # scores are non-increasing along the greedy selection
+        ordered = sorted(rows, key=lambda r: r.mmr_rank)
+        assert all(a.mmr_score >= b.mmr_score for a, b in zip(ordered, ordered[1:]))
+
+
+def test_containment_detects_subsets_jaccard_misses(spark, sf_dir):
+    from datatransformertools_spark.operators.dedup import dedup_containment
+
+    rows = dedup_containment(spark, sf_dir).collect()
+    for r in rows:
+        assert r.containment >= 0.8
+        assert r.inter <= r.n_a
