@@ -1410,6 +1410,67 @@ FROM dau d JOIN wau w USING (day)
 
 
 # ---------------------------------------------------------------------------
+# events_retention_curve — D1/D7 return rates by first-seen cohort
+# ---------------------------------------------------------------------------
+
+
+def events_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/D7 retention by acquisition cohort: users grouped by their
+    first-seen day, with the share that returned exactly 1 and 7
+    days later — the canonical product-health curve (and the events
+    twin of `orders_cohort_retention`'s monthly version).
+
+    Scale design: everything derives from the distinct (day, user)
+    pair set (one map-side-combined shuffle — the same collapse
+    DAU/WAU uses); the cohort day is a per-user min over that set,
+    and each retention flag is one more join ON (user, first_day+k)
+    against the pair set — keyed joins of the collapsed frame, never
+    raw events. Exact integer counts, 6-dp rates."""
+    ev = _events_us(spark, sf_dir).select(
+        F.expr(f"ts_us div {DAY_US}").alias("day"), "user_id"
+    )
+    day_user = ev.distinct()
+    first = day_user.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    d1 = day_user.select("user_id", (F.col("day") - 1).alias("cohort_day"), F.lit(1).alias("r1"))
+    d7 = day_user.select("user_id", (F.col("day") - 7).alias("cohort_day"), F.lit(1).alias("r7"))
+    joined = (
+        first.join(d1.distinct(), ["user_id", "cohort_day"], "left")
+        .join(d7.distinct(), ["user_id", "cohort_day"], "left")
+    )
+    return joined.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.coalesce(F.sum("r1"), F.lit(0)).alias("d1_retained"),
+        F.coalesce(F.sum("r7"), F.lit(0)).alias("d7_retained"),
+        F.round(F.coalesce(F.sum("r1"), F.lit(0)) / F.count(F.lit(1)) + 1e-9, 6).alias("d1_rate"),
+        F.round(F.coalesce(F.sum("r7"), F.lit(0)) / F.count(F.lit(1)) + 1e-9, 6).alias("d7_rate"),
+    )
+
+
+EVENTS_RETENTION_CURVE_SQL = f"""
+WITH day_user AS (
+  SELECT DISTINCT epoch_us(ts) // {DAY_US} AS day, user_id FROM events
+),
+first AS (SELECT user_id, min(day) AS cohort_day FROM day_user GROUP BY 1),
+flags AS (
+  SELECT f.user_id, f.cohort_day,
+         CASE WHEN d1.user_id IS NOT NULL THEN 1 ELSE 0 END AS r1,
+         CASE WHEN d7.user_id IS NOT NULL THEN 1 ELSE 0 END AS r7
+  FROM first f
+  LEFT JOIN day_user d1 ON d1.user_id = f.user_id AND d1.day = f.cohort_day + 1
+  LEFT JOIN day_user d7 ON d7.user_id = f.user_id AND d7.day = f.cohort_day + 7
+)
+SELECT cohort_day,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(r1) AS BIGINT)  AS d1_retained,
+       CAST(sum(r7) AS BIGINT)  AS d7_retained,
+       round(sum(r1) * 1.0 / count(*) + 1e-9, 6) AS d1_rate,
+       round(sum(r7) * 1.0 / count(*) + 1e-9, 6) AS d7_rate
+FROM flags
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # events_scd_join — point-in-time (SCD Type 2) dimension join
 # ---------------------------------------------------------------------------
 
@@ -1522,4 +1583,5 @@ QUERIES = {
     "events_drift_psi": (events_drift_psi, EVENTS_DRIFT_PSI_SQL),
     "events_scd_join": (events_scd_join, EVENTS_SCD_JOIN_SQL),
     "events_active_users": (events_active_users, EVENTS_ACTIVE_USERS_SQL),
+    "events_retention_curve": (events_retention_curve, EVENTS_RETENTION_CURVE_SQL),
 }

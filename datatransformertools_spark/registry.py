@@ -93,6 +93,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "schema_contract_check",
         "ann_mmr_topk",
         "dedup_containment",
+        "events_retention_curve",
         "events_rolling_avg",
         "events_value_quantiles_sketch",
         "doc_unigram_logprob",
