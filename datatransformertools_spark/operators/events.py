@@ -1410,6 +1410,75 @@ FROM dau d JOIN wau w USING (day)
 
 
 # ---------------------------------------------------------------------------
+# events_peak_detection — local maxima in the hourly event series
+# ---------------------------------------------------------------------------
+
+HOUR_US_PD = 3_600_000_000
+
+
+def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic peaks: hourly event counts flagged as peaks when an
+    hour strictly exceeds BOTH neighbors and runs ≥ 1.5× the global
+    hourly mean — the alerting primitive behind load-spike and
+    incident detection. Emits the full hourly series with neighbor
+    counts and the flag, so a monitor can plot the series and its
+    peaks from one result.
+
+    Scale design: one partial-agg shuffle to |hours| rows; the
+    lag/lead neighborhood window orders the tiny aggregated series
+    (windows never touch raw events), and the global mean rides in
+    as a broadcast 1-row aggregate. Peak thresholds compare exact
+    longs against a 4-dp-quantized mean, so the flag is
+    engine-stable."""
+    ev = _events_us(spark, sf_dir)
+    hourly = ev.groupBy(
+        (F.expr(f"ts_us div {HOUR_US_PD}") * HOUR_US_PD).alias("hour_start_us")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.orderBy("hour_start_us")
+    mean = hourly.agg(F.round(F.avg("n_events") + 1e-9, 4).alias("mean_hourly"))
+    flagged = (
+        hourly.withColumn("prev_n", F.lag("n_events").over(w))
+        .withColumn("next_n", F.lead("n_events").over(w))
+        .crossJoin(F.broadcast(mean))
+    )
+    is_peak = (
+        F.col("prev_n").isNotNull()
+        & F.col("next_n").isNotNull()
+        & (F.col("n_events") > F.col("prev_n"))
+        & (F.col("n_events") > F.col("next_n"))
+        & (F.col("n_events") >= 1.5 * F.col("mean_hourly"))
+    )
+    return flagged.select(
+        "hour_start_us",
+        "n_events",
+        "prev_n",
+        "next_n",
+        is_peak.cast("long").alias("is_peak"),
+    )
+
+
+EVENTS_PEAK_DETECTION_SQL = f"""
+WITH hourly AS (
+  SELECT (epoch_us(ts) // {HOUR_US_PD}) * {HOUR_US_PD} AS hour_start_us,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+),
+m AS (SELECT round(avg(n_events) + 1e-9, 4) AS mean_hourly FROM hourly),
+nbr AS (
+  SELECT hour_start_us, n_events,
+         lag(n_events)  OVER (ORDER BY hour_start_us) AS prev_n,
+         lead(n_events) OVER (ORDER BY hour_start_us) AS next_n
+  FROM hourly
+)
+SELECT hour_start_us, n_events, prev_n, next_n,
+       CAST(prev_n IS NOT NULL AND next_n IS NOT NULL
+            AND n_events > prev_n AND n_events > next_n
+            AND n_events >= 1.5 * mean_hourly AS BIGINT) AS is_peak
+FROM nbr CROSS JOIN m
+"""
+
+
+# ---------------------------------------------------------------------------
 # events_retention_curve — D1/D7 return rates by first-seen cohort
 # ---------------------------------------------------------------------------
 
@@ -1584,4 +1653,5 @@ QUERIES = {
     "events_scd_join": (events_scd_join, EVENTS_SCD_JOIN_SQL),
     "events_active_users": (events_active_users, EVENTS_ACTIVE_USERS_SQL),
     "events_retention_curve": (events_retention_curve, EVENTS_RETENTION_CURVE_SQL),
+    "events_peak_detection": (events_peak_detection, EVENTS_PEAK_DETECTION_SQL),
 }

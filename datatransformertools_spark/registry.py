@@ -94,6 +94,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "ann_mmr_topk",
         "dedup_containment",
         "events_retention_curve",
+        "events_peak_detection",
         "events_rolling_avg",
         "events_value_quantiles_sketch",
         "doc_unigram_logprob",
