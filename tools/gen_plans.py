@@ -225,6 +225,23 @@ SECTIONS = [
         False,
     ),
     (
+        "events_active_users",
+        "Exact rolling distinct the decomposable way: events collapse to "
+        "distinct (day, user) pairs in one map-side-combined exchange, the "
+        "x7 WAU fan-out is a map-side explode of that collapsed set, and "
+        "one count_distinct per target day finishes — no per-window user "
+        "sets, no self-join of raw events.",
+        False,
+    ),
+    (
+        "dedup_incremental",
+        "New-drop dedup against the corpus hash index: both sides collapse "
+        "to (16-byte md5, doc_id) before the membership join, so text "
+        "never reaches an exchange and drop-side work is O(|drop|) — the "
+        "incremental-ingest shape that avoids re-deduping the corpus.",
+        False,
+    ),
+    (
         "q20_dominant_suppliers",
         "No hinted broadcast anywhere: the shipdate filter pushes into the "
         "lineitem scan, part keys prune via a shuffled semi-join, the "
