@@ -41,6 +41,17 @@ BANDS = 4
 ROWS_PER_BAND = 2
 SHINGLE_N = 3
 JACCARD_TAU = 0.3
+# Document-frequency cap for the shingle inverted index feeding the
+# jaccard/containment self-joins: a shingle shared by d documents
+# generates d² join rows, so one boilerplate trigram ("all rights
+# reserved") across a million docs is a 10¹² fan-out. Shingles in
+# more than MAX_SHINGLE_DF docs carry no dedup signal (they are, by
+# definition, boilerplate) and are dropped from BOTH the
+# intersection AND the size normalization — the similarity contract
+# is "Jaccard/containment over informative shingles", mirrored
+# exactly in the DuckDB oracles. Same guard winnowing already
+# applies to its fingerprint index (MAX_FP_DF below).
+MAX_SHINGLE_DF = 50
 SIMHASH_BITS = 48
 SIMHASH_BAND_BITS = 12
 SIMHASH_MAX_HAMMING = 6
@@ -72,6 +83,20 @@ def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return track(docs.select("doc_id", F.explode(sh).alias("shingle")))
 
 
+def _capped_shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shingle inverted index with the MAX_SHINGLE_DF boilerplate
+    guard applied: one count-over-shingle window (a shuffle keyed on
+    the shingle — the same key the self-join uses, so the exchange
+    is reused) drops hot shingles BEFORE any pairing. This bounds
+    every join key's fan-out at MAX_SHINGLE_DF² rows regardless of
+    corpus size — the difference between O(n·df_cap²) and O(n²) when
+    boilerplate exists. Tracked: sizes + both join sides of
+    jaccard/containment consume this exact plan."""
+    sh = _shingle_df(spark, sf_dir)
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    return track(sh.withColumn("df", df_w).filter(F.col("df") <= MAX_SHINGLE_DF).drop("df"))
+
+
 _SHINGLE_SQL = r"""
 toks AS (
   SELECT doc_id,
@@ -86,6 +111,17 @@ shingles AS (
                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
     FROM toks
   )
+)
+"""
+
+# shingles → the DF-capped index (jaccard/containment only; minhash
+# signatures, components, and the novelty curve keep the full index)
+_CAPPED_SHINGLE_SQL = f"""
+kept AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+    FROM shingles
+  ) WHERE df <= {MAX_SHINGLE_DF}
 )
 """
 
@@ -184,11 +220,15 @@ GROUP BY h
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The persisted inverted index (see _shingle_df) feeds both
-    # sides of the self-join instead of re-running tokenize/shingle
-    # per side (2-10× at sf0.1). No eager action: AQE reads the
-    # materialized sizes at exchange time.
-    sh = _shingle_df(spark, sf_dir)
+    """Exact n-gram Jaccard ≥ τ pairs over the DF-capped shingle
+    index (see _capped_shingle_df): similarity is defined over
+    informative shingles only, so a boilerplate trigram shared by a
+    million docs can neither blow up the self-join nor manufacture
+    spurious similarity. The persisted index feeds sizes AND both
+    join sides instead of re-running tokenize/shingle per side
+    (2-10× at sf0.1). No eager action: AQE reads the materialized
+    sizes at exchange time."""
+    sh = _capped_shingle_df(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -213,10 +253,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_NGRAM_JACCARD_SQL = f"""
 WITH {_SHINGLE_SQL},
-sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+{_CAPPED_SHINGLE_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM shingles a JOIN shingles b
+  FROM kept a JOIN kept b
     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
@@ -703,11 +744,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     a true subset shows containment ≈ 1 while Jaccard stays low.
 
     Scale design: identical inverted-index shape as the Jaccard op —
-    one shingle-keyed self-join builds intersections, sizes
-    shuffle-join on doc_id (per-doc table, never broadcast); only
-    the normalization differs. At 100 TB the same LSH prefilter that
-    bounds the Jaccard join bounds this one."""
-    sh = _shingle_df(spark, sf_dir)
+    one shingle-keyed self-join over the DF-capped index
+    (_capped_shingle_df: boilerplate shingles in > MAX_SHINGLE_DF
+    docs are dropped from intersections AND sizes, bounding every
+    join key's fan-out), sizes shuffle-join on doc_id (per-doc
+    table, never broadcast); only the normalization differs."""
+    sh = _capped_shingle_df(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -733,10 +775,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_CONTAINMENT_SQL = f"""
 WITH {_SHINGLE_SQL},
-sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shingles GROUP BY doc_id),
+{_CAPPED_SHINGLE_SQL},
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM kept GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
-  FROM shingles a JOIN shingles b
+  FROM kept a JOIN kept b
     ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
   GROUP BY 1, 2
 )

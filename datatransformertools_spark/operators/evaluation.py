@@ -77,7 +77,7 @@ def _pred_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = jit.unionByName(far).filter(F.col("conf") >= CONF_THRESHOLD)
     cx, cy, cw, ch = clip_box(F.col("px"), F.col("py"), F.col("pw"), F.col("ph"), F.col("img_w"), F.col("img_h"))
     return both.select(
-        "pred_id", "image_id", "cls",
+        "pred_id", "image_id", "cls", "conf",
         cx.alias("px"), cy.alias("py"), cw.alias("pw"), ch.alias("ph"),
     )
 
@@ -109,7 +109,7 @@ pred_raw AS (
   FROM ann_base WHERE ann_id % 19 = 0
 ),
 pred AS (
-  SELECT pred_id, image_id, cls,
+  SELECT pred_id, image_id, cls, conf,
          cx AS px, cy AS py,
          greatest(0.0, least(pw, img_w - cx)) AS pw,
          greatest(0.0, least(ph, img_h - cy)) AS ph
@@ -123,7 +123,7 @@ pred AS (
 
 _PAIRS_SQL = """
 pairs AS (
-  SELECT p.pred_id, g.gt_id, p.image_id, p.cls,
+  SELECT p.pred_id, g.gt_id, p.image_id, p.cls, p.conf,
     CASE WHEN (p.pw * p.ph + g.gw * g.gh
                - greatest(0.0, least(p.px + p.pw, g.gx + g.gw) - greatest(p.px, g.gx))
                  * greatest(0.0, least(p.py + p.ph, g.gy + g.gh) - greatest(p.py, g.gy))) > 0
@@ -157,12 +157,15 @@ def _pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("px"), F.col("py"), F.col("pw"), F.col("ph"),
         F.col("gx"), F.col("gy"), F.col("gw"), F.col("gh"),
     )
-    # persist (tracked, releasable): the four eval queries share
-    # this exact plan, so Spark's cache-by-plan serves
-    # bbox_iou_pairs / eval / per-class / sweep from one
+    # persist (tracked, releasable): the eval queries share this
+    # exact plan, so Spark's cache-by-plan serves bbox_iou_pairs /
+    # eval / per-class / sweep / greedy / AP from one
     # materialization — the stage-table every evaluation pipeline
-    # would write anyway at cluster scale
-    return track(joined.select("pred_id", "gt_id", "image_id", "cls", iou.alias("iou")))
+    # would write anyway at cluster scale. `conf` rides along for
+    # the confidence-ranked AP.
+    return track(
+        joined.select("pred_id", "gt_id", "image_id", "cls", "conf", iou.alias("iou"))
+    )
 
 
 def _matched_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -203,7 +206,10 @@ def detection_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched = _matched_df(spark, sf_dir).agg(F.count(F.lit(1)).alias("tp"))
     n_pred = _pred_df(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_pred"))
     n_gt = _gt_df(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_gt"))
-    joined = matched.crossJoin(n_pred).crossJoin(n_gt)
+    # house rule: scalar aggregates ride as broadcast 1-row frames —
+    # hinted explicitly so an AQE-off run can't regress into a 1-row
+    # shuffle join (asserted in tests/test_plans.py)
+    joined = matched.crossJoin(F.broadcast(n_pred)).crossJoin(F.broadcast(n_gt))
     tp, np_, ng = F.col("tp"), F.col("n_pred"), F.col("n_gt")
     precision = tp / np_
     recall = tp / ng
@@ -418,7 +424,8 @@ def detection_eval_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tp_df = matched.agg(F.count(F.lit(1)).alias("tp"))
     n_pred = _pred_df(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_pred"))
     n_gt = _gt_df(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_gt"))
-    joined = tp_df.crossJoin(n_pred).crossJoin(n_gt)
+    # scalar aggregates ride as broadcast 1-row frames (house rule)
+    joined = tp_df.crossJoin(F.broadcast(n_pred)).crossJoin(F.broadcast(n_gt))
     tp, np_, ng = F.col("tp"), F.col("n_pred"), F.col("n_gt")
     precision = tp / np_
     recall = tp / ng
@@ -513,7 +520,12 @@ def detection_eval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_pred = _pred_df(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_pred"))
     n_gt = _gt_df(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_gt"))
-    joined = thr.join(tp_per_thr, "thr", "left").crossJoin(n_pred).crossJoin(n_gt)
+    # scalar aggregates ride as broadcast 1-row frames (house rule)
+    joined = (
+        thr.join(tp_per_thr, "thr", "left")
+        .crossJoin(F.broadcast(n_pred))
+        .crossJoin(F.broadcast(n_gt))
+    )
     tp = F.coalesce(F.col("tp"), F.lit(0))
     precision = tp / F.col("n_pred")
     recall = tp / F.col("n_gt")
@@ -563,6 +575,230 @@ FROM counts
 """
 
 
+# ---------------------------------------------------------------------------
+# detection_eval_ap — confidence-ranked PR-curve AP (true VOC/COCO AP@0.5)
+# ---------------------------------------------------------------------------
+
+# 9-dp integer quantization of each precision-envelope term before
+# the per-class sum: summing int64 is associative, so the AP value
+# cannot drift with Spark's partition-dependent double-sum order
+# (the same determinism recipe as kmeans'/pagerank's per-iteration
+# quantization).
+_AP_QUANT = 1_000_000_000
+
+
+def _make_conf_greedy_kernel():
+    # Factory so cloudpickle serializes the kernel BY VALUE (cluster
+    # Python workers never import this package).
+    def conf_greedy_match(pdf):
+        """Greedy matching in CONFIDENCE order — the assignment rule
+        of VOC/COCO AP evaluation: detections sorted by score
+        (descending, pred_id tiebreak) each claim the unmatched
+        same-class GT with the highest IoU. Same per-image isolation
+        as `detection_eval_greedy`'s kernel; only the processing
+        order differs (conf desc instead of pred_id asc)."""
+        pdf = pdf.sort_values(
+            ["image_id", "conf", "pred_id", "iou", "gt_id"],
+            ascending=[True, False, True, False, True],
+            kind="mergesort",
+        )
+        keep = []
+        cur_img = None
+        taken: set = set()
+        cur_pred = None
+        cur_matched = False
+        for row in pdf.itertuples():
+            if row.image_id != cur_img:
+                cur_img = row.image_id
+                taken = set()
+                cur_pred = None
+            if row.pred_id != cur_pred:
+                cur_pred = row.pred_id
+                cur_matched = False
+            if cur_matched or row.gt_id in taken:
+                continue
+            taken.add(row.gt_id)
+            cur_matched = True
+            keep.append(row.Index)
+        return pdf.loc[keep, ["image_id", "pred_id", "gt_id", "cls", "iou"]]
+
+    return conf_greedy_match
+
+
+def _ap_per_class_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class all-points AP@0.5 (shared by detection_eval_ap and
+    detection_eval_map).
+
+    Pipeline: (1) greedy-match candidates per image in confidence
+    order (grouped-map Arrow kernel — embarrassingly parallel across
+    image buckets); (2) rank ALL detections per class by
+    (conf desc, pred_id) and accumulate TP with one window pass;
+    (3) precision envelope p_env(i) = max precision at rank ≥ i (a
+    second window pass, frame CURRENT→UNBOUNDED FOLLOWING); (4) AP =
+    Σ_TP p_env / n_gt — the all-points PR-curve integral (VOC 2010+ /
+    COCO definition, minus COCO's 101-point resampling).
+
+    Scale note: step 2's window partitions by class (6 values), so
+    the ranking sort concentrates on |classes| reducers. That is
+    inherent to exact AP — it totally orders every detection per
+    class by score (pycocotools does the same sort single-node). The
+    100 TB fallback is binning scores into fixed-width buckets and
+    ranking the |buckets|-row histogram instead (error ≤ bucket
+    width); detections above threshold are also typically orders of
+    magnitude fewer than raw corpus rows."""
+    cand = _pairs_df(spark, sf_dir).filter(F.col("iou") >= IOU_THRESHOLD)
+    bucket = F.pmod(F.hash("image_id"), F.lit(N_GREEDY_BUCKETS))
+    matched = (
+        cand.withColumn("_bucket", bucket)
+        .groupBy("_bucket")
+        .applyInPandas(_make_conf_greedy_kernel(), _GREEDY_MATCH_SCHEMA)
+        .select("pred_id", F.lit(1).alias("is_tp"))
+    )
+    # matched grows with the corpus → shuffle join on pred_id,
+    # never broadcast.
+    det = (
+        _pred_df(spark, sf_dir)
+        .select("pred_id", "cls", "conf")
+        .join(matched, "pred_id", "left")
+        .select("pred_id", "cls", "conf", F.coalesce(F.col("is_tp"), F.lit(0)).alias("is_tp"))
+    )
+    order = Window.partitionBy("cls").orderBy(F.col("conf").desc(), F.col("pred_id"))
+    rnk = F.row_number().over(order)
+    cum_tp = F.sum("is_tp").over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = det.select("cls", "conf", "pred_id", "is_tp", rnk.alias("rnk"), cum_tp.alias("cum_tp"))
+    p_env = F.max(F.col("cum_tp").cast("double") / F.col("rnk")).over(
+        order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    env = ranked.select("cls", "is_tp", p_env.alias("p_env"))
+    term = F.when(F.col("is_tp") == 1, F.round(F.col("p_env") * _AP_QUANT).cast("long")).otherwise(
+        F.lit(0)
+    )
+    sums = env.groupBy("cls").agg(
+        F.sum(term).alias("sum_env"),
+        F.sum("is_tp").alias("tp"),
+        F.count(F.lit(1)).alias("n_pred"),
+    )
+    # per-class GT counts: bounded by |classes| = 6 (a literal
+    # constant of the class map) → broadcast-eligible per the house
+    # rule on constants-bounded frames.
+    n_gt = _gt_df(spark, sf_dir).groupBy("cls").agg(F.count(F.lit(1)).alias("n_gt"))
+    ap = F.round(F.col("sum_env") / F.lit(float(_AP_QUANT)) / F.col("n_gt") + 1e-9, 6)
+    return F.broadcast(n_gt).join(sums, "cls", "left").select(
+        "cls",
+        "n_gt",
+        F.coalesce(F.col("n_pred"), F.lit(0)).alias("n_pred"),
+        F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+        F.coalesce(ap, F.lit(0.0)).alias("ap50"),
+    )
+
+
+def detection_eval_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class confidence-ranked average precision at IoU 0.5 —
+    the true PR-curve AP the reference notebook's "simplified mAP"
+    (mean per-class precision, Test/accuracy.ipynb) approximates.
+    Detections are ranked by score, greedy-matched in score order,
+    and the all-points precision envelope is integrated per class."""
+    return _ap_per_class_df(spark, sf_dir)
+
+
+def detection_eval_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mAP@0.5: unweighted mean of per-class AP over the classes
+    with ground truth — the headline detection metric. The mean sums
+    6-dp-quantized per-class APs as exact int64 so the result is
+    bit-stable cross-engine."""
+    ap = _ap_per_class_df(spark, sf_dir)
+    q = F.round(F.col("ap50") * 1_000_000).cast("long")
+    return ap.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.round(F.sum(q) / (F.count(F.lit(1)) * F.lit(1_000_000.0)) + 1e-9, 6).alias("map50"),
+    )
+
+
+# The oracle replays the confidence-ordered greedy loop as a
+# recursive CTE (one step per ranked prediction per image, matched
+# GTs carried as a list), then integrates the same envelope with
+# window functions over identical (conf DESC, pred_id) ordering.
+_AP_BASE_SQL = f"""
+cand AS (SELECT * FROM pairs WHERE iou >= {IOU_THRESHOLD}),
+preds_seq AS (
+  SELECT image_id, pred_id,
+         row_number() OVER (PARTITION BY image_id ORDER BY conf DESC, pred_id) AS rn
+  FROM (SELECT DISTINCT image_id, pred_id, conf FROM cand)
+),
+maxrn AS (SELECT image_id, max(rn) AS n FROM preds_seq GROUP BY 1),
+greedy AS (
+  SELECT image_id, 0 AS rn, CAST([] AS BIGINT[]) AS mg, CAST(NULL AS BIGINT) AS matched_pred
+  FROM maxrn
+  UNION ALL
+  SELECT g.image_id, g.rn + 1,
+         CASE WHEN b.gt_id IS NULL THEN g.mg ELSE list_append(g.mg, b.gt_id) END,
+         CASE WHEN b.gt_id IS NULL THEN CAST(NULL AS BIGINT) ELSE s.pred_id END
+  FROM greedy g
+  JOIN preds_seq s ON s.image_id = g.image_id AND s.rn = g.rn + 1
+  LEFT JOIN LATERAL (
+    SELECT c.gt_id FROM cand c
+    WHERE c.image_id = g.image_id AND c.pred_id = s.pred_id
+      AND NOT list_contains(g.mg, c.gt_id)
+    ORDER BY c.iou DESC, c.gt_id
+    LIMIT 1
+  ) b ON TRUE
+),
+matched AS (SELECT matched_pred AS pred_id FROM greedy WHERE matched_pred IS NOT NULL),
+det AS (
+  SELECT p.cls, p.pred_id, p.conf,
+         CASE WHEN m.pred_id IS NULL THEN 0 ELSE 1 END AS is_tp
+  FROM pred p LEFT JOIN matched m USING (pred_id)
+),
+ranked AS (
+  SELECT cls, pred_id, conf, is_tp,
+         row_number() OVER (PARTITION BY cls ORDER BY conf DESC, pred_id) AS rnk,
+         sum(is_tp) OVER (PARTITION BY cls ORDER BY conf DESC, pred_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_tp
+  FROM det
+),
+env AS (
+  SELECT cls, is_tp,
+         max(CAST(cum_tp AS DOUBLE) / rnk) OVER (
+           PARTITION BY cls ORDER BY conf DESC, pred_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS p_env
+  FROM ranked
+),
+gt_counts AS (SELECT cls, CAST(count(*) AS BIGINT) AS n_gt FROM gt GROUP BY cls),
+sums AS (
+  SELECT cls,
+         CAST(sum(CASE WHEN is_tp = 1 THEN CAST(round(p_env * {_AP_QUANT}) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS sum_env,
+         CAST(sum(is_tp) AS BIGINT) AS tp,
+         CAST(count(*) AS BIGINT) AS n_pred
+  FROM env GROUP BY cls
+),
+ap AS (
+  SELECT g.cls, g.n_gt,
+         COALESCE(s.n_pred, 0) AS n_pred,
+         COALESCE(s.tp, 0) AS tp,
+         COALESCE(round(s.sum_env / {float(_AP_QUANT)} / g.n_gt + 1e-9, 6), 0.0) AS ap50
+  FROM gt_counts g LEFT JOIN sums s USING (cls)
+)
+"""
+
+DETECTION_EVAL_AP_SQL = f"""
+WITH RECURSIVE {_GT_SQL},
+{_PAIRS_SQL},
+{_AP_BASE_SQL}
+SELECT cls, n_gt, n_pred, tp, ap50 FROM ap
+"""
+
+DETECTION_EVAL_MAP_SQL = f"""
+WITH RECURSIVE {_GT_SQL},
+{_PAIRS_SQL},
+{_AP_BASE_SQL}
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       round(sum(CAST(round(ap50 * 1000000) AS BIGINT)) / (count(*) * 1000000.0) + 1e-9, 6)
+         AS map50
+FROM ap
+"""
+
+
 QUERIES = {
     "bbox_iou_pairs": (bbox_iou_pairs, BBOX_IOU_PAIRS_SQL),
     "detection_eval": (detection_eval, DETECTION_EVAL_SQL),
@@ -570,4 +806,6 @@ QUERIES = {
     "detection_eval_macro": (detection_eval_macro, DETECTION_EVAL_MACRO_SQL),
     "detection_eval_sweep": (detection_eval_sweep, DETECTION_EVAL_SWEEP_SQL),
     "detection_eval_greedy": (detection_eval_greedy, DETECTION_EVAL_GREEDY_SQL),
+    "detection_eval_ap": (detection_eval_ap, DETECTION_EVAL_AP_SQL),
+    "detection_eval_map": (detection_eval_map, DETECTION_EVAL_MAP_SQL),
 }

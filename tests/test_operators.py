@@ -145,6 +145,37 @@ class TestDedup:
         pairs = dedup_ngram_jaccard(spark, sf_dir).collect()
         assert all(r.jaccard >= 0.3 for r in pairs)
 
+    def test_shingle_df_cap_bounds_boilerplate_joins(self, spark, tmp_path):
+        import pandas as pd
+
+        from datatransformertools_spark.operators.dedup import (
+            MAX_SHINGLE_DF,
+            dedup_containment,
+            dedup_ngram_jaccard,
+        )
+
+        # 60 docs (> MAX_SHINGLE_DF = 50) that are mostly one shared
+        # boilerplate run: uncapped, every pair shares 3 of its 4
+        # shingles (jaccard 0.6) -> 60*59/2 = 1770 pairs and a d²
+        # fan-out on the hot shingle. The DF cap drops the
+        # boilerplate shingles from index AND sizes, so the only
+        # surviving pair is the genuinely duplicated 200/201.
+        n_boiler = MAX_SHINGLE_DF + 10
+        rare = " ".join(f"r{i}" for i in range(12))
+        pd.DataFrame(
+            {
+                "doc_id": list(range(n_boiler)) + [200, 201],
+                "text": [f"c0 c1 c2 c3 c4 u{i}" for i in range(n_boiler)] + [rare, rare],
+                "lang": ["en"] * (n_boiler + 2),
+                "source": ["web"] * (n_boiler + 2),
+                "n_chars": [24] * (n_boiler + 2),
+            }
+        ).to_parquet(tmp_path / "documents.parquet")
+        jac = {(r.doc_a, r.doc_b): r.jaccard for r in dedup_ngram_jaccard(spark, str(tmp_path)).collect()}
+        assert jac == {(200, 201): 1.0}
+        cont = {(r.doc_a, r.doc_b) for r in dedup_containment(spark, str(tmp_path)).collect()}
+        assert cont == {(200, 201), (201, 200)}
+
     def test_components_consistent_with_pairs(self, spark, sf_dir):
         from datatransformertools_spark.operators.dedup import (
             dedup_components,
@@ -256,6 +287,29 @@ class TestEvaluation:
         assert r.tp > 0 and r.fp > 0 and r.fn > 0
         assert r.precision == pytest.approx(r.tp / (r.tp + r.fp), abs=1e-5)
         assert r.recall == pytest.approx(r.tp / (r.tp + r.fn), abs=1e-5)
+
+    def test_ap_invariants(self, spark, sf_dir):
+        from datatransformertools_spark.operators.evaluation import (
+            detection_eval_ap,
+            detection_eval_map,
+        )
+
+        rows = detection_eval_ap(spark, sf_dir).collect()
+        assert len(rows) == 6  # one row per class with GT
+        for r in rows:
+            assert 0.0 <= r.ap50 <= 1.0
+            assert 0 <= r.tp <= min(r.n_gt, r.n_pred)
+            # AP is bounded above by recall (the PR curve's rightmost
+            # extent): envelope precision <= 1 on each of tp recall steps
+            assert r.ap50 <= r.tp / r.n_gt + 1e-6
+        m = _one(detection_eval_map(spark, sf_dir))
+        assert m.n_classes == 6
+        expect = sum(round(r.ap50 * 1e6) for r in rows) / (6 * 1e6)
+        assert m.map50 == pytest.approx(expect, abs=2e-6)
+        # the planted FP/FN/class-flip corruption must keep mAP
+        # strictly inside (0, 1) — a degenerate 0/1 means the ranking
+        # or matching collapsed
+        assert 0.0 < m.map50 < 1.0
 
 
 class TestBatchInference:

@@ -215,6 +215,33 @@ def test_audits_never_hint_broadcast(spark, sf_dir):
         assert "BroadcastExchange" not in plan, f"{name} force-broadcasts:\n{plan}"
 
 
+def test_eval_scalars_broadcast_pairs_shuffle(spark, sf_dir):
+    # The evaluation family's 1-row scalar aggregates (n_pred, n_gt,
+    # tp) must ride as hinted broadcast frames (house rule) — with
+    # AQE off the cross joins still plan as BroadcastNestedLoopJoin,
+    # never a 1-row shuffle join. The pred⋈gt pairs join is
+    # image-keyed and scale-sized, so it must NOT be hint-broadcast.
+    for name, n_scalar in (
+        ("detection_eval", 2),
+        ("detection_eval_greedy", 2),
+        ("detection_eval_sweep", 3),  # +1 for the 5-row threshold literal
+    ):
+        plan = _plan_hints_only(spark, sf_dir, name)
+        assert plan.count("BroadcastNestedLoopJoin") == n_scalar, f"{name}:\n{plan}"
+        assert "BroadcastHashJoin" not in plan, f"{name} hint-broadcasts a scale frame:\n{plan}"
+
+
+def test_shingle_df_cap_before_self_join(spark, sf_dir):
+    # jaccard/containment must apply the MAX_SHINGLE_DF window guard
+    # BEFORE the shingle self-join: the plan carries the df filter
+    # (window count alias) and the join itself stays a shuffled
+    # SortMergeJoin on the shingle key.
+    for name in ("dedup_ngram_jaccard", "dedup_containment"):
+        plan = _plan_hints_only(spark, sf_dir, name)
+        assert "BroadcastExchange" not in plan, f"{name} force-broadcasts:\n{plan}"
+        assert re.search(r"\(df#\d+L? <= 50\)", plan), f"{name} lost the DF cap:\n{plan}"
+
+
 def test_dedup_incremental_never_shuffles_text(spark, sf_dir):
     # the drop/corpus comparison moves (16-byte md5, doc_id) only —
     # the raw `text` attribute (rendered `text#N`, distinct from
