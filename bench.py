@@ -66,16 +66,30 @@ def main() -> None:
             spark._jvm.System.gc()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full per-query detail first (one JSON line for humans/automation
+    # reading the whole log)…
+    print(json.dumps({"detail": timings, "sf": sf_val}))
+    # …then the headline LAST and COMPACT: the driver records only the
+    # final ~2000 chars of stdout, so the parseable summary line must
+    # fit that window regardless of how many queries the registry
+    # grows to (r2's 142-query line overflowed it). `queries` carries
+    # the slowest 25 (the ones worth reading in a summary); the full
+    # map is on the detail line above.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:25])
     out = {
         "metric": "total_runtime_all_queries",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "queries": {k: round(v, 2) for k, v in sorted(slowest.items())},
+        "queries_note": f"25 slowest of {len(timings)}; full map on the detail line",
+        "sf": sf_val,
         "n_queries": len(timings),
         "cpus": int(cpus),
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    assert len(line) < 1900, f"headline line too long ({len(line)})"
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

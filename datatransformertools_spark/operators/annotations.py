@@ -315,10 +315,198 @@ SELECT * FROM (VALUES
 """
 
 
+# ---------------------------------------------------------------------------
+# I/O round-trips — the reference's on-disk formats under the gate.
+# write_yolo_labels / read_yolo_predictions / write_competition_json
+# (sources/annotations.py) are the reference's primary deliverable
+# edges (converter_to_yolo_data.py:92, predictions_to_json.py:124);
+# these queries push a derived dataset through write→read and emit
+# order-independent checksums, so the driver's oracle certifies the
+# physical format end to end: any corruption in the writer's
+# formatting or the reader's parsing flips a hash.
+# ---------------------------------------------------------------------------
+
+
+def _io_tmp(tag: str) -> str:
+    from pathlib import Path
+
+    base = Path(__file__).resolve().parents[2] / ".dtt_tmp" / tag
+    return str(base)
+
+
+def yolo_label_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YOLO label write→read round-trip: normalize the annotation
+    set, write `stem cls %.6f ×4` text shards (write_yolo_labels),
+    parse them back with read_yolo_predictions, re-canonicalize each
+    parsed row to its line string, and aggregate per class
+    (n_boxes + an order-independent md5 line-hash sum). 6-dp decimal
+    strings round-trip doubles exactly, so the hash certifies writer
+    formatting AND reader parsing; the oracle computes the identical
+    lines straight from the base CTE."""
+    from datatransformertools_spark.sources.annotations import (
+        read_yolo_predictions,
+        write_yolo_labels,
+    )
+
+    ann = annotations_df(spark, sf_dir)
+    xc, yc, wn, hn = to_yolo(
+        F.col("x"), F.col("y"), F.col("w"), F.col("h"), F.col("img_w"), F.col("img_h")
+    )
+    labels = ann.select(
+        "file_name",
+        F.col("cls").alias("category_id"),
+        F.round(xc + 1e-9, 6).alias("x_center"),
+        F.round(yc + 1e-9, 6).alias("y_center"),
+        F.round(wn + 1e-9, 6).alias("w_norm"),
+        F.round(hn + 1e-9, 6).alias("h_norm"),
+    )
+    path = _io_tmp("yolo_labels")
+    write_yolo_labels(labels, path)
+    back = read_yolo_predictions(spark, path)
+    line = F.concat_ws(
+        " ",
+        F.col("image_stem"),
+        F.col("category_id").cast("string"),
+        F.format_string("%.6f", F.col("x_center")),
+        F.format_string("%.6f", F.col("y_center")),
+        F.format_string("%.6f", F.col("w_norm")),
+        F.format_string("%.6f", F.col("h_norm")),
+    )
+    # 32-bit hash slices: the per-class SUM stays far inside int64
+    # at any corpus size (2³² · rows), and summing is order-
+    # independent, so shard/partition order can't move the checksum.
+    h32 = md5_long(line).bitwiseAND(F.lit((1 << 32) - 1))
+    return (
+        back.select("category_id", h32.alias("h"))
+        .groupBy("category_id")
+        .agg(F.count(F.lit(1)).alias("n_boxes"), F.sum("h").alias("line_hash_sum"))
+    )
+
+
+YOLO_LABEL_ROUNDTRIP_SQL = f"""
+WITH {ANN_BASE_SQL},
+clipped AS (
+  SELECT *,
+    greatest(0.0, least(x, img_w)) AS cx,
+    greatest(0.0, least(y, img_h)) AS cy
+  FROM ann_base
+),
+clipped2 AS (
+  SELECT *,
+    greatest(0.0, least(w, img_w - cx)) AS cw,
+    greatest(0.0, least(h, img_h - cy)) AS ch
+  FROM clipped
+),
+lines AS (
+  SELECT cls AS category_id,
+         regexp_replace(file_name, '\\.[a-zA-Z]+$', '')
+         || ' ' || CAST(cls AS VARCHAR)
+         || ' ' || printf('%.6f', round((cx + cw / 2.0) / img_w + 1e-9, 6))
+         || ' ' || printf('%.6f', round((cy + ch / 2.0) / img_h + 1e-9, 6))
+         || ' ' || printf('%.6f', round(cw / img_w + 1e-9, 6))
+         || ' ' || printf('%.6f', round(ch / img_h + 1e-9, 6)) AS line
+  FROM clipped2
+)
+SELECT category_id,
+       CAST(count(*) AS BIGINT) AS n_boxes,
+       CAST(sum(('0x' || substr(md5(line), 1, 15))::BIGINT & 4294967295) AS BIGINT)
+         AS line_hash_sum
+FROM lines
+GROUP BY category_id
+"""
+
+
+def competition_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Competition-JSON write→read round-trip: denormalized
+    predictions grouped per image and written as JSON-lines shards
+    (write_competition_json), read back with schema inference,
+    re-exploded, and checksummed per class (distinct images, box
+    count, md5 sum over the 2-dp bbox + class tuple). The
+    `corruption: none` wrapper rows are counted too, so the writer's
+    per-image envelope is certified, not just the box payload."""
+    from pyspark.sql import types as T
+
+    from datatransformertools_spark.sources.annotations import write_competition_json
+
+    preds = yolo_denormalize(spark, sf_dir)
+    path = _io_tmp("competition_json")
+    write_competition_json(preds, path)
+    schema = T.StructType(
+        [
+            T.StructField("file_name", T.StringType()),
+            T.StructField(
+                "annotations",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("bbox", T.ArrayType(T.DoubleType())),
+                            T.StructField("category_id", T.IntegerType()),
+                            T.StructField("category_name", T.StringType()),
+                        ]
+                    )
+                ),
+            ),
+            T.StructField(
+                "corruption",
+                T.StructType(
+                    [T.StructField("type", T.StringType()), T.StructField("severity", T.LongType())]
+                ),
+            ),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    ex = back.select(
+        "file_name",
+        (F.col("corruption.type") == "none").cast("long").alias("envelope_ok"),
+        F.explode("annotations").alias("a"),
+    )
+    key = F.format_string(
+        "%.2f|%.2f|%.2f|%.2f|%d|%s",
+        F.element_at("a.bbox", 1),
+        F.element_at("a.bbox", 2),
+        F.element_at("a.bbox", 3),
+        F.element_at("a.bbox", 4),
+        F.col("a.category_id"),
+        F.col("a.category_name"),
+    )
+    h32 = md5_long(key).bitwiseAND(F.lit((1 << 32) - 1))
+    return (
+        ex.select("file_name", "envelope_ok", F.col("a.category_id").alias("category_id"), h32.alias("h"))
+        .groupBy("category_id")
+        .agg(
+            F.count_distinct("file_name").alias("n_images"),
+            F.count(F.lit(1)).alias("n_boxes"),
+            F.sum("h").alias("bbox_hash_sum"),
+            F.min("envelope_ok").alias("envelope_ok"),
+        )
+    )
+
+
+COMPETITION_JSON_ROUNDTRIP_SQL = f"""
+WITH denorm_out AS ({YOLO_DENORMALIZE_SQL}),
+keyed AS (
+  SELECT file_name, category_id,
+         printf('%.2f|%.2f|%.2f|%.2f|%d|%s',
+                x_min, y_min, bbox_w, bbox_h, category_id, category_name) AS key
+  FROM denorm_out
+)
+SELECT category_id,
+       CAST(count(DISTINCT file_name) AS BIGINT) AS n_images,
+       CAST(count(*) AS BIGINT) AS n_boxes,
+       CAST(sum(('0x' || substr(md5(key), 1, 15))::BIGINT & 4294967295) AS BIGINT)
+         AS bbox_hash_sum,
+       CAST(1 AS BIGINT) AS envelope_ok
+FROM keyed
+GROUP BY category_id
+"""
+
+
 QUERIES = {
     "yolo_normalize": (yolo_normalize, YOLO_NORMALIZE_SQL),
     "yolo_denormalize": (yolo_denormalize, YOLO_DENORMALIZE_SQL),
     "train_val_split": (train_val_split, TRAIN_VAL_SPLIT_SQL),
     "dataset_stats": (dataset_stats, DATASET_STATS_SQL),
     "class_map": (class_map, CLASS_MAP_SQL),
+    "yolo_label_roundtrip": (yolo_label_roundtrip, YOLO_LABEL_ROUNDTRIP_SQL),
+    "competition_json_roundtrip": (competition_json_roundtrip, COMPETITION_JSON_ROUNDTRIP_SQL),
 }

@@ -748,6 +748,101 @@ def events_value_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# sketch error-bound companions — put the sketch CONTRACTS under the
+# value-checked gate. The estimates themselves are engine-specific
+# (no oracle can reproduce Spark's HLL++/GK state), but the claim
+# that makes them usable at 100 TB — "within ε of exact" — is
+# checkable: compute sketch AND exact twin in one Spark plan, emit
+# the boolean verdict, and let the oracle assert the all-true frame.
+# A sketch drifting out of contract flips a row to 0 and the gate
+# hash-mismatches.
+# ---------------------------------------------------------------------------
+
+# rsd=0.01 → σ ≈ 1%; 5% is a ≥5σ acceptance band (tests assert ≤2%)
+HLL_REL_ERR_BOUND = 0.05
+# percentile_approx accuracy 10⁴ → rank error ≤ 10⁻⁴; accept the
+# value if it lies between the exact quantiles at p ∓ 0.005 (50×)
+GK_RANK_EPS = 0.005
+
+
+def events_user_count_hll_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL error contract under the gate: per event type, exact
+    distinct users (oracle-checkable) plus a within-bound flag for
+    the HLL++ estimate (|approx−exact|/exact ≤ 5%). One scan, one
+    shuffle — the exact count_distinct rides the same aggregate as
+    the sketch. At 100 TB the exact twin is the expensive leg; this
+    audit runs on samples/partitions there, while the certified
+    contract is what production reads."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    rel_err = F.abs(F.col("approx") - F.col("exact_users")) / F.col("exact_users")
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (rel_err <= HLL_REL_ERR_BOUND).cast("int").alias("within_bound"),
+    )
+
+
+EVENTS_USER_COUNT_HLL_ERROR_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(1 AS INTEGER) AS within_bound
+FROM events
+GROUP BY event_type
+"""
+
+_GK_QUANTILES = (0.25, 0.5, 0.75, 0.95)
+
+
+def events_value_quantiles_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna quantile-sketch error contract under the
+    gate: for each (event type, p), the percentile_approx estimate
+    must lie between the EXACT quantiles at p ∓ GK_RANK_EPS — the
+    rank-error form of the GK guarantee (accuracy 10⁴ ⇒ rank error
+    ≤ 10⁻⁴, accepted at 50× slack). Exact bounds and the sketch
+    share one aggregate pass; the wide row unpivots map-side to one
+    row per quantile, |types|·4 rows at any scale."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    aggs = []
+    for q in _GK_QUANTILES:
+        lo, hi = max(q - GK_RANK_EPS, 0.0), min(q + GK_RANK_EPS, 1.0)
+        aggs += [
+            F.percentile_approx("value", q, 10000).alias(f"a{int(q * 100)}"),
+            F.expr(f"percentile(value, {lo})").alias(f"lo{int(q * 100)}"),
+            F.expr(f"percentile(value, {hi})").alias(f"hi{int(q * 100)}"),
+        ]
+    wide = ev.groupBy("event_type").agg(*aggs)
+    verdicts = F.array(
+        *[
+            F.struct(
+                F.lit(q).alias("quantile"),
+                (
+                    (F.col(f"a{int(q * 100)}") >= F.col(f"lo{int(q * 100)}"))
+                    & (F.col(f"a{int(q * 100)}") <= F.col(f"hi{int(q * 100)}"))
+                )
+                .cast("int")
+                .alias("within_bound"),
+            )
+            for q in _GK_QUANTILES
+        ]
+    )
+    return (
+        wide.select("event_type", F.explode(verdicts).alias("v"))
+        .select("event_type", F.col("v.quantile").alias("quantile"), F.col("v.within_bound").alias("within_bound"))
+    )
+
+
+EVENTS_VALUE_QUANTILES_SKETCH_ERROR_SQL = """
+SELECT event_type, CAST(quantile AS DOUBLE) AS quantile, CAST(1 AS INTEGER) AS within_bound
+FROM (SELECT DISTINCT event_type FROM events)
+CROSS JOIN (VALUES (0.25), (0.5), (0.75), (0.95)) AS q(quantile)
+"""
+
+
+# ---------------------------------------------------------------------------
 # events_cube — full CUBE over (event_type, hour-of-day)
 # ---------------------------------------------------------------------------
 
@@ -1637,8 +1732,13 @@ QUERIES = {
     "events_value_quantiles": (events_value_quantiles, EVENTS_VALUE_QUANTILES_SQL),
     "events_hopping_agg": (events_hopping_agg, EVENTS_HOPPING_AGG_SQL),
     "events_user_count_hll": (events_user_count_hll, None),
+    "events_user_count_hll_error": (events_user_count_hll_error, EVENTS_USER_COUNT_HLL_ERROR_SQL),
     "events_rolling_avg": (events_rolling_avg, EVENTS_ROLLING_AVG_SQL),
     "events_value_quantiles_sketch": (events_value_quantiles_sketch, None),
+    "events_value_quantiles_sketch_error": (
+        events_value_quantiles_sketch_error,
+        EVENTS_VALUE_QUANTILES_SKETCH_ERROR_SQL,
+    ),
     "events_cube": (events_cube, EVENTS_CUBE_SQL),
     "user_value_deciles": (user_value_deciles, USER_VALUE_DECILES_SQL),
     "events_latest_snapshot": (events_latest_snapshot, EVENTS_LATEST_SNAPSHOT_SQL),

@@ -27,6 +27,14 @@ def _plan_hints_only(spark, sf_dir, name: str) -> str:
     100 TB contract — a hint forces the broadcast at ANY scale, so a
     hint on a data-sized frame is a latent OOM even when the sf0.001
     stats would make it look fine."""
+    # drop tracked stage-table caches first: a cached subplan freezes
+    # the physical plan it was compiled with (AQE on → runtime
+    # broadcast upgrades), and InMemoryTableScan would render that
+    # interior into this plan, making the hints-only assertion see
+    # AQE's legitimate small-SF decisions instead of our hints.
+    from datatransformertools_spark.caching import release_caches
+
+    release_caches()
     old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
