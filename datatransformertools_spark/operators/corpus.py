@@ -627,6 +627,166 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# paragraph_dedup — corpus-wide exact paragraph removal (Gopher-style)
+# ---------------------------------------------------------------------------
+
+# Deterministic boilerplate paragraphs appended in BOTH engines (the
+# synthetic corpus has no repeated paragraphs, same convention as
+# pii_scrub's injected PII): every doc_id%4==0 doc gains the
+# newsletter footer, every doc_id%6==0 doc the cookie banner.
+_BP1 = "subscribe to our newsletter for weekly updates and exclusive offers delivered straight to your inbox every friday morning"
+_BP2 = "this website uses cookies to improve your experience please accept our cookie policy to continue browsing the site"
+
+
+def _with_boilerplate(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    p1 = F.when(did % 4 == 0, F.lit("\n\n" + _BP1)).otherwise(F.lit(""))
+    p2 = F.when(did % 6 == 0, F.lit("\n\n" + _BP2)).otherwise(F.lit(""))
+    return docs.withColumn("text", F.concat(F.col("text"), p1, p2))
+
+
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact paragraph dedup (the MassiveText/Gopher
+    pre-filter): split every document on blank lines, hash each
+    normalized paragraph, keep only the globally FIRST occurrence
+    of each paragraph (ordered by doc_id, then position) and report
+    per-document survival stats.
+
+    Scale design: the only shuffle is the first-occurrence window
+    keyed on the 16-byte paragraph hash — paragraph text never
+    moves, and the per-doc regroup keys on doc_id. Work is
+    O(total paragraphs), never pairwise. At 100 TB this is two
+    exchanges over (hash, doc_id, idx, n_chars) rows."""
+    docs = _with_boilerplate(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    paras = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), "\n\n")).alias("idx", "para")
+    ).select(
+        "doc_id",
+        "idx",
+        F.length("para").alias("para_chars"),
+        F.md5(normalize_text(F.col("para"))).alias("para_hash"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("para_hash").orderBy("doc_id", "idx")
+    )
+    flagged = paras.withColumn("kept", rn == 1)
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum(F.col("kept").cast("long"))).alias("n_dropped"),
+        F.round(
+            F.sum(F.when(F.col("kept"), F.col("para_chars")).otherwise(F.lit(0))).cast("double")
+            / F.sum("para_chars")
+            + 1e-9,
+            6,
+        ).alias("kept_char_ratio"),
+    )
+
+
+PARAGRAPH_DEDUP_SQL = rf"""
+WITH injected AS (
+  SELECT doc_id,
+         text
+           || CASE WHEN doc_id % 4 = 0 THEN chr(10) || chr(10) || '{_BP1}' ELSE '' END
+           || CASE WHEN doc_id % 6 = 0 THEN chr(10) || chr(10) || '{_BP2}' ELSE '' END AS text
+  FROM documents
+),
+paras AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, chr(10) || chr(10)), 1) - 1 AS idx,
+         unnest(string_split(text, chr(10) || chr(10)))                     AS para
+  FROM injected
+),
+hashed AS (
+  SELECT doc_id, idx, length(para) AS para_chars,
+         md5(trim(regexp_replace(lower(para), '\s+', ' ', 'g'))) AS para_hash
+  FROM paras
+),
+flagged AS (
+  SELECT *, row_number() OVER (PARTITION BY para_hash ORDER BY doc_id, idx) = 1 AS kept
+  FROM hashed
+)
+SELECT doc_id,
+       count(*)                                    AS n_paras,
+       CAST(sum(kept::INT) AS BIGINT)              AS n_kept,
+       count(*) - CAST(sum(kept::INT) AS BIGINT)   AS n_dropped,
+       round(sum(CASE WHEN kept THEN para_chars ELSE 0 END)::DOUBLE / sum(para_chars) + 1e-9, 6)
+                                                   AS kept_char_ratio
+FROM flagged
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# cross_source_overlap — source-pair n-gram contamination matrix
+# ---------------------------------------------------------------------------
+
+
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source contamination matrix: for every source pair,
+    the number of distinct word-3-gram shingles both sources contain
+    and their shingle-set Jaccard. The corpus-assembly view that
+    shows which "independent" sources actually overlap (mirror
+    sites, syndicated feeds) before mixing weights are chosen.
+
+    Scale design: the join keys on the shingle, so fan-out per key
+    is bounded by the number of sources (≤ |sources|² pairs per
+    shingle, NOT per document — one row per (source, shingle), text
+    never moves). Output is |sources|² rows regardless of corpus
+    size; partial aggregation collapses map-side."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sh = _shingle_df(spark, sf_dir)
+    src_sh = sh.join(docs, "doc_id").select("source", "shingle").distinct()
+    sizes = src_sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = src_sh.select(F.col("source").alias("src_a"), "shingle")
+    b = src_sh.select(F.col("source").alias("src_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+    return (
+        shared.join(F.broadcast(sizes.withColumnsRenamed({"source": "src_a", "n_shingles": "n_a"})), "src_a")
+        .join(F.broadcast(sizes.withColumnsRenamed({"source": "src_b", "n_shingles": "n_b"})), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared_shingles",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("shared_shingles").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared_shingles"))
+                + 1e-9,
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+CROSS_SOURCE_OVERLAP_SQL = rf"""
+WITH {_SHINGLE_SQL.strip()},
+src_sh AS (
+  SELECT DISTINCT d.source, s.shingle
+  FROM shingles s JOIN documents d USING (doc_id)
+),
+sizes AS (SELECT source, count(*) AS n_shingles FROM src_sh GROUP BY 1),
+shared AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_shingles
+  FROM src_sh a JOIN src_sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, shared_shingles,
+       sa.n_shingles AS n_a, sb.n_shingles AS n_b,
+       round(shared_shingles::DOUBLE / (sa.n_shingles + sb.n_shingles - shared_shingles) + 1e-9, 6) AS jaccard
+FROM shared
+JOIN sizes sa ON shared.src_a = sa.source
+JOIN sizes sb ON shared.src_b = sb.source
+"""
+
+
 QUERIES = {
     "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
     "contamination_check": (contamination_check, CONTAMINATION_CHECK_SQL),
@@ -638,4 +798,6 @@ QUERIES = {
     "cap_per_source": (cap_per_source, CAP_PER_SOURCE_SQL),
     "shard_assignment": (shard_assignment, SHARD_ASSIGNMENT_SQL),
     "quality_stratified_split": (quality_stratified_split, QUALITY_STRATIFIED_SPLIT_SQL),
+    "paragraph_dedup": (paragraph_dedup, PARAGRAPH_DEDUP_SQL),
+    "cross_source_overlap": (cross_source_overlap, CROSS_SOURCE_OVERLAP_SQL),
 }

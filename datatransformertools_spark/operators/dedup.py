@@ -961,6 +961,90 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_exact_pairs,
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup_cluster_sizes — duplicate-cluster size distribution
+# ---------------------------------------------------------------------------
+
+
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of near-duplicate cluster sizes from the connected
+    components — the one-page answer to "how duplicated is this
+    corpus?" (mass in size-1 clusters = unique; a giant component =
+    template contamination). Composes dedup_components, then two
+    partial-agg shuffles that collapse to |distinct sizes| rows —
+    the histogram is O(1) output at any corpus size."""
+    comp = dedup_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+    )
+
+
+DEDUP_CLUSTER_SIZES_SQL = f"""
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       cluster_size * count(*)  AS n_docs
+FROM (
+  SELECT component, count(*) AS cluster_size
+  FROM ({DEDUP_COMPONENTS_SQL}) comp
+  GROUP BY component
+)
+GROUP BY cluster_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# minhash_band_curve — the LSH S-curve for the configured band scheme
+# ---------------------------------------------------------------------------
+
+
+def minhash_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH tuning table: candidate probability
+    1 − (1 − s^r)^b at each Jaccard similarity s for this engine's
+    configured (b=BANDS, r=ROWS_PER_BAND) scheme, next to the
+    curves one band step up and down. This is the table an operator
+    reads before changing NUM_PERM on a 100 TB dedup run — it shows
+    where the FP/FN cliff sits relative to JACCARD_TAU. Pure
+    constant-space expression evaluation; the (unused) sf_dir keeps
+    the uniform query signature."""
+    s = (F.col("id").cast("double") * 0.05).alias("similarity")
+    grid = spark.range(1, 20).select(s)
+
+    def curve(b: int, r: int):
+        return F.round(
+            F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(F.col("similarity"), F.lit(float(r))), F.lit(float(b)))
+            + 1e-9,
+            6,
+        )
+
+    return grid.select(
+        F.round(F.col("similarity"), 2).alias("similarity"),
+        curve(BANDS, ROWS_PER_BAND).alias("p_candidate"),
+        curve(BANDS * 2, ROWS_PER_BAND).alias("p_candidate_2x_bands"),
+        curve(max(BANDS // 2, 1), ROWS_PER_BAND).alias("p_candidate_half_bands"),
+    )
+
+
+# i * 0.05 must multiply as DOUBLE (not DuckDB DECIMAL — a DECIMAL
+# `similarity` renders '0.10' and hash-mismatches '0.1')
+MINHASH_BAND_CURVE_SQL = f"""
+SELECT round(i * (0.05::DOUBLE), 2) AS similarity,
+       round(1.0 - pow(1.0 - pow(i * (0.05::DOUBLE), {float(ROWS_PER_BAND)}), {float(BANDS)}) + 1e-9, 6)
+         AS p_candidate,
+       round(1.0 - pow(1.0 - pow(i * (0.05::DOUBLE), {float(ROWS_PER_BAND)}), {float(BANDS * 2)}) + 1e-9, 6)
+         AS p_candidate_2x_bands,
+       round(1.0 - pow(1.0 - pow(i * (0.05::DOUBLE), {float(ROWS_PER_BAND)}), {float(max(BANDS // 2, 1))}) + 1e-9, 6)
+         AS p_candidate_half_bands
+FROM (SELECT unnest(range(1, 20)) AS i)
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
@@ -974,4 +1058,6 @@ QUERIES = {
     "dedup_lsh_quality": (dedup_lsh_quality, DEDUP_LSH_QUALITY_SQL),
     "doc_ngram_novelty": (doc_ngram_novelty, DOC_NGRAM_NOVELTY_SQL),
     "dedup_containment": (dedup_containment, DEDUP_CONTAINMENT_SQL),
+    "minhash_band_curve": (minhash_band_curve, MINHASH_BAND_CURVE_SQL),
+    "dedup_cluster_sizes": (dedup_cluster_sizes, DEDUP_CLUSTER_SIZES_SQL),
 }

@@ -1717,6 +1717,208 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# events_ewma — per-user exponentially weighted moving average
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.2
+EWMA_LOOKBACK = 50
+
+
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of `value` (α=0.2) over the last 50 events —
+    the smoothing a monitoring pipeline layers over raw event
+    streams. The finite-lookback normalized form
+    Σ x·(1-α)^age / Σ (1-α)^age is used instead of the infinite
+    recursion: it is windowable (one user_id shuffle, O(50) state
+    per row), numerically closed, and at age 50 the truncated tail
+    weight (0.8⁵⁰ ≈ 1e-5) is below the 4-dp output quantum. Both
+    engines fold the same list in the same order."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-(EWMA_LOOKBACK - 1), Window.currentRow)
+    )
+    arr = F.collect_list("value").over(w)
+    m = F.size(arr)
+    decay = F.lit(1.0 - EWMA_ALPHA)
+    weighted = F.transform(arr, lambda x, k: x * F.pow(decay, (m - 1 - k).cast("double")))
+    weights = F.transform(arr, lambda x, k: F.pow(decay, (m - 1 - k).cast("double")))
+    num = F.aggregate(weighted, F.lit(0.0), lambda a, b: a + b)
+    den = F.aggregate(weights, F.lit(0.0), lambda a, b: a + b)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(num / den + 1e-9, 4).alias("ewma"),
+    )
+
+
+EVENTS_EWMA_SQL = f"""
+WITH framed AS (
+  SELECT event_id, user_id,
+         list(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN {EWMA_LOOKBACK - 1} PRECEDING AND CURRENT ROW) AS arr
+  FROM events
+)
+SELECT event_id, user_id,
+       round(
+         list_reduce(list_transform(range(1, len(arr) + 1),
+                                    i -> arr[i] * pow({1.0 - EWMA_ALPHA}, (len(arr) - i)::DOUBLE)),
+                     (a, b) -> a + b)
+         / list_reduce(list_transform(range(1, len(arr) + 1),
+                                      i -> pow({1.0 - EWMA_ALPHA}, (len(arr) - i)::DOUBLE)),
+                       (a, b) -> a + b)
+         + 1e-9, 4) AS ewma
+FROM framed
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_ohlc — open/high/low/close candles per type and window
+# ---------------------------------------------------------------------------
+
+QUARTER_HOUR_US = 900_000_000
+
+
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute OHLC candles per event type — the time-series
+    downsampling shape (market data, sensor telemetry). One
+    partial-agg shuffle on (window, type); open/close are arg-min /
+    arg-max over a zero-padded (ts, event_id) composite string key,
+    the one formulation whose tie-break is bit-identical across
+    engines (dedup_keep_best convention). Map-side combine makes
+    the shuffle |windows|·|types| rows at any scale."""
+    ev = _events_us(spark, sf_dir)
+    win = (F.expr(f"ts_us div {QUARTER_HOUR_US}") * QUARTER_HOUR_US).alias("window_start_us")
+    order_key = F.format_string("%020d|%010d", F.col("ts_us"), F.col("event_id"))
+    keyed = ev.select("event_type", win, "value", order_key.alias("ok"))
+    return keyed.groupBy("window_start_us", "event_type").agg(
+        F.expr("min_by(value, ok)").alias("open"),
+        F.round(F.max("value") + 1e-9, 4).alias("high"),
+        F.round(F.min("value") + 1e-9, 4).alias("low"),
+        F.expr("max_by(value, ok)").alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value") + 1e-9, 4).alias("avg_value"),
+    )
+
+
+EVENTS_OHLC_SQL = f"""
+SELECT (epoch_us(ts) // {QUARTER_HOUR_US}) * {QUARTER_HOUR_US} AS window_start_us,
+       event_type,
+       arg_min(value, printf('%020d|%010d', epoch_us(ts), event_id)) AS open,
+       round(max(value) + 1e-9, 4) AS high,
+       round(min(value) + 1e-9, 4) AS low,
+       arg_max(value, printf('%020d|%010d', epoch_us(ts), event_id)) AS close,
+       count(*) AS n_events,
+       round(avg(value) + 1e-9, 4) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# user_event_features — pivoted per-user feature matrix
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ML feature-engineering pivot: one row per user with
+    per-event-type counts and value sums as columns — the wide
+    matrix a churn/LTV model trains on. Explicit pivot values
+    (EVENT_TYPES) so Spark skips the distinct-scan pass a blind
+    pivot needs; conditional aggregation collapses map-side, one
+    user_id shuffle of |types|·2 partials per user."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    for t in EVENT_TYPES:
+        is_t = (F.col("event_type") == t).cast("long")
+        aggs.append(F.sum(is_t).alias(f"n_{t}"))
+        aggs.append(
+            F.round(F.sum(F.when(F.col("event_type") == t, F.col("value")).otherwise(0.0)) + 1e-9, 4).alias(
+                f"{t}_value"
+            )
+        )
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+USER_EVENT_FEATURES_SQL = f"""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {", ".join(
+           f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}, "
+           f"round(sum(CASE WHEN event_type = '{t}' THEN value ELSE 0.0 END) + 1e-9, 4) AS {t}_value"
+           for t in EVENT_TYPES
+       )}
+FROM events
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_attribution — last-touch attribution within a 7-day window
+# ---------------------------------------------------------------------------
+
+ATTRIBUTION_WINDOW_US = 7 * 24 * 3600 * 1_000_000
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the
+    user's most recent click no older than 7 days. One user_id
+    window pass carries the last-seen click forward
+    (last(..., ignorenulls) over an unbounded-preceding frame is
+    O(1) running state, not a buffer); no self-join, no as-of
+    explosion — the classic marketing-attribution shape at
+    clickstream scale."""
+    ev = _events_us(spark, sf_dir).select("event_id", "user_id", "ts_us", "event_type")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click = F.when(
+        F.col("event_type") == "click",
+        F.struct(F.col("ts_us").alias("c_ts"), F.col("event_id").alias("c_id")),
+    )
+    last_click = F.last(click, ignorenulls=True).over(w)
+    flagged = ev.withColumn("lc", last_click).filter(F.col("event_type") == "purchase")
+    lag = F.col("ts_us") - F.col("lc.c_ts")
+    attributed = F.col("lc").isNotNull() & (lag <= ATTRIBUTION_WINDOW_US)
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.when(attributed, F.col("lc.c_id")).alias("attributed_click_id"),
+        F.when(attributed, lag).alias("attribution_lag_us"),
+    )
+
+
+EVENTS_ATTRIBUTION_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events
+),
+carried AS (
+  SELECT *,
+         last_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_ts,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_id
+  FROM ev
+)
+SELECT event_id, user_id,
+       CASE WHEN c_ts IS NOT NULL AND ts_us - c_ts <= {ATTRIBUTION_WINDOW_US} THEN c_id END
+         AS attributed_click_id,
+       CASE WHEN c_ts IS NOT NULL AND ts_us - c_ts <= {ATTRIBUTION_WINDOW_US} THEN ts_us - c_ts END
+         AS attribution_lag_us
+FROM carried
+WHERE event_type = 'purchase'
+"""
+
+
 QUERIES = {
     "events_tumbling_agg": (events_tumbling_agg, EVENTS_TUMBLING_AGG_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
@@ -1754,4 +1956,8 @@ QUERIES = {
     "events_active_users": (events_active_users, EVENTS_ACTIVE_USERS_SQL),
     "events_retention_curve": (events_retention_curve, EVENTS_RETENTION_CURVE_SQL),
     "events_peak_detection": (events_peak_detection, EVENTS_PEAK_DETECTION_SQL),
+    "events_ewma": (events_ewma, EVENTS_EWMA_SQL),
+    "events_ohlc": (events_ohlc, EVENTS_OHLC_SQL),
+    "user_event_features": (user_event_features, USER_EVENT_FEATURES_SQL),
+    "events_attribution": (events_attribution, EVENTS_ATTRIBUTION_SQL),
 }

@@ -1413,8 +1413,108 @@ CROSS JOIN n_orders_t t
 """
 
 
+# ---------------------------------------------------------------------------
+# orders_upsert_merge — CDC merge-apply (the TPC-H RF1/RF2 shape)
+# ---------------------------------------------------------------------------
+
+
+def orders_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC batch (updates / deletes / inserts, derived
+    deterministically from key arithmetic in BOTH engines) onto the
+    orders snapshot with MERGE semantics — delete wins, update
+    overwrites, insert appends — then emit per-status counts +
+    order-independent row checksums so the gate certifies the merged
+    snapshot row-for-row without shipping it.
+
+    Scale design: the snapshot⋈changes joins key on o_orderkey (the
+    snapshot's natural clustering); the CDC side is a fraction of
+    the snapshot and AQE broadcast-upgrades it at runtime — no hint,
+    because a CDC batch CAN be snapshot-sized (backfill). This is
+    the join-based merge a lakehouse MERGE INTO compiles to;
+    checksum collapses map-side so the shuffle out is |status| rows."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    key = F.col("o_orderkey")
+    updates = orders.filter(key % 13 == 0).select(
+        key.alias("u_key"),
+        (F.col("o_totalprice") * 1.1).alias("u_price"),
+        F.lit("U").alias("u_status"),
+    )
+    deletes = orders.filter(key % 17 == 0).select(key.alias("d_key"))
+    inserts = orders.filter(key % 19 == 0).select(
+        (key + 100_000_000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.col("o_totalprice").alias("o_totalprice"),
+    )
+    merged = (
+        orders.join(deletes, orders.o_orderkey == deletes.d_key, "left_anti")
+        .join(updates, F.col("o_orderkey") == F.col("u_key"), "left")
+        .select(
+            "o_orderkey",
+            F.coalesce(F.col("u_status"), F.col("o_orderstatus")).alias("o_orderstatus"),
+            F.coalesce(F.col("u_price"), F.col("o_totalprice")).alias("o_totalprice"),
+        )
+        .unionByName(inserts)
+    )
+    line = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.format_string("%.4f", F.round(F.col("o_totalprice") + 1e-9, 4)),
+    )
+    h32 = F.conv(F.substring(F.md5(line), 1, 15), 16, 10).cast("long").bitwiseAND(
+        F.lit((1 << 32) - 1)
+    )
+    return merged.select("o_orderstatus", h32.alias("h"), "o_totalprice").groupBy(
+        "o_orderstatus"
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice") + 1e-9, 2).alias("total_price"),
+        F.sum("h").alias("row_hash_sum"),
+    )
+
+
+ORDERS_UPSERT_MERGE_SQL = """
+WITH snapshot AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+updates AS (
+  SELECT o_orderkey AS u_key, o_totalprice * 1.1 AS u_price, 'U' AS u_status
+  FROM snapshot WHERE o_orderkey % 13 = 0
+),
+deletes AS (SELECT o_orderkey AS d_key FROM snapshot WHERE o_orderkey % 17 = 0),
+inserts AS (
+  SELECT o_orderkey + 100000000 AS o_orderkey, 'N' AS o_orderstatus, o_totalprice
+  FROM snapshot WHERE o_orderkey % 19 = 0
+),
+merged AS (
+  SELECT s.o_orderkey,
+         coalesce(u.u_status, s.o_orderstatus) AS o_orderstatus,
+         coalesce(u.u_price, s.o_totalprice)   AS o_totalprice
+  FROM snapshot s
+  LEFT JOIN updates u ON s.o_orderkey = u.u_key
+  WHERE NOT EXISTS (SELECT 1 FROM deletes d WHERE d.d_key = s.o_orderkey)
+  UNION ALL
+  SELECT * FROM inserts
+),
+lines AS (
+  SELECT o_orderstatus, o_totalprice,
+         CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|'
+           || printf('%.4f', round(o_totalprice + 1e-9, 4)) AS line
+  FROM merged
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice) + 1e-9, 2) AS total_price,
+       CAST(sum(('0x' || substr(md5(line), 1, 15))::BIGINT & 4294967295) AS BIGINT)
+         AS row_hash_sum
+FROM lines
+GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "orders_upsert_merge": (orders_upsert_merge, ORDERS_UPSERT_MERGE_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q3_top_unshipped": (q3_top_unshipped, Q3_SQL),
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),

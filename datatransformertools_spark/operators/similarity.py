@@ -1164,6 +1164,69 @@ GROUP BY t.query_id
 """
 
 
+# ---------------------------------------------------------------------------
+# embedding_covariance — upper-triangle covariance of the embedding space
+# ---------------------------------------------------------------------------
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding columns —
+    the input to PCA / whitening / anisotropy diagnostics on an
+    embedding store. E[x_i·x_j] − E[x_i]·E[x_j] per (i ≤ j) pair.
+
+    Scale design: the N·d²/2 product grain is the irreducible work;
+    it is generated map-side (two nested explodes, vec sliced so
+    only j ≥ i survives) and collapses through partial aggregation
+    into exactly d(d+1)/2 groups — the shuffle carries d² partial
+    sums per map partition, never N·d² rows. The d-row mean frame
+    is broadcast (bounded by schema, not data)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(as_double(F.col("embedding")).alias("v"))
+    d = F.size(F.col("v"))
+    ex_i = emb.select(F.posexplode("v").alias("i", "xi"), "v", d.alias("d"))
+    pairs = ex_i.select(
+        "i",
+        "xi",
+        F.posexplode(F.slice(F.col("v"), F.col("i") + 1, F.col("d") - F.col("i"))).alias(
+            "j0", "xj"
+        ),
+    ).select("i", (F.col("i") + F.col("j0")).alias("j"), "xi", "xj")
+    e_ij = pairs.groupBy("i", "j").agg(F.avg(F.col("xi") * F.col("xj")).alias("e_xy"))
+    means = ex_i.groupBy("i").agg(F.avg("xi").alias("mean"))
+    return (
+        e_ij.join(F.broadcast(means.select(F.col("i"), F.col("mean").alias("mean_i"))), "i")
+        .join(
+            F.broadcast(means.select(F.col("i").alias("j"), F.col("mean").alias("mean_j"))), "j"
+        )
+        .select(
+            "i",
+            "j",
+            # + 0.0 after rounding collapses IEEE −0.0 to +0.0 (a
+            # near-zero covariance rounds to −0.0 in one engine and
+            # +0.0 in the other otherwise)
+            (F.round(F.col("e_xy") - F.col("mean_i") * F.col("mean_j") + 1e-9, 6) + F.lit(0.0)).alias("cov"),
+        )
+    )
+
+
+EMBEDDING_COVARIANCE_SQL = """
+WITH ex_i AS (
+  SELECT i, embedding[i]::DOUBLE AS xi, embedding AS v, len(embedding) AS d
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+pairs AS (
+  SELECT i, j, xi, v[j]::DOUBLE AS xj
+  FROM ex_i, unnest(range(i, d + 1)) AS t2(j)
+),
+e_ij AS (SELECT i, j, avg(xi * xj) AS e_xy FROM pairs GROUP BY 1, 2),
+means AS (SELECT i, avg(xi) AS mean FROM ex_i GROUP BY 1)
+SELECT e_ij.i - 1 AS i, e_ij.j - 1 AS j,
+       round(e_xy - mi.mean * mj.mean + 1e-9, 6) + 0.0 AS cov
+FROM e_ij
+JOIN means mi ON e_ij.i = mi.i
+JOIN means mj ON e_ij.j = mj.i
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
@@ -1176,4 +1239,5 @@ QUERIES = {
     "embedding_norm_audit": (embedding_norm_audit, EMBEDDING_NORM_AUDIT_SQL),
     "ann_recall_eval": (ann_recall_eval, ANN_RECALL_EVAL_SQL),
     "ann_mmr_topk": (ann_mmr_topk, ANN_MMR_SQL),
+    "embedding_covariance": (embedding_covariance, EMBEDDING_COVARIANCE_SQL),
 }

@@ -837,6 +837,210 @@ LIMIT TOPV
 """.replace("TOPV", str(VOCAB_TOP_V))
 )
 
+# ---------------------------------------------------------------------------
+# pmi_bigrams — collocation mining by pointwise mutual information
+# ---------------------------------------------------------------------------
+
+PMI_TOP_K = 50
+PMI_MIN_COUNT = 5
+
+
+def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by PMI over adjacent whitespace-token pairs.
+
+    A corpus-linguistics staple (and a boilerplate detector: sky-high
+    PMI pairs in a web crawl are usually template fragments). All
+    occurrences count — bigram instances come from zipping the token
+    array against its shift (one per-row JVM pass, no index probing),
+    unigram totals from one explode. The bigram→unigram joins key on
+    the word itself: vocab-scale frames are shuffle-joined, never
+    hint-broadcast (vocab grows with the corpus). PMI is computed as
+    a single log of one rational so both engines evaluate the same
+    float expression shape. Two vocab-keyed shuffles + one global
+    top-k (TakeOrderedAndProject) — no all-pairs anything."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = tokens(normalize_text(F.col("text")))
+    shifted = F.slice(tok, 2, F.greatest(F.lit(0), F.size(tok) - 1))
+    pairs = F.slice(
+        F.zip_with(tok, shifted, lambda x, y: F.struct(x.alias("x"), y.alias("y"))),
+        1,
+        F.greatest(F.lit(0), F.size(tok) - 1),
+    )
+    bigrams = docs.select(F.explode(pairs).alias("p")).select("p.x", "p.y")
+    big_counts = bigrams.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    unigrams = docs.select(F.explode(tok).alias("w"))
+    uni_counts = unigrams.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    totals = unigrams.agg(
+        F.count(F.lit(1)).alias("n_tok"),
+    ).crossJoin(F.broadcast(bigrams.agg(F.count(F.lit(1)).alias("n_big"))))
+    scored = (
+        big_counts.filter(F.col("c_xy") >= PMI_MIN_COUNT)
+        .join(uni_counts.select(F.col("w").alias("x"), F.col("c_w").alias("c_x")), "x")
+        .join(uni_counts.select(F.col("w").alias("y"), F.col("c_w").alias("c_y")), "y")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.concat_ws(" ", "x", "y").alias("bigram"),
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.round(
+                F.log(
+                    (F.col("c_xy").cast("double") * F.col("n_tok") * F.col("n_tok"))
+                    / (F.col("n_big").cast("double") * F.col("c_x") * F.col("c_y"))
+                )
+                + 1e-9,
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), F.col("bigram")).limit(PMI_TOP_K)
+
+
+PMI_BIGRAMS_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS t
+  FROM documents
+),
+bigrams AS (
+  SELECT u.x AS x, u.y AS y
+  FROM base,
+       unnest(list_transform(range(1, len(t)), i -> {{'x': t[i], 'y': t[i + 1]}})) AS bp(u)
+),
+big_counts AS (SELECT x, y, count(*) AS c_xy FROM bigrams GROUP BY 1, 2),
+unigrams AS (SELECT unnest(t) AS w FROM base),
+uni_counts AS (SELECT w, count(*) AS c_w FROM unigrams GROUP BY 1),
+totals AS (
+  SELECT (SELECT count(*) FROM unigrams) AS n_tok,
+         (SELECT count(*) FROM bigrams)  AS n_big
+)
+SELECT x || ' ' || y AS bigram, c_xy, cx.c_w AS c_x, cy.c_w AS c_y,
+       round(ln((c_xy::DOUBLE * n_tok * n_tok) / (n_big::DOUBLE * cx.c_w * cy.c_w)) + 1e-9, 6) AS pmi
+FROM big_counts
+JOIN uni_counts cx ON big_counts.x = cx.w
+JOIN uni_counts cy ON big_counts.y = cy.w
+CROSS JOIN totals
+WHERE c_xy >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, bigram
+LIMIT {PMI_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# token_fertility — per-language tokenizer budget ratios
+# ---------------------------------------------------------------------------
+
+
+def token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer-fertility table: chars per BPE-ish
+    token and BPE tokens per whitespace word. The numbers a
+    multilingual pretraining run uses to convert byte budgets into
+    token budgets per language slice. One map-side projection (two
+    regex counts per row) + one 5-group aggregate — scan-bound."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text", "n_chars")
+    norm = normalize_text(F.col("text"))
+    n_ws = F.size(tokens(norm))
+    n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0))
+    per_doc = docs.select("lang", "n_chars", n_ws.alias("n_ws"), n_bpe.alias("n_bpe"))
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_ws").alias("total_words"),
+        F.sum("n_bpe").alias("total_bpe_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_chars",
+        "total_words",
+        "total_bpe_tokens",
+        F.round(F.col("total_chars").cast("double") / F.col("total_bpe_tokens") + 1e-9, 6).alias(
+            "chars_per_token"
+        ),
+        F.round(F.col("total_bpe_tokens").cast("double") / F.col("total_words") + 1e-9, 6).alias(
+            "fertility"
+        ),
+    )
+
+
+TOKEN_FERTILITY_SQL = rf"""
+WITH per_doc AS (
+  SELECT lang, n_chars,
+         len(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS n_ws,
+         len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS n_bpe
+  FROM documents
+),
+agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(sum(n_ws) AS BIGINT)    AS total_words,
+         CAST(sum(n_bpe) AS BIGINT)   AS total_bpe_tokens
+  FROM per_doc GROUP BY 1
+)
+SELECT lang, n_docs, total_chars, total_words, total_bpe_tokens,
+       round(total_chars::DOUBLE / total_bpe_tokens + 1e-9, 6) AS chars_per_token,
+       round(total_bpe_tokens::DOUBLE / total_words + 1e-9, 6) AS fertility
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# oov_rate_by_source — vocabulary coverage audit per corpus slice
+# ---------------------------------------------------------------------------
+
+OOV_VOCAB_V = 16
+
+
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against the top-V
+    frequency-rank vocabulary (the vocab_topk induction with a
+    V that actually excludes tail tokens on this corpus) — the
+    coverage audit run before freezing a tokenizer: a source with a
+    high OOV rate will fragment into bytes at training time.
+
+    Scale design: vocab is a V-row frame but joins WITHOUT a
+    broadcast hint (house rule: vocabulary scales with config, AQE
+    upgrades it from runtime stats); token instances join on the
+    token key and collapse map-side to |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    tok = docs.select("source", F.explode(tokens(normalize_text(F.col("text")))).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(OOV_VOCAB_V)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    joined = tok.join(vocab, "token", "left")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("in_vocab").isNull(), 1.0).otherwise(0.0)) / F.count(F.lit(1))
+            + 1e-9,
+            6,
+        ).alias("oov_rate"),
+    )
+
+
+OOV_RATE_BY_SOURCE_SQL = rf"""
+WITH tok AS (
+  SELECT source,
+         unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS token
+  FROM documents
+),
+vocab AS (
+  SELECT token FROM (SELECT token, count(*) AS cnt FROM tok GROUP BY 1)
+  ORDER BY cnt DESC, token LIMIT {OOV_VOCAB_V}
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       round(sum(CASE WHEN v.token IS NULL THEN 1.0 ELSE 0.0 END) / count(*) + 1e-9, 6) AS oov_rate
+FROM tok LEFT JOIN vocab v USING (token)
+GROUP BY source
+"""
+
 
 QUERIES = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
@@ -854,4 +1058,7 @@ QUERIES = {
     "doc_unigram_logprob": (doc_unigram_logprob, DOC_UNIGRAM_LOGPROB_SQL),
     "vocab_topk": (vocab_topk, VOCAB_TOPK_SQL),
     "doc_bm25_topk": (doc_bm25_topk, DOC_BM25_SQL),
+    "pmi_bigrams": (pmi_bigrams, PMI_BIGRAMS_SQL),
+    "token_fertility": (token_fertility, TOKEN_FERTILITY_SQL),
+    "oov_rate_by_source": (oov_rate_by_source, OOV_RATE_BY_SOURCE_SQL),
 }

@@ -166,6 +166,23 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "orders_rollup",
         "revenue_yoy_growth",
         "order_priority_exists",
+        # --- new in r3: uncertified, queued for the r4 gate window
+        # (appending keeps the r3 head at exactly the 50 planned
+        # never-certified slots) ---
+        "pmi_bigrams",
+        "token_fertility",
+        "paragraph_dedup",
+        "cross_source_overlap",
+        "events_ewma",
+        "events_ohlc",
+        "embedding_covariance",
+        "minhash_band_curve",
+        "dedup_cluster_sizes",
+        "documents_jsonl_roundtrip",
+        "orders_upsert_merge",
+        "user_event_features",
+        "events_attribution",
+        "oov_rate_by_source",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

@@ -189,7 +189,77 @@ GROUP BY 1
 """
 
 
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines writer — the LLM-pipeline interchange format (one
+    object per line, splittable, streamable). Partitioned part
+    files; consumers glob the directory."""
+    df.write.mode(mode).json(path)
+
+
+# ---------------------------------------------------------------------------
+# documents_jsonl_roundtrip — JSONL write→read checksum, gated
+# ---------------------------------------------------------------------------
+
+_DOCS_SCHEMA = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+
+def documents_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Push the documents table through write_jsonl → read_jsonl
+    (explicit schema — inference is a full extra pass at scale) and
+    emit per-source order-independent checksums over every field
+    INCLUDING the full text. Any writer-escaping or reader-parsing
+    corruption (quotes, unicode, nulls) flips a hash; the oracle
+    computes the identical checksums straight from parquet."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from datatransformertools_spark.functions.hashing import md5_long
+    from datatransformertools_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(Path(__file__).resolve().parents[2] / ".dtt_tmp" / "documents_jsonl")
+    write_jsonl(docs, path)
+    back = read_jsonl(spark, path, _DOCS_SCHEMA)
+    line = F.concat_ws(
+        "|",
+        F.col("doc_id").cast("string"),
+        F.col("lang"),
+        F.col("source"),
+        F.col("n_chars").cast("string"),
+        F.md5(F.col("text")),
+    )
+    h32 = md5_long(line).bitwiseAND(F.lit((1 << 32) - 1))
+    return (
+        back.select("source", h32.alias("h"), "n_chars")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("h").alias("doc_hash_sum"),
+        )
+    )
+
+
+DOCUMENTS_JSONL_ROUNDTRIP_SQL = """
+WITH lines AS (
+  SELECT source, n_chars,
+         CAST(doc_id AS VARCHAR) || '|' || lang || '|' || source || '|'
+           || CAST(n_chars AS VARCHAR) || '|' || md5(text) AS line
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT)     AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(('0x' || substr(md5(line), 1, 15))::BIGINT & 4294967295) AS BIGINT)
+         AS doc_hash_sum
+FROM lines
+GROUP BY source
+"""
+
+
 QUERIES = {
     "bucketed_join_revenue": (bucketed_join_revenue, BUCKETED_JOIN_REVENUE_SQL),
     "zorder_layout": (zorder_layout, ZORDER_LAYOUT_SQL),
+    "documents_jsonl_roundtrip": (documents_jsonl_roundtrip, DOCUMENTS_JSONL_ROUNDTRIP_SQL),
 }

@@ -1,0 +1,243 @@
+"""Semantic invariants for the round-3 operator additions (value
+parity with DuckDB is covered by test_oracle_parity; these pin the
+CONTRACTS the oracles alone can't express)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+class TestParagraphDedup:
+    def test_boilerplate_paragraphs_drop(self, spark, sf_dir):
+        from datatransformertools_spark.operators.corpus import paragraph_dedup
+
+        out = paragraph_dedup(spark, sf_dir).cache()
+        # docs carrying the injected newsletter footer (doc_id%4==0)
+        # beyond the first occurrence must lose ≥1 paragraph
+        injected = out.filter((F.col("doc_id") % 4 == 0) & (F.col("doc_id") > 0))
+        assert injected.filter(F.col("n_dropped") >= 1).count() == injected.count()
+        # paragraph counts are conserved
+        row = out.agg(
+            F.sum("n_paras").alias("p"), F.sum("n_kept").alias("k"), F.sum("n_dropped").alias("d")
+        ).first()
+        assert row["p"] == row["k"] + row["d"]
+        # each distinct paragraph survives exactly once corpus-wide:
+        # total kept == number of distinct paragraph hashes
+        assert out.filter(F.col("kept_char_ratio") > 1.0).count() == 0
+        out.unpersist()
+
+
+class TestCrossSourceOverlap:
+    def test_matrix_shape_and_bounds(self, spark, sf_dir):
+        from datatransformertools_spark.operators.corpus import cross_source_overlap
+
+        out = cross_source_overlap(spark, sf_dir).cache()
+        rows = out.collect()
+        n_sources = 20
+        assert len(rows) <= n_sources * (n_sources - 1) // 2
+        for r in rows:
+            assert r["src_a"] < r["src_b"]
+            assert 0.0 <= r["jaccard"] <= 1.0
+            assert r["shared_shingles"] <= min(r["n_a"], r["n_b"])
+        out.unpersist()
+
+
+class TestEwma:
+    def test_constant_series_is_identity(self, spark):
+        import pandas as pd
+
+        from datatransformertools_spark.operators.events import EWMA_ALPHA, EWMA_LOOKBACK
+
+        # EWMA of a constant series is that constant for ANY weights
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "event_id": range(10),
+                    "user_id": [1] * 10,
+                    "ts": pd.date_range("2024-01-01", periods=10, freq="h"),
+                    "value": [7.5] * 10,
+                }
+            )
+        )
+        from pyspark.sql.window import Window
+
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(-(EWMA_LOOKBACK - 1), Window.currentRow)
+        )
+        arr = F.collect_list("value").over(w)
+        m = F.size(arr)
+        decay = F.lit(1.0 - EWMA_ALPHA)
+        weighted = F.transform(arr, lambda x, k: x * F.pow(decay, (m - 1 - k).cast("double")))
+        weights = F.transform(arr, lambda x, k: F.pow(decay, (m - 1 - k).cast("double")))
+        num = F.aggregate(weighted, F.lit(0.0), lambda a, b: a + b)
+        den = F.aggregate(weights, F.lit(0.0), lambda a, b: a + b)
+        vals = [r[0] for r in df.select(F.round(num / den + 1e-9, 4)).collect()]
+        assert all(abs(v - 7.5) < 1e-9 for v in vals)
+
+    def test_recent_values_dominate(self, spark, sf_dir):
+        from datatransformertools_spark.operators.events import events_ewma
+
+        out = events_ewma(spark, sf_dir)
+        assert out.filter(F.col("ewma").isNull()).count() == 0
+
+
+class TestOhlc:
+    def test_high_low_bracket_open_close(self, spark, sf_dir):
+        from datatransformertools_spark.operators.events import events_ohlc
+
+        rows = events_ohlc(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            # high/low are rounded (+1e-9, 4dp) so allow the quantum
+            assert r["high"] >= r["open"] - 1e-4 and r["high"] >= r["close"] - 1e-4
+            assert r["low"] <= r["open"] + 1e-4 and r["low"] <= r["close"] + 1e-4
+            if r["n_events"] == 1:
+                assert abs(r["open"] - r["close"]) < 1e-12
+
+
+class TestBandCurve:
+    def test_monotone_in_similarity_and_bands(self, spark, sf_dir):
+        from datatransformertools_spark.operators.dedup import minhash_band_curve
+
+        rows = sorted(
+            minhash_band_curve(spark, sf_dir).collect(), key=lambda r: r["similarity"]
+        )
+        ps = [r["p_candidate"] for r in rows]
+        assert ps == sorted(ps)  # S-curve is monotone in s
+        for r in rows:
+            assert r["p_candidate_half_bands"] <= r["p_candidate"] <= r["p_candidate_2x_bands"]
+
+
+class TestEmbeddingCovariance:
+    def test_diagonal_nonnegative_and_symmetric_grain(self, spark, sf_dir):
+        from datatransformertools_spark.operators.similarity import embedding_covariance
+
+        out = embedding_covariance(spark, sf_dir).cache()
+        d = 64
+        assert out.count() == d * (d + 1) // 2
+        diag = out.filter(F.col("i") == F.col("j")).collect()
+        assert len(diag) == d
+        assert all(r["cov"] >= 0.0 for r in diag)  # variances
+        assert out.filter(F.col("i") > F.col("j")).count() == 0  # upper triangle only
+        out.unpersist()
+
+
+class TestClusterSizes:
+    def test_partition_of_corpus(self, spark, sf_dir):
+        import duckdb
+
+        from datatransformertools_spark.operators.dedup import dedup_cluster_sizes
+
+        total = duckdb.sql(
+            f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
+        ).fetchone()[0]
+        out = dedup_cluster_sizes(spark, sf_dir)
+        assert out.agg(F.sum("n_docs")).first()[0] == total  # clusters partition the corpus
+
+
+class TestJsonlRoundtrip:
+    def test_checksums_cover_all_docs(self, spark, sf_dir):
+        import duckdb
+
+        from datatransformertools_spark.sources.sinks import documents_jsonl_roundtrip
+
+        total = duckdb.sql(
+            f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
+        ).fetchone()[0]
+        out = documents_jsonl_roundtrip(spark, sf_dir)
+        assert out.agg(F.sum("n_docs")).first()[0] == total
+
+
+class TestPmi:
+    def test_counts_and_finiteness(self, spark, sf_dir):
+        from datatransformertools_spark.operators.text_analysis import (
+            PMI_MIN_COUNT,
+            pmi_bigrams,
+        )
+
+        rows = pmi_bigrams(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r["c_xy"] >= PMI_MIN_COUNT
+            assert r["c_x"] >= r["c_xy"] and r["c_y"] >= r["c_xy"]
+            assert math.isfinite(r["pmi"])
+
+
+class TestFertility:
+    def test_ratios_positive(self, spark, sf_dir):
+        from datatransformertools_spark.operators.text_analysis import token_fertility
+
+        rows = token_fertility(spark, sf_dir).collect()
+        assert len(rows) == 5
+        for r in rows:
+            assert r["chars_per_token"] > 0
+            assert r["fertility"] >= 1.0  # BPE-ish splits never merge words
+
+
+class TestUpsertMerge:
+    def test_status_u_and_n_appear(self, spark, sf_dir):
+        from datatransformertools_spark.operators.relational import orders_upsert_merge
+
+        rows = {r["o_orderstatus"]: r for r in orders_upsert_merge(spark, sf_dir).collect()}
+        assert "U" in rows and "N" in rows  # updates and inserts visible
+        # deletes shrink the snapshot: merged total < snapshot + inserts
+        import duckdb
+
+        snap = duckdb.sql(f"SELECT count(*) FROM '{sf_dir}/orders.parquet'").fetchone()[0]
+        ins = duckdb.sql(
+            f"SELECT count(*) FROM '{sf_dir}/orders.parquet' WHERE o_orderkey % 19 = 0"
+        ).fetchone()[0]
+        dels = duckdb.sql(
+            f"SELECT count(*) FROM '{sf_dir}/orders.parquet' WHERE o_orderkey % 17 = 0"
+        ).fetchone()[0]
+        assert sum(r["n_orders"] for r in rows.values()) == snap + ins - dels
+
+
+class TestAttribution:
+    def test_lag_bounds_and_click_precedes(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from datatransformertools_spark.operators.events import (
+            ATTRIBUTION_WINDOW_US,
+            events_attribution,
+        )
+
+        out = events_attribution(spark, sf_dir).cache()
+        attributed = out.filter(F.col("attributed_click_id").isNotNull())
+        bad = attributed.filter(
+            (F.col("attribution_lag_us") < 0)
+            | (F.col("attribution_lag_us") > ATTRIBUTION_WINDOW_US)
+        ).count()
+        assert bad == 0
+        out.unpersist()
+
+
+class TestUserFeatures:
+    def test_counts_sum_to_total(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from datatransformertools_spark.operators.events import (
+            EVENT_TYPES,
+            user_event_features,
+        )
+
+        out = user_event_features(spark, sf_dir)
+        mism = out.filter(
+            sum(F.col(f"n_{t}") for t in EVENT_TYPES) != F.col("n_events")
+        ).count()
+        assert mism == 0
+
+
+class TestOov:
+    def test_rate_in_unit_interval(self, spark, sf_dir):
+        from datatransformertools_spark.operators.text_analysis import oov_rate_by_source
+
+        rows = oov_rate_by_source(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 0.0 < r["oov_rate"] < 1.0  # V=16 of ~31 tokens: both classes present
+            assert r["n_oov"] <= r["n_tokens"]

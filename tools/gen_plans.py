@@ -250,6 +250,50 @@ SECTIONS = [
         "the correlated subquery never rescans lineitem.",
         True,
     ),
+    (
+        "paragraph_dedup",
+        "Gopher-style paragraph removal: paragraphs explode map-side and "
+        "immediately collapse to (16-byte md5, doc_id, idx, n_chars) — "
+        "paragraph text never reaches an exchange; one window shuffle "
+        "keyed on the hash decides first-occurrence, one doc_id shuffle "
+        "regroups. O(total paragraphs) at any corpus size.",
+        False,
+    ),
+    (
+        "cross_source_overlap",
+        "Source-pair contamination matrix: the self-join keys on the "
+        "shingle, so per-key fan-out is bounded by |sources|^2 (20^2) "
+        "regardless of corpus size, and the output is |sources|^2 rows. "
+        "The |sources|-row size frames are the only hinted broadcasts "
+        "(bounded by source count, not data).",
+        False,
+    ),
+    (
+        "embedding_covariance",
+        "The N*d^2/2 product grain generates map-side (two nested "
+        "explodes) and collapses through partial aggregation into "
+        "d(d+1)/2 groups — the exchange carries d^2 partial sums per map "
+        "partition, never N*d^2 rows; d-row mean frame hint-broadcast "
+        "(schema-bounded).",
+        True,
+    ),
+    (
+        "events_attribution",
+        "Last-touch attribution with NO self-join: one user_id window "
+        "pass carries last-seen click state forward (running last(), "
+        "O(1) state per row), purchases filter after the window. The "
+        "classic as-of explosion never materializes.",
+        False,
+    ),
+    (
+        "orders_upsert_merge",
+        "CDC merge-apply: anti-join (deletes) + left join (updates) + "
+        "union (inserts), all keyed on o_orderkey; the CDC side carries "
+        "no broadcast hint (a backfill batch can be snapshot-sized — "
+        "AQE upgrades from runtime stats). Checksums collapse map-side "
+        "to |status| rows.",
+        False,
+    ),
 ]
 
 # Iterative operators whose returned plan is a checkpoint scan (their
@@ -295,6 +339,25 @@ PROSE_SECTIONS = [
         "with partial collect_set (basket dedup) and "
         "groupBy(src).collect_set(dst) (edge dedup + adjacency + degree "
         "in one pass).",
+    ),
+    (
+        "r2->r1 shared-query regression audit (VERDICT r2 #6)",
+        "The two shared-60 queries flagged >1.3x in BENCH_r02 were "
+        "re-measured 3x back-to-back in one warm session at sf0.1 "
+        "(local[32]). detection_eval_sweep: 8.6 s cold (first run of the "
+        "eval family), then 2.65 s, 1.83 s (r1=1.74 / r2=2.93). Root "
+        "cause is NOT a plan change in the sweep — commit 7779039 "
+        "(post-r1) introduced a shared .cache() on the mutual-best "
+        "matched/pairs frame used by the whole detection-eval family, so "
+        "whichever eval query the bench runs FIRST pays the one-time "
+        "materialization for all of them (family total went down; the "
+        "sweep's line item went up). Warm steady-state is at r1 parity. "
+        "q7_volume_shipping: 2.04 s cold, then 1.39, 1.19. The plan is "
+        "byte-identical to r1 (git log -S shows no post-r1 edit); the "
+        "0.41-vs-0.69 s delta is run-order/JVM-warmth noise at "
+        "magnitudes where GC pauses dominate. Conclusion: neither is a "
+        "plan regression; both numbers move with cache/warmup placement, "
+        "not with work done per row.",
     ),
 ]
 

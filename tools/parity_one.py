@@ -1,0 +1,80 @@
+"""Quick single-operator parity check: replicate the driver's gate
+for the named queries only. Usage:
+
+    python tools/parity_one.py name1 name2 ... [--sf 0.001]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+from datatransformertools_spark import registry
+from datatransformertools_spark.session import get_spark
+from datatransformertools_spark.sources.tables import TABLE_NAMES
+
+
+def _canon(v):
+    if v is None:
+        return "<null>"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6f}".rstrip("0").rstrip(".")
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    return str(v)
+
+
+def _canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(_canon(r[i]) for i in order) for r in rows)
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf = "0.001"
+    for i, a in enumerate(sys.argv[1:]):
+        if a == "--sf":
+            sf = sys.argv[1:][i + 1]
+            args = [x for x in args if x != sf]
+    sf_dir = f"/root/testdata/sf{sf}"
+    qs, oracles = registry.queries(), registry.oracle_sql()
+    spark = get_spark("parity-one")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    failed = 0
+    for name in args:
+        sdf = qs[name](spark, sf_dir)
+        s_cols = list(sdf.columns)
+        s_rows = [tuple(r) for r in sdf.collect()]
+        if name not in oracles:
+            print(f"{name}: NO ORACLE — spark rows={len(s_rows)}")
+            continue
+        rel = con.sql(oracles[name])
+        d_cols, d_rows = list(rel.columns), rel.fetchall()
+        ok_cols = sorted(s_cols) == sorted(d_cols)
+        sc, dc = _canon_rows(s_cols, s_rows), _canon_rows(d_cols, d_rows)
+        ok_rows = len(s_rows) == len(d_rows)
+        ok_vals = sc == dc
+        status = "OK" if (ok_cols and ok_rows and ok_vals) else "FAIL"
+        if status == "FAIL":
+            failed += 1
+        print(f"{name}: {status} rows={len(s_rows)}/{len(d_rows)} cols_match={ok_cols} vals_match={ok_vals}")
+        if not ok_cols:
+            print("  spark cols:", s_cols, "\n  duck cols:", d_cols)
+        if ok_cols and not ok_vals:
+            diff_s = [r for r in sc if r not in set(dc)][:3]
+            diff_d = [r for r in dc if r not in set(sc)][:3]
+            print("  spark-only:", diff_s, "\n  duck-only:", diff_d)
+    spark.stop()
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
