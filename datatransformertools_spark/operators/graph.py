@@ -222,7 +222,96 @@ FROM tri CROSS JOIN ecnt CROSS JOIN stats
 PART_TRIANGLES_SQL = _triangles_sql()
 
 
+# ---------------------------------------------------------------------------
+# part_label_propagation — synchronous LPA community detection
+# ---------------------------------------------------------------------------
+
+LPA_ITERS = 3
+
+
+def part_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    part co-purchase graph: every node adopts the most frequent
+    label among its neighbors each round (ties → smallest label) —
+    the deterministic sync variant, LPA_ITERS rounds unrolled in the
+    oracle. Async LPA is run-order-dependent; sync + min-tie-break
+    is the one formulation two engines can agree on bit-for-bit.
+
+    Scale design: same Pregel shape as PageRank — per round one
+    (dst-label) shuffle with map-side partial counts and a per-node
+    window argmax over the counted frame; localCheckpoint truncates
+    lineage between rounds; driver state is only the loop index."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("parts"))
+    edges = (
+        baskets.select(F.explode("parts").alias("src"), "parts")
+        .select("src", F.explode("parts").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = edges.select(F.col("src").alias("part")).distinct().localCheckpoint()
+    labels = nodes.select("part", F.col("part").alias("label"))
+    win = Window.partitionBy("src").orderBy(F.col("cnt").desc(), F.col("label"))
+    for _ in range(LPA_ITERS):
+        neigh = edges.join(labels, edges.dst == labels.part).select("src", "label")
+        counts = neigh.groupBy("src", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = (
+            counts.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("part"), "label")
+        ).localCheckpoint()
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("community_size"))
+    out = (
+        labels.join(sizes, "label")
+        .select("part", F.col("label").alias("community"), "community_size")
+        .localCheckpoint()
+    )
+    edges.unpersist()
+    return out
+
+
+def _lpa_sql() -> str:
+    ctes = [
+        "li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+)""",
+        "l0 AS (SELECT DISTINCT src AS part, src AS label FROM edges)",
+    ]
+    for i in range(1, LPA_ITERS + 1):
+        ctes.append(
+            f"""l{i} AS (
+  SELECT src AS part, label FROM (
+    SELECT e.src, l.label, count(*) AS cnt,
+           row_number() OVER (PARTITION BY e.src ORDER BY count(*) DESC, l.label) AS rn
+    FROM edges e JOIN l{i - 1} l ON e.dst = l.part
+    GROUP BY e.src, l.label
+  ) WHERE rn = 1
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT f.part, f.label AS community, s.community_size
+FROM l{LPA_ITERS} f
+JOIN (SELECT label, CAST(count(*) AS BIGINT) AS community_size
+      FROM l{LPA_ITERS} GROUP BY label) s
+  ON f.label = s.label
+"""
+    )
+
+
+PART_LABEL_PROPAGATION_SQL = _lpa_sql()
+
+
 QUERIES = {
     "part_pagerank": (part_pagerank, PART_PAGERANK_SQL),
     "part_triangles": (part_triangles, PART_TRIANGLES_SQL),
+    "part_label_propagation": (part_label_propagation, PART_LABEL_PROPAGATION_SQL),
 }

@@ -183,6 +183,9 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "user_event_features",
         "events_attribution",
         "oov_rate_by_source",
+        "part_label_propagation",
+        "orders_csv_roundtrip",
+        "events_stream_ewma",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

@@ -258,8 +258,88 @@ GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# orders_csv_roundtrip — CSV write→read checksum, gated
+# ---------------------------------------------------------------------------
+
+# o_orderdate materializes as TIMESTAMP_NTZ from parquet — the CSV
+# writer/reader format option for NTZ is timestampNTZFormat (the
+# plain timestampFormat is silently ignored for NTZ columns)
+_ORDERS_CSV_SCHEMA = (
+    "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+    "o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING"
+)
+
+
+def orders_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Push orders through CSV write → read_csv (explicit schema,
+    header on) and emit per-status order-independent checksums.
+    Doubles survive because Spark's CSV writer emits the shortest
+    round-trippable repr; timestamps ride an explicit pinned format.
+    Any quoting/formatting/parsing drift flips a hash against the
+    oracle computed straight from parquet."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from datatransformertools_spark.functions.hashing import md5_long
+    from datatransformertools_spark.sources.tables import load_table
+
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(Path(__file__).resolve().parents[2] / ".dtt_tmp" / "orders_csv")
+    (
+        orders.write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampNTZFormat", fmt)
+        .csv(path)
+    )
+    back = (
+        spark.read.schema(_ORDERS_CSV_SCHEMA)
+        .option("header", "true")
+        .option("timestampNTZFormat", fmt)
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+    )
+    line = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.format_string("%.4f", F.round(F.col("o_totalprice") + 1e-9, 4)),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderpriority"),
+    )
+    h32 = md5_long(line).bitwiseAND(F.lit((1 << 32) - 1))
+    return (
+        back.select("o_orderstatus", h32.alias("h"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("h").alias("row_hash_sum"))
+    )
+
+
+ORDERS_CSV_ROUNDTRIP_SQL = """
+WITH lines AS (
+  SELECT o_orderstatus,
+         CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|'
+           || o_orderstatus || '|'
+           || printf('%.4f', round(o_totalprice + 1e-9, 4)) || '|'
+           || strftime(o_orderdate, '%Y-%m-%d') || '|'
+           || o_orderpriority AS line
+  FROM orders
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(('0x' || substr(md5(line), 1, 15))::BIGINT & 4294967295) AS BIGINT)
+         AS row_hash_sum
+FROM lines
+GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "bucketed_join_revenue": (bucketed_join_revenue, BUCKETED_JOIN_REVENUE_SQL),
     "zorder_layout": (zorder_layout, ZORDER_LAYOUT_SQL),
     "documents_jsonl_roundtrip": (documents_jsonl_roundtrip, DOCUMENTS_JSONL_ROUNDTRIP_SQL),
+    "orders_csv_roundtrip": (orders_csv_roundtrip, ORDERS_CSV_ROUNDTRIP_SQL),
 }

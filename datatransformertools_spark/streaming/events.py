@@ -742,6 +742,127 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# events_stream_ewma — custom stateful EWMA, value-exact vs the batch oracle
+# ---------------------------------------------------------------------------
+
+EWMA_OUT_SCHEMA = "event_id long, user_id long, ewma double"
+EWMA_STATE_SCHEMA = "ts_tail array<long>, id_tail array<long>, val_tail array<double>"
+
+
+def stream_ewma(events: DataFrame) -> DataFrame:
+    """Streaming per-user EWMA via applyInPandasWithState: state is
+    the last 49 (ts, id, value) triples per user (bounded O(50) per
+    key — the state store never grows with history), each arriving
+    event emits its smoothed value in append mode.
+
+    The kernel computes the IDENTICAL finite-lookback normalized
+    form as the batch operator (operators/events.py:events_ewma) —
+    same fold order, same pow weights — so the drained stream
+    hash-matches the batch window SQL oracle exactly: the claim
+    "the streaming op equals the batch op" rides the gate."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        alpha, lookback = 0.2, 50
+        decay = 1.0 - alpha
+        wtab = [decay**j for j in range(lookback)]  # wtab[age]
+        if state.exists:
+            t_tail, i_tail, v_tail = state.get
+            hist = list(zip(t_tail, i_tail, v_tail))
+        else:
+            hist = []
+        chunks = [pdf[["ts_us", "event_id", "value"]] for pdf in pdfs]
+        batch = pd.concat(chunks).sort_values(["ts_us", "event_id"])
+        out_ids, out_ewma = [], []
+        for ts, eid, val in batch.itertuples(index=False):
+            hist.append((int(ts), int(eid), float(val)))
+            if len(hist) > lookback:
+                hist = hist[-lookback:]
+            m = len(hist)
+            num = 0.0
+            den = 0.0
+            # oldest→newest, the same fold order as the batch
+            # operator's F.aggregate and the oracle's list_reduce
+            for k in range(m):
+                w = wtab[m - 1 - k]
+                num += hist[k][2] * w
+                den += w
+            out_ids.append(int(eid))
+            out_ewma.append(round(num / den + 1e-9, 4))
+        tail = hist[-(lookback - 1) :]
+        state.update(
+            ([t for t, _, _ in tail], [i for _, i, _ in tail], [v for _, _, v in tail])
+        )
+        yield pd.DataFrame(
+            {"event_id": out_ids, "user_id": [key[0]] * len(out_ids), "ewma": out_ewma}
+        )
+
+    return (
+        events.select("user_id", "event_id", "ts_us", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=EWMA_OUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def events_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful streaming EWMA drained with availableNow and
+    value-checked against the BATCH window-SQL oracle — certifying
+    that the custom per-key state kernel reproduces the batch
+    operator bit-for-bit (the stream/batch-parity property Lambda
+    architectures have to assume)."""
+    import os
+    import tempfile
+    import uuid
+
+    src_dir = tempfile.mkdtemp(prefix="dtt-stream-ewma-src-")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events.parquet")
+    raw = _read_raw(spark, src_dir)
+    stream = stream_ewma(raw.withColumn("ts_us", events_ts_us(raw)))
+    name = f"stream_ewma_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="dtt-stream-ckpt-"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.table(name).select("event_id", "user_id", "ewma")
+
+
+# identical contract to the batch operator — the stream must equal it
+EVENTS_STREAM_EWMA_SQL = """
+WITH framed AS (
+  SELECT event_id, user_id,
+         list(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS arr
+  FROM events
+)
+SELECT event_id, user_id,
+       round(
+         list_reduce(list_transform(range(1, len(arr) + 1),
+                                    i -> arr[i] * pow(0.8, (len(arr) - i)::DOUBLE)),
+                     (a, b) -> a + b)
+         / list_reduce(list_transform(range(1, len(arr) + 1),
+                                      i -> pow(0.8, (len(arr) - i)::DOUBLE)),
+                       (a, b) -> a + b)
+         + 1e-9, 4) AS ewma
+FROM framed
+"""
+
+
 QUERIES = {
     "events_stream_tumbling": (events_stream_tumbling, EVENTS_STREAM_TUMBLING_SQL),
     "events_stream_sessionize": (events_stream_sessionize, EVENTS_STREAM_SESSIONIZE_SQL),
@@ -755,6 +876,7 @@ QUERIES = {
     "events_stream_enrich": (events_stream_enrich, EVENTS_STREAM_ENRICH_SQL),
     "events_stream_replay_dedup": (events_stream_replay_dedup, EVENTS_STREAM_REPLAY_DEDUP_SQL),
     "events_stream_daily_users": (events_stream_daily_users, EVENTS_STREAM_DAILY_USERS_SQL),
+    "events_stream_ewma": (events_stream_ewma, EVENTS_STREAM_EWMA_SQL),
 }
 
 

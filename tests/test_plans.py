@@ -273,3 +273,77 @@ def test_global_plan_hygiene(spark, sf_dir):
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian:\n{plan[:2000]}"
         assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF:\n{plan[:2000]}"
+
+
+# --- round-3 operator plan contracts ---------------------------------------
+
+
+def test_pmi_vocab_never_hint_broadcast(spark, sf_dir):
+    # bigram/unigram count frames are vocabulary-scale (grow with the
+    # corpus) — only the two 1-row total aggregates may broadcast
+    plan = _plan_hints_only(spark, sf_dir, "pmi_bigrams")
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan  # n_tok, n_big scalars
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
+
+
+def test_oov_vocab_never_hint_broadcast(spark, sf_dir):
+    plan = _plan_hints_only(spark, sf_dir, "oov_rate_by_source")
+    assert "BroadcastExchange" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
+
+
+def test_paragraph_dedup_no_text_in_exchange(spark, sf_dir):
+    # shuffles carry (16-byte hash, ids, counts) — never paragraph text
+    plan = _plan(spark, sf_dir, "paragraph_dedup")
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert not re.search(r"\bpara#\d", line), line
+            assert not re.search(r"\btext#\d", line), line
+
+
+def test_cross_source_overlap_broadcasts_sizes_only(spark, sf_dir):
+    # the two |sources|-row size frames are the only hinted
+    # broadcasts; the shingle self-join must shuffle on the shingle
+    plan = _plan_hints_only(spark, sf_dir, "cross_source_overlap")
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" in plan, plan
+
+
+def test_ewma_single_user_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_ewma")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_ohlc_single_shuffle(spark, sf_dir):
+    # partial-agg before the one (window, type) exchange
+    plan = _plan(spark, sf_dir, "events_ohlc")
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_" in plan or "HashAggregate" in plan, plan
+
+
+def test_attribution_has_no_join(spark, sf_dir):
+    # last-touch attribution is one window pass — the as-of
+    # self-join explosion must never appear
+    plan = _plan(spark, sf_dir, "events_attribution")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_upsert_merge_never_hint_broadcast(spark, sf_dir):
+    # a CDC batch can be snapshot-sized (backfill) — no hints
+    plan = _plan_hints_only(spark, sf_dir, "orders_upsert_merge")
+    assert "BroadcastExchange" not in plan, plan
+
+
+def test_covariance_broadcasts_means_only(spark, sf_dir):
+    # the d-row mean frame (schema-bounded) is the only hinted
+    # broadcast; the product grain must partial-aggregate map-side
+    plan = _plan_hints_only(spark, sf_dir, "embedding_covariance")
+    assert plan.count("BroadcastHashJoin") == 2, plan  # mean_i, mean_j
+    assert "partial" in plan.lower(), plan
+
+
+def test_user_event_features_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "user_event_features")
+    assert plan.count("Exchange") == 1, plan

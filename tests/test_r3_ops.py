@@ -241,3 +241,46 @@ class TestOov:
         for r in rows:
             assert 0.0 < r["oov_rate"] < 1.0  # V=16 of ~31 tokens: both classes present
             assert r["n_oov"] <= r["n_tokens"]
+
+
+class TestLabelPropagation:
+    def test_labels_are_node_ids_and_sizes_consistent(self, spark, sf_dir):
+        from datatransformertools_spark.operators.graph import part_label_propagation
+
+        out = part_label_propagation(spark, sf_dir).cache()
+        parts = {r["part"] for r in out.select("part").collect()}
+        comms = {r["community"] for r in out.select("community").collect()}
+        assert comms <= parts  # labels propagate existing node ids
+        sizes = {
+            r["community"]: r["cnt"]
+            for r in out.groupBy("community").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        for r in out.collect():
+            assert r["community_size"] == sizes[r["community"]]
+        out.unpersist()
+
+
+class TestCsvRoundtrip:
+    def test_covers_all_orders(self, spark, sf_dir):
+        import duckdb
+
+        from datatransformertools_spark.sources.sinks import orders_csv_roundtrip
+
+        total = duckdb.sql(f"SELECT count(*) FROM '{sf_dir}/orders.parquet'").fetchone()[0]
+        out = orders_csv_roundtrip(spark, sf_dir)
+        assert out.agg(F.sum("n_orders")).first()[0] == total
+
+
+class TestStreamEwma:
+    def test_stream_equals_batch(self, spark, sf_dir):
+        from datatransformertools_spark.operators.events import events_ewma
+        from datatransformertools_spark.streaming.events import events_stream_ewma
+
+        batch = {
+            (r["event_id"], r["user_id"]): r["ewma"]
+            for r in events_ewma(spark, sf_dir).collect()
+        }
+        stream = events_stream_ewma(spark, sf_dir).collect()
+        assert len(stream) == len(batch)
+        for r in stream:
+            assert batch[(r["event_id"], r["user_id"])] == r["ewma"]
