@@ -347,3 +347,11 @@ def test_covariance_broadcasts_means_only(spark, sf_dir):
 def test_user_event_features_single_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "user_event_features")
     assert plan.count("Exchange") == 1, plan
+
+
+def test_ap_envelope_no_shrinking_frame(spark, sf_dir):
+    # the precision envelope must be the O(n) running max over the
+    # reversed ordering — a CURRENT->UNBOUNDED FOLLOWING frame is
+    # recomputed per row by WindowExec (O(n^2) per class partition)
+    plan = _plan(spark, sf_dir, "detection_eval_ap")
+    assert "unboundedfollowing" not in plan.lower(), plan
