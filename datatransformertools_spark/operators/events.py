@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from datatransformertools_spark.functions.hashing import md5_long
 from datatransformertools_spark.sources.tables import events_ts_us, load_table
 
 FIVE_MIN_US = 300_000_000
@@ -1819,6 +1820,212 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# events_heavy_hitters_cms — hand-rolled Count-Min sketch, fully value-gated
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+CMS_TOP_K = 20
+
+
+def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection via a hand-rolled Count-Min sketch —
+    unlike the engine-internal HLL/GK sketches (rows-only at the
+    gate), every number here is deterministic md5 + integer
+    arithmetic, so the FULL sketch contract is value-checked
+    cross-engine: estimates, the exact counts, and the CMS
+    guarantee est ≥ true.
+
+    Scale design: the sketch is CMS_DEPTH·CMS_WIDTH counters built
+    in one partial-agg shuffle of (row, bucket) keys (2048 groups at
+    any corpus size — THE point of a sketch: fixed-size state, and
+    on a real cluster each executor combines map-side before the
+    tiny exchange). Estimates probe the sketch with a |users|·depth
+    → 2048-key join; the top-k is TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    u = F.col("user_id").cast("string")
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (md5_long(u, salt=f"cms{i}:") % CMS_WIDTH).alias("bucket"),
+            )
+            for i in range(CMS_DEPTH)
+        ]
+    )
+    sketch = (
+        ev.select(F.explode(buckets).alias("rb"))
+        .select("rb.row", "rb.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    probes = truth.select(
+        "user_id",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        (md5_long(u, salt=f"cms{i}:") % CMS_WIDTH).alias("bucket"),
+                    )
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("rb"),
+    ).select("user_id", "true_count", "rb.row", "rb.bucket")
+    est = (
+        probes.join(sketch, ["row", "bucket"])
+        .groupBy("user_id", "true_count")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    return (
+        est.select(
+            "user_id",
+            "true_count",
+            "est_count",
+            (F.col("est_count") - F.col("true_count")).alias("overcount"),
+        )
+        .orderBy(F.col("est_count").desc(), F.col("user_id"))
+        .limit(CMS_TOP_K)
+    )
+
+
+def _cms_bucket_sql(i: int) -> str:
+    return f"('0x' || substr(md5('cms{i}:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % {CMS_WIDTH}"
+
+
+EVENTS_HEAVY_HITTERS_CMS_SQL = f"""
+WITH rb AS (
+  {" UNION ALL ".join(f"SELECT user_id, {i} AS row, {_cms_bucket_sql(i)} AS bucket FROM events" for i in range(CMS_DEPTH))}
+),
+sketch AS (SELECT row, bucket, count(*) AS cnt FROM rb GROUP BY 1, 2),
+truth AS (SELECT user_id, count(*) AS true_count FROM events GROUP BY 1),
+probes AS (
+  SELECT DISTINCT truth.user_id, true_count, rb.row, rb.bucket
+  FROM truth JOIN rb USING (user_id)
+),
+est AS (
+  SELECT p.user_id, p.true_count, min(s.cnt) AS est_count
+  FROM probes p JOIN sketch s ON p.row = s.row AND p.bucket = s.bucket
+  GROUP BY 1, 2
+)
+SELECT user_id, CAST(true_count AS BIGINT) AS true_count,
+       CAST(est_count AS BIGINT) AS est_count,
+       CAST(est_count - true_count AS BIGINT) AS overcount
+FROM est
+ORDER BY est_count DESC, user_id
+LIMIT {CMS_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_user_count_hll_manual — hand-rolled HyperLogLog, fully value-gated
+# ---------------------------------------------------------------------------
+
+HLL_P = 9
+HLL_M = 1 << HLL_P  # 512 registers
+# alpha for m >= 128 (Flajolet et al. 2007)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+# md5_long yields 60 bits; p=9 go to the register index, 51 remain
+HLL_W_BITS = 60 - HLL_P
+
+
+def events_user_count_hll_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users via a HAND-ROLLED HyperLogLog —
+    the engine-internal approx_count_distinct can never hash-match a
+    DuckDB oracle (its sketch state is private), but this one is
+    deterministic md5 + integer bit math, so the whole estimator —
+    registers, bias correction, small-range correction, relative
+    error vs exact — rides the value gate.
+
+    register = h mod 512; rho = leading-zero count of the remaining
+    51 bits + 1, computed from the binary-string length (no float
+    log, so no pow-boundary risk). Register maxima build in ONE
+    |types|·512-group partial-agg shuffle regardless of corpus size
+    — the sketch's raison d'être, and partial max combines map-side
+    exactly like a cluster merge of per-executor sketches."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    h = md5_long(F.col("user_id").cast("string"), salt="hll:")
+    reg = (h % HLL_M).alias("register")
+    w = (h.bitwiseAND(F.lit((1 << HLL_W_BITS) - 1)))
+    # bit_length(w) via the base-2 string — exact integer path
+    rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS + 1) - F.length(F.conv(w, 10, 2))
+    )
+    regs = (
+        ev.select("event_type", reg, rho.alias("rho"))
+        .groupBy("event_type", "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    # harmonic sum over PRESENT registers; absent registers
+    # contribute 2^0 = 1 each, added as (m - n_present)
+    per_type = regs.groupBy("event_type").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("present_sum"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    z = F.col("present_sum") + (F.lit(HLL_M) - F.col("n_present"))
+    raw_e = F.lit(HLL_ALPHA * HLL_M * HLL_M) / z
+    v = F.lit(HLL_M) - F.col("n_present")  # zero registers
+    small = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v)
+    estimate = F.when((raw_e <= 2.5 * HLL_M) & (v > 0), small).otherwise(raw_e)
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_users"))
+    est = per_type.select("event_type", F.round(estimate + 1e-9, 4).alias("hll_estimate"))
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "exact_users",
+        "hll_estimate",
+        F.round(
+            F.abs(F.col("hll_estimate") - F.col("exact_users")) / F.col("exact_users") + 1e-9, 6
+        ).alias("rel_error"),
+    )
+
+
+EVENTS_HLL_MANUAL_SQL = f"""
+WITH hashed AS (
+  SELECT event_type,
+         ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+),
+rr AS (
+  SELECT event_type,
+         h % {HLL_M} AS register,
+         CASE WHEN (h & {(1 << HLL_W_BITS) - 1}) = 0 THEN {HLL_W_BITS + 1}
+              ELSE {HLL_W_BITS + 1} - length(format('{{:b}}', h & {(1 << HLL_W_BITS) - 1}))
+         END AS rho
+  FROM hashed
+),
+regs AS (
+  SELECT event_type, register, max(rho) AS max_rho FROM rr GROUP BY 1, 2
+),
+per_type AS (
+  SELECT event_type,
+         sum(pow(2.0, -max_rho)) AS present_sum,
+         count(*) AS n_present
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT event_type,
+         round(CASE WHEN {HLL_ALPHA * HLL_M * HLL_M} / (present_sum + ({HLL_M} - n_present))
+                         <= {2.5 * HLL_M}
+                    AND ({HLL_M} - n_present) > 0
+               THEN {float(HLL_M)} * ln({float(HLL_M)} / ({HLL_M} - n_present))
+               ELSE {HLL_ALPHA * HLL_M * HLL_M} / (present_sum + ({HLL_M} - n_present))
+               END + 1e-9, 4) AS hll_estimate
+  FROM per_type
+),
+exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY 1
+)
+SELECT est.event_type, exact_users, hll_estimate,
+       round(abs(hll_estimate - exact_users) / exact_users + 1e-9, 6) AS rel_error
+FROM est JOIN exact USING (event_type)
+"""
+
+
+# ---------------------------------------------------------------------------
 # user_event_features — pivoted per-user feature matrix
 # ---------------------------------------------------------------------------
 
@@ -1960,4 +2167,6 @@ QUERIES = {
     "events_ohlc": (events_ohlc, EVENTS_OHLC_SQL),
     "user_event_features": (user_event_features, USER_EVENT_FEATURES_SQL),
     "events_attribution": (events_attribution, EVENTS_ATTRIBUTION_SQL),
+    "events_heavy_hitters_cms": (events_heavy_hitters_cms, EVENTS_HEAVY_HITTERS_CMS_SQL),
+    "events_user_count_hll_manual": (events_user_count_hll_manual, EVENTS_HLL_MANUAL_SQL),
 }

@@ -241,8 +241,6 @@ def part_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dst-label) shuffle with map-side partial counts and a per-node
     window argmax over the counted frame; localCheckpoint truncates
     lineage between rounds; driver state is only the loop index."""
-    from pyspark.sql.window import Window
-
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("parts"))
     edges = (
@@ -254,14 +252,15 @@ def part_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = edges.select(F.col("src").alias("part")).distinct().localCheckpoint()
     labels = nodes.select("part", F.col("part").alias("label"))
-    win = Window.partitionBy("src").orderBy(F.col("cnt").desc(), F.col("label"))
+    # argmax via max_by over a (cnt, -label) struct instead of a
+    # row_number window: a hash aggregate with map-side partials,
+    # no per-src sort — max cnt first, then min label on ties
+    best = F.expr("max_by(label, struct(cnt, -label))")
     for _ in range(LPA_ITERS):
         neigh = edges.join(labels, edges.dst == labels.part).select("src", "label")
         counts = neigh.groupBy("src", "label").agg(F.count(F.lit(1)).alias("cnt"))
         labels = (
-            counts.withColumn("rn", F.row_number().over(win))
-            .filter(F.col("rn") == 1)
-            .select(F.col("src").alias("part"), "label")
+            counts.groupBy("src").agg(best.alias("label")).select(F.col("src").alias("part"), "label")
         ).localCheckpoint()
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("community_size"))
     out = (

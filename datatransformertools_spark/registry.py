@@ -186,6 +186,8 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "part_label_propagation",
         "orders_csv_roundtrip",
         "events_stream_ewma",
+        "events_heavy_hitters_cms",
+        "events_user_count_hll_manual",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

@@ -769,33 +769,45 @@ def stream_ewma(events: DataFrame) -> DataFrame:
         alpha, lookback = 0.2, 50
         decay = 1.0 - alpha
         wtab = [decay**j for j in range(lookback)]  # wtab[age]
+        # den depends only on m; precompute each entry with the SAME
+        # per-step add order the batch fold uses (descending age)
+        den_tab = [0.0] * (lookback + 1)
+        for m in range(1, lookback + 1):
+            d = 0.0
+            for k in range(m):
+                d += wtab[m - 1 - k]
+            den_tab[m] = d
         if state.exists:
             t_tail, i_tail, v_tail = state.get
-            hist = list(zip(t_tail, i_tail, v_tail))
+            ts_hist, id_hist, vals = list(t_tail), list(i_tail), list(v_tail)
         else:
-            hist = []
-        chunks = [pdf[["ts_us", "event_id", "value"]] for pdf in pdfs]
+            ts_hist, id_hist, vals = [], [], []
+        chunks = [pdf[["ts_us", "event_id", "value"]] for pdf in pdfs if len(pdf)]
+        if not chunks:
+            yield pd.DataFrame({"event_id": [], "user_id": [], "ewma": []})
+            return
         batch = pd.concat(chunks).sort_values(["ts_us", "event_id"])
         out_ids, out_ewma = [], []
         for ts, eid, val in batch.itertuples(index=False):
-            hist.append((int(ts), int(eid), float(val)))
-            if len(hist) > lookback:
-                hist = hist[-lookback:]
-            m = len(hist)
+            ts_hist.append(int(ts))
+            id_hist.append(int(eid))
+            vals.append(float(val))
+            if len(vals) > lookback:
+                ts_hist = ts_hist[-lookback:]
+                id_hist = id_hist[-lookback:]
+                vals = vals[-lookback:]
+            m = len(vals)
             num = 0.0
-            den = 0.0
             # oldest→newest, the same fold order as the batch
             # operator's F.aggregate and the oracle's list_reduce
-            for k in range(m):
-                w = wtab[m - 1 - k]
-                num += hist[k][2] * w
-                den += w
+            i = m - 1
+            for v in vals:
+                num += v * wtab[i]
+                i -= 1
             out_ids.append(int(eid))
-            out_ewma.append(round(num / den + 1e-9, 4))
-        tail = hist[-(lookback - 1) :]
-        state.update(
-            ([t for t, _, _ in tail], [i for _, i, _ in tail], [v for _, _, v in tail])
-        )
+            out_ewma.append(round(num / den_tab[m] + 1e-9, 4))
+        keep = lookback - 1
+        state.update((ts_hist[-keep:], id_hist[-keep:], vals[-keep:]))
         yield pd.DataFrame(
             {"event_id": out_ids, "user_id": [key[0]] * len(out_ids), "ewma": out_ewma}
         )

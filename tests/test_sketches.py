@@ -82,3 +82,32 @@ def test_percentile_approx_brackets_exact(spark, sf_dir):
     spread = r.hi - r.lo
     assert abs(r.approx_p50 - r.exact_p50) <= 0.05 * spread
     assert abs(r.approx_p95 - r.exact_p95) <= 0.05 * spread
+
+
+def test_cms_overcount_never_negative_and_bounded(spark, sf_dir):
+    # CMS guarantee: est >= true always; with depth 4 and width 512
+    # the expected overcount is N/width per row, min over 4 rows
+    from datatransformertools_spark.operators.events import (
+        CMS_WIDTH,
+        events_heavy_hitters_cms,
+    )
+    from datatransformertools_spark.sources.tables import load_table
+
+    n_events = load_table(spark, sf_dir, "events").count()
+    rows = events_heavy_hitters_cms(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.overcount >= 0, r  # the one-sided CMS guarantee
+        assert r.est_count == r.true_count + r.overcount
+        # loose sanity bound: 8 expected collisions' worth
+        assert r.overcount <= max(8 * n_events / CMS_WIDTH, 8), r
+
+
+def test_manual_hll_within_standard_error(spark, sf_dir):
+    # sigma ~ 1.04/sqrt(512) = 4.6%; assert 3-sigma ~ 14%
+    from datatransformertools_spark.operators.events import events_user_count_hll_manual
+
+    rows = events_user_count_hll_manual(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.rel_error <= 0.14, (r.event_type, r.exact_users, r.hll_estimate)
