@@ -1045,6 +1045,117 @@ FROM (SELECT unnest(range(1, 20)) AS i)
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup_minhash_verify — candidate → exact-verify two-stage dedup
+# ---------------------------------------------------------------------------
+
+EDIT_SIM_TAU = 0.8
+
+
+def dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production two-stage near-dup pipeline: banded
+    minhash-LSH proposes candidates (O(n·bands) tiny rows — the
+    scale stage), then ONLY the candidate pairs pay for an exact
+    normalized-edit-distance verification. This is the one dedup
+    plan where text legitimately shuffles — but strictly the
+    candidate set, never the corpus: the pairs frame joins the
+    documents table on doc_id twice, so the exchange carries
+    |candidates| texts, bounded by the LSH band fan-out regardless
+    of corpus size. verified = 1 when
+    1 − lev/max(|a|,|b|) ≥ 0.8 on normalized text."""
+    sig = track(_signature_df(spark, sf_dir))
+    keys = lsh_band_keys(
+        F.array(*[F.col(f"sig{i}") for i in range(NUM_PERM)]), BANDS, ROWS_PER_BAND
+    )
+    banded = sig.select("doc_id", F.explode(keys).alias("band_key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", normalize_text(F.col("text")).alias("norm")
+    )
+    da = docs.alias("da")
+    db = docs.alias("db")
+    lev = F.levenshtein(F.col("da.norm"), F.col("db.norm"))
+    sim = F.round(
+        1.0 - lev / F.greatest(F.length("da.norm"), F.length("db.norm")) + 1e-9, 6
+    )
+    return (
+        pairs.join(da, F.col("doc_a") == F.col("da.doc_id"))
+        .join(db, F.col("doc_b") == F.col("db.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.alias("edit_distance"),
+            sim.alias("edit_sim"),
+            (sim >= EDIT_SIM_TAU).cast("int").alias("verified"),
+        )
+    )
+
+
+def _minhash_verify_sql() -> str:
+    sig_aggs = ",\n    ".join(
+        f"min(('0x' || substr(md5('{i}:' || shingle), 1, 15))::BIGINT) AS sig{i}"
+        for i in range(NUM_PERM)
+    )
+    band_exprs = ",\n    ".join(
+        "md5('%d:' || %s) AS band%d"
+        % (
+            b,
+            " || ".join(
+                f"CAST(sig{b * ROWS_PER_BAND + r} AS VARCHAR) || ','" for r in range(ROWS_PER_BAND)
+            ),
+            b,
+        )
+        for b in range(BANDS)
+    )
+    band_union = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, band{b} AS band_key FROM banded" for b in range(BANDS)
+    )
+    return rf"""
+WITH {_SHINGLE_SQL},
+sig AS (
+  SELECT doc_id,
+    {sig_aggs}
+  FROM shingles GROUP BY doc_id
+),
+banded AS (
+  SELECT *,
+    {band_exprs}
+  FROM sig
+),
+exploded AS (
+  {band_union}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM exploded a JOIN exploded b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+norms AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_a, doc_b,
+       levenshtein(da.norm, db.norm) AS edit_distance,
+       round(1.0 - levenshtein(da.norm, db.norm)::DOUBLE
+                   / greatest(length(da.norm), length(db.norm)) + 1e-9, 6) AS edit_sim,
+       CASE WHEN round(1.0 - levenshtein(da.norm, db.norm)::DOUBLE
+                        / greatest(length(da.norm), length(db.norm)) + 1e-9, 6) >= {EDIT_SIM_TAU}
+            THEN 1 ELSE 0 END AS verified
+FROM pairs
+JOIN norms da ON doc_a = da.doc_id
+JOIN norms db ON doc_b = db.doc_id
+"""
+
+
+DEDUP_MINHASH_VERIFY_SQL = _minhash_verify_sql()
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
@@ -1060,4 +1171,5 @@ QUERIES = {
     "dedup_containment": (dedup_containment, DEDUP_CONTAINMENT_SQL),
     "minhash_band_curve": (minhash_band_curve, MINHASH_BAND_CURVE_SQL),
     "dedup_cluster_sizes": (dedup_cluster_sizes, DEDUP_CLUSTER_SIZES_SQL),
+    "dedup_minhash_verify": (dedup_minhash_verify, DEDUP_MINHASH_VERIFY_SQL),
 }

@@ -523,9 +523,105 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# audio_frame_energy — framed RMS energy over PCM payloads
+# ---------------------------------------------------------------------------
+
+AUDIO_FRAME_SAMPLES = 64
+
+
+def audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction: interpret each payload as unsigned
+    8-bit PCM, frame it into 64-sample windows, and reduce each clip
+    to (n_frames, mean/peak RMS energy, peak frame index). Unlike
+    the image/video kernels this one is NOT a stub — u8-PCM framing
+    and RMS need no codec, so the numpy kernel does the real DSP
+    math on whole Arrow batches (vectorized per clip, one Python
+    call per record batch, never per row).
+
+    The payload is the document's utf-8 bytes (the same
+    both-engines-can-build-it trick as multimodal_manifest), so the
+    DuckDB oracle replays the identical frame/energy arithmetic from
+    ascii codes: every value is hash-checked, kernel included.
+    Partial tail frames keep their true sample count. Samples are
+    centered at −128 like signed PCM (ascii text → all values
+    ≈ −30..−5, envelope still varies per frame)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    frame_n = AUDIO_FRAME_SAMPLES
+
+    def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "n_samples", "n_frames", "mean_energy", "peak_energy", "peak_frame")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                pcm = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64) - 128.0
+                n = len(pcm)
+                n_frames = max(1, -(-n // frame_n))
+                rms = np.empty(n_frames)
+                for f in range(n_frames):
+                    w = pcm[f * frame_n : (f + 1) * frame_n]
+                    rms[f] = np.sqrt(np.mean(w * w)) if len(w) else 0.0
+                out["doc_id"].append(int(doc_id))
+                out["n_samples"].append(n)
+                out["n_frames"].append(n_frames)
+                out["mean_energy"].append(round(float(rms.mean()) + 1e-9, 6))
+                out["peak_energy"].append(round(float(rms.max()) + 1e-9, 6))
+                out["peak_frame"].append(int(rms.argmax()))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, n_samples int, n_frames int, "
+        "mean_energy double, peak_energy double, peak_frame int"
+    )
+    return src.mapInPandas(energy, schema=schema)
+
+
+AUDIO_FRAME_ENERGY_SQL = f"""
+WITH clips AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, n,
+         unnest(range(0, greatest(1, CAST(ceil(n / {AUDIO_FRAME_SAMPLES}.0) AS BIGINT)))) AS f
+  FROM clips
+),
+samples AS (
+  SELECT fr.doc_id, fr.n, fr.f,
+         ascii(substr(c.text, CAST(fr.f * {AUDIO_FRAME_SAMPLES} + s.i + 1 AS INTEGER), 1)) - 128.0 AS v
+  FROM frames fr
+  JOIN clips c ON fr.doc_id = c.doc_id
+  CROSS JOIN (SELECT unnest(range(0, {AUDIO_FRAME_SAMPLES})) AS i) s
+  WHERE fr.f * {AUDIO_FRAME_SAMPLES} + s.i < fr.n
+),
+rms AS (
+  SELECT doc_id, n, f, sqrt(avg(v * v)) AS e
+  FROM samples
+  GROUP BY 1, 2, 3
+),
+peak AS (
+  SELECT doc_id, max(e) AS me FROM rms GROUP BY 1
+)
+SELECT r.doc_id,
+       CAST(max(r.n) AS INTEGER) AS n_samples,
+       CAST(count(*) AS INTEGER) AS n_frames,
+       round(avg(r.e) + 1e-9, 6) AS mean_energy,
+       round(max(r.e) + 1e-9, 6) AS peak_energy,
+       CAST(min(CASE WHEN r.e = p.me THEN r.f END) AS INTEGER) AS peak_frame
+FROM rms r JOIN peak p ON r.doc_id = p.doc_id
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "multimodal_manifest": (multimodal_manifest, MULTIMODAL_MANIFEST_SQL),
     "batch_inference": (batch_inference, BATCH_INFERENCE_SQL),
     "pdf_to_pages": (pdf_to_pages, PDF_TO_PAGES_SQL),
     "image_tiles": (image_tiles, IMAGE_TILES_SQL),
+    "audio_frame_energy": (audio_frame_energy, AUDIO_FRAME_ENERGY_SQL),
 }

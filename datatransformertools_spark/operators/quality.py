@@ -1,0 +1,248 @@
+"""Corpus quality-filter operators (Gopher/C4-style heuristics).
+
+The pre-training quality gate family: rule-based document filters
+in the style of Gopher (Rae et al. 2021, arXiv:2112.11446 §A1.1)
+and C4 (Raffel et al. 2020), re-expressed as pure JVM column
+expressions so a 100 TB filter pass is scan-bound.
+
+- ``gopher_quality_filter`` — per-document rule flags + keep
+  decision: word-count bounds, mean-word-length bounds, alphabetic
+  word fraction, top-word dominance. The only shuffle is the
+  (doc_id, word) count for the dominance rule, which map-side
+  combines to ≤|vocab| rows per doc before the exchange.
+- ``doc_length_percentile_filter`` — drop the global length tails
+  (P5/P95): the two scalars ride as a broadcast 1-row frame (house
+  rule), so the filter is one scan + one tiny aggregate, never a
+  sort.
+- ``word_zipf_slope`` — per-source Zipf slope (regr_slope of
+  log-frequency on log-rank): the corpus-health diagnostic that
+  flags template/boilerplate sources (slope far from ~-1). All
+  aggregation collapses to |sources|·|vocab| rows map-side.
+
+Reference scope note: the reference repo (aibelbin/
+DataTransformerTools) has no corpus tooling; this family extends
+the engine to the training-data pipeline per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from datatransformertools_spark.functions.text import tokens
+from datatransformertools_spark.sources.tables import load_table
+
+# Gopher-style thresholds, tuned so each rule does real work on the
+# synthetic corpus (word counts span 10-99, median 56; top-word
+# dominance averages 0.10).
+MIN_WORDS = 50
+MAX_WORDS = 100_000
+MIN_MEAN_WORD_LEN = 3.0
+MAX_MEAN_WORD_LEN = 10.0
+MIN_ALPHA_WORD_FRAC = 0.80
+MAX_TOP_WORD_RATIO = 0.12
+
+
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = tokens(F.trim(F.col("text")))
+    n_words = F.size(tok)
+    # mean word length = non-space chars / words (single regex pass)
+    n_nonspace = F.length(F.regexp_replace(F.trim(F.col("text")), r"\s", ""))
+    mean_wl = F.when(n_words > 0, n_nonspace / n_words).otherwise(F.lit(0.0))
+    alpha_words = F.size(F.filter(tok, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.when(n_words > 0, alpha_words / n_words).otherwise(F.lit(0.0))
+    base = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_wl + 1e-9, 6).alias("mean_word_len"),
+        F.round(alpha_frac + 1e-9, 6).alias("alpha_word_frac"),
+    )
+
+    # dominance rule: most frequent word's share. explode → two
+    # keyed aggregations; the first map-side combines duplicates, so
+    # the exchange carries ≤|per-doc vocab| rows per document and
+    # never the text itself.
+    top = (
+        docs.select("doc_id", F.explode(tokens(F.trim(F.col("text")))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_word_count"))
+    )
+
+    joined = base.join(top, "doc_id", "left").withColumn(
+        "top_word_ratio",
+        F.round(
+            F.when(F.col("n_words") > 0, F.col("top_word_count") / F.col("n_words")).otherwise(
+                F.lit(0.0)
+            )
+            + 1e-9,
+            6,
+        ),
+    )
+    rule_len = (F.col("n_words") >= MIN_WORDS) & (F.col("n_words") <= MAX_WORDS)
+    rule_wl = (F.col("mean_word_len") >= MIN_MEAN_WORD_LEN) & (
+        F.col("mean_word_len") <= MAX_MEAN_WORD_LEN
+    )
+    rule_alpha = F.col("alpha_word_frac") >= MIN_ALPHA_WORD_FRAC
+    rule_dom = F.col("top_word_ratio") <= MAX_TOP_WORD_RATIO
+    return joined.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "alpha_word_frac",
+        "top_word_ratio",
+        rule_len.cast("int").alias("rule_word_count"),
+        rule_wl.cast("int").alias("rule_mean_word_len"),
+        rule_alpha.cast("int").alias("rule_alpha_frac"),
+        rule_dom.cast("int").alias("rule_dominance"),
+        (rule_len & rule_wl & rule_alpha & rule_dom).cast("int").alias("keep"),
+    )
+
+
+GOPHER_QUALITY_FILTER_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS tok
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+         len(tok) AS n_words,
+         round(CASE WHEN len(tok) > 0
+                    THEN length(regexp_replace(trim(text), '\s', '', 'g'))::DOUBLE / len(tok)
+                    ELSE 0.0 END + 1e-9, 6) AS mean_word_len,
+         round(CASE WHEN len(tok) > 0
+                    THEN len(list_filter(tok, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE / len(tok)
+                    ELSE 0.0 END + 1e-9, 6) AS alpha_word_frac
+  FROM t
+),
+wc AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(tok) AS w FROM t)
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT doc_id, max(c) AS top_word_count FROM wc GROUP BY 1
+),
+j AS (
+  SELECT base.*,
+         round(CASE WHEN n_words > 0
+                    THEN top.top_word_count::DOUBLE / n_words
+                    ELSE 0.0 END + 1e-9, 6) AS top_word_ratio
+  FROM base LEFT JOIN top USING (doc_id)
+)
+SELECT doc_id, n_words, mean_word_len, alpha_word_frac, top_word_ratio,
+       CASE WHEN n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS} THEN 1 ELSE 0 END AS rule_word_count,
+       CASE WHEN mean_word_len BETWEEN {MIN_MEAN_WORD_LEN} AND {MAX_MEAN_WORD_LEN} THEN 1 ELSE 0 END AS rule_mean_word_len,
+       CASE WHEN alpha_word_frac >= {MIN_ALPHA_WORD_FRAC} THEN 1 ELSE 0 END AS rule_alpha_frac,
+       CASE WHEN top_word_ratio <= {MAX_TOP_WORD_RATIO} THEN 1 ELSE 0 END AS rule_dominance,
+       CASE WHEN n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS}
+             AND mean_word_len BETWEEN {MIN_MEAN_WORD_LEN} AND {MAX_MEAN_WORD_LEN}
+             AND alpha_word_frac >= {MIN_ALPHA_WORD_FRAC}
+             AND top_word_ratio <= {MAX_TOP_WORD_RATIO}
+            THEN 1 ELSE 0 END AS keep
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
+# doc_length_percentile_filter — drop global length tails
+# ---------------------------------------------------------------------------
+
+P_LO = 0.05
+P_HI = 0.95
+
+
+def doc_length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep documents whose n_chars lies in the global [P5, P95]
+    band. The exact percentiles (linear interpolation — identical
+    definition to DuckDB's quantile_cont) reduce map-side to one
+    1-row frame that rides as a broadcast scalar (house rule): one
+    scan for the bounds, one for the filter, zero sorts."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    bounds = docs.agg(
+        F.round(F.expr(f"percentile(n_chars, {P_LO})") + 1e-9, 6).alias("p_lo"),
+        F.round(F.expr(f"percentile(n_chars, {P_HI})") + 1e-9, 6).alias("p_hi"),
+    )
+    return (
+        docs.crossJoin(F.broadcast(bounds))
+        .filter((F.col("n_chars") >= F.col("p_lo")) & (F.col("n_chars") <= F.col("p_hi")))
+        .select("doc_id", "source", "n_chars", "p_lo", "p_hi")
+    )
+
+
+DOC_LENGTH_PERCENTILE_FILTER_SQL = f"""
+WITH bounds AS (
+  SELECT round(quantile_cont(n_chars, {P_LO}) + 1e-9, 6) AS p_lo,
+         round(quantile_cont(n_chars, {P_HI}) + 1e-9, 6) AS p_hi
+  FROM documents
+)
+SELECT doc_id, source, n_chars, p_lo, p_hi
+FROM documents, bounds
+WHERE n_chars >= p_lo AND n_chars <= p_hi
+"""
+
+
+# ---------------------------------------------------------------------------
+# word_zipf_slope — per-source rank-frequency slope
+# ---------------------------------------------------------------------------
+
+
+def word_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope of ln(frequency) on ln(rank) per source
+    — natural text sits near -1; template/boilerplate sources skew
+    shallow. Counts collapse map-side to |sources|·|vocab| rows;
+    the rank window partitions by source (one task per source after
+    the agg, trivially small frames). Ties rank deterministically
+    by (count desc, word asc) in both engines."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    wc = (
+        docs.select("source", F.explode(tokens(F.trim(F.col("text")))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rank = Window.partitionBy("source").orderBy(F.col("c").desc(), F.col("w").asc())
+    ranked = wc.withColumn("r", F.row_number().over(rank))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.round(F.expr("regr_slope(ln(c), ln(r))") + 1e-9, 6).alias("zipf_slope"),
+            F.round(F.expr("regr_r2(ln(c), ln(r))") + 1e-9, 6).alias("zipf_r2"),
+        )
+    )
+
+
+WORD_ZIPF_SLOPE_SQL = r"""
+WITH wc AS (
+  SELECT source, w, count(*) AS c
+  FROM (
+    SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+    FROM documents
+  )
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT source, c,
+         row_number() OVER (PARTITION BY source ORDER BY c DESC, w ASC) AS r
+  FROM wc
+)
+SELECT source,
+       count(*) AS n_distinct_words,
+       round(regr_slope(ln(c), ln(r)) + 1e-9, 6) AS zipf_slope,
+       round(regr_r2(ln(c), ln(r)) + 1e-9, 6) AS zipf_r2
+FROM ranked
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "gopher_quality_filter": (gopher_quality_filter, GOPHER_QUALITY_FILTER_SQL),
+    "doc_length_percentile_filter": (
+        doc_length_percentile_filter,
+        DOC_LENGTH_PERCENTILE_FILTER_SQL,
+    ),
+    "word_zipf_slope": (word_zipf_slope, WORD_ZIPF_SLOPE_SQL),
+}

@@ -1512,6 +1512,131 @@ GROUP BY o_orderstatus
 """
 
 
+# ---------------------------------------------------------------------------
+# orders_interarrival — per-customer purchase-gap features
+# ---------------------------------------------------------------------------
+
+
+def orders_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order inter-arrival gaps (the churn-model
+    feature): one customer-keyed shuffle, a lag window inside each
+    customer's (tiny) order history, then a map-side re-aggregation
+    back to one row per customer. Gaps are exact integer days —
+    no float drift anywhere."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+    gaps = orders.withColumn("gap_days", gap)
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count("gap_days").alias("n_gaps"),
+            F.min("gap_days").alias("min_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+            F.round(F.avg("gap_days") + 1e-9, 6).alias("avg_gap_days"),
+        )
+        .filter(F.col("n_gaps") >= 1)
+    )
+
+
+ORDERS_INTERARRIVAL_SQL = """
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT o_custkey,
+       count(*)            AS n_orders,
+       count(gap_days)     AS n_gaps,
+       min(gap_days)       AS min_gap_days,
+       max(gap_days)       AS max_gap_days,
+       round(avg(gap_days) + 1e-9, 6) AS avg_gap_days
+FROM gaps
+GROUP BY 1
+HAVING count(gap_days) >= 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# part_revenue_pareto — revenue concentration per brand
+# ---------------------------------------------------------------------------
+
+
+def part_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: within each brand, the revenue share
+    captured by the top 20% of parts. Revenue aggregates to one
+    row per part BEFORE the join with part (aggregate-before-join)
+    and before any window; the rank/percent windows then run over
+    |parts| rows partitioned by brand. Revenue 4-dp-quantized
+    before ranking so rank order is engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_discount")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-9, 4).alias(
+                "revenue"
+            )
+        )
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+    )
+    wpart = Window.partitionBy("p_brand")
+    rank = F.row_number().over(wpart.orderBy(F.col("revenue").desc(), F.col("p_partkey")))
+    ranked = rev.select(
+        "p_brand",
+        "revenue",
+        rank.alias("r"),
+        F.count(F.lit(1)).over(wpart).alias("n_parts"),
+        F.sum("revenue").over(wpart).alias("total_rev"),
+    )
+    topn = F.ceil(F.col("n_parts") * 0.2)
+    return (
+        ranked.groupBy("p_brand")
+        .agg(
+            F.max("n_parts").alias("n_parts"),
+            F.max(topn).cast("long").alias("n_top"),
+            F.round(F.max("total_rev") + 1e-9, 4).alias("total_revenue"),
+            F.round(
+                F.sum(F.when(F.col("r") <= topn, F.col("revenue")).otherwise(F.lit(0.0)))
+                / F.max("total_rev")
+                + 1e-9,
+                6,
+            ).alias("top20_share"),
+        )
+    )
+
+
+PART_REVENUE_PARETO_SQL = """
+WITH rev AS (
+  SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS revenue
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT p_brand, revenue, p_partkey
+  FROM rev JOIN part ON l_partkey = p_partkey
+),
+ranked AS (
+  SELECT p_brand, revenue,
+         row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS r,
+         count(*)     OVER (PARTITION BY p_brand) AS n_parts,
+         sum(revenue) OVER (PARTITION BY p_brand) AS total_rev
+  FROM j
+)
+SELECT p_brand,
+       max(n_parts) AS n_parts,
+       CAST(max(ceil(n_parts * 0.2)) AS BIGINT) AS n_top,
+       round(max(total_rev) + 1e-9, 4) AS total_revenue,
+       round(sum(CASE WHEN r <= ceil(n_parts * 0.2) THEN revenue ELSE 0.0 END)
+             / max(total_rev) + 1e-9, 6) AS top20_share
+FROM ranked
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "orders_upsert_merge": (orders_upsert_merge, ORDERS_UPSERT_MERGE_SQL),
@@ -1545,5 +1670,7 @@ QUERIES = {
     "orders_association_rules": (orders_association_rules, ORDERS_ASSOCIATION_RULES_SQL),
     "customer_rfm": (customer_rfm, CUSTOMER_RFM_SQL),
     "orders_market_basket": (orders_market_basket, ORDERS_MARKET_BASKET_SQL),
+    "orders_interarrival": (orders_interarrival, ORDERS_INTERARRIVAL_SQL),
+    "part_revenue_pareto": (part_revenue_pareto, PART_REVENUE_PARETO_SQL),
 }
 

@@ -1227,6 +1227,107 @@ JOIN means mj ON e_ij.j = mj.i
 """
 
 
+# ---------------------------------------------------------------------------
+# knn_label_eval — leave-one-out kNN majority-vote classification
+# ---------------------------------------------------------------------------
+
+KNN_K = 5
+KNN_EVAL_N = 50  # fixed eval set: vec_id < 50
+
+
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out kNN label prediction over the embedding table:
+    each of the 50 fixed eval vectors is classified by the majority
+    label of its 5 nearest (cosine) neighbors among ALL other
+    vectors. The eval set is a fixed-size frame → broadcast (same
+    shape as ann_bruteforce_topk: the corpus streams once, queries
+    ride with every task); votes tie-break to the smallest label in
+    both engines. At cluster scale the exact scan swaps for the IVF
+    shortlist (ann_ivf_topk) without changing this vote/accuracy
+    stage."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", as_double(F.col("embedding")).alias("v"))
+        .withColumn("nrm", norm(F.col("v")))
+    )
+    queries = emb.filter(F.col("vec_id") < KNN_EVAL_N).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = F.round(cosine_prenormed(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")) + 1e-9, 6)
+    scored = (
+        cands.crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "true_label", "neighbor_id", "n_label", cos.alias("cos_sim"))
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    )
+    topk = scored.withColumn("rank", rank).filter(F.col("rank") <= KNN_K)
+    votes = topk.groupBy("query_id", "true_label", "n_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    pick = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(), F.col("n_label").asc())
+    )
+    return (
+        votes.withColumn("pick", pick)
+        .filter(F.col("pick") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("n_label").alias("pred_label"),
+            "n_votes",
+            (F.col("n_label") == F.col("true_label")).cast("int").alias("correct"),
+        )
+    )
+
+
+KNN_LABEL_EVAL_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS true_label, v AS qv FROM e WHERE vec_id < {KNN_EVAL_N}),
+c AS (SELECT vec_id AS neighbor_id, label AS n_label, v AS cv FROM e),
+scored AS (
+  SELECT query_id, true_label, neighbor_id, n_label,
+         round(
+           CASE WHEN sqrt(list_sum(list_transform(qv, x -> x * x)))
+                     * sqrt(list_sum(list_transform(cv, x -> x * x))) > 0
+                THEN list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i]))
+                     / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                        * sqrt(list_sum(list_transform(cv, x -> x * x))))
+                ELSE 0.0 END + 1e-9, 6) AS cos_sim
+  FROM q CROSS JOIN c
+  WHERE neighbor_id != query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+),
+votes AS (
+  SELECT query_id, true_label, n_label, count(*) AS n_votes
+  FROM ranked WHERE rank <= {KNN_K}
+  GROUP BY 1, 2, 3
+),
+picked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY n_votes DESC, n_label ASC) AS pick
+  FROM votes
+)
+SELECT query_id, true_label, n_label AS pred_label, n_votes,
+       CASE WHEN n_label = true_label THEN 1 ELSE 0 END AS correct
+FROM picked WHERE pick = 1
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
@@ -1240,4 +1341,5 @@ QUERIES = {
     "ann_recall_eval": (ann_recall_eval, ANN_RECALL_EVAL_SQL),
     "ann_mmr_topk": (ann_mmr_topk, ANN_MMR_SQL),
     "embedding_covariance": (embedding_covariance, EMBEDDING_COVARIANCE_SQL),
+    "knn_label_eval": (knn_label_eval, KNN_LABEL_EVAL_SQL),
 }

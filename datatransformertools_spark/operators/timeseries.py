@@ -1,0 +1,247 @@
+"""Time-series diagnostics over the events stream.
+
+Statistical process-control and series-structure operators a
+monitoring pipeline runs over windowed aggregates:
+
+- ``events_autocorr`` — lag-1..3 Pearson autocorrelation of the
+  hourly count series per event type. The series collapses
+  map-side to |types|·|hours| rows before any window work.
+- ``events_cusum`` — one-sided CUSUM change detection. The
+  textbook recursion S_t = max(0, S_{t-1} + dev_t) is not a
+  window frame — but it IS expressible as
+  ``cumsum(dev) - running_min(cumsum(dev))`` (the reflected
+  running-sum identity), so the whole detector is two ordered
+  window passes over the tiny aggregate frame: no recursion, no
+  UDF, no driver loop.
+- ``user_value_gini`` — Gini concentration of per-user value
+  totals per event type, via the rank-weighted closed form
+  G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n. Totals are 6-dp-quantized
+  before ranking so the rank order (and therefore the hash) is
+  identical cross-engine despite float summation order.
+
+All three aggregate before they window: the expensive exchange is
+the initial keyed reduction, and every window pass runs over
+frames proportional to |keys|, not |events| — the shape that holds
+at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from datatransformertools_spark.operators.events import HOUR_US, _events_us
+
+# ---------------------------------------------------------------------------
+# events_autocorr
+# ---------------------------------------------------------------------------
+
+MAX_LAG = 3
+
+
+def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_us(spark, sf_dir)
+    hourly = (
+        ev.groupBy(
+            (F.expr(f"ts_us div {HOUR_US}") * HOUR_US).alias("hour_us"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    order = Window.partitionBy("event_type").orderBy("hour_us")
+    lagged = hourly.select(
+        "event_type",
+        "x",
+        *[F.lag("x", k).over(order).alias(f"lag{k}") for k in range(1, MAX_LAG + 1)],
+    )
+    pairs = lagged.select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("lag"), F.col("x").alias("x"), F.col(f"lag{k}").alias("y"))
+                    for k in range(1, MAX_LAG + 1)
+                ]
+            )
+        ).alias("p"),
+    ).select("event_type", "p.lag", "p.x", "p.y")
+    return (
+        pairs.filter(F.col("y").isNotNull())
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.corr("x", "y") + 1e-9, 6).alias("autocorr"),
+        )
+    )
+
+
+EVENTS_AUTOCORR_SQL = f"""
+WITH hourly AS (
+  SELECT (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS hour_us,
+         event_type,
+         count(*)::DOUBLE AS x
+  FROM events
+  GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, x,
+         lag(x, 1) OVER w AS lag1,
+         lag(x, 2) OVER w AS lag2,
+         lag(x, 3) OVER w AS lag3
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_us)
+),
+pairs AS (
+  SELECT event_type, 1 AS lag, x, lag1 AS y FROM lagged
+  UNION ALL
+  SELECT event_type, 2 AS lag, x, lag2 AS y FROM lagged
+  UNION ALL
+  SELECT event_type, 3 AS lag, x, lag3 AS y FROM lagged
+)
+SELECT event_type, lag,
+       count(*) AS n_pairs,
+       round(corr(x, y) + 1e-9, 6) AS autocorr
+FROM pairs
+WHERE y IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_cusum
+# ---------------------------------------------------------------------------
+
+CUSUM_SLACK = 0.5  # k, in units of σ
+CUSUM_H = 4.0  # alarm threshold, in units of σ
+
+
+def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided (upper) CUSUM over the hourly mean value per event
+    type. dev_t = x_t − μ − k·σ; S_t = max(0, S_{t-1} + dev_t)
+    rewritten shuffle-free as cumsum − running_min(cumsum). μ, σ
+    come from an unordered partition window over the same tiny
+    aggregate frame (deterministic: the window sorts the partition
+    into one task). Alarm when S_t > h·σ.
+
+    Both cumsum and running-min accumulate in the same
+    (hour asc) order in each engine, so even float results agree;
+    output is 4-dp-quantized like the other value aggregates.
+    """
+    ev = _events_us(spark, sf_dir)
+    hourly = (
+        ev.groupBy(
+            (F.expr(f"ts_us div {HOUR_US}") * HOUR_US).alias("hour_us"),
+            "event_type",
+        )
+        .agg(F.round(F.avg("value") + 1e-9, 6).alias("x"))
+    )
+    part = Window.partitionBy("event_type")
+    mu = F.avg("x").over(part)
+    sigma = F.stddev_samp("x").over(part)
+    dev = F.col("x") - F.col("mu") - CUSUM_SLACK * F.col("sigma")
+    run = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        hourly.withColumn("mu", mu)
+        .withColumn("sigma", sigma)
+        .withColumn("cums", F.sum(dev).over(run))
+    )
+    cusum = F.col("cums") - F.least(F.min("cums").over(run), F.lit(0.0))
+    return staged.select(
+        "event_type",
+        "hour_us",
+        "x",
+        F.round(cusum + 1e-9, 4).alias("cusum"),
+        (cusum > CUSUM_H * F.col("sigma")).cast("int").alias("alarm"),
+    )
+
+
+EVENTS_CUSUM_SQL = f"""
+WITH hourly AS (
+  SELECT (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS hour_us,
+         event_type,
+         round(avg(value) + 1e-9, 6) AS x
+  FROM events
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, hour_us, x,
+         avg(x)         OVER (PARTITION BY event_type) AS mu,
+         stddev_samp(x) OVER (PARTITION BY event_type) AS sigma
+  FROM hourly
+),
+cum AS (
+  SELECT *,
+         sum(x - mu - {CUSUM_SLACK} * sigma) OVER w AS cums
+  FROM stats
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, hour_us, x,
+       round(cums - least(min(cums) OVER w, 0.0) + 1e-9, 4) AS cusum,
+       CASE WHEN cums - least(min(cums) OVER w, 0.0) > {CUSUM_H} * sigma
+            THEN 1 ELSE 0 END AS alarm
+FROM cum
+WINDOW w AS (PARTITION BY event_type ORDER BY hour_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# user_value_gini
+# ---------------------------------------------------------------------------
+
+
+def user_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_us(spark, sf_dir)
+    totals = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.round(F.sum("value") + 1e-9, 6).alias("x"))
+    )
+    rank = Window.partitionBy("event_type").orderBy(F.col("x").asc(), F.col("user_id").asc())
+    ranked = totals.withColumn("i", F.row_number().over(rank))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.sum("x") + 1e-9, 4).alias("total_value"),
+            F.round(
+                2.0 * F.sum(F.col("i") * F.col("x")) / (F.count(F.lit(1)) * F.sum("x"))
+                - (F.count(F.lit(1)) + 1) / F.count(F.lit(1))
+                + 1e-9,
+                6,
+            ).alias("gini"),
+        )
+    )
+
+
+USER_VALUE_GINI_SQL = """
+WITH totals AS (
+  SELECT event_type, user_id, round(sum(value) + 1e-9, 6) AS x
+  FROM events
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY x ASC, user_id ASC) AS i
+  FROM totals
+)
+SELECT event_type,
+       count(*) AS n_users,
+       round(sum(x) + 1e-9, 4) AS total_value,
+       round(2.0 * sum(i * x) / (count(*) * sum(x))
+             - (count(*) + 1)::DOUBLE / count(*) + 1e-9, 6) AS gini
+FROM ranked
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "events_autocorr": (events_autocorr, EVENTS_AUTOCORR_SQL),
+    "events_cusum": (events_cusum, EVENTS_CUSUM_SQL),
+    "user_value_gini": (user_value_gini, USER_VALUE_GINI_SQL),
+}

@@ -37,6 +37,8 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "datatransformertools_spark.operators.graph",
         "datatransformertools_spark.operators.corpus",
         "datatransformertools_spark.operators.audit",
+        "datatransformertools_spark.operators.quality",
+        "datatransformertools_spark.operators.timeseries",
         "datatransformertools_spark.sources.sinks",
         "datatransformertools_spark.operators.similarity",
         "datatransformertools_spark.operators.text_analysis",
@@ -188,6 +190,17 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "events_stream_ewma",
         "events_heavy_hitters_cms",
         "events_user_count_hll_manual",
+        "gopher_quality_filter",
+        "doc_length_percentile_filter",
+        "word_zipf_slope",
+        "events_autocorr",
+        "events_cusum",
+        "user_value_gini",
+        "dedup_minhash_verify",
+        "knn_label_eval",
+        "orders_interarrival",
+        "part_revenue_pareto",
+        "audio_frame_energy",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

@@ -1,0 +1,276 @@
+"""Semantic invariants for the quality-filter and time-series
+operator families (value parity with DuckDB is covered by
+test_oracle_parity; these pin the contracts the oracles alone
+can't express)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+class TestGopherQualityFilter:
+    def test_keep_is_conjunction_of_rules(self, spark, sf_dir):
+        from datatransformertools_spark.operators.quality import gopher_quality_filter
+
+        out = gopher_quality_filter(spark, sf_dir).cache()
+        bad = out.filter(
+            F.col("keep")
+            != (
+                F.col("rule_word_count")
+                * F.col("rule_mean_word_len")
+                * F.col("rule_alpha_frac")
+                * F.col("rule_dominance")
+            )
+        )
+        assert bad.count() == 0
+        # every doc scored exactly once, ratios in [0, 1]
+        assert out.count() == out.select("doc_id").distinct().count()
+        assert out.filter((F.col("top_word_ratio") < 0) | (F.col("top_word_ratio") > 1)).count() == 0
+        # the rules do real work on this corpus: both outcomes occur
+        kept = out.filter(F.col("keep") == 1).count()
+        assert 0 < kept < out.count()
+        out.unpersist()
+
+
+class TestDocLengthPercentileFilter:
+    def test_band_and_bounds(self, spark, sf_dir):
+        from datatransformertools_spark.operators.quality import (
+            P_HI,
+            P_LO,
+            doc_length_percentile_filter,
+        )
+        from datatransformertools_spark.sources.tables import load_table
+
+        out = doc_length_percentile_filter(spark, sf_dir).cache()
+        n_total = load_table(spark, sf_dir, "documents").count()
+        n_kept = out.count()
+        # within the band by construction
+        assert out.filter((F.col("n_chars") < F.col("p_lo")) | (F.col("n_chars") > F.col("p_hi"))).count() == 0
+        # an interpolated P5/P95 band keeps ~90% (ties can widen it)
+        assert (P_HI - P_LO) * 0.95 <= n_kept / n_total <= (P_HI - P_LO) + 0.05
+        out.unpersist()
+
+
+class TestWordZipfSlope:
+    def test_slope_negative_r2_unit(self, spark, sf_dir):
+        from datatransformertools_spark.operators.quality import word_zipf_slope
+
+        rows = word_zipf_slope(spark, sf_dir).collect()
+        assert len(rows) == 20  # one per source
+        for r in rows:
+            assert r["zipf_slope"] < 0  # frequency decays with rank
+            assert 0.0 <= r["zipf_r2"] <= 1.0
+            assert r["n_distinct_words"] > 0
+
+
+class TestEventsAutocorr:
+    def test_range_and_pair_counts(self, spark, sf_dir):
+        from datatransformertools_spark.operators.timeseries import events_autocorr
+
+        out = events_autocorr(spark, sf_dir).cache()
+        assert out.filter((F.col("autocorr") < -1.0001) | (F.col("autocorr") > 1.0001)).count() == 0
+        # lag-k series has exactly k fewer pairs than lag-0 would
+        pdf = out.toPandas().set_index(["event_type", "lag"]).sort_index()
+        for et in pdf.index.get_level_values(0).unique():
+            n1 = pdf.loc[(et, 1), "n_pairs"]
+            assert pdf.loc[(et, 2), "n_pairs"] == n1 - 1
+            assert pdf.loc[(et, 3), "n_pairs"] == n1 - 2
+        out.unpersist()
+
+
+class TestEventsCusum:
+    def test_nonnegative_and_alarm_consistent(self, spark, sf_dir):
+        from datatransformertools_spark.operators.timeseries import events_cusum
+
+        out = events_cusum(spark, sf_dir).cache()
+        assert out.filter(F.col("cusum") < 0).count() == 0
+        # alarmed rows have strictly larger cusum than the per-type
+        # non-alarmed maximum... not necessarily globally, but alarm
+        # implies cusum > 0 at least
+        assert out.filter((F.col("alarm") == 1) & (F.col("cusum") <= 0)).count() == 0
+        out.unpersist()
+
+    def test_reflected_recursion_matches_reference_loop(self, spark):
+        """The cumsum − running-min rewrite equals the textbook
+        S_t = max(0, S_{t-1} + dev_t) recursion (pandas replay)."""
+        from datatransformertools_spark.operators.timeseries import events_cusum
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "event_id": range(12),
+                    "ts": pd.date_range("2024-03-01", periods=12, freq="h"),
+                    "user_id": [1] * 12,
+                    "event_type": ["x"] * 12,
+                    "value": [1.0, 1.0, 9.0, 9.0, 1.0, 1.0, 1.0, 9.0, 9.0, 9.0, 1.0, 1.0],
+                    "props": ["{}"] * 12,
+                }
+            )
+        )
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            df.write.parquet(f"{d}/events.parquet")
+            out = events_cusum(spark, d).orderBy("hour_us").toPandas()
+
+        x = out["x"].to_numpy()
+        mu, sigma = x.mean(), x.std(ddof=1)
+        s, expect = 0.0, []
+        for v in x:
+            s = max(0.0, s + (v - mu - 0.5 * sigma))
+            expect.append(s)
+        for got, want in zip(out["cusum"], expect):
+            assert abs(got - want) < 1e-3
+
+
+class TestUserValueGini:
+    def test_unit_interval_and_degenerate_cases(self, spark, sf_dir):
+        from datatransformertools_spark.operators.timeseries import user_value_gini
+
+        rows = user_value_gini(spark, sf_dir).collect()
+        assert len(rows) == 5
+        for r in rows:
+            assert -0.01 <= r["gini"] <= 1.0
+            assert r["n_users"] > 0
+
+    def test_equal_values_give_zero(self, spark):
+        from datatransformertools_spark.operators.timeseries import user_value_gini
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "event_id": range(8),
+                    "ts": pd.date_range("2024-03-01", periods=8, freq="h"),
+                    "user_id": [1, 2, 3, 4, 1, 2, 3, 4],
+                    "event_type": ["x"] * 8,
+                    "value": [2.5] * 8,
+                    "props": ["{}"] * 8,
+                }
+            )
+        )
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            df.write.parquet(f"{d}/events.parquet")
+            row = user_value_gini(spark, d).first()
+        assert abs(row["gini"]) < 1e-6
+
+
+class TestDedupMinhashVerify:
+    def test_verified_pairs_have_high_sim(self, spark, sf_dir):
+        from datatransformertools_spark.operators.dedup import (
+            EDIT_SIM_TAU,
+            dedup_minhash_verify,
+        )
+
+        out = dedup_minhash_verify(spark, sf_dir).cache()
+        rows = out.collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert r["doc_a"] < r["doc_b"]
+            assert 0.0 <= r["edit_sim"] <= 1.0
+            assert r["verified"] == int(r["edit_sim"] >= EDIT_SIM_TAU)
+        out.unpersist()
+
+    def test_candidates_match_lsh_stage(self, spark, sf_dir):
+        """Verify stage must score exactly the LSH candidate set —
+        no pair invented, none dropped."""
+        from datatransformertools_spark.operators.dedup import (
+            dedup_minhash_lsh,
+            dedup_minhash_verify,
+        )
+
+        cand = {(r["doc_a"], r["doc_b"]) for r in dedup_minhash_lsh(spark, sf_dir).collect()}
+        ver = {(r["doc_a"], r["doc_b"]) for r in dedup_minhash_verify(spark, sf_dir).collect()}
+        assert cand == ver
+
+
+class TestKnnLabelEval:
+    def test_one_row_per_query_votes_bounded(self, spark, sf_dir):
+        from datatransformertools_spark.operators.similarity import (
+            KNN_EVAL_N,
+            KNN_K,
+            knn_label_eval,
+        )
+
+        rows = knn_label_eval(spark, sf_dir).collect()
+        assert len(rows) == KNN_EVAL_N
+        assert len({r["query_id"] for r in rows}) == KNN_EVAL_N
+        for r in rows:
+            assert 1 <= r["n_votes"] <= KNN_K
+            assert r["correct"] == int(r["pred_label"] == r["true_label"])
+
+
+class TestOrdersInterarrival:
+    def test_gap_identities(self, spark, sf_dir):
+        from datatransformertools_spark.operators.relational import orders_interarrival
+
+        out = orders_interarrival(spark, sf_dir).cache()
+        assert out.filter(F.col("n_gaps") != F.col("n_orders") - 1).count() == 0
+        assert out.filter(F.col("min_gap_days") > F.col("max_gap_days")).count() == 0
+        assert out.filter(
+            (F.col("avg_gap_days") < F.col("min_gap_days"))
+            | (F.col("avg_gap_days") > F.col("max_gap_days"))
+        ).count() == 0
+        out.unpersist()
+
+
+class TestPartRevenuePareto:
+    def test_share_bounds(self, spark, sf_dir):
+        from datatransformertools_spark.operators.relational import part_revenue_pareto
+
+        rows = part_revenue_pareto(spark, sf_dir).collect()
+        assert len(rows) == 25  # one per brand
+        for r in rows:
+            # top-20% of parts captures ≥ 20% of revenue (sorted desc)
+            assert 0.2 <= r["top20_share"] <= 1.0 + 1e-6
+            assert r["n_top"] >= 1
+            assert r["n_top"] <= r["n_parts"]
+
+
+class TestAudioFrameEnergy:
+    def test_frame_math_and_known_clip(self, spark, sf_dir):
+        from datatransformertools_spark.operators.multimodal import (
+            AUDIO_FRAME_SAMPLES,
+            audio_frame_energy,
+        )
+
+        out = audio_frame_energy(spark, sf_dir).cache()
+        # frame count = ceil(n_samples / 64), peak ≥ mean, argmax in range
+        import math
+
+        for r in out.collect():
+            assert r["n_frames"] == max(1, math.ceil(r["n_samples"] / AUDIO_FRAME_SAMPLES))
+            assert r["peak_energy"] >= r["mean_energy"] - 1e-9
+            assert 0 <= r["peak_frame"] < r["n_frames"]
+        out.unpersist()
+
+    def test_kernel_rms_exact(self, spark):
+        """RMS of a known byte pattern: 'aaaa' → samples (97−128)=−31,
+        rms = 31 exactly."""
+        import numpy as np
+        import pandas as pd
+
+        from datatransformertools_spark.operators.multimodal import audio_frame_energy
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [0],
+                    "text": ["a" * 100],
+                    "lang": ["en"],
+                    "source": ["s"],
+                    "n_chars": [100],
+                }
+            )
+        )
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            df.write.parquet(f"{d}/documents.parquet")
+            row = audio_frame_energy(spark, d).first()
+        assert row["n_samples"] == 100
+        assert row["n_frames"] == 2
+        assert abs(row["mean_energy"] - 31.0) < 1e-6
+        assert abs(row["peak_energy"] - 31.0) < 1e-6
