@@ -1075,8 +1075,22 @@ def dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", normalize_text(F.col("text")).alias("norm")
+    # Prune the corpus to candidate members BEFORE any text moves:
+    # the distinct candidate-id frame is tiny (bounded by the band
+    # fan-out), so AQE plans the semi join as a broadcast — the
+    # documents scan never shuffles its text, and the two pair
+    # joins below run against the pruned (small) frame. Without
+    # this, each alias join would exchange the ENTIRE corpus text.
+    pairs = track(pairs)
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    docs = track(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", normalize_text(F.col("text")).alias("norm"))
+        .join(cand_ids, "doc_id", "leftsemi")
     )
     da = docs.alias("da")
     db = docs.alias("db")

@@ -1042,6 +1042,158 @@ GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# bpe_train_merges — distributed BPE tokenizer training (first K merges)
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 10
+# Symbols are joined with a DOUBLE separator and the string is
+# wrapped in one: "||a||b||c||". A pair merge is then ONE literal
+# replace of "|a||b|" with "|ab|" — because each match consumes
+# only the INNER separator of each boundary, the scanner's
+# continue-after-match position still sees the next occurrence,
+# which makes plain replace() exactly canonical left-to-right
+# greedy BPE (verified: "a b a b"→"ab ab", "a a a"→"aa a", and no
+# cross-symbol false match on "xa|b"). Contract: symbols must not
+# contain '|' (the corpus is [a-z]; a production run would use
+# U+001F).
+_BPE_SEP = "|"
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first K merge rules of a BPE tokenizer (Sennrich
+    et al. 2016, arXiv:1508.07909) over the corpus, distributed:
+
+    1. one corpus-scale shuffle builds the word vocabulary with
+       counts (BPE trains on |vocab| weighted types, never raw
+       tokens — the standard trick that makes iteration cheap);
+    2. each of the K rounds counts adjacent symbol pairs weighted
+       by word count (map-side-combined groupBy over exploded
+       pairs) and collects ONLY the argmax pair to the driver
+       (scalar-only driver state, the kmeans/PageRank pattern);
+    3. the merge applies as one literal string replace on the
+       double-separator encoding (pure JVM codegen — no UDF, no
+       fold), and the vocab frame re-persists each round so round
+       k never recomputes rounds 1..k-1.
+
+    Ties break to the lexicographically smallest (left, right)
+    pair; all counts are exact integers, so the merge table is
+    bit-stable cross-engine. Returns (merge_rank, left, right,
+    pair_count)."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    words = (
+        docs.select(F.explode(tokens(normalize_text(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sep2 = _BPE_SEP * 2
+    vocab = words.select(
+        "cnt",
+        F.concat(F.lit(sep2), F.regexp_replace(F.col("word"), "(.)", "$1" + sep2)).alias("seq"),
+    )
+    vocab = vocab.persist()
+    merges: list[tuple[str, str, int]] = []
+    try:
+        for _ in range(BPE_MERGES):
+            # split yields ['', s1..sm, '']; adjacent pairs are
+            # (arr[i], arr[i+1]) for 0-based i in 1..m-1. For m=1
+            # Spark's sequence(2, 1) runs DESCENDING, producing
+            # junk pairs that always carry '' on one side — the
+            # two-sided empty filter drops them.
+            syms = vocab.select("cnt", F.split(F.col("seq"), r"\|\|").alias("s"))
+            pairs = syms.select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(2, greatest(size(s) - 2, 1)), "
+                        "i -> struct(s[i - 1] AS l, s[i] AS r))"
+                    )
+                ).alias("p"),
+            ).filter((F.col("p.l") != "") & (F.col("p.r") != ""))
+            top = (
+                pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("cnt").alias("pair_count"))
+                .orderBy(F.col("pair_count").desc(), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["pair_count"])
+            merges.append((left, right, cnt))
+            pat = f"{_BPE_SEP}{left}{sep2}{right}{_BPE_SEP}"
+            rep = f"{_BPE_SEP}{left}{right}{_BPE_SEP}"
+            nxt = vocab.select(
+                "cnt",
+                F.expr(
+                    "replace(seq, {}, {})".format(_sql_str(pat), _sql_str(rep))
+                ).alias("seq"),
+            ).persist()
+            nxt.count()  # materialize before dropping the parent
+            vocab.unpersist()
+            vocab = nxt
+    finally:
+        vocab.unpersist()
+    return spark.createDataFrame(
+        [(i + 1, left, right, cnt) for i, (left, right, cnt) in enumerate(merges)],
+        schema="merge_rank int, merge_left string, merge_right string, pair_count long",
+    )
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _bpe_sql() -> str:
+    """K chained CTE rounds replaying the identical train loop:
+    pairs_k counts from vocab_{k-1}, merge_k is the argmax row,
+    vocab_k applies the replace via a cross join on the 1-row
+    merge frame."""
+    parts = [
+        r"""tok AS (
+  SELECT unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS word
+  FROM documents
+),
+words AS (SELECT word, count(*) AS cnt FROM tok GROUP BY 1),
+vocab0 AS (
+  SELECT cnt, '||' || regexp_replace(word, '(.)', '\1||', 'g') AS seq
+  FROM words
+)"""
+    ]
+    for k in range(1, BPE_MERGES + 1):
+        parts.append(
+            f"""pairs{k} AS (
+  SELECT u.l, u.r, sum(cnt) AS pair_count
+  FROM (
+    SELECT cnt, s[i] AS l, s[i + 1] AS r
+    FROM (SELECT cnt, string_split(seq, '||') AS s FROM vocab{k - 1}),
+         LATERAL (SELECT unnest(range(2, greatest(len(s) - 1, 2))) AS i)
+  ) u
+  WHERE u.r != ''
+  GROUP BY 1, 2
+),
+merge{k} AS (
+  SELECT {k} AS merge_rank, l, r, pair_count
+  FROM pairs{k}
+  ORDER BY pair_count DESC, l, r
+  LIMIT 1
+),
+vocab{k} AS (
+  SELECT v.cnt,
+         replace(v.seq, '|' || m.l || '||' || m.r || '|', '|' || m.l || m.r || '|') AS seq
+  FROM vocab{k - 1} v CROSS JOIN merge{k} m
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT merge_rank, l AS merge_left, r AS merge_right, pair_count FROM merge{k}"
+        for k in range(1, BPE_MERGES + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + unions
+
+
+BPE_TRAIN_MERGES_SQL = _bpe_sql()
+
+
 QUERIES = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "ngram_topk": (ngram_topk, NGRAM_TOPK_SQL),
@@ -1061,4 +1213,5 @@ QUERIES = {
     "pmi_bigrams": (pmi_bigrams, PMI_BIGRAMS_SQL),
     "token_fertility": (token_fertility, TOKEN_FERTILITY_SQL),
     "oov_rate_by_source": (oov_rate_by_source, OOV_RATE_BY_SOURCE_SQL),
+    "bpe_train_merges": (bpe_train_merges, BPE_TRAIN_MERGES_SQL),
 }

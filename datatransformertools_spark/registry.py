@@ -201,6 +201,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "orders_interarrival",
         "part_revenue_pareto",
         "audio_frame_energy",
+        "bpe_train_merges",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

@@ -355,3 +355,39 @@ def test_ap_envelope_no_shrinking_frame(spark, sf_dir):
     # recomputed per row by WindowExec (O(n^2) per class partition)
     plan = _plan(spark, sf_dir, "detection_eval_ap")
     assert "unboundedfollowing" not in plan.lower(), plan
+
+
+def test_minhash_verify_prunes_before_text_join(spark, sf_dir):
+    # the edit-distance verify stage must semi-join-prune the corpus
+    # to candidate doc_ids before any text join: the plan carries a
+    # LeftSemi against the candidate-id frame, and no exchange ever
+    # moves the raw `text` attribute (only pruned `norm` strings).
+    plan = _plan(spark, sf_dir, "dedup_minhash_verify")
+    assert "LeftSemi" in plan, plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
+
+
+def test_knn_eval_broadcasts_fixed_query_frame(spark, sf_dir):
+    # the 50-row eval frame is fixed-size → it must broadcast by
+    # explicit hint (corpus side streams, never exchanges for the
+    # cross join)
+    plan = _plan_hints_only(spark, sf_dir, "knn_label_eval")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_length_percentile_scalar_broadcast(spark, sf_dir):
+    # the P5/P95 1-row aggregate rides as a broadcast scalar frame
+    # (house rule) even with AQE off
+    plan = _plan_hints_only(spark, sf_dir, "doc_length_percentile_filter")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_gopher_filter_never_shuffles_text(spark, sf_dir):
+    # the dominance-rule count is the only exchange and it carries
+    # (doc_id, word) — never the document text
+    plan = _plan(spark, sf_dir, "gopher_quality_filter")
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line

@@ -274,3 +274,62 @@ class TestAudioFrameEnergy:
         assert row["n_frames"] == 2
         assert abs(row["mean_energy"] - 31.0) < 1e-6
         assert abs(row["peak_energy"] - 31.0) < 1e-6
+
+
+class TestBpeTrainMerges:
+    def test_matches_reference_bpe_loop(self, spark):
+        """Driver-side replay of the canonical Sennrich BPE trainer
+        on a tiny planted corpus must equal the distributed result."""
+        import collections
+
+        from datatransformertools_spark.operators.text_analysis import (
+            BPE_MERGES,
+            bpe_train_merges,
+        )
+
+        corpus = ["low low low lower lower newest newest newest widest widest banana"]
+        df = spark.createDataFrame(
+            [(0, corpus[0], "en", "s", len(corpus[0]))],
+            schema="doc_id long, text string, lang string, source string, n_chars long",
+        )
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            df.write.parquet(f"{d}/documents.parquet")
+            got = [
+                (r["merge_left"], r["merge_right"], r["pair_count"])
+                for r in bpe_train_merges(spark, d).orderBy("merge_rank").collect()
+            ]
+
+        vocab = collections.Counter(corpus[0].split())
+        seqs = {w: list(w) for w in vocab}
+        expect = []
+        for _ in range(BPE_MERGES):
+            counts = collections.Counter()
+            for w, seq in seqs.items():
+                for i in range(len(seq) - 1):
+                    counts[(seq[i], seq[i + 1])] += vocab[w]
+            if not counts:
+                break
+            (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            expect.append((a, b, c))
+            for w, seq in seqs.items():
+                out, i = [], 0
+                while i < len(seq):
+                    if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(seq[i])
+                        i += 1
+                seqs[w] = out
+        assert got == expect
+
+    def test_corpus_merges_monotone_nonincreasing_rank(self, spark, sf_dir):
+        from datatransformertools_spark.operators.text_analysis import bpe_train_merges
+
+        rows = bpe_train_merges(spark, sf_dir).orderBy("merge_rank").collect()
+        assert len(rows) == 10
+        assert all(r["pair_count"] > 0 for r in rows)
+        # ranks are dense 1..10
+        assert [r["merge_rank"] for r in rows] == list(range(1, 11))
