@@ -787,6 +787,63 @@ JOIN sizes sb ON shared.src_b = sb.source
 """
 
 
+# ---------------------------------------------------------------------------
+# dataset_datasheet — the one-row corpus summary card
+# ---------------------------------------------------------------------------
+
+
+def dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "datasheet for the dataset" (Gebru et al. 2021,
+    arXiv:1803.09010) headline row: corpus size, source/language
+    diversity, exact-duplicate rate, and mean quality score, in ONE
+    aggregation pass. The multi-distinct aggregate plans as a
+    single Expand + partial-agg pipeline (the
+    events_column_profile shape): one shuffle of pre-aggregated
+    partials, never a per-metric scan of the corpus."""
+    from datatransformertools_spark.operators.text_analysis import quality_score_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(normalize_text(F.col("text")))
+    q = quality_score_expr()
+    return docs.select("source", "lang", "n_chars", h.alias("h"), q.alias("q")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars") + 1e-9, 4).alias("avg_chars"),
+        F.round(1.0 - F.countDistinct("h") / F.count(F.lit(1)) + 1e-9, 6).alias(
+            "exact_dup_rate"
+        ),
+        F.round(F.avg("q") + 1e-9, 6).alias("avg_quality_score"),
+    )
+
+
+DATASET_DATASHEET_SQL = r"""
+WITH m AS (
+  SELECT source, lang, n_chars,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
+         regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), '\s+') AS t
+  FROM documents
+),
+s AS (
+  SELECT source, lang, n_chars, h,
+         round(0.5 * (CASE WHEN len(t) > 0
+                           THEN len(list_distinct(t))::DOUBLE / len(t)
+                           ELSE 0.0 END)
+               + 0.5 * least(n_chars / 400.0, 1.0) + 1e-9, 6) AS q
+  FROM m
+)
+SELECT count(*) AS n_docs,
+       count(DISTINCT source) AS n_sources,
+       count(DISTINCT lang) AS n_langs,
+       sum(n_chars) AS total_chars,
+       round(avg(n_chars) + 1e-9, 4) AS avg_chars,
+       round(1.0 - count(DISTINCT h)::DOUBLE / count(*) + 1e-9, 6) AS exact_dup_rate,
+       round(avg(q) + 1e-9, 6) AS avg_quality_score
+FROM s
+"""
+
+
 QUERIES = {
     "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
     "contamination_check": (contamination_check, CONTAMINATION_CHECK_SQL),
@@ -800,4 +857,5 @@ QUERIES = {
     "quality_stratified_split": (quality_stratified_split, QUALITY_STRATIFIED_SPLIT_SQL),
     "paragraph_dedup": (paragraph_dedup, PARAGRAPH_DEDUP_SQL),
     "cross_source_overlap": (cross_source_overlap, CROSS_SOURCE_OVERLAP_SQL),
+    "dataset_datasheet": (dataset_datasheet, DATASET_DATASHEET_SQL),
 }

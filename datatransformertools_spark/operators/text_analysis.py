@@ -1080,6 +1080,20 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair; all counts are exact integers, so the merge table is
     bit-stable cross-engine. Returns (merge_rank, left, right,
     pair_count)."""
+    merges, _vocab = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i + 1, left, right, cnt) for i, (left, right, cnt) in enumerate(merges)],
+        schema="merge_rank int, merge_left string, merge_right string, pair_count long",
+    )
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Run the K-round trainer; returns (merges, final vocab frame
+    of (word, cnt, seq)). The final frame stays persisted (tracked
+    — release_caches() owns it) so the encode-side consumers reuse
+    the trained state without replaying the loop."""
+    from datatransformertools_spark.caching import track
+
     docs = load_table(spark, sf_dir, "documents").select("text")
     words = (
         docs.select(F.explode(tokens(normalize_text(F.col("text")))).alias("word"))
@@ -1088,56 +1102,50 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sep2 = _BPE_SEP * 2
     vocab = words.select(
+        "word",
         "cnt",
         F.concat(F.lit(sep2), F.regexp_replace(F.col("word"), "(.)", "$1" + sep2)).alias("seq"),
     )
     vocab = vocab.persist()
     merges: list[tuple[str, str, int]] = []
-    try:
-        for _ in range(BPE_MERGES):
-            # split yields ['', s1..sm, '']; adjacent pairs are
-            # (arr[i], arr[i+1]) for 0-based i in 1..m-1. For m=1
-            # Spark's sequence(2, 1) runs DESCENDING, producing
-            # junk pairs that always carry '' on one side — the
-            # two-sided empty filter drops them.
-            syms = vocab.select("cnt", F.split(F.col("seq"), r"\|\|").alias("s"))
-            pairs = syms.select(
-                "cnt",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(2, greatest(size(s) - 2, 1)), "
-                        "i -> struct(s[i - 1] AS l, s[i] AS r))"
-                    )
-                ).alias("p"),
-            ).filter((F.col("p.l") != "") & (F.col("p.r") != ""))
-            top = (
-                pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-                .agg(F.sum("cnt").alias("pair_count"))
-                .orderBy(F.col("pair_count").desc(), "l", "r")
-                .limit(1)
-                .collect()
-            )
-            if not top:
-                break
-            left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["pair_count"])
-            merges.append((left, right, cnt))
-            pat = f"{_BPE_SEP}{left}{sep2}{right}{_BPE_SEP}"
-            rep = f"{_BPE_SEP}{left}{right}{_BPE_SEP}"
-            nxt = vocab.select(
-                "cnt",
+    for _ in range(BPE_MERGES):
+        # split yields ['', s1..sm, '']; adjacent pairs are
+        # (arr[i], arr[i+1]) for 0-based i in 1..m-1. For m=1
+        # Spark's sequence(2, 1) runs DESCENDING, producing
+        # junk pairs that always carry '' on one side — the
+        # two-sided empty filter drops them.
+        syms = vocab.select("cnt", F.split(F.col("seq"), r"\|\|").alias("s"))
+        pairs = syms.select(
+            "cnt",
+            F.explode(
                 F.expr(
-                    "replace(seq, {}, {})".format(_sql_str(pat), _sql_str(rep))
-                ).alias("seq"),
-            ).persist()
-            nxt.count()  # materialize before dropping the parent
-            vocab.unpersist()
-            vocab = nxt
-    finally:
+                    "transform(sequence(2, greatest(size(s) - 2, 1)), "
+                    "i -> struct(s[i - 1] AS l, s[i] AS r))"
+                )
+            ).alias("p"),
+        ).filter((F.col("p.l") != "") & (F.col("p.r") != ""))
+        top = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["pair_count"])
+        merges.append((left, right, cnt))
+        pat = f"{_BPE_SEP}{left}{sep2}{right}{_BPE_SEP}"
+        rep = f"{_BPE_SEP}{left}{right}{_BPE_SEP}"
+        nxt = vocab.select(
+            "word",
+            "cnt",
+            F.expr("replace(seq, {}, {})".format(_sql_str(pat), _sql_str(rep))).alias("seq"),
+        ).persist()
+        nxt.count()  # materialize before dropping the parent
         vocab.unpersist()
-    return spark.createDataFrame(
-        [(i + 1, left, right, cnt) for i, (left, right, cnt) in enumerate(merges)],
-        schema="merge_rank int, merge_left string, merge_right string, pair_count long",
-    )
+        vocab = nxt
+    return merges, track(vocab)
 
 
 def _sql_str(s: str) -> str:
@@ -1156,7 +1164,7 @@ def _bpe_sql() -> str:
 ),
 words AS (SELECT word, count(*) AS cnt FROM tok GROUP BY 1),
 vocab0 AS (
-  SELECT cnt, '||' || regexp_replace(word, '(.)', '\1||', 'g') AS seq
+  SELECT word, cnt, '||' || regexp_replace(word, '(.)', '\1||', 'g') AS seq
   FROM words
 )"""
     ]
@@ -1179,7 +1187,7 @@ merge{k} AS (
   LIMIT 1
 ),
 vocab{k} AS (
-  SELECT v.cnt,
+  SELECT v.word, v.cnt,
          replace(v.seq, '|' || m.l || '||' || m.r || '|', '|' || m.l || m.r || '|') AS seq
   FROM vocab{k - 1} v CROSS JOIN merge{k} m
 )"""
@@ -1192,6 +1200,87 @@ vocab{k} AS (
 
 
 BPE_TRAIN_MERGES_SQL = _bpe_sql()
+
+
+# ---------------------------------------------------------------------------
+# bpe_segment_stats — the encode side: per-source fertility after K merges
+# ---------------------------------------------------------------------------
+
+
+def bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained merge table (the encode step) and report
+    per-source segmentation quality: weighted subwords-per-word
+    (fertility) and the share of tokens that became a single
+    subword after K merges. The trained vocab frame (word → final
+    symbol sequence) joins the per-source word counts on the word
+    key — a token-keyed shuffle, vocab never broadcast-hinted
+    (it scales with the corpus); everything collapses map-side to
+    |sources| rows."""
+    _merges, vocab = _bpe_train(spark, sf_dir)
+    tpw = vocab.select(
+        "word", (F.size(F.split(F.col("seq"), r"\|\|")) - 2).alias("n_subwords")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    src_words = (
+        docs.select("source", F.explode(tokens(normalize_text(F.col("text")))).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    joined = src_words.join(tpw, "word")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.round(F.sum(F.col("cnt") * F.col("n_subwords")) / F.sum("cnt") + 1e-9, 6).alias(
+                "fertility"
+            ),
+            F.round(
+                F.sum(F.when(F.col("n_subwords") == 1, F.col("cnt")).otherwise(F.lit(0)))
+                / F.sum("cnt")
+                + 1e-9,
+                6,
+            ).alias("single_subword_rate"),
+        )
+    )
+
+
+def _bpe_segment_sql() -> str:
+    base = _bpe_sql()
+    # reuse the full training chain up to vocabK (everything before
+    # the merge-table union — no CTE line starts with this marker),
+    # then aggregate per-source fertility instead
+    chain = base.split("\nSELECT merge_rank")[0]
+    k = BPE_MERGES
+    return (
+        chain
+        + f""",
+tpw AS (
+  SELECT word, len(string_split(seq, '||')) - 2 AS n_subwords
+  FROM vocab{k}
+),
+src_words AS (
+  SELECT source, word, count(*) AS cnt
+  FROM (
+    SELECT source,
+           unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+')) AS word
+    FROM documents
+  )
+  GROUP BY 1, 2
+)
+SELECT source,
+       sum(cnt) AS n_tokens,
+       count(*) AS n_distinct_words,
+       round(sum(cnt * n_subwords)::DOUBLE / sum(cnt) + 1e-9, 6) AS fertility,
+       round(sum(CASE WHEN n_subwords = 1 THEN cnt ELSE 0 END)::DOUBLE / sum(cnt) + 1e-9, 6)
+         AS single_subword_rate
+FROM src_words JOIN tpw USING (word)
+GROUP BY 1
+"""
+    )
+
+
+BPE_SEGMENT_STATS_SQL = _bpe_segment_sql()
 
 
 QUERIES = {
@@ -1214,4 +1303,5 @@ QUERIES = {
     "token_fertility": (token_fertility, TOKEN_FERTILITY_SQL),
     "oov_rate_by_source": (oov_rate_by_source, OOV_RATE_BY_SOURCE_SQL),
     "bpe_train_merges": (bpe_train_merges, BPE_TRAIN_MERGES_SQL),
+    "bpe_segment_stats": (bpe_segment_stats, BPE_SEGMENT_STATS_SQL),
 }

@@ -202,6 +202,8 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "part_revenue_pareto",
         "audio_frame_energy",
         "bpe_train_merges",
+        "bpe_segment_stats",
+        "dataset_datasheet",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

@@ -333,3 +333,31 @@ class TestBpeTrainMerges:
         assert all(r["pair_count"] > 0 for r in rows)
         # ranks are dense 1..10
         assert [r["merge_rank"] for r in rows] == list(range(1, 11))
+
+
+class TestBpeSegmentStats:
+    def test_fertility_bounds(self, spark, sf_dir):
+        from datatransformertools_spark.operators.text_analysis import bpe_segment_stats
+
+        rows = bpe_segment_stats(spark, sf_dir).collect()
+        assert len(rows) == 20
+        for r in rows:
+            # after only 10 merges fertility stays between 1 (fully
+            # merged) and the mean word length (unmerged chars)
+            assert 1.0 <= r["fertility"] <= 15.0
+            assert 0.0 <= r["single_subword_rate"] <= 1.0
+            assert r["n_distinct_words"] <= r["n_tokens"]
+
+
+class TestDatasetDatasheet:
+    def test_consistency_with_direct_counts(self, spark, sf_dir):
+        from datatransformertools_spark.operators.corpus import dataset_datasheet
+        from datatransformertools_spark.sources.tables import load_table
+
+        row = dataset_datasheet(spark, sf_dir).first()
+        docs = load_table(spark, sf_dir, "documents")
+        assert row["n_docs"] == docs.count()
+        assert row["n_sources"] == docs.select("source").distinct().count()
+        assert row["n_langs"] == docs.select("lang").distinct().count()
+        assert 0.0 <= row["exact_dup_rate"] < 1.0
+        assert 0.0 <= row["avg_quality_score"] <= 1.0
