@@ -1637,6 +1637,55 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# part_price_elasticity — log-log demand slope per brand
+# ---------------------------------------------------------------------------
+
+
+def part_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price elasticity of demand per brand: the least-squares slope
+    of ln(total quantity sold) on ln(retail price) across the
+    brand's parts. Demand aggregates to one row per part map-side
+    BEFORE the part join (aggregate-before-join); the regression
+    inputs are |parts| rows, the output |brands|. Parts that never
+    sold drop out (ln undefined) — inner join semantics in both
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_retailprice")
+    demand = li.groupBy("l_partkey").agg(F.sum("l_quantity").alias("qty"))
+    joined = demand.join(part, F.col("l_partkey") == F.col("p_partkey")).filter(
+        (F.col("qty") > 0) & (F.col("p_retailprice") > 0)
+    )
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.expr("regr_slope(ln(qty), ln(p_retailprice))") + 1e-9, 6).alias(
+                "elasticity"
+            ),
+            F.round(F.expr("regr_r2(ln(qty), ln(p_retailprice))") + 1e-9, 6).alias("r2"),
+        )
+    )
+
+
+PART_PRICE_ELASTICITY_SQL = """
+WITH demand AS (
+  SELECT l_partkey, sum(l_quantity) AS qty FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT p_brand, qty, p_retailprice
+  FROM demand JOIN part ON l_partkey = p_partkey
+  WHERE qty > 0 AND p_retailprice > 0
+)
+SELECT p_brand,
+       count(*) AS n_parts,
+       round(regr_slope(ln(qty), ln(p_retailprice)) + 1e-9, 6) AS elasticity,
+       round(regr_r2(ln(qty), ln(p_retailprice)) + 1e-9, 6) AS r2
+FROM j
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "orders_upsert_merge": (orders_upsert_merge, ORDERS_UPSERT_MERGE_SQL),
@@ -1672,5 +1721,6 @@ QUERIES = {
     "orders_market_basket": (orders_market_basket, ORDERS_MARKET_BASKET_SQL),
     "orders_interarrival": (orders_interarrival, ORDERS_INTERARRIVAL_SQL),
     "part_revenue_pareto": (part_revenue_pareto, PART_REVENUE_PARETO_SQL),
+    "part_price_elasticity": (part_price_elasticity, PART_PRICE_ELASTICITY_SQL),
 }
 

@@ -240,8 +240,61 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# events_burstiness
+# ---------------------------------------------------------------------------
+
+
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh–Barabási burstiness B = (σ−μ)/(σ+μ) of each user's
+    inter-event gaps: −1 = metronome, 0 = Poisson, →1 = bursty.
+    One user-keyed shuffle, a lag window inside each user's
+    ordered history, map-side re-aggregation to one row per user.
+    Gaps convert µs→seconds BEFORE the moments: at 5e10-µs
+    magnitudes the two engines' stddev accumulators disagree in the
+    4th decimal (1e-15 relative — exactly the rounding quantum);
+    at seconds magnitude the error sits 5 orders below it. Users
+    need ≥ 2 gaps for a sample σ."""
+    ev = _events_us(spark, sf_dir).select("user_id", "event_id", "ts_us")
+    order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = (F.col("ts_us") - F.lag("ts_us").over(order)) / 1000000.0
+    gaps = ev.withColumn("gap_s", gap).filter(F.col("gap_s").isNotNull())
+    mu = F.avg("gap_s")
+    sigma = F.stddev_samp("gap_s")
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(mu + 1e-9, 4).alias("mean_gap_s"),
+            F.round(sigma + 1e-9, 4).alias("std_gap_s"),
+            F.round((sigma - mu) / (sigma + mu) + 1e-9, 6).alias("burstiness"),
+        )
+        .filter(F.col("n_gaps") >= 2)
+    )
+
+
+EVENTS_BURSTINESS_SQL = """
+WITH gaps AS (
+  SELECT user_id,
+         (ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)) / 1000000.0 AS gap_s
+  FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events)
+)
+SELECT user_id,
+       count(*) AS n_gaps,
+       round(avg(gap_s) + 1e-9, 4) AS mean_gap_s,
+       round(stddev_samp(gap_s) + 1e-9, 4) AS std_gap_s,
+       round((stddev_samp(gap_s) - avg(gap_s))
+             / (stddev_samp(gap_s) + avg(gap_s)) + 1e-9, 6) AS burstiness
+FROM gaps
+WHERE gap_s IS NOT NULL
+GROUP BY 1
+HAVING count(*) >= 2
+"""
+
+
 QUERIES = {
     "events_autocorr": (events_autocorr, EVENTS_AUTOCORR_SQL),
     "events_cusum": (events_cusum, EVENTS_CUSUM_SQL),
     "user_value_gini": (user_value_gini, USER_VALUE_GINI_SQL),
+    "events_burstiness": (events_burstiness, EVENTS_BURSTINESS_SQL),
 }

@@ -204,6 +204,9 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "bpe_train_merges",
         "bpe_segment_stats",
         "dataset_datasheet",
+        "partitioned_write_prune",
+        "events_burstiness",
+        "part_price_elasticity",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

@@ -337,8 +337,57 @@ GROUP BY o_orderstatus
 """
 
 
+# ---------------------------------------------------------------------------
+# partitioned_write_prune — hive-layout write + partition-pruned read, gated
+# ---------------------------------------------------------------------------
+
+PRUNE_EVENT_TYPE = "purchase"
+
+
+def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lake-layout contract end to end: write events
+    Hive-partitioned by event_type, read the directory back with an
+    event_type filter, and aggregate hourly. The filter must prune
+    at the DIRECTORY level — the scan's PartitionFilters carries
+    the predicate and the other partitions' files are never opened
+    (asserted in tests/test_plans.py). That is the difference
+    between scanning 1/|types| of a 100 TB table and all of it.
+    Values are hash-checked against the oracle computing the same
+    aggregate straight from the unpartitioned source."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from datatransformertools_spark.sources.tables import events_ts_us, load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(Path(__file__).resolve().parents[2] / ".dtt_tmp" / "events_by_type")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("event_type") == PRUNE_EVENT_TYPE)
+    back = back.withColumn("ts_us", events_ts_us(back))
+    hour_us = F.expr("ts_us div 3600000000") * 3_600_000_000
+    return (
+        back.groupBy(hour_us.alias("hour_us"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") + 1e-9, 4).alias("sum_value"),
+        )
+    )
+
+
+PARTITIONED_WRITE_PRUNE_SQL = f"""
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us,
+       count(*) AS n_events,
+       round(sum(value) + 1e-9, 4) AS sum_value
+FROM events
+WHERE event_type = '{PRUNE_EVENT_TYPE}'
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "bucketed_join_revenue": (bucketed_join_revenue, BUCKETED_JOIN_REVENUE_SQL),
+    "partitioned_write_prune": (partitioned_write_prune, PARTITIONED_WRITE_PRUNE_SQL),
     "zorder_layout": (zorder_layout, ZORDER_LAYOUT_SQL),
     "documents_jsonl_roundtrip": (documents_jsonl_roundtrip, DOCUMENTS_JSONL_ROUNDTRIP_SQL),
     "orders_csv_roundtrip": (orders_csv_roundtrip, ORDERS_CSV_ROUNDTRIP_SQL),

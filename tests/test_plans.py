@@ -391,3 +391,20 @@ def test_gopher_filter_never_shuffles_text(spark, sf_dir):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text#" not in line, line
+
+
+def test_partitioned_write_prune_directory_pruning(spark, sf_dir):
+    # the read-back scan must prune at the directory level: the
+    # event_type predicate appears in PartitionFilters (not pushed
+    # as a data filter) and the scan reads exactly one partition
+    # value's files
+    plan = _plan(spark, sf_dir, "partitioned_write_prune")
+    assert re.search(r"PartitionFilters: \[[^\]]*event_type", plan), plan
+
+
+def test_price_elasticity_aggregates_before_join(spark, sf_dir):
+    # demand collapses to one row per part BEFORE joining part: the
+    # join inputs are aggregates, so no exchange carries lineitem's
+    # l_quantity rows post-join
+    plan = _plan_hints_only(spark, sf_dir, "part_price_elasticity")
+    assert "BroadcastExchange" not in plan, plan  # nothing hinted

@@ -361,3 +361,70 @@ class TestDatasetDatasheet:
         assert row["n_langs"] == docs.select("lang").distinct().count()
         assert 0.0 <= row["exact_dup_rate"] < 1.0
         assert 0.0 <= row["avg_quality_score"] <= 1.0
+
+
+class TestEventsBurstiness:
+    def test_bounds_and_poisson_sign(self, spark, sf_dir):
+        from datatransformertools_spark.operators.timeseries import events_burstiness
+
+        out = events_burstiness(spark, sf_dir).cache()
+        assert out.filter((F.col("burstiness") < -1.0) | (F.col("burstiness") > 1.0)).count() == 0
+        assert out.filter(F.col("std_gap_s") < 0).count() == 0
+        out.unpersist()
+
+    def test_metronome_is_minus_one(self, spark):
+        import pandas as pd
+
+        from datatransformertools_spark.operators.timeseries import events_burstiness
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "event_id": range(6),
+                    "ts": pd.date_range("2024-03-01", periods=6, freq="h"),
+                    "user_id": [1] * 6,
+                    "event_type": ["x"] * 6,
+                    "value": [1.0] * 6,
+                    "props": ["{}"] * 6,
+                }
+            )
+        )
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            df.write.parquet(f"{d}/events.parquet")
+            row = events_burstiness(spark, d).first()
+        assert abs(row["burstiness"] - (-1.0)) < 1e-6  # σ=0 → B=−1
+
+
+class TestPartitionedWritePrune:
+    def test_values_match_unpartitioned_filter(self, spark, sf_dir):
+        from datatransformertools_spark.operators.events import HOUR_US, _events_us
+        from datatransformertools_spark.sources.sinks import (
+            PRUNE_EVENT_TYPE,
+            partitioned_write_prune,
+        )
+
+        got = {
+            r["hour_us"]: (r["n_events"], r["sum_value"])
+            for r in partitioned_write_prune(spark, sf_dir).collect()
+        }
+        ev = _events_us(spark, sf_dir).filter(F.col("event_type") == PRUNE_EVENT_TYPE)
+        want = {
+            r["hour_us"]: (r["n"], r["s"])
+            for r in ev.groupBy((F.expr(f"ts_us div {HOUR_US}") * HOUR_US).alias("hour_us"))
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value") + 1e-9, 4).alias("s"))
+            .collect()
+        }
+        assert got == want
+
+
+class TestPartPriceElasticity:
+    def test_one_row_per_brand_r2_unit(self, spark, sf_dir):
+        from datatransformertools_spark.operators.relational import part_price_elasticity
+
+        rows = part_price_elasticity(spark, sf_dir).collect()
+        assert len(rows) == 25
+        for r in rows:
+            assert 0.0 <= r["r2"] <= 1.0
+            assert r["n_parts"] > 0
