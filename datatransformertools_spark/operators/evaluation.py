@@ -150,7 +150,16 @@ matched AS (SELECT * FROM ranked WHERE rn_p = 1 AND rn_g = 1)
 
 
 def _pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _pred_df(spark, sf_dir)
+    # fan the probe side out first: the local testdata is one
+    # parquet file (≤2 scan partitions), and AQE broadcast-joins the
+    # small gt side — without this exchange the whole IoU pair
+    # computation would run in those 2 scan tasks. One cheap
+    # shuffle of the pred rows unlocks full-width parallelism for
+    # the O(|pairs|) IoU math (on a real multi-file table the scan
+    # fans out naturally and AQE coalesces this no-op away).
+    p = _pred_df(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "image_id"
+    )
     g = _gt_df(spark, sf_dir)
     joined = p.join(g, ["image_id", "cls"])
     iou = iou_xywh(
@@ -168,18 +177,28 @@ def _pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _matched_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _pairs_df(spark, sf_dir).filter(F.col("iou") >= IOU_THRESHOLD)
+def _mutual_best_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global mutual-best matching over ALL pairs — no IoU
+    pre-filter. Filtering ``iou ≥ t`` keeps a PREFIX of each
+    (iou desc, id) ranking, so rank-1-after-filter equals
+    global-rank-1 whenever that row passes t, and the filtered
+    partition is empty otherwise: matched@t ≡ mutual_best ∩
+    (iou ≥ t) for every threshold. One pair of windows therefore
+    serves eval@0.5, per-class, macro AND the whole threshold
+    sweep — the sweep needs no 5× pair fan-out. Tracked: one
+    materialization feeds every consumer."""
+    pairs = _pairs_df(spark, sf_dir)
     rn_p = F.row_number().over(Window.partitionBy("pred_id").orderBy(F.col("iou").desc(), F.col("gt_id")))
     rn_g = F.row_number().over(Window.partitionBy("gt_id").orderBy(F.col("iou").desc(), F.col("pred_id")))
-    # tracked like the pairs stage: eval / per-class / macro all
-    # consume this exact plan, so one materialization serves all
-    # three instead of re-running both mutual-best windows each time
     return track(
         pairs.withColumn("rn_p", rn_p)
         .withColumn("rn_g", rn_g)
         .filter((F.col("rn_p") == 1) & (F.col("rn_g") == 1))
     )
+
+
+def _matched_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _mutual_best_df(spark, sf_dir).filter(F.col("iou") >= IOU_THRESHOLD)
 
 
 def bbox_iou_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -494,27 +513,21 @@ SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
 
 def detection_eval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall/F1 swept over IoU thresholds — the PR-curve
-    extension of the notebook's single IoU@0.5 cell. One pass builds
-    the pairs; each threshold re-runs only the tiny mutual-best
-    windows (partitioned by threshold+box id), so the sweep costs
-    one pairs-join plus T window passes, never T scans."""
-    pairs = _pairs_df(spark, sf_dir)
+    extension of the notebook's single IoU@0.5 cell. Because
+    matched@t ≡ global mutual-best ∩ (iou ≥ t) (see
+    _mutual_best_df), the sweep is the SAME two windows every other
+    eval query already shares, plus a 5-row broadcast cross join
+    over the tiny mutual-best frame — no per-threshold pair
+    fan-out, no per-threshold windows."""
     thr = spark.sql(
         "SELECT CAST(thr AS DOUBLE) AS thr FROM (VALUES "
         + ", ".join(f"({t})" for t in SWEEP_THRESHOLDS)
         + ") AS t(thr)"
     )
-    swept = pairs.crossJoin(F.broadcast(thr)).filter(F.col("iou") >= F.col("thr"))
-    rn_p = F.row_number().over(
-        Window.partitionBy("thr", "pred_id").orderBy(F.col("iou").desc(), F.col("gt_id"))
-    )
-    rn_g = F.row_number().over(
-        Window.partitionBy("thr", "gt_id").orderBy(F.col("iou").desc(), F.col("pred_id"))
-    )
+    mb = _mutual_best_df(spark, sf_dir)
     tp_per_thr = (
-        swept.withColumn("rn_p", rn_p)
-        .withColumn("rn_g", rn_g)
-        .filter((F.col("rn_p") == 1) & (F.col("rn_g") == 1))
+        mb.crossJoin(F.broadcast(thr))
+        .filter(F.col("iou") >= F.col("thr"))
         .groupBy("thr")
         .agg(F.count(F.lit(1)).alias("tp"))
     )
