@@ -1638,6 +1638,109 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# customer_survival_km — Kaplan–Meier retention curves per segment
+# ---------------------------------------------------------------------------
+
+KM_CHURN_DAYS = 90
+
+
+def customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of customer lifetime per market
+    segment. Lifetime = days between a customer's first and last
+    order; the customer is an observed churn event when their last
+    order sits more than 90 days before the dataset's horizon,
+    censored (still active) otherwise — the standard
+    right-censoring setup. S(t) = Π_{t'≤t} (1 − d_{t'}/n_{t'})
+    computed as exp(Σ ln(1 − d/n)) over one ordered window per
+    segment (a |segments|·|distinct lifetimes| frame — orders
+    collapse map-side first). Spark's ln(0) is NULL while DuckDB's
+    is −inf, so the d = n terminal point is handled by an explicit
+    absorbed flag in both engines. The horizon rides as a
+    broadcast 1-row aggregate."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    span = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_dt"), F.max("o_orderdate").alias("last_dt")
+    )
+    horizon = orders.agg(F.max("o_orderdate").alias("horizon"))
+    life = (
+        span.crossJoin(F.broadcast(horizon))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_mktsegment",
+            F.datediff(F.col("last_dt"), F.col("first_dt")).alias("t"),
+            (F.datediff(F.col("horizon"), F.col("last_dt")) > KM_CHURN_DAYS)
+            .cast("int")
+            .alias("event"),
+        )
+    )
+    at_t = life.groupBy("c_mktsegment", "t").agg(
+        F.count(F.lit(1)).alias("n_at_t"), F.sum("event").alias("d")
+    )
+    order_w = Window.partitionBy("c_mktsegment").orderBy("t")
+    prefix = Window.partitionBy("c_mktsegment").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = F.sum("n_at_t").over(Window.partitionBy("c_mktsegment"))
+    n_risk = total - F.coalesce(
+        F.sum("n_at_t").over(order_w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    staged = at_t.withColumn("n_risk", n_risk)
+    # absorbed: some earlier-or-equal time had d == n_risk → S hits 0
+    absorbed = F.max((F.col("d") == F.col("n_risk")).cast("int")).over(prefix)
+    log_term = F.when(
+        F.col("d") < F.col("n_risk"), F.log(1.0 - F.col("d") / F.col("n_risk"))
+    ).otherwise(F.lit(0.0))
+    surv = F.when(absorbed == 1, F.lit(0.0)).otherwise(F.exp(F.sum(log_term).over(prefix)))
+    return staged.filter(F.col("d") > 0).select(
+        "c_mktsegment",
+        "t",
+        "n_risk",
+        "d",
+        F.round(surv + 1e-9, 6).alias("survival"),
+    )
+
+
+CUSTOMER_SURVIVAL_KM_SQL = f"""
+WITH span AS (
+  SELECT o_custkey, min(o_orderdate) AS first_dt, max(o_orderdate) AS last_dt
+  FROM orders GROUP BY 1
+),
+horizon AS (SELECT max(o_orderdate) AS h FROM orders),
+life AS (
+  SELECT c_mktsegment,
+         date_diff('day', first_dt, last_dt) AS t,
+         CASE WHEN date_diff('day', last_dt, h) > {KM_CHURN_DAYS} THEN 1 ELSE 0 END AS event
+  FROM span CROSS JOIN horizon
+  JOIN customer ON o_custkey = c_custkey
+),
+at_t AS (
+  SELECT c_mktsegment, t, count(*) AS n_at_t, sum(event) AS d
+  FROM life GROUP BY 1, 2
+),
+staged AS (
+  SELECT *,
+         sum(n_at_t) OVER (PARTITION BY c_mktsegment)
+           - COALESCE(sum(n_at_t) OVER (PARTITION BY c_mktsegment ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM at_t
+),
+curved AS (
+  SELECT *,
+         max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER w AS absorbed,
+         sum(CASE WHEN d < n_risk THEN ln(1.0 - d::DOUBLE / n_risk) ELSE 0.0 END) OVER w AS logsum
+  FROM staged
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT c_mktsegment, t, n_risk, d,
+       round(CASE WHEN absorbed = 1 THEN 0.0 ELSE exp(logsum) END + 1e-9, 6) AS survival
+FROM curved
+WHERE d > 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # part_price_elasticity — log-log demand slope per brand
 # ---------------------------------------------------------------------------
 
@@ -1722,5 +1825,6 @@ QUERIES = {
     "orders_interarrival": (orders_interarrival, ORDERS_INTERARRIVAL_SQL),
     "part_revenue_pareto": (part_revenue_pareto, PART_REVENUE_PARETO_SQL),
     "part_price_elasticity": (part_price_elasticity, PART_PRICE_ELASTICITY_SQL),
+    "customer_survival_km": (customer_survival_km, CUSTOMER_SURVIVAL_KM_SQL),
 }
 

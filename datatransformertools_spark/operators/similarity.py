@@ -1328,6 +1328,78 @@ FROM picked WHERE pick = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# embedding_pca_project — PCA via distributed covariance + driver eigh
+# ---------------------------------------------------------------------------
+
+PCA_K = 2
+
+
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding store onto its top-K
+    principal components, the MLlib pattern end to end: the
+    covariance reduces distributed (the N·d²/2 grain collapses
+    map-side to d(d+1)/2 sums — embedding_covariance's plan), ONLY
+    the d×d matrix reaches the driver for numpy eigh (d=64: 32 KB,
+    cluster-size-independent), and the top-K eigenvectors ride
+    back as literals inside a codegen'd dot-product projection —
+    one scan, zero Python in the per-row path.
+
+    Eigenvector sign is normalized (first nonzero component > 0)
+    so output is deterministic. No SQL oracle — eigh has no SQL
+    form (rows-only gate; invariants asserted in tests: projection
+    variance equals the eigenvalue, components orthonormal,
+    explained share in (0,1])."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    ex = emb.select(F.posexplode("v").alias("i", "xi"), F.size("v").alias("d"), "v")
+    pairs = ex.select(
+        "i",
+        "xi",
+        F.posexplode(F.slice(F.col("v"), F.col("i") + 1, F.col("d") - F.col("i"))).alias("j0", "xj"),
+    ).select("i", (F.col("i") + F.col("j0")).alias("j"), "xi", "xj")
+    e_ij = pairs.groupBy("i", "j").agg(F.avg(F.col("xi") * F.col("xj")).alias("e_xy"))
+    means_rows = ex.groupBy("i").agg(F.avg("xi").alias("mean")).collect()
+    cov_rows = e_ij.collect()
+    d = max(r["i"] for r in means_rows) + 1
+    mu = np.zeros(d)
+    for r in means_rows:
+        mu[r["i"]] = r["mean"]
+    cov = np.zeros((d, d))
+    for r in cov_rows:
+        c = r["e_xy"] - mu[r["i"]] * mu[r["j"]]
+        cov[r["i"], r["j"]] = c
+        cov[r["j"], r["i"]] = c
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:PCA_K]
+    total_var = float(evals.sum())
+    comps, shares = [], []
+    for idx in order:
+        vec = evecs[:, idx]
+        nz = np.nonzero(np.abs(vec) > 1e-12)[0]
+        if len(nz) and vec[nz[0]] < 0:
+            vec = -vec
+        comps.append(vec)
+        shares.append(float(evals[idx]) / total_var if total_var > 0 else 0.0)
+
+    # project: centered dot product as a zip_with sum — pure JVM
+    out_cols = [emb["vec_id"], emb["label"]]
+    for k, vec in enumerate(comps):
+        w = F.array(*[F.lit(float(x)) for x in vec])
+        centered = F.zip_with(F.col("v"), F.array(*[F.lit(float(m)) for m in mu]), lambda x, m: x - m)
+        score = F.aggregate(
+            F.zip_with(centered, w, lambda x, wk: x * wk),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out_cols.append(F.round(score + 1e-9, 6).alias(f"pc{k + 1}"))
+        out_cols.append(F.lit(round(shares[k] + 1e-9, 6)).alias(f"pc{k + 1}_var_share"))
+    return emb.select(*out_cols)
+
+
 QUERIES = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
@@ -1342,4 +1414,5 @@ QUERIES = {
     "ann_mmr_topk": (ann_mmr_topk, ANN_MMR_SQL),
     "embedding_covariance": (embedding_covariance, EMBEDDING_COVARIANCE_SQL),
     "knn_label_eval": (knn_label_eval, KNN_LABEL_EVAL_SQL),
+    "embedding_pca_project": (embedding_pca_project, None),
 }

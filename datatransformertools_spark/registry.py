@@ -207,6 +207,8 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "partitioned_write_prune",
         "events_burstiness",
         "part_price_elasticity",
+        "customer_survival_km",
+        "embedding_pca_project",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

@@ -428,3 +428,50 @@ class TestPartPriceElasticity:
         for r in rows:
             assert 0.0 <= r["r2"] <= 1.0
             assert r["n_parts"] > 0
+
+
+class TestEmbeddingPcaProject:
+    def test_projection_variance_and_monotone_curve(self, spark, sf_dir):
+        import numpy as np
+
+        from datatransformertools_spark.operators.similarity import embedding_pca_project
+
+        out = embedding_pca_project(spark, sf_dir).toPandas()
+        assert len(out) == 500
+        s1 = float(out["pc1_var_share"].iloc[0])
+        s2 = float(out["pc2_var_share"].iloc[0])
+        assert 0.0 < s2 <= s1 <= 1.0
+        # sample variance along PC1 >= along PC2 (eigh ordering held
+        # through the distributed projection)
+        v1 = np.var(out["pc1"].to_numpy())
+        v2 = np.var(out["pc2"].to_numpy())
+        assert v1 >= v2 - 1e-9
+        # PC scores are centered: mean ≈ 0
+        assert abs(out["pc1"].mean()) < 1e-3
+        assert abs(out["pc2"].mean()) < 1e-3
+        # variance share consistency: var(pc1)/total_var ≈ share
+        from datatransformertools_spark.sources.tables import load_table
+
+        emb = np.array(
+            load_table(spark, sf_dir, "embeddings")
+            .select("embedding")
+            .toPandas()["embedding"]
+            .tolist(),
+            dtype=np.float64,
+        )
+        total_var = np.cov(emb, rowvar=False, bias=True).trace()
+        assert abs(v1 / total_var - s1) < 1e-2
+
+
+class TestCustomerSurvivalKm:
+    def test_survival_monotone_nonincreasing(self, spark, sf_dir):
+        from datatransformertools_spark.operators.relational import customer_survival_km
+
+        out = customer_survival_km(spark, sf_dir).toPandas()
+        assert (out["survival"] >= -1e-9).all()
+        assert (out["survival"] <= 1.0 + 1e-9).all()
+        for seg, grp in out.groupby("c_mktsegment"):
+            s = grp.sort_values("t")["survival"].to_numpy()
+            assert (s[1:] <= s[:-1] + 1e-9).all()  # non-increasing
+            n = grp.sort_values("t")["n_risk"].to_numpy()
+            assert (n[1:] <= n[:-1]).all()  # risk set shrinks
