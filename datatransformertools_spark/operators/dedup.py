@@ -1170,6 +1170,146 @@ JOIN norms db ON doc_b = db.doc_id
 DEDUP_MINHASH_VERIFY_SQL = _minhash_verify_sql()
 
 
+# ---------------------------------------------------------------------------
+# dedup_substring_spans — exact duplicated-substring span detection
+# ---------------------------------------------------------------------------
+
+SPAN_L = 40
+SPAN_STRIDE = 8
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring span detection (the practical
+    form of Lee et al.'s "Deduplicating Training Data Makes
+    Language Models Better" suffix-array dedup): every SPAN_L-char
+    window at SPAN_STRIDE offsets is md5-fingerprinted; windows
+    whose fingerprint occurs ≥2 times anywhere in the corpus
+    (cross-doc copies AND in-doc repetition both count) are
+    duplicated; per doc, overlapping duplicated windows merge into
+    maximal spans (gaps-and-islands over a running max-end window)
+    and the doc reports its duplicated-span char mass + fraction.
+
+    Scale design: the fingerprint stream is (16-byte md5, doc_id,
+    pos) — text never shuffles; stride-8 sampling cuts the stream 8×
+    versus stride-1 (a duplicated region ≥ L+stride chars is always
+    detected; the suffix-array exactness traded away is the sub-L
+    tail). The hot-hash table is produced by a map-side-combined
+    count and consumed as a semi-join, so unique windows — the
+    overwhelming majority — never reach the island pass, and the
+    island window itself is a per-doc partition sort, embarrassingly
+    parallel across docs."""
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(par, "doc_id")
+    )
+    wins = (
+        docs.filter(F.length("text") >= SPAN_L)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(0), F.length("text") - SPAN_L, F.lit(SPAN_STRIDE))
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.md5(F.expr(f"substr(text, pos + 1, {SPAN_L})")).alias("h"),
+        )
+    )
+    wins = track(wins)
+    hot = wins.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") >= 2)
+    dup = wins.join(hot.select("h"), "h", "left_semi").select("doc_id", "pos")
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + SPAN_L).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_start = F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    islands = dup.withColumn(
+        "island",
+        F.sum(is_start).over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.count(F.lit(1)).alias("nw"),
+        F.min("pos").alias("s"),
+        (F.max("pos") + SPAN_L).alias("e"),
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("nw").cast("long").alias("n_dup_windows"),
+        F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("dup_chars"),
+    )
+    return (
+        docs.select("doc_id", F.length("text").cast("long").alias("n_chars"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("dup_chars", F.lit(0)).cast("long").alias("dup_chars"),
+            F.round(
+                F.coalesce("dup_chars", F.lit(0))
+                / F.greatest(F.col("n_chars"), F.lit(1))
+                + 1e-9,
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+DEDUP_SUBSTRING_SPANS_SQL = f"""
+WITH docs AS (SELECT doc_id, text, length(text) AS n_chars FROM documents),
+wins AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         md5(substr(text, CAST(pos AS INT) + 1, {SPAN_L})) AS h
+  FROM (
+    SELECT doc_id, text,
+           unnest(range(0, length(text) - {SPAN_L} + 1, {SPAN_STRIDE})) AS pos
+    FROM docs WHERE length(text) >= {SPAN_L}
+  )
+),
+hot AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+dup AS (SELECT w.doc_id, w.pos FROM wins w JOIN hot USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN max(pos + {SPAN_L}) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR pos > max(pos + {SPAN_L}) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS is_start
+  FROM dup
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(is_start) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, island, count(*) AS nw, min(pos) AS s, max(pos) + {SPAN_L} AS e
+  FROM isl2 GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id, CAST(sum(nw) AS BIGINT) AS n_dup_windows,
+         CAST(count(*) AS BIGINT) AS n_dup_spans,
+         CAST(sum(e - s) AS BIGINT) AS dup_chars
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars,
+       coalesce(p.n_dup_windows, 0) AS n_dup_windows,
+       coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+       coalesce(p.dup_chars, 0) AS dup_chars,
+       round(coalesce(p.dup_chars, 0) * 1.0 / greatest(d.n_chars, 1) + 1e-9, 6)
+         AS dup_fraction
+FROM docs d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
@@ -1186,4 +1326,5 @@ QUERIES = {
     "minhash_band_curve": (minhash_band_curve, MINHASH_BAND_CURVE_SQL),
     "dedup_cluster_sizes": (dedup_cluster_sizes, DEDUP_CLUSTER_SIZES_SQL),
     "dedup_minhash_verify": (dedup_minhash_verify, DEDUP_MINHASH_VERIFY_SQL),
+    "dedup_substring_spans": (dedup_substring_spans, DEDUP_SUBSTRING_SPANS_SQL),
 }

@@ -309,8 +309,132 @@ JOIN (SELECT label, CAST(count(*) AS BIGINT) AS community_size
 PART_LABEL_PROPAGATION_SQL = _lpa_sql()
 
 
+# ---------------------------------------------------------------------------
+# part_kcore — onion-layer k-core peel of the co-purchase graph
+# ---------------------------------------------------------------------------
+
+KCORE_K = 95
+KCORE_ITERS = 6
+
+
+def part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Onion-layer k-core decomposition of the part co-purchase
+    graph: KCORE_ITERS synchronous peel rounds remove every node
+    whose degree *within the surviving subgraph* is below KCORE_K,
+    recording for each node the round it was peeled (or that it
+    survived all rounds inside the core). The layer number is the
+    classic density coordinate — boilerplate/hub pruning in corpus
+    graphs and spam-core isolation both start from exactly this
+    peel — and unlike a bare "is in the k-core" flag it yields a
+    non-degenerate answer at every SF even when the whole graph
+    collapses.
+
+    Scale design: the same Pregel shape as PageRank/LPA — the
+    symmetric edge table persists once; each round is one semi-join
+    of edges against the shrinking survivor set (broadcastable as it
+    shrinks, AQE decides) plus one map-side-combined degree count;
+    survivor frames are localCheckpoint-ed so lineage never chains
+    across rounds; driver state is only the loop index. Peeled
+    layers are |removed-this-round| rows, unioned at the end —
+    never collected."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("parts"))
+    edges = (
+        baskets.select(F.explode("parts").alias("src"), "parts")
+        .select("src", F.explode("parts").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    survivors = edges.select(F.col("src").alias("part")).distinct().localCheckpoint()
+    layers: list[DataFrame] = []
+    for rnd in range(1, KCORE_ITERS + 1):
+        alive = edges.join(
+            survivors.select(F.col("part").alias("dst")), "dst", "left_semi"
+        )
+        deg = alive.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        scored = survivors.join(deg, survivors.part == deg.src, "left").select(
+            "part", F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("d")
+        )
+        layers.append(
+            scored.filter(F.col("d") < KCORE_K)
+            .select(
+                "part",
+                F.lit(rnd).cast("int").alias("peel_round"),
+                F.col("d").alias("degree_out"),
+                F.lit(False).alias("in_core"),
+            )
+            .localCheckpoint()
+        )
+        survivors = scored.filter(F.col("d") >= KCORE_K).select("part").localCheckpoint()
+    # one final degree pass inside the settled core so survivors
+    # report their core-internal degree, not a stale pre-peel count
+    alive = edges.join(survivors.select(F.col("part").alias("dst")), "dst", "left_semi")
+    deg = alive.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    core = survivors.join(deg, survivors.part == deg.src, "left").select(
+        "part",
+        F.lit(KCORE_ITERS + 1).cast("int").alias("peel_round"),
+        F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("degree_out"),
+        F.lit(True).alias("in_core"),
+    )
+    out = core
+    for layer in layers:
+        out = out.unionByName(layer)
+    out = out.localCheckpoint()
+    edges.unpersist()
+    return out
+
+
+def _kcore_sql() -> str:
+    ctes = [
+        "li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+)""",
+        "s0 AS (SELECT DISTINCT src AS part FROM edges)",
+    ]
+    selects = []
+    for i in range(1, KCORE_ITERS + 1):
+        ctes.append(
+            f"""d{i} AS (
+  SELECT s.part, CAST(count(ae.src) AS BIGINT) AS d
+  FROM s{i - 1} s
+  LEFT JOIN (SELECT e.src FROM edges e JOIN s{i - 1} t ON e.dst = t.part) ae
+    ON ae.src = s.part
+  GROUP BY s.part
+)"""
+        )
+        ctes.append(f"s{i} AS (SELECT part FROM d{i} WHERE d >= {KCORE_K})")
+        selects.append(
+            f"SELECT part, CAST({i} AS INT) AS peel_round, d AS degree_out,"
+            f" FALSE AS in_core FROM d{i} WHERE d < {KCORE_K}"
+        )
+    n = KCORE_ITERS
+    ctes.append(
+        f"""dF AS (
+  SELECT s.part, CAST(count(ae.src) AS BIGINT) AS d
+  FROM s{n} s
+  LEFT JOIN (SELECT e.src FROM edges e JOIN s{n} t ON e.dst = t.part) ae
+    ON ae.src = s.part
+  GROUP BY s.part
+)"""
+    )
+    selects.insert(
+        0,
+        f"SELECT part, CAST({n + 1} AS INT) AS peel_round, d AS degree_out,"
+        " TRUE AS in_core FROM dF",
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+PART_KCORE_SQL = _kcore_sql()
+
+
 QUERIES = {
     "part_pagerank": (part_pagerank, PART_PAGERANK_SQL),
     "part_triangles": (part_triangles, PART_TRIANGLES_SQL),
     "part_label_propagation": (part_label_propagation, PART_LABEL_PROPAGATION_SQL),
+    "part_kcore": (part_kcore, PART_KCORE_SQL),
 }

@@ -209,6 +209,8 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "part_price_elasticity",
         "customer_survival_km",
         "embedding_pca_project",
+        "part_kcore",
+        "dedup_substring_spans",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

@@ -284,3 +284,87 @@ class TestStreamEwma:
         assert len(stream) == len(batch)
         for r in stream:
             assert batch[(r["event_id"], r["user_id"])] == r["ewma"]
+
+
+class TestKCore:
+    def test_peel_invariants(self, spark, sf_dir):
+        from datatransformertools_spark.operators.graph import (
+            KCORE_ITERS,
+            KCORE_K,
+            part_kcore,
+        )
+
+        out = part_kcore(spark, sf_dir).cache()
+        rows = out.collect()
+        # every co-purchase node appears exactly once across layers
+        assert len(rows) == len({r["part"] for r in rows})
+        for r in rows:
+            if r["in_core"]:
+                # survivors settled at >= k within the core for all
+                # peel rounds; their reported degree is the final
+                # core-internal count so it can only shrink below k
+                # if the LAST round removed their neighbors — allow
+                # >= 0 but require the flag/round coherence
+                assert r["peel_round"] == KCORE_ITERS + 1
+            else:
+                assert 1 <= r["peel_round"] <= KCORE_ITERS
+                assert r["degree_out"] < KCORE_K
+        # peeling is monotone: someone must fall in round 1 at these
+        # degree distributions (median ~ k), and later layers only
+        # exist if earlier ones do
+        by_round = {}
+        for r in rows:
+            by_round.setdefault(r["peel_round"], 0)
+            by_round[r["peel_round"]] += 1
+        assert by_round.get(1, 0) > 0
+        out.unpersist()
+
+
+class TestSubstringSpans:
+    def test_span_bounds_and_planted_duplicate(self, spark, sf_dir):
+        from datatransformertools_spark.operators.dedup import (
+            SPAN_L,
+            dedup_substring_spans,
+        )
+
+        out = dedup_substring_spans(spark, sf_dir).cache()
+        rows = out.collect()
+        assert len(rows) == len({r["doc_id"] for r in rows})  # one row per doc
+        for r in rows:
+            assert 0 <= r["dup_chars"] <= r["n_chars"] or r["n_chars"] < SPAN_L
+            assert r["dup_fraction"] <= 1.0 + 1e-9
+            if r["n_dup_spans"] == 0:
+                assert r["dup_chars"] == 0 and r["n_dup_windows"] == 0
+            else:
+                # a span is at least one window long
+                assert r["dup_chars"] >= SPAN_L
+        out.unpersist()
+
+    def test_exact_copies_fully_flagged(self, spark, sf_dir):
+        """Two byte-identical docs must report ~full duplication
+        (every sampled window occurs twice)."""
+        import duckdb
+
+        from datatransformertools_spark.operators.dedup import dedup_substring_spans
+
+        pair = duckdb.sql(
+            f"""
+            SELECT a.doc_id AS ida, b.doc_id AS idb
+            FROM read_parquet('{sf_dir}/documents.parquet') a
+            JOIN read_parquet('{sf_dir}/documents.parquet') b
+              ON a.text = b.text AND a.doc_id < b.doc_id AND length(a.text) >= 60
+            LIMIT 1
+            """
+        ).fetchall()
+        if not pair:
+            return  # corpus has no long exact pair at this SF
+        ida, idb = pair[0]
+        got = {
+            r["doc_id"]: r
+            for r in dedup_substring_spans(spark, sf_dir)
+            .filter(F.col("doc_id").isin([ida, idb]))
+            .collect()
+        }
+        for d in (ida, idb):
+            # stride sampling covers all but the < L+stride tail
+            assert got[d]["dup_fraction"] > 0.5
