@@ -1400,8 +1400,110 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(*out_cols)
 
 
+# ---------------------------------------------------------------------------
+# ann_range_search — cosine radius search over LSH candidates
+# ---------------------------------------------------------------------------
+
+RANGE_TAU = 0.3
+
+
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) similarity search: every neighbor with cosine
+    ≥ RANGE_TAU of each query vector — the dedup/contamination
+    primitive ("give me EVERYTHING close", where top-k's fixed
+    cutoff under- or over-shoots per query). Candidates come from
+    the same multi-table sign-random-projection buckets as
+    ann_lsh_topk (a vector pair is compared only if it shares a
+    bucket in ≥1 of the N_TABLES tables), then exact cosine filters
+    at the radius. The approximate contract — LSH-candidates, not
+    all pairs — is itself the oracle-checked semantics: the DuckDB
+    SQL replays the identical ±1 hyperplanes, so recall loss is
+    deterministic and certified, never silent.
+
+    Scale design: identical to the top-k path — bucket keys are the
+    join keys, the query side broadcasts, and the radius filter
+    runs before any window, so output is the only per-query
+    variable cost. No all-pairs stage anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    buckets = F.array(*[_bucket_col(F.col("v"), t) for t in range(N_TABLES)])
+    bucketed = emb.select(
+        "vec_id", "v", "nrm",
+        F.explode(
+            F.transform(buckets, lambda b, i: F.concat(i.cast("string"), F.lit(":"), b.cast("string")))
+        ).alias("bucket"),
+    )
+    queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"), F.col("bucket").alias("qb")
+    )
+    cands = bucketed.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"), F.col("bucket").alias("cb")
+    )
+    pairs = (
+        cands.join(F.broadcast(queries), F.col("cb") == F.col("qb"))
+        .select("query_id", "neighbor_id", "qv", "cv", "qn", "cn")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cos = F.round(cosine_prenormed(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")) + 1e-9, 6)
+    return (
+        pairs.select("query_id", "neighbor_id", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= RANGE_TAU)
+    )
+
+
+def _range_sql() -> str:
+    bucket_cols = []
+    for t in range(N_TABLES):
+        plane_terms = []
+        for p in range(NBITS):
+            lit = "[" + ", ".join(str(s) for s in PLANES[t][p]) + "]"
+            dot = f"list_sum(list_transform(range(1, {DIM} + 1), i -> v[i] * ({lit}::DOUBLE[])[i]))"
+            plane_terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+        bucket_cols.append(f"'{t}:' || CAST({' + '.join(plane_terms)} AS VARCHAR) AS bucket{t}")
+    bucket_select = ",\n    ".join(bucket_cols)
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, v, bucket{t} AS bucket FROM with_buckets" for t in range(N_TABLES)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+with_buckets AS (
+  SELECT vec_id, v,
+    {bucket_select}
+  FROM e
+),
+bucketed AS (
+  {union}
+),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM bucketed WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket AS cb FROM bucketed WHERE vec_id >= {N_QUERIES}),
+cand AS (
+  SELECT DISTINCT ON (query_id, neighbor_id) query_id, neighbor_id, qv, cv
+  FROM q JOIN c ON qb = cb
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(
+           CASE WHEN sqrt(list_sum(list_transform(qv, x -> x * x)))
+                     * sqrt(list_sum(list_transform(cv, x -> x * x))) > 0
+                THEN list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i]))
+                     / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                        * sqrt(list_sum(list_transform(cv, x -> x * x))))
+                ELSE 0.0 END + 1e-9, 6) AS cos_sim
+  FROM cand
+)
+SELECT query_id, neighbor_id, cos_sim FROM scored WHERE cos_sim >= {RANGE_TAU}
+"""
+
+
+ANN_RANGE_SQL = _range_sql()
+
+
 QUERIES = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
+    "ann_range_search": (ann_range_search, ANN_RANGE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "ann_pq_topk": (ann_pq_topk, ANN_PQ_SQL),

@@ -1283,8 +1283,123 @@ GROUP BY 1
 BPE_SEGMENT_STATS_SQL = _bpe_segment_sql()
 
 
+# ---------------------------------------------------------------------------
+# vocab_coverage_curve — cumulative corpus coverage of a top-k vocab
+# ---------------------------------------------------------------------------
+
+COVERAGE_KS = [64, 256, 1024, 4096]
+
+
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer sizing curve: what fraction of the corpus token
+    mass a top-k frequency vocabulary covers, at the k checkpoints a
+    vocab-size decision actually compares (the Zipf integral made
+    concrete). One corpus-scale shuffle (token counts with map-side
+    combine); the rank window and the ≤k broadcast-nested-loop join
+    then run on the vocab-sized frame — |vocab| rows, not corpus
+    rows — so the single-partition rank sort is bounded by distinct
+    tokens, the same exemption vocab_topk documents."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    tok = docs.select(F.explode(tokens(normalize_text(F.col("text")))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("long").alias("total_tokens"))
+    ranked = counts.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.col("cnt").desc(), "token"))
+    )
+    ks = spark.createDataFrame([(k,) for k in COVERAGE_KS], "k int")
+    cov = (
+        ranked.join(F.broadcast(ks), F.col("rank") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("cnt").cast("long").alias("covered_tokens"))
+    )
+    return cov.crossJoin(F.broadcast(total)).select(
+        "k",
+        "covered_tokens",
+        "total_tokens",
+        F.round(F.col("covered_tokens") / F.col("total_tokens") + 1e-9, 6).alias("coverage"),
+    )
+
+
+VOCAB_COVERAGE_CURVE_SQL = (
+    r"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS token
+  FROM documents
+),
+counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM counts
+),
+total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM counts),
+ks AS (SELECT unnest([KS_LIST]) AS k)
+SELECT CAST(ks.k AS INT) AS k,
+       CAST(sum(r.cnt) AS BIGINT) AS covered_tokens,
+       t.total_tokens,
+       round(sum(r.cnt) * 1.0 / t.total_tokens + 1e-9, 6) AS coverage
+FROM ks JOIN ranked r ON r.rank <= ks.k
+CROSS JOIN total t
+GROUP BY ks.k, t.total_tokens
+""".replace("KS_LIST", ", ".join(str(k) for k in COVERAGE_KS))
+)
+
+# ---------------------------------------------------------------------------
+# source_language_profile — lang mix + entropy per source
+# ---------------------------------------------------------------------------
+
+
+def source_language_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix audit at (source, lang) grain: doc counts, each
+    language's share within its source, and the source's language
+    entropy (bits) — the diversity number a data-mixing decision
+    reads first. Two groupBys keyed on source (the second consumes
+    the first's exchange) and a per-source window for shares;
+    output is |sources × langs| rows — audit-sized, never
+    corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "lang")
+    by = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("source")
+    share = F.col("n_docs") / F.sum("n_docs").over(w)
+    with_share = by.withColumn("share", share)
+    ent = (
+        with_share.groupBy("source")
+        .agg(F.round(-F.sum(F.col("share") * F.log2("share")) + 1e-9, 6).alias("source_lang_entropy"))
+    )
+    return (
+        with_share.join(ent, "source")
+        .select(
+            "source",
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(F.col("share") + 1e-9, 6).alias("lang_share"),
+            "source_lang_entropy",
+        )
+    )
+
+
+SOURCE_LANGUAGE_PROFILE_SQL = r"""
+WITH by_sl AS (
+  SELECT source, lang, count(*) AS n_docs FROM documents GROUP BY 1, 2
+),
+with_share AS (
+  SELECT source, lang, n_docs,
+         n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY source) AS share
+  FROM by_sl
+),
+ent AS (
+  SELECT source, round(-sum(share * log2(share)) + 1e-9, 6) AS source_lang_entropy
+  FROM with_share GROUP BY source
+)
+SELECT w.source, w.lang, CAST(w.n_docs AS BIGINT) AS n_docs,
+       round(w.share + 1e-9, 6) AS lang_share,
+       e.source_lang_entropy
+FROM with_share w JOIN ent e ON w.source = e.source
+"""
+
+
 QUERIES = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
+    "vocab_coverage_curve": (vocab_coverage_curve, VOCAB_COVERAGE_CURVE_SQL),
+    "source_language_profile": (source_language_profile, SOURCE_LANGUAGE_PROFILE_SQL),
     "ngram_topk": (ngram_topk, NGRAM_TOPK_SQL),
     "doc_tfidf_topk": (doc_tfidf_topk, DOC_TFIDF_SQL),
     "corpus_prep_pipeline": (corpus_prep_pipeline, CORPUS_PREP_SQL),

@@ -211,6 +211,9 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "embedding_pca_project",
         "part_kcore",
         "dedup_substring_spans",
+        "ann_range_search",
+        "vocab_coverage_curve",
+        "source_language_profile",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

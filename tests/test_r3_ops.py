@@ -368,3 +368,62 @@ class TestSubstringSpans:
         for d in (ida, idb):
             # stride sampling covers all but the < L+stride tail
             assert got[d]["dup_fraction"] > 0.5
+
+
+class TestRangeSearch:
+    def test_subset_of_bruteforce_above_tau(self, spark, sf_dir):
+        from datatransformertools_spark.operators.similarity import (
+            RANGE_TAU,
+            ann_bruteforce_topk,
+            ann_range_search,
+        )
+
+        got = ann_range_search(spark, sf_dir).collect()
+        assert got  # radius chosen so the testdata yields hits
+        for r in got:
+            assert r["cos_sim"] >= RANGE_TAU
+        # every returned pair must agree with the exact top-k list
+        # where the two overlap (same query, neighbor ranked)
+        bf = {
+            (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+            for r in ann_bruteforce_topk(spark, sf_dir).collect()
+        }
+        for r in got:
+            key = (r["query_id"], r["neighbor_id"])
+            if key in bf:
+                assert abs(bf[key] - r["cos_sim"]) < 1e-9
+
+
+class TestVocabCoverage:
+    def test_monotone_and_bounded(self, spark, sf_dir):
+        from datatransformertools_spark.operators.text_analysis import (
+            COVERAGE_KS,
+            vocab_coverage_curve,
+        )
+
+        rows = {r["k"]: r for r in vocab_coverage_curve(spark, sf_dir).collect()}
+        assert set(rows) == set(COVERAGE_KS)
+        prev = 0.0
+        for k in sorted(rows):
+            r = rows[k]
+            assert 0.0 < r["coverage"] <= 1.0 + 1e-9
+            assert r["coverage"] >= prev  # larger vocab covers more
+            assert r["covered_tokens"] <= r["total_tokens"]
+            prev = r["coverage"]
+
+
+class TestSourceLanguageProfile:
+    def test_shares_sum_to_one_per_source(self, spark, sf_dir):
+        from datatransformertools_spark.operators.text_analysis import (
+            source_language_profile,
+        )
+
+        rows = source_language_profile(spark, sf_dir).collect()
+        by_src = {}
+        for r in rows:
+            by_src.setdefault(r["source"], []).append(r)
+        for src, rs in by_src.items():
+            assert abs(sum(x["lang_share"] for x in rs) - 1.0) < 1e-3
+            ent = rs[0]["source_lang_entropy"]
+            assert all(x["source_lang_entropy"] == ent for x in rs)
+            assert 0.0 <= ent <= 8.0  # ≤ log2(langs) for any sane corpus
