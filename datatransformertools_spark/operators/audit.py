@@ -308,8 +308,75 @@ SCHEMA_CONTRACT_SQL = "\nUNION ALL\n".join(
 )
 
 
+# ---------------------------------------------------------------------------
+# partition_layout_audit — date-partition sizing for the lakehouse
+# ---------------------------------------------------------------------------
+
+TARGET_FILE_MB = 128
+# serialized-width estimate per events row: 8B id + 8B ts + 8B user
+# + 8B value + the two variable-width string columns
+_ROW_FIXED_BYTES = 32
+
+
+def partition_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-layout audit for writing `events` partitioned by
+    event date: per partition, the row count, an estimated
+    serialized byte size (fixed numeric widths + actual string
+    lengths), the file count needed to hit the TARGET_FILE_MB
+    small-files sweet spot, and the partition's size relative to
+    the average — the skew number that decides whether a date
+    partitioning survives (a 20× hot day means date alone is the
+    wrong key and needs an hour or bucket subsplit). The whole
+    audit is one map-side-combined groupBy on the partition key;
+    output is |days| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    per_day = (
+        ev.groupBy(F.to_date("ts").alias("event_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.lit(_ROW_FIXED_BYTES)
+                + F.length("event_type")
+                + F.length("props")
+            ).cast("long").alias("est_bytes"),
+        )
+    )
+    avg_rows = per_day.agg(F.avg("n_rows").alias("avg_rows"))
+    return (
+        per_day.crossJoin(F.broadcast(avg_rows))
+        .select(
+            "event_date",
+            "n_rows",
+            "est_bytes",
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("est_bytes") / (TARGET_FILE_MB * 1024 * 1024)),
+            ).cast("long").alias("files_recommended"),
+            F.round(F.col("n_rows") / F.col("avg_rows") + 1e-9, 4).alias("vs_avg"),
+        )
+    )
+
+
+PARTITION_LAYOUT_AUDIT_SQL = f"""
+WITH per_day AS (
+  SELECT CAST(ts AS DATE) AS event_date,
+         count(*) AS n_rows,
+         CAST(sum({_ROW_FIXED_BYTES} + length(event_type) + length(props)) AS BIGINT)
+           AS est_bytes
+  FROM events GROUP BY 1
+),
+a AS (SELECT avg(n_rows) AS avg_rows FROM per_day)
+SELECT p.event_date, CAST(p.n_rows AS BIGINT) AS n_rows, p.est_bytes,
+       greatest(1, CAST(ceil(p.est_bytes / ({TARGET_FILE_MB} * 1024.0 * 1024.0)) AS BIGINT))
+         AS files_recommended,
+       round(p.n_rows / a.avg_rows + 1e-9, 4) AS vs_avg
+FROM per_day p CROSS JOIN a
+"""
+
+
 QUERIES = {
     "key_skew_profile": (key_skew_profile, KEY_SKEW_PROFILE_SQL),
+    "partition_layout_audit": (partition_layout_audit, PARTITION_LAYOUT_AUDIT_SQL),
     "referential_integrity_audit": (referential_integrity_audit, REFERENTIAL_INTEGRITY_SQL),
     "deletion_cascade_audit": (deletion_cascade_audit, DELETION_CASCADE_SQL),
     "schema_contract_check": (schema_contract_check, SCHEMA_CONTRACT_SQL),

@@ -2126,8 +2126,48 @@ WHERE event_type = 'purchase'
 """
 
 
+# ---------------------------------------------------------------------------
+# events_trailing_1h — time-RANGE-frame trailing window per user
+# ---------------------------------------------------------------------------
+
+
+def events_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-one-hour activity at every event: count and
+    value sum over RANGE BETWEEN 3600s PRECEDING AND CURRENT ROW in
+    event time — the rate-limiter / velocity-check frame. A RANGE
+    frame (not ROWS): simultaneous events all see the same window
+    regardless of tie order, so the result is deterministic without
+    any tiebreak column, and the frame state is bounded by an hour
+    of one user's events, not their history. One shuffle on
+    user_id; Spark orders by unix seconds with rangeBetween, the
+    oracle uses the native INTERVAL RANGE frame — same semantics."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_events_1h"),
+        F.round(F.sum("value").over(w) + 1e-9, 4).alias("value_sum_1h"),
+    )
+
+
+EVENTS_TRAILING_1H_SQL = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_events_1h,
+       round(sum(value) OVER w + 1e-9, 4) AS value_sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "events_tumbling_agg": (events_tumbling_agg, EVENTS_TUMBLING_AGG_SQL),
+    "events_trailing_1h": (events_trailing_1h, EVENTS_TRAILING_1H_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
     "events_asof_join": (events_asof_join, EVENTS_ASOF_JOIN_SQL),
     "events_json_extract": (events_json_extract, EVENTS_JSON_EXTRACT_SQL),

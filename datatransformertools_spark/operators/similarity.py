@@ -1501,9 +1501,95 @@ SELECT query_id, neighbor_id, cos_sim FROM scored WHERE cos_sim >= {RANGE_TAU}
 ANN_RANGE_SQL = _range_sql()
 
 
+# ---------------------------------------------------------------------------
+# embedding_drift — reference-vs-candidate centroid drift per label
+# ---------------------------------------------------------------------------
+
+DRIFT_COSINE_MIN = 0.995
+
+
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift audit between a reference slice (even
+    vec_ids — the stand-in for "last snapshot") and a candidate
+    slice (odd vec_ids — "new batch"): per label, both slice
+    centroids, their cosine, the centroid-norm ratio, and a drift
+    flag when cosine falls under DRIFT_COSINE_MIN. This is the
+    check run before swapping an embedding model or ingesting a new
+    crawl — a label whose centroid rotated is a semantics change
+    the downstream ANN index will silently mis-serve.
+
+    Scale design: everything reduces map-side to (label, half, dim)
+    partial sums — |labels|·2·DIM rows leave the scan regardless of
+    corpus size; centroids are 6-dp quantized before the cosine so
+    cross-engine float-sum order can't flip the flag."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", (F.col("vec_id") % 2).alias("half"), as_double(F.col("embedding")).alias("v")
+    )
+    dims = emb.select(
+        "label", "half", F.posexplode("v").alias("dim", "val")
+    )
+    cent = dims.groupBy("label", "half", "dim").agg(
+        F.round(F.avg("val") + 1e-9, 6).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ref = cent.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("c").alias("ca"), F.col("n").alias("n_ref")
+    )
+    cand = cent.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("c").alias("cb"), F.col("n").alias("n_cand")
+    )
+    joined = ref.join(cand, ["label", "dim"])
+    agg = joined.groupBy("label").agg(
+        F.first("n_ref").alias("n_ref"),
+        F.first("n_cand").alias("n_cand"),
+        F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+        F.sqrt(F.sum(F.col("ca") * F.col("ca"))).alias("na"),
+        F.sqrt(F.sum(F.col("cb") * F.col("cb"))).alias("nb"),
+    )
+    cos = F.round(F.col("dot") / (F.col("na") * F.col("nb")) + 1e-9, 6)
+    return agg.select(
+        "label",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cand").cast("long").alias("n_cand"),
+        cos.alias("centroid_cosine"),
+        F.round(F.col("nb") / F.col("na") + 1e-9, 6).alias("centroid_norm_ratio"),
+        (cos < DRIFT_COSINE_MIN).alias("drifted"),
+    )
+
+
+EMBEDDING_DRIFT_SQL = f"""
+WITH e AS (SELECT label, vec_id % 2 AS half, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (
+  SELECT label, half, i - 1 AS dim, v[i] AS val
+  FROM e CROSS JOIN range(1, {DIM} + 1) t(i)
+),
+cent AS (
+  SELECT label, half, dim, round(avg(val) + 1e-9, 6) AS c, count(*) AS n
+  FROM dims GROUP BY 1, 2, 3
+),
+joined AS (
+  SELECT a.label, a.c AS ca, b.c AS cb, a.n AS n_ref, b.n AS n_cand
+  FROM cent a JOIN cent b ON a.label = b.label AND a.dim = b.dim
+  WHERE a.half = 0 AND b.half = 1
+),
+agg AS (
+  SELECT label, min(n_ref) AS n_ref, min(n_cand) AS n_cand,
+         sum(ca * cb) AS dot,
+         sqrt(sum(ca * ca)) AS na, sqrt(sum(cb * cb)) AS nb
+  FROM joined GROUP BY label
+)
+SELECT label, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cand AS BIGINT) AS n_cand,
+       round(dot / (na * nb) + 1e-9, 6) AS centroid_cosine,
+       round(nb / na + 1e-9, 6) AS centroid_norm_ratio,
+       round(dot / (na * nb) + 1e-9, 6) < {DRIFT_COSINE_MIN} AS drifted
+FROM agg
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     "ann_range_search": (ann_range_search, ANN_RANGE_SQL),
+    "embedding_drift": (embedding_drift, EMBEDDING_DRIFT_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "ann_pq_topk": (ann_pq_topk, ANN_PQ_SQL),

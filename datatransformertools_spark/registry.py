@@ -214,6 +214,9 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "ann_range_search",
         "vocab_coverage_curve",
         "source_language_profile",
+        "partition_layout_audit",
+        "events_trailing_1h",
+        "embedding_drift",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

@@ -8,6 +8,8 @@ import math
 
 from pyspark.sql import functions as F
 
+from datatransformertools_spark.sources.tables import load_table
+
 
 class TestParagraphDedup:
     def test_boilerplate_paragraphs_drop(self, spark, sf_dir):
@@ -427,3 +429,60 @@ class TestSourceLanguageProfile:
             ent = rs[0]["source_lang_entropy"]
             assert all(x["source_lang_entropy"] == ent for x in rs)
             assert 0.0 <= ent <= 8.0  # ≤ log2(langs) for any sane corpus
+
+
+class TestPartitionLayoutAudit:
+    def test_totals_and_file_floor(self, spark, sf_dir):
+        import duckdb
+
+        from datatransformertools_spark.operators.audit import partition_layout_audit
+
+        out = partition_layout_audit(spark, sf_dir).collect()
+        total = duckdb.sql(f"SELECT count(*) FROM '{sf_dir}/events.parquet'").fetchone()[0]
+        assert sum(r["n_rows"] for r in out) == total
+        for r in out:
+            assert r["files_recommended"] >= 1
+            assert r["est_bytes"] > r["n_rows"] * 32  # strings add width
+        mean_ratio = sum(r["vs_avg"] for r in out) / len(out)
+        assert abs(mean_ratio - 1.0) < 0.01
+
+
+class TestTrailing1h:
+    def test_range_frame_matches_manual_recount(self, spark, sf_dir):
+        from datatransformertools_spark.operators.events import events_trailing_1h
+
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "user_id", "ts", "value")
+            .collect()
+        )
+        by_user = {}
+        for r in ev:
+            by_user.setdefault(r["user_id"], []).append(r)
+        got = {r["event_id"]: r for r in events_trailing_1h(spark, sf_dir).collect()}
+        import random
+
+        rnd = random.Random(7)
+        sample = rnd.sample(ev, min(50, len(ev)))
+        for r in sample:
+            peers = [
+                x
+                for x in by_user[r["user_id"]]
+                if 0 <= (r["ts"] - x["ts"]).total_seconds() <= 3600
+            ]
+            g = got[r["event_id"]]
+            assert g["n_events_1h"] == len(peers)
+            assert abs(g["value_sum_1h"] - round(sum(x["value"] for x in peers) + 1e-9, 4)) < 1e-6
+
+
+class TestEmbeddingDrift:
+    def test_self_comparison_sanity(self, spark, sf_dir):
+        from datatransformertools_spark.operators.similarity import embedding_drift
+
+        rows = embedding_drift(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert -1.0 <= r["centroid_cosine"] <= 1.0 + 1e-9
+            assert r["centroid_norm_ratio"] > 0
+            assert r["n_ref"] > 0 and r["n_cand"] > 0
+            assert r["drifted"] == (r["centroid_cosine"] < 0.995)
