@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from datatransformertools_spark.sources.tables import load_table
 
@@ -432,8 +433,134 @@ def _kcore_sql() -> str:
 PART_KCORE_SQL = _kcore_sql()
 
 
+# ---------------------------------------------------------------------------
+# part_similar_parts — item-item neighbor-Jaccard similarity
+# ---------------------------------------------------------------------------
+
+SIM_TOP_K = 3
+SIM_MAX_DEG = 200
+
+
+def part_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative similarity ("bought X also bought
+    Y"): for each part, its SIM_TOP_K most similar parts by Jaccard
+    of co-purchase neighborhoods. Candidates come from wedge
+    enumeration — two parts are compared only if they share a
+    neighbor — so there is never an all-pairs stage; the wedge
+    center is degree-capped at SIM_MAX_DEG (same contract as the
+    shingle DF cap in dedup: a hub shared by d parts fans out d²
+    wedges and carries no similarity signal), with the cap mirrored
+    in the oracle. Degrees come from one aggregate over the
+    support-pruned market-basket edges; the per-part top-k is a
+    bounded window over candidate pairs."""
+    from datatransformertools_spark.operators.relational import orders_market_basket
+
+    und = orders_market_basket(spark, sf_dir).select("part_a", "part_b")
+    sym = und.unionByName(
+        und.select(F.col("part_b").alias("part_a"), F.col("part_a").alias("part_b"))
+    ).persist()
+    deg = sym.groupBy("part_a").agg(F.count(F.lit(1)).alias("deg"))
+    centers = deg.filter(F.col("deg") <= SIM_MAX_DEG).select(
+        F.col("part_a").alias("w")
+    )
+    e1 = sym.select(F.col("part_a").alias("w"), F.col("part_b").alias("pa"))
+    e2 = sym.select(F.col("part_a").alias("w"), F.col("part_b").alias("pb"))
+    common = (
+        e1.join(e2, "w")
+        .filter(F.col("pa") < F.col("pb"))
+        .join(centers, "w", "left_semi")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    da = deg.select(F.col("part_a").alias("pa"), F.col("deg").alias("da"))
+    db = deg.select(F.col("part_a").alias("pb"), F.col("deg").alias("db"))
+    scored = (
+        common.join(da, "pa")
+        .join(db, "pb")
+        .select(
+            "pa",
+            "pb",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("da") + F.col("db") - F.col("n_common"))
+                + 1e-9,
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    both = scored.unionByName(
+        scored.select(
+            F.col("pb").alias("pa"), F.col("pa").alias("pb"), "n_common", "jaccard"
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("pa").orderBy(F.col("jaccard").desc(), F.col("pb"))
+    )
+    out = (
+        both.withColumn("rank", rn)
+        .filter(F.col("rank") <= SIM_TOP_K)
+        .select(
+            F.col("pa").alias("part"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("pb").alias("similar_part"),
+            F.col("n_common").cast("long").alias("n_common"),
+            "jaccard",
+        )
+        .localCheckpoint()
+    )
+    sym.unpersist()
+    return out
+
+
+def _similar_parts_sql() -> str:
+    from datatransformertools_spark.operators.relational import ORDERS_MARKET_BASKET_SQL
+
+    return f"""
+WITH und AS (SELECT part_a, part_b FROM ({ORDERS_MARKET_BASKET_SQL})),
+sym AS (
+  SELECT part_a, part_b FROM und
+  UNION ALL
+  SELECT part_b AS part_a, part_a AS part_b FROM und
+),
+deg AS (SELECT part_a, count(*) AS deg FROM sym GROUP BY 1),
+centers AS (SELECT part_a AS w FROM deg WHERE deg <= {SIM_MAX_DEG}),
+common AS (
+  SELECT e1.part_b AS pa, e2.part_b AS pb, count(*) AS n_common
+  FROM sym e1
+  JOIN sym e2 ON e1.part_a = e2.part_a AND e1.part_b < e2.part_b
+  JOIN centers c ON c.w = e1.part_a
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT pa, pb, n_common,
+         round(n_common * 1.0 / (a.deg + b.deg - n_common) + 1e-9, 6) AS jaccard
+  FROM common
+  JOIN deg a ON a.part_a = common.pa
+  JOIN deg b ON b.part_a = common.pb
+),
+bothdir AS (
+  SELECT pa, pb, n_common, jaccard FROM scored
+  UNION ALL
+  SELECT pb AS pa, pa AS pb, n_common, jaccard FROM scored
+),
+ranked AS (
+  SELECT pa, pb, n_common, jaccard,
+         row_number() OVER (PARTITION BY pa ORDER BY jaccard DESC, pb) AS rank
+  FROM bothdir
+)
+SELECT pa AS part, CAST(rank AS INT) AS rank, pb AS similar_part,
+       CAST(n_common AS BIGINT) AS n_common, jaccard
+FROM ranked WHERE rank <= {SIM_TOP_K}
+"""
+
+
+PART_SIMILAR_PARTS_SQL = _similar_parts_sql()
+
+
 QUERIES = {
     "part_pagerank": (part_pagerank, PART_PAGERANK_SQL),
+    "part_similar_parts": (part_similar_parts, PART_SIMILAR_PARTS_SQL),
     "part_triangles": (part_triangles, PART_TRIANGLES_SQL),
     "part_label_propagation": (part_label_propagation, PART_LABEL_PROPAGATION_SQL),
     "part_kcore": (part_kcore, PART_KCORE_SQL),

@@ -217,6 +217,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "partition_layout_audit",
         "events_trailing_1h",
         "embedding_drift",
+        "part_similar_parts",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

@@ -486,3 +486,27 @@ class TestEmbeddingDrift:
             assert r["centroid_norm_ratio"] > 0
             assert r["n_ref"] > 0 and r["n_cand"] > 0
             assert r["drifted"] == (r["centroid_cosine"] < 0.995)
+
+
+class TestSimilarParts:
+    def test_topk_and_jaccard_bounds(self, spark, sf_dir):
+        from datatransformertools_spark.operators.graph import (
+            SIM_TOP_K,
+            part_similar_parts,
+        )
+
+        rows = part_similar_parts(spark, sf_dir).collect()
+        assert rows
+        per_part = {}
+        for r in rows:
+            assert 0.0 < r["jaccard"] <= 1.0 + 1e-9
+            assert r["n_common"] >= 1
+            assert r["part"] != r["similar_part"]
+            per_part.setdefault(r["part"], []).append(r)
+        for p, rs in per_part.items():
+            ranks = sorted(x["rank"] for x in rs)
+            assert ranks == list(range(1, len(rs) + 1))
+            assert len(rs) <= SIM_TOP_K
+            ordered = sorted(rs, key=lambda x: x["rank"])
+            for a, b in zip(ordered, ordered[1:]):
+                assert a["jaccard"] >= b["jaccard"]
