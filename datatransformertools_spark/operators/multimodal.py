@@ -618,8 +618,52 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# video_frame_sample — strided frame extraction under the gate
+# ---------------------------------------------------------------------------
+
+FRAME_EVERY_N = 2
+
+
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided video-frame sampling end to end under the value gate:
+    the media lake's video rows (media_frame kind assignment) fan
+    out through the Arrow-batched ``sample_frames`` kernel — one row
+    per kept frame — then reduce to gate-friendly values
+    (frame byte length + md5). The kernel's 64-byte-chunk "frame" is
+    the documented stub for ffmpeg keyframe extraction; the
+    row-explosion plumbing (schema, batching, stride arithmetic,
+    per-frame payload slicing) is exactly what a real decoder rides
+    and is what the oracle certifies byte-for-byte."""
+    vids = media_frame(spark, sf_dir).filter(F.col("media_kind") == "video").select(
+        "doc_id", "payload"
+    )
+    frames = sample_frames(vids, every_n=FRAME_EVERY_N)
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.octet_length("frame").cast("long").alias("n_bytes"),
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
+VIDEO_FRAME_SAMPLE_SQL = f"""
+WITH v AS (
+  SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id % 3 = 2
+),
+frames AS (
+  SELECT doc_id, CAST(i AS INT) AS frame_idx,
+         substr(text, CAST(i AS INT) * 64 + 1, 64) AS fr
+  FROM v, unnest(range(0, greatest(n // 64, 1), {FRAME_EVERY_N})) t(i)
+)
+SELECT doc_id, frame_idx, CAST(length(fr) AS BIGINT) AS n_bytes, md5(fr) AS frame_md5
+FROM frames
+"""
+
+
 QUERIES = {
     "multimodal_manifest": (multimodal_manifest, MULTIMODAL_MANIFEST_SQL),
+    "video_frame_sample": (video_frame_sample, VIDEO_FRAME_SAMPLE_SQL),
     "batch_inference": (batch_inference, BATCH_INFERENCE_SQL),
     "pdf_to_pages": (pdf_to_pages, PDF_TO_PAGES_SQL),
     "image_tiles": (image_tiles, IMAGE_TILES_SQL),

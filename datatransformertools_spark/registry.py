@@ -218,6 +218,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "events_trailing_1h",
         "embedding_drift",
         "part_similar_parts",
+        "video_frame_sample",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

@@ -510,3 +510,24 @@ class TestSimilarParts:
             ordered = sorted(rs, key=lambda x: x["rank"])
             for a, b in zip(ordered, ordered[1:]):
                 assert a["jaccard"] >= b["jaccard"]
+
+
+class TestVideoFrameSample:
+    def test_stride_and_slicing(self, spark, sf_dir):
+        from datatransformertools_spark.operators.multimodal import (
+            FRAME_EVERY_N,
+            video_frame_sample,
+        )
+
+        rows = video_frame_sample(spark, sf_dir).collect()
+        assert rows
+        by_doc = {}
+        for r in rows:
+            assert r["doc_id"] % 3 == 2  # only video docs fan out
+            assert r["frame_idx"] % FRAME_EVERY_N == 0
+            assert 0 < r["n_bytes"] <= 64
+            by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+        for idxs in by_doc.values():
+            idxs = sorted(idxs)
+            # frames are the full stride sequence 0, N, 2N, ...
+            assert idxs == list(range(0, idxs[-1] + 1, FRAME_EVERY_N))
