@@ -219,6 +219,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "embedding_drift",
         "part_similar_parts",
         "video_frame_sample",
+        "events_stream_anomaly",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

@@ -875,8 +875,128 @@ FROM framed
 """
 
 
+# ---------------------------------------------------------------------------
+# events_stream_anomaly — O(1)-state running z-score detector
+# ---------------------------------------------------------------------------
+
+ANOMALY_MIN_PRIOR = 10
+ANOMALY_Z_TAU = 3.0
+ANOMALY_OUT_SCHEMA = "event_id long, user_id long, z double, is_anomaly boolean"
+ANOMALY_STATE_SCHEMA = "n long, s double, ss double"
+
+
+def stream_anomaly(events: DataFrame) -> DataFrame:
+    """Streaming per-user anomaly flags via applyInPandasWithState:
+    each event is z-scored against the PRIOR events' running mean /
+    population-σ (prior-only, so the score is a true online
+    prediction, never contaminated by the point it judges). State
+    per key is three scalars (count, Σv, Σv²) — unlike the EWMA
+    tail buffer this is O(1) regardless of history, the smallest
+    possible state-store footprint. Events with fewer than
+    ANOMALY_MIN_PRIOR priors (or σ≈0) emit NULL z / false flag."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import math as _math
+
+        import pandas as pd
+
+        min_prior, z_tau = ANOMALY_MIN_PRIOR, ANOMALY_Z_TAU
+        if state.exists:
+            n, s, ss = state.get
+            n, s, ss = int(n), float(s), float(ss)
+        else:
+            n, s, ss = 0, 0.0, 0.0
+        chunks = [pdf[["ts_us", "event_id", "value"]] for pdf in pdfs if len(pdf)]
+        if not chunks:
+            yield pd.DataFrame({"event_id": [], "user_id": [], "z": [], "is_anomaly": []})
+            return
+        batch = pd.concat(chunks).sort_values(["ts_us", "event_id"])
+        out = {"event_id": [], "user_id": [], "z": [], "is_anomaly": []}
+        for _ts, eid, val in batch.itertuples(index=False):
+            v = float(val)
+            z = None
+            anom = False
+            if n >= min_prior:
+                mu = s / n
+                var = max(ss / n - mu * mu, 0.0)
+                sd = _math.sqrt(var)
+                if sd > 1e-9:
+                    z = round((v - mu) / sd + 1e-9, 4)
+                    anom = abs(z) > z_tau
+            out["event_id"].append(int(eid))
+            out["user_id"].append(key[0])
+            out["z"].append(z)
+            out["is_anomaly"].append(anom)
+            n += 1
+            s += v
+            ss += v * v
+        state.update((n, s, ss))
+        yield pd.DataFrame(out)
+
+    return (
+        events.select("user_id", "event_id", "ts_us", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=ANOMALY_OUT_SCHEMA,
+            stateStructType=ANOMALY_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def events_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful streaming z-score detector drained with
+    availableNow and value-checked against the batch prefix-window
+    SQL — stream/batch parity for an O(1)-state online scorer."""
+    import os
+    import tempfile
+    import uuid
+
+    src_dir = tempfile.mkdtemp(prefix="dtt-stream-anom-src-")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events.parquet")
+    raw = _read_raw(spark, src_dir)
+    stream = stream_anomaly(raw.withColumn("ts_us", events_ts_us(raw)))
+    name = f"stream_anomaly_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="dtt-stream-ckpt-"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.table(name).select("event_id", "user_id", "z", "is_anomaly")
+
+
+EVENTS_STREAM_ANOMALY_SQL = f"""
+WITH framed AS (
+  SELECT event_id, user_id, value,
+         count(*) OVER w AS n,
+         avg(value) OVER w AS mu,
+         coalesce(stddev_pop(value) OVER w, 0.0) AS sd
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id,
+       CASE WHEN n >= {ANOMALY_MIN_PRIOR} AND sd > 1e-9
+            THEN round((value - mu) / sd + 1e-9, 4) END AS z,
+       coalesce(
+         CASE WHEN n >= {ANOMALY_MIN_PRIOR} AND sd > 1e-9
+              THEN abs(round((value - mu) / sd + 1e-9, 4)) > {ANOMALY_Z_TAU} END,
+         FALSE) AS is_anomaly
+FROM framed
+"""
+
+
 QUERIES = {
     "events_stream_tumbling": (events_stream_tumbling, EVENTS_STREAM_TUMBLING_SQL),
+    "events_stream_anomaly": (events_stream_anomaly, EVENTS_STREAM_ANOMALY_SQL),
     "events_stream_sessionize": (events_stream_sessionize, EVENTS_STREAM_SESSIONIZE_SQL),
     "events_stream_dedup": (events_stream_dedup, EVENTS_STREAM_DEDUP_SQL),
     "events_stream_hopping": (events_stream_hopping, _hopping_oracle()),

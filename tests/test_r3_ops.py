@@ -531,3 +531,32 @@ class TestVideoFrameSample:
             idxs = sorted(idxs)
             # frames are the full stride sequence 0, N, 2N, ...
             assert idxs == list(range(0, idxs[-1] + 1, FRAME_EVERY_N))
+
+
+class TestStreamAnomaly:
+    def test_prior_only_scoring(self, spark, sf_dir):
+        from datatransformertools_spark.operators import events as batch_events
+        from datatransformertools_spark.streaming.events import (
+            ANOMALY_MIN_PRIOR,
+            ANOMALY_Z_TAU,
+            events_stream_anomaly,
+        )
+
+        rows = events_stream_anomaly(spark, sf_dir).collect()
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "user_id", "ts")
+            .collect()
+        )
+        order = {}
+        by_user = {}
+        for r in sorted(ev, key=lambda x: (x["ts"], x["event_id"])):
+            k = by_user.get(r["user_id"], 0)
+            order[r["event_id"]] = k
+            by_user[r["user_id"]] = k + 1
+        for r in rows:
+            if order[r["event_id"]] < ANOMALY_MIN_PRIOR:
+                assert r["z"] is None and r["is_anomaly"] is False
+            if r["z"] is not None:
+                assert r["is_anomaly"] == (abs(r["z"]) > ANOMALY_Z_TAU)
+        assert any(r["z"] is not None for r in rows)
