@@ -374,9 +374,134 @@ FROM per_day p CROSS JOIN a
 """
 
 
+# ---------------------------------------------------------------------------
+# bloom_join_prune — Bloom-filter pre-join pruning with measured FP rate
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 16  # bits
+BLOOM_K = 4  # hash functions
+
+
+def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning, the runtime-filter technique a
+    100 TB join leans on when the dim-side predicate is selective:
+    build a BLOOM_M-bit / BLOOM_K-hash filter over urgent orders'
+    keys, ship it to the fact scan as ONE broadcast array row, and
+    pre-filter lineitem order keys map-side (all K md5-derived bit
+    positions must be set) BEFORE any shuffle would happen. The
+    audit emits the measured numbers a query planner wants: keys
+    passing the filter, exact matches, false positives, and the
+    realized FP rate — md5-derived positions make every number
+    value-exact in the DuckDB oracle.
+
+    Scale design: the filter is ≤ |set bits| ≤ 64Ki ints collected
+    into a single broadcast array (the only driver-adjacent data,
+    bounded by M, not by table size); the fact side is touched only
+    map-side (distinct keys → K position probes against the
+    broadcast array), and only aggregate counts leave."""
+    from datatransformertools_spark.functions.hashing import md5_long
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    dim_keys = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").cast("string").alias("k")
+    )
+    pos_cols = [
+        (md5_long(F.col("k"), salt=f"{i}:") % BLOOM_M).alias(f"p{i}")
+        for i in range(BLOOM_K)
+    ]
+    bits = (
+        dim_keys.select(F.explode(F.array(*[c for c in pos_cols])).alias("bit"))
+        .distinct()
+        .agg(F.collect_set("bit").alias("bits"))
+    )
+    fact_keys = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").cast("string").alias("k"))
+        .distinct()
+    )
+    probed = fact_keys.select("k", *pos_cols).crossJoin(F.broadcast(bits))
+    passed = probed.withColumn(
+        "pass",
+        F.array_contains("bits", F.col("p0"))
+        & F.array_contains("bits", F.col("p1"))
+        & F.array_contains("bits", F.col("p2"))
+        & F.array_contains("bits", F.col("p3")),
+    )
+    truth = fact_keys.join(F.broadcast(dim_keys), "k", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_true_match")
+    )
+    stats = passed.agg(
+        F.count(F.lit(1)).alias("n_fact_keys"),
+        F.sum(F.col("pass").cast("long")).alias("n_pass"),
+    )
+    n_bits = bits.select(F.size("bits").alias("n_bits_set"))
+    n_dim = dim_keys.agg(F.count(F.lit(1)).alias("n_dim_keys"))
+    return (
+        stats.crossJoin(F.broadcast(truth))
+        .crossJoin(F.broadcast(n_bits))
+        .crossJoin(F.broadcast(n_dim))
+        .select(
+            F.lit(BLOOM_M).cast("int").alias("m_bits"),
+            F.lit(BLOOM_K).cast("int").alias("k_hashes"),
+            F.col("n_dim_keys").cast("long").alias("n_dim_keys"),
+            F.col("n_bits_set").cast("long").alias("n_bits_set"),
+            F.col("n_fact_keys").cast("long").alias("n_fact_keys"),
+            F.col("n_pass").cast("long").alias("n_pass"),
+            F.col("n_true_match").cast("long").alias("n_true_match"),
+            F.round(
+                (F.col("n_pass") - F.col("n_true_match"))
+                / F.greatest(F.col("n_fact_keys") - F.col("n_true_match"), F.lit(1))
+                + 1e-9,
+                6,
+            ).alias("fp_rate"),
+        )
+    )
+
+
+def _bloom_pos_sql(i: int) -> str:
+    return f"(('0x' || substr(md5('{i}:' || k), 1, 15))::BIGINT % {BLOOM_M})"
+
+
+BLOOM_JOIN_PRUNE_SQL = f"""
+WITH dim_keys AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+),
+bits AS (
+  SELECT DISTINCT bit FROM dim_keys,
+  unnest([{", ".join(_bloom_pos_sql(i) for i in range(BLOOM_K))}]) t(bit)
+),
+bitset AS (SELECT list(bit) AS bs FROM bits),
+fact_keys AS (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+probed AS (
+  SELECT k,
+         {" AND ".join(f"list_contains(bs, {_bloom_pos_sql(i)})" for i in range(BLOOM_K))}
+           AS pass
+  FROM fact_keys CROSS JOIN bitset
+),
+truth AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_true_match
+  FROM fact_keys f WHERE EXISTS (SELECT 1 FROM dim_keys d WHERE d.k = f.k)
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_fact_keys,
+         CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+  FROM probed
+)
+SELECT CAST({BLOOM_M} AS INT) AS m_bits, CAST({BLOOM_K} AS INT) AS k_hashes,
+       (SELECT CAST(count(*) AS BIGINT) FROM dim_keys) AS n_dim_keys,
+       (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
+       s.n_fact_keys, s.n_pass, t.n_true_match,
+       round((s.n_pass - t.n_true_match) * 1.0
+             / greatest(s.n_fact_keys - t.n_true_match, 1) + 1e-9, 6) AS fp_rate
+FROM stats s CROSS JOIN truth t
+"""
+
+
 QUERIES = {
     "key_skew_profile": (key_skew_profile, KEY_SKEW_PROFILE_SQL),
     "partition_layout_audit": (partition_layout_audit, PARTITION_LAYOUT_AUDIT_SQL),
+    "bloom_join_prune": (bloom_join_prune, BLOOM_JOIN_PRUNE_SQL),
     "referential_integrity_audit": (referential_integrity_audit, REFERENTIAL_INTEGRITY_SQL),
     "deletion_cascade_audit": (deletion_cascade_audit, DELETION_CASCADE_SQL),
     "schema_contract_check": (schema_contract_check, SCHEMA_CONTRACT_SQL),

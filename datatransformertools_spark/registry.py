@@ -220,6 +220,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "part_similar_parts",
         "video_frame_sample",
         "events_stream_anomaly",
+        "bloom_join_prune",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

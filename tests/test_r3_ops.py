@@ -560,3 +560,16 @@ class TestStreamAnomaly:
             if r["z"] is not None:
                 assert r["is_anomaly"] == (abs(r["z"]) > ANOMALY_Z_TAU)
         assert any(r["z"] is not None for r in rows)
+
+
+class TestBloomJoinPrune:
+    def test_no_false_negatives_and_low_fp(self, spark, sf_dir):
+        from datatransformertools_spark.operators.audit import bloom_join_prune
+
+        r = bloom_join_prune(spark, sf_dir).first()
+        # Bloom filters never miss a true member
+        assert r["n_pass"] >= r["n_true_match"]
+        assert r["n_true_match"] <= r["n_dim_keys"]
+        assert r["n_bits_set"] <= min(r["m_bits"], r["k_hashes"] * r["n_dim_keys"])
+        # at these fill factors the theoretical FP rate is well under 5%
+        assert 0.0 <= r["fp_rate"] < 0.05
