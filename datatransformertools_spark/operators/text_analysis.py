@@ -798,6 +798,85 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# doc_bigram_logprob — bigram LM quality scoring
+# ---------------------------------------------------------------------------
+
+
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality score from a corpus-trained BIGRAM language model:
+    each doc's mean log p(w₂|w₁), with p = count(w₁w₂)/count(w₁·)
+    by MLE — the Markov upgrade of `doc_unigram_logprob` that
+    actually penalizes scrambled or boilerplate-stitched text a
+    unigram model scores as fluent. Every scored bigram is in the
+    training corpus by construction, so MLE needs no smoothing.
+
+    Plan shape: bigrams come from the SAME map-side 2-gram
+    transform the shingle pipeline uses (no window, no self-join —
+    adjacency is resolved inside the row's token array); two
+    vocabulary-scale groupBys (bigram counts, left-context counts)
+    and the score join reuse the bigram-keyed exchange. Docs with
+    fewer than 2 tokens have no bigrams and are (documentedly) not
+    in the output."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # ALL bigram occurrences (multiplicity matters for an LM — the
+    # shingle builder's array_distinct would undercount): zip the
+    # token array with its own 1-shifted copy, map-side.
+    tok = tokens(normalize_text(F.col("text")))
+    shifted = F.slice(tok, 2, F.greatest(F.lit(0), F.size(tok) - 1))
+    bigrams = F.when(
+        F.size(tok) >= 2,
+        F.slice(
+            F.zip_with(tok, shifted, lambda x, y: F.concat_ws(" ", x, y)),
+            1,
+            F.greatest(F.lit(0), F.size(tok) - 1),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big = docs.select("doc_id", F.explode(bigrams).alias("bg"))
+    cb = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    cl = (
+        big.select(F.split(F.col("bg"), " ").getItem(0).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c_w1"))
+    )
+    scored = (
+        big.join(cb, "bg")
+        .withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+        .join(cl, "w1")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg(F.log(F.col("c_bg") / F.col("c_w1"))) + 1e-9, 6).alias(
+            "avg_logprob"
+        ),
+    )
+
+
+DOC_BIGRAM_LOGPROB_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                               i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM toks
+),
+cb AS (SELECT bg, count(*) AS c_bg FROM bg GROUP BY 1),
+cl AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c_w1 FROM bg GROUP BY 1)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln(cb.c_bg * 1.0 / cl.c_w1)) + 1e-9, 6) AS avg_logprob
+FROM bg b
+JOIN cb USING (bg)
+JOIN cl ON split_part(b.bg, ' ', 1) = cl.w1
+GROUP BY b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # vocab_topk — frequency-ranked tokenizer vocabulary induction
 # ---------------------------------------------------------------------------
 
@@ -1412,6 +1491,7 @@ QUERIES = {
     "doc_chunk_windows": (doc_chunk_windows, DOC_CHUNK_WINDOWS_SQL),
     "token_length_histogram": (token_length_histogram, TOKEN_LENGTH_HISTOGRAM_SQL),
     "doc_unigram_logprob": (doc_unigram_logprob, DOC_UNIGRAM_LOGPROB_SQL),
+    "doc_bigram_logprob": (doc_bigram_logprob, DOC_BIGRAM_LOGPROB_SQL),
     "vocab_topk": (vocab_topk, VOCAB_TOPK_SQL),
     "doc_bm25_topk": (doc_bm25_topk, DOC_BM25_SQL),
     "pmi_bigrams": (pmi_bigrams, PMI_BIGRAMS_SQL),

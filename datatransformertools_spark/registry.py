@@ -221,6 +221,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "video_frame_sample",
         "events_stream_anomaly",
         "bloom_join_prune",
+        "doc_bigram_logprob",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

@@ -573,3 +573,28 @@ class TestBloomJoinPrune:
         assert r["n_bits_set"] <= min(r["m_bits"], r["k_hashes"] * r["n_dim_keys"])
         # at these fill factors the theoretical FP rate is well under 5%
         assert 0.0 <= r["fp_rate"] < 0.05
+
+
+class TestBigramLogprob:
+    def test_bounds_and_bigram_count(self, spark, sf_dir):
+        from datatransformertools_spark.operators.text_analysis import (
+            doc_bigram_logprob,
+        )
+
+        rows = doc_bigram_logprob(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r["avg_logprob"] <= 1e-9  # log of probabilities
+            assert r["n_bigrams"] >= 1
+        # an n-token doc has n-1 bigrams: totals line up with stats
+        stats = {
+            r["doc_id"]: r["n_tokens"]
+            for r in load_table(spark, sf_dir, "documents")
+            .select(
+                "doc_id",
+                F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n_tokens"),
+            )
+            .collect()
+        }
+        for r in rows:
+            assert r["n_bigrams"] == stats[r["doc_id"]] - 1
