@@ -294,6 +294,46 @@ SECTIONS = [
         "to |status| rows.",
         False,
     ),
+    (
+        "dedup_substring_spans",
+        "Exact duplicated-span detection: windows hash map-side to "
+        "(md5, doc_id, pos) — text never reaches an exchange; the "
+        "hot-hash table comes from one map-side-combined count and "
+        "consumes as a LeftSemi join, so unique windows (the vast "
+        "majority) never reach the per-doc island window.",
+        False,
+    ),
+    (
+        "bloom_join_prune",
+        "Runtime-filter shape: the bit set collapses to ONE broadcast "
+        "array row; fact keys probe it entirely map-side (no fact-side "
+        "exchange before the filter decision), and only aggregate "
+        "counts leave the scan stage.",
+        True,
+    ),
+    (
+        "events_trailing_1h",
+        "Time-RANGE frame: one user_id exchange; the running frame is "
+        "bounded by an hour of events per user, not history, and needs "
+        "no tiebreak column because simultaneous rows share a window.",
+        False,
+    ),
+    (
+        "vocab_coverage_curve",
+        "One corpus-scale token-count exchange; the rank window and the "
+        "<=k joins run on the vocab-sized frame (BroadcastNestedLoop "
+        "against 4 checkpoint rows) — the single-partition sort is "
+        "bounded by |vocab|, documented and deliberate.",
+        False,
+    ),
+    (
+        "doc_bigram_logprob",
+        "Bigram LM: adjacency resolves inside each row's token array "
+        "(zip with the 1-shifted copy, map-side — no window, no "
+        "self-join); two vocabulary-scale aggregates and a score join "
+        "that reuses the bigram-keyed exchange.",
+        False,
+    ),
 ]
 
 # Iterative operators whose returned plan is a checkpoint scan (their
