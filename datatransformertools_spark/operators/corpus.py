@@ -844,8 +844,84 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# source_quality_calibration — per-source quality vs corpus baseline
+# ---------------------------------------------------------------------------
+
+
+def source_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality calibration against the corpus baseline:
+    mean quality score, keep-rate (score ≥ 0.5), and both expressed
+    as lifts over the corpus-wide numbers — the audit that tells a
+    data-mixing decision whether a source is genuinely better or
+    just bigger. Everything reduces map-side to |sources| rows plus
+    ONE broadcast corpus-aggregate row; no percentile/global-sort
+    machinery, so the same plan holds at any corpus size."""
+    from datatransformertools_spark.operators.text_analysis import quality_score_expr
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text", "n_chars")
+    scored = docs.select("source", quality_score_expr().alias("q"))
+    per_source = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg("q").alias("mean_q"),
+        F.avg((F.col("q") >= 0.5).cast("double")).alias("keep_rate"),
+    )
+    corpus = scored.agg(
+        F.avg("q").alias("corpus_mean_q"),
+        F.avg((F.col("q") >= 0.5).cast("double")).alias("corpus_keep_rate"),
+    )
+    return per_source.crossJoin(F.broadcast(corpus)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("mean_q") + 1e-9, 6).alias("mean_quality"),
+        F.round(F.col("keep_rate") + 1e-9, 6).alias("keep_rate"),
+        F.round(F.col("mean_q") - F.col("corpus_mean_q") + 1e-9, 6).alias(
+            "quality_lift"
+        ),
+        F.round(F.col("keep_rate") - F.col("corpus_keep_rate") + 1e-9, 6).alias(
+            "keep_lift"
+        ),
+    )
+
+
+SOURCE_QUALITY_CALIBRATION_SQL = r"""
+WITH base AS (
+  SELECT source, n_chars,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS t
+  FROM documents
+),
+scored AS (
+  SELECT source,
+         round(0.5 * (CASE WHEN len(t) > 0 THEN len(list_distinct(t))::DOUBLE / len(t) ELSE 0.0 END)
+               + 0.5 * least(n_chars / 400.0, 1.0) + 1e-9, 6) AS q
+  FROM base
+),
+per_source AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         avg(q) AS mean_q,
+         avg(CASE WHEN q >= 0.5 THEN 1.0 ELSE 0.0 END) AS keep_rate
+  FROM scored GROUP BY source
+),
+corpus AS (
+  SELECT avg(q) AS corpus_mean_q,
+         avg(CASE WHEN q >= 0.5 THEN 1.0 ELSE 0.0 END) AS corpus_keep_rate
+  FROM scored
+)
+SELECT source, n_docs,
+       round(mean_q + 1e-9, 6) AS mean_quality,
+       round(keep_rate + 1e-9, 6) AS keep_rate,
+       round(mean_q - corpus_mean_q + 1e-9, 6) AS quality_lift,
+       round(keep_rate - corpus_keep_rate + 1e-9, 6) AS keep_lift
+FROM per_source CROSS JOIN corpus
+"""
+
+
 QUERIES = {
     "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
+    "source_quality_calibration": (
+        source_quality_calibration,
+        SOURCE_QUALITY_CALIBRATION_SQL,
+    ),
     "contamination_check": (contamination_check, CONTAMINATION_CHECK_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "corpus_mix_summary": (corpus_mix_summary, CORPUS_MIX_SUMMARY_SQL),

@@ -2165,9 +2165,78 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+# ---------------------------------------------------------------------------
+# events_forecast_backtest — seasonal-naive hourly forecast + MAPE
+# ---------------------------------------------------------------------------
+
+FORECAST_MIN_PRIOR_DAYS = 7
+
+
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each (day, hour)'s
+    event count as the mean of the SAME hour over all prior days
+    (the hour-of-day seasonal profile — the baseline every fancier
+    traffic forecaster must beat), then score each day's MAPE and
+    mean signed bias over hours with ≥ FORECAST_MIN_PRIOR_DAYS of
+    history. This is the forecast-evaluation loop of a capacity
+    planner, run entirely declaratively.
+
+    Scale design: events collapse to the |days|·24 hourly frame in
+    one map-side-combined groupBy; every window and the final daily
+    aggregate run on that tiny frame — a year of 100 TB events is
+    still an 8760-row backtest after the first exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.to_date("ts").alias("day"), F.hour("ts").alias("hod")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("hod")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = hourly.select(
+        "day",
+        "hod",
+        "cnt",
+        F.count(F.lit(1)).over(w).alias("n_prior"),
+        F.avg("cnt").over(w).alias("fc"),
+    ).filter(F.col("n_prior") >= FORECAST_MIN_PRIOR_DAYS)
+    return scored.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.round(
+            F.avg(F.abs(F.col("cnt") - F.col("fc")) / F.col("cnt")) + 1e-9, 6
+        ).alias("mape"),
+        F.round(F.avg((F.col("fc") - F.col("cnt")) / F.col("cnt")) + 1e-9, 6).alias(
+            "bias"
+        ),
+    )
+
+
+EVENTS_FORECAST_BACKTEST_SQL = f"""
+WITH hourly AS (
+  SELECT CAST(ts AS DATE) AS day, extract(hour FROM ts) AS hod, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT day, cnt,
+         count(*) OVER w AS n_prior,
+         avg(cnt) OVER w AS fc
+  FROM hourly
+  WINDOW w AS (PARTITION BY hod ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT day, CAST(count(*) AS BIGINT) AS n_hours,
+       round(avg(abs(cnt - fc) / cnt) + 1e-9, 6) AS mape,
+       round(avg((fc - cnt) / cnt) + 1e-9, 6) AS bias
+FROM scored WHERE n_prior >= {FORECAST_MIN_PRIOR_DAYS}
+GROUP BY day
+"""
+
+
 QUERIES = {
     "events_tumbling_agg": (events_tumbling_agg, EVENTS_TUMBLING_AGG_SQL),
     "events_trailing_1h": (events_trailing_1h, EVENTS_TRAILING_1H_SQL),
+    "events_forecast_backtest": (events_forecast_backtest, EVENTS_FORECAST_BACKTEST_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
     "events_asof_join": (events_asof_join, EVENTS_ASOF_JOIN_SQL),
     "events_json_extract": (events_json_extract, EVENTS_JSON_EXTRACT_SQL),

@@ -1789,8 +1789,91 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# orders_priority_scd2 — build type-2 dimension intervals from history
+# ---------------------------------------------------------------------------
+
+
+def orders_priority_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 table from raw
+    history: per customer, collapse the order stream into
+    priority VERSION INTERVALS — a new version opens whenever the
+    ordered priority differs from the previous order's
+    (deterministic (o_orderdate, o_orderkey) order), valid_from =
+    the opening order's date, valid_to = the next version's
+    valid_from (NULL = current), plus the version's order count.
+    This is the MERGE-free declarative SCD2 build (the producer
+    side of `events_scd_join`): one customer-keyed shuffle, two
+    window passes (change detection via lag, interval close via
+    lead), no self-joins.
+
+    Scale: windows partition by customer — embarrassingly parallel;
+    output is |versions| ≤ |orders| rows and shrinks to the change
+    rate at real data."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changed = orders.withColumn(
+        "is_new",
+        F.when(
+            F.lag("o_orderpriority").over(w).isNull()
+            | (F.lag("o_orderpriority").over(w) != F.col("o_orderpriority")),
+            1,
+        ).otherwise(0),
+    ).withColumn("version", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    versions = changed.groupBy("o_custkey", "version").agg(
+        F.first("o_orderpriority").alias("priority"),
+        F.min("o_orderdate").alias("valid_from"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    wv = Window.partitionBy("o_custkey").orderBy("version")
+    return versions.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("version").cast("int").alias("version"),
+        "priority",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        F.lead("valid_from").over(wv).isNull().alias("is_current"),
+        "n_orders",
+    )
+
+
+ORDERS_PRIORITY_SCD2_SQL = """
+WITH seq AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+         CASE WHEN lag(o_orderpriority) OVER w IS NULL
+                OR lag(o_orderpriority) OVER w <> o_orderpriority
+              THEN 1 ELSE 0 END AS is_new
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+numbered AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS version
+  FROM seq
+),
+versions AS (
+  SELECT o_custkey, version,
+         min(o_orderpriority) AS priority,
+         min(o_orderdate) AS valid_from,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM numbered GROUP BY 1, 2
+)
+SELECT o_custkey AS custkey, CAST(version AS INT) AS version, priority, valid_from,
+       lead(valid_from) OVER wv AS valid_to,
+       lead(valid_from) OVER wv IS NULL AS is_current,
+       n_orders
+FROM versions
+WINDOW wv AS (PARTITION BY o_custkey ORDER BY version)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "orders_priority_scd2": (orders_priority_scd2, ORDERS_PRIORITY_SCD2_SQL),
     "orders_upsert_merge": (orders_upsert_merge, ORDERS_UPSERT_MERGE_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q3_top_unshipped": (q3_top_unshipped, Q3_SQL),

@@ -222,6 +222,9 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "events_stream_anomaly",
         "bloom_join_prune",
         "doc_bigram_logprob",
+        "events_forecast_backtest",
+        "source_quality_calibration",
+        "orders_priority_scd2",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

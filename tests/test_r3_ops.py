@@ -598,3 +598,63 @@ class TestBigramLogprob:
         }
         for r in rows:
             assert r["n_bigrams"] == stats[r["doc_id"]] - 1
+
+
+class TestForecastBacktest:
+    def test_scored_days_and_bounds(self, spark, sf_dir):
+        from datatransformertools_spark.operators.events import (
+            FORECAST_MIN_PRIOR_DAYS,
+            events_forecast_backtest,
+        )
+
+        rows = sorted(events_forecast_backtest(spark, sf_dir).collect(), key=lambda r: r["day"])
+        assert rows
+        # the first FORECAST_MIN_PRIOR_DAYS days can never be scored
+        import datetime
+
+        first_scored = rows[0]["day"]
+        assert first_scored >= datetime.date(2024, 1, 1 + FORECAST_MIN_PRIOR_DAYS)
+        for r in rows:
+            assert r["mape"] >= 0.0
+            assert abs(r["bias"]) <= r["mape"] + 1e-9
+            assert 1 <= r["n_hours"] <= 24
+
+
+class TestSourceQualityCalibration:
+    def test_lifts_center_on_zero(self, spark, sf_dir):
+        from datatransformertools_spark.operators.corpus import (
+            source_quality_calibration,
+        )
+
+        rows = source_quality_calibration(spark, sf_dir).collect()
+        assert rows
+        total = sum(r["n_docs"] for r in rows)
+        # doc-weighted mean lift over sources is zero by construction
+        wmean = sum(r["quality_lift"] * r["n_docs"] for r in rows) / total
+        assert abs(wmean) < 1e-4
+        for r in rows:
+            assert 0.0 <= r["mean_quality"] <= 1.0
+            assert 0.0 <= r["keep_rate"] <= 1.0
+
+
+class TestPrioritySCD2:
+    def test_intervals_tile_history(self, spark, sf_dir):
+        import duckdb
+
+        from datatransformertools_spark.operators.relational import orders_priority_scd2
+
+        out = orders_priority_scd2(spark, sf_dir).cache()
+        rows = out.collect()
+        n_orders = duckdb.sql(f"SELECT count(*) FROM '{sf_dir}/orders.parquet'").fetchone()[0]
+        assert sum(r["n_orders"] for r in rows) == n_orders
+        by_cust = {}
+        for r in rows:
+            by_cust.setdefault(r["custkey"], []).append(r)
+        for cust, vs in by_cust.items():
+            vs.sort(key=lambda r: r["version"])
+            assert [v["version"] for v in vs] == list(range(1, len(vs) + 1))
+            assert sum(v["is_current"] for v in vs) == 1 and vs[-1]["is_current"]
+            for a, b in zip(vs, vs[1:]):
+                assert a["valid_to"] == b["valid_from"]  # intervals tile
+                assert a["priority"] != b["priority"]  # versions only at changes
+        out.unpersist()
