@@ -2166,6 +2166,72 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 
 
 # ---------------------------------------------------------------------------
+# events_type_user_overlap — audience overlap matrix between event types
+# ---------------------------------------------------------------------------
+
+
+def events_type_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every event-type pair, the
+    exact distinct-user intersection, union, and Jaccard — the
+    "do clickers also purchase" audience-planning question. Events
+    collapse map-side to distinct (type, user) pairs first; the
+    self-join then keys on user_id, so per-key fan-out is bounded
+    by |types|² (25) regardless of event volume, and the output is
+    |types choose 2| rows. The exact small-dimension twin of the
+    sketch-based overlap a 10⁶-type system would use."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    tu = ev.distinct()
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            (F.col("n_a") + F.col("n_b") - F.col("n_both")).alias("n_union"),
+            F.round(
+                F.col("n_both")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+                + 1e-9,
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+EVENTS_TYPE_USER_OVERLAP_SQL = """
+WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM tu a JOIN tu b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+sizes AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM tu GROUP BY 1)
+SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_both,
+       sa.n + sb.n - i.n_both AS n_union,
+       round(i.n_both * 1.0 / (sa.n + sb.n - i.n_both) + 1e-9, 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.event_type = i.type_a
+JOIN sizes sb ON sb.event_type = i.type_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # events_forecast_backtest — seasonal-naive hourly forecast + MAPE
 # ---------------------------------------------------------------------------
 
@@ -2237,6 +2303,7 @@ QUERIES = {
     "events_tumbling_agg": (events_tumbling_agg, EVENTS_TUMBLING_AGG_SQL),
     "events_trailing_1h": (events_trailing_1h, EVENTS_TRAILING_1H_SQL),
     "events_forecast_backtest": (events_forecast_backtest, EVENTS_FORECAST_BACKTEST_SQL),
+    "events_type_user_overlap": (events_type_user_overlap, EVENTS_TYPE_USER_OVERLAP_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
     "events_asof_join": (events_asof_join, EVENTS_ASOF_JOIN_SQL),
     "events_json_extract": (events_json_extract, EVENTS_JSON_EXTRACT_SQL),

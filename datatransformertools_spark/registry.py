@@ -225,6 +225,8 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "events_forecast_backtest",
         "source_quality_calibration",
         "orders_priority_scd2",
+        "lineitem_orc_roundtrip",
+        "events_type_user_overlap",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

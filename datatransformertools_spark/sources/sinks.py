@@ -385,8 +385,68 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# lineitem_orc_roundtrip — ORC write → read, value-gated
+# ---------------------------------------------------------------------------
+
+
+def lineitem_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Push lineitem through ORC write → read (Spark's second
+    columnar format — the one a warehouse migration actually
+    crosses) and reduce to per-returnflag order-independent
+    checksums over keys, exact-decimal prices, and dates. ORC is
+    binary-typed so doubles/timestamps round-trip bit-exactly;
+    the checksum proves it against the oracle computed straight
+    from parquet — any type coercion in the writer or reader flips
+    a hash."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from datatransformertools_spark.functions.hashing import md5_long
+    from datatransformertools_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    path = str(Path(__file__).resolve().parents[2] / ".dtt_tmp" / "lineitem_orc")
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    line = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.format_string("%.4f", F.round(F.col("l_extendedprice") + 1e-9, 4)),
+        F.format_string("%.2f", F.round(F.col("l_discount") + 1e-9, 2)),
+        F.date_format("l_shipdate", "yyyy-MM-dd"),
+    )
+    h32 = md5_long(line).bitwiseAND(F.lit((1 << 32) - 1))
+    return (
+        back.select("l_returnflag", h32.alias("h"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("h").alias("row_hash_sum"))
+    )
+
+
+LINEITEM_ORC_ROUNDTRIP_SQL = """
+WITH lines AS (
+  SELECT l_returnflag,
+         CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|'
+           || printf('%.4f', round(l_extendedprice + 1e-9, 4)) || '|'
+           || printf('%.2f', round(l_discount + 1e-9, 2)) || '|'
+           || strftime(l_shipdate, '%Y-%m-%d') AS line
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(('0x' || substr(md5(line), 1, 15))::BIGINT & 4294967295) AS BIGINT)
+         AS row_hash_sum
+FROM lines
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "bucketed_join_revenue": (bucketed_join_revenue, BUCKETED_JOIN_REVENUE_SQL),
+    "lineitem_orc_roundtrip": (lineitem_orc_roundtrip, LINEITEM_ORC_ROUNDTRIP_SQL),
     "partitioned_write_prune": (partitioned_write_prune, PARTITIONED_WRITE_PRUNE_SQL),
     "zorder_layout": (zorder_layout, ZORDER_LAYOUT_SQL),
     "documents_jsonl_roundtrip": (documents_jsonl_roundtrip, DOCUMENTS_JSONL_ROUNDTRIP_SQL),

@@ -658,3 +658,26 @@ class TestPrioritySCD2:
                 assert a["valid_to"] == b["valid_from"]  # intervals tile
                 assert a["priority"] != b["priority"]  # versions only at changes
         out.unpersist()
+
+
+class TestOrcRoundtrip:
+    def test_counts_cover_table(self, spark, sf_dir):
+        import duckdb
+
+        from datatransformertools_spark.sources.sinks import lineitem_orc_roundtrip
+
+        total = duckdb.sql(f"SELECT count(*) FROM '{sf_dir}/lineitem.parquet'").fetchone()[0]
+        out = lineitem_orc_roundtrip(spark, sf_dir)
+        assert out.agg(F.sum("n_rows")).first()[0] == total
+
+
+class TestTypeUserOverlap:
+    def test_inclusion_exclusion(self, spark, sf_dir):
+        from datatransformertools_spark.operators.events import events_type_user_overlap
+
+        rows = events_type_user_overlap(spark, sf_dir).collect()
+        assert len(rows) == 10  # 5 types choose 2
+        for r in rows:
+            assert r["n_both"] <= min(r["n_a"], r["n_b"])
+            assert r["n_union"] <= r["n_a"] + r["n_b"]
+            assert 0.0 <= r["jaccard"] <= 1.0
