@@ -798,6 +798,105 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# source_unigram_divergence — JS divergence of each source vs the corpus
+# ---------------------------------------------------------------------------
+
+JS_VOCAB_V = 500
+
+
+def source_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How far each source's language drifts from the corpus:
+    Jensen-Shannon divergence (bits) between the source's unigram
+    distribution and the corpus distribution, both restricted to
+    the top-JS_VOCAB_V corpus tokens and renormalized there — the
+    distribution-shift number that flags a source as
+    out-of-domain before it skews a training mix. JS is symmetric
+    and bounded [0,1] bit, and zero-probability source tokens are
+    handled natively (0·log term vanishes, mixture M stays > 0).
+
+    Plan shape: one corpus-scale token-count shuffle; the top-V
+    vocab is a TakeOrderedAndProject (never a global sort) and
+    broadcasts to gate the per-(source, token) count; everything
+    after runs on ≤ |sources|·V rows."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "source")
+    tok = docs.select("source", F.explode(tokens(normalize_text(F.col("text")))).alias("token"))
+    corpus_counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    top = corpus_counts.orderBy(F.col("c").desc(), "token").limit(JS_VOCAB_V)
+    corpus_total = top.agg(F.sum("c").cast("double").alias("ct"))
+    src_counts = (
+        tok.join(F.broadcast(top.select("token")), "token")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("sc"))
+    )
+    src_total = src_counts.groupBy("source").agg(
+        F.sum("sc").cast("double").alias("st")
+    )
+    # Tokens absent from a source contribute only their q-side term;
+    # fan the corpus vocab out per source so the sum is complete:
+    # JS = 0.5·Σ p·log2(p/m) + 0.5·Σ q·log2(q/m) with m = (p+q)/2,
+    # where a missing source token means p = 0.
+    all_pairs = (
+        src_total.crossJoin(F.broadcast(top))
+        .crossJoin(F.broadcast(corpus_total))
+        .select("source", "token", (F.col("c") / F.col("ct")).alias("q"))
+        .join(
+            src_counts.join(src_total, "source").select(
+                "source", "token", (F.col("sc") / F.col("st")).alias("p")
+            ),
+            ["source", "token"],
+            "left",
+        )
+        .select("source", F.coalesce("p", F.lit(0.0)).alias("p"), "q")
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    term = F.when(F.col("p") > 0, F.col("p") * F.log2(F.col("p") / m)).otherwise(
+        F.lit(0.0)
+    ) + F.col("q") * F.log2(F.col("q") / m)
+    return all_pairs.groupBy("source").agg(
+        F.sum((F.col("p") > 0).cast("long")).alias("n_vocab_present"),
+        F.round(0.5 * F.sum(term) + 1e-9, 6).alias("js_divergence_bits"),
+    )
+
+
+SOURCE_UNIGRAM_DIVERGENCE_SQL = (
+    r"""
+WITH tok AS (
+  SELECT source,
+         unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS token
+  FROM documents
+),
+corpus_counts AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+top AS (SELECT token, c FROM corpus_counts ORDER BY c DESC, token LIMIT TOPV),
+ct AS (SELECT sum(c)::DOUBLE AS ct FROM top),
+src_counts AS (
+  SELECT source, t.token, count(*) AS sc
+  FROM tok t JOIN top USING (token)
+  GROUP BY 1, 2
+),
+src_total AS (SELECT source, sum(sc)::DOUBLE AS st FROM src_counts GROUP BY 1),
+all_pairs AS (
+  SELECT s.source, top.token,
+         coalesce(sc.sc / s.st, 0.0) AS p,
+         top.c / ct.ct AS q
+  FROM src_total s
+  CROSS JOIN top
+  CROSS JOIN ct
+  LEFT JOIN src_counts sc ON sc.source = s.source AND sc.token = top.token
+)
+SELECT source,
+       CAST(sum(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_vocab_present,
+       round(0.5 * sum(
+         (CASE WHEN p > 0 THEN p * log2(p / ((p + q) / 2)) ELSE 0.0 END)
+         + q * log2(q / ((p + q) / 2))
+       ) + 1e-9, 6) AS js_divergence_bits
+FROM all_pairs
+GROUP BY source
+""".replace("TOPV", str(JS_VOCAB_V))
+)
+
+
+# ---------------------------------------------------------------------------
 # doc_bigram_logprob — bigram LM quality scoring
 # ---------------------------------------------------------------------------
 
@@ -1492,6 +1591,7 @@ QUERIES = {
     "token_length_histogram": (token_length_histogram, TOKEN_LENGTH_HISTOGRAM_SQL),
     "doc_unigram_logprob": (doc_unigram_logprob, DOC_UNIGRAM_LOGPROB_SQL),
     "doc_bigram_logprob": (doc_bigram_logprob, DOC_BIGRAM_LOGPROB_SQL),
+    "source_unigram_divergence": (source_unigram_divergence, SOURCE_UNIGRAM_DIVERGENCE_SQL),
     "vocab_topk": (vocab_topk, VOCAB_TOPK_SQL),
     "doc_bm25_topk": (doc_bm25_topk, DOC_BM25_SQL),
     "pmi_bigrams": (pmi_bigrams, PMI_BIGRAMS_SQL),

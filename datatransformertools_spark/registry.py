@@ -227,6 +227,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "orders_priority_scd2",
         "lineitem_orc_roundtrip",
         "events_type_user_overlap",
+        "source_unigram_divergence",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

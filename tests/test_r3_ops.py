@@ -681,3 +681,17 @@ class TestTypeUserOverlap:
             assert r["n_both"] <= min(r["n_a"], r["n_b"])
             assert r["n_union"] <= r["n_a"] + r["n_b"]
             assert 0.0 <= r["jaccard"] <= 1.0
+
+
+class TestSourceDivergence:
+    def test_js_bounds(self, spark, sf_dir):
+        from datatransformertools_spark.operators.text_analysis import (
+            JS_VOCAB_V,
+            source_unigram_divergence,
+        )
+
+        rows = source_unigram_divergence(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 0.0 <= r["js_divergence_bits"] <= 1.0 + 1e-6  # JS in bits is bounded by 1
+            assert 1 <= r["n_vocab_present"] <= JS_VOCAB_V
