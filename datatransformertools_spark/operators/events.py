@@ -2166,6 +2166,143 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 
 
 # ---------------------------------------------------------------------------
+# events_hll_merge_daily — sketch mergeability: daily HLLs → weekly union
+# ---------------------------------------------------------------------------
+
+
+def events_hll_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that justifies sketches at 100 TB: MERGEABILITY.
+    Build the hand-rolled HLL (same md5 register math as
+    `events_user_count_hll_manual`) at DAILY grain, then union the
+    daily sketches into weekly ones by per-register max — the
+    O(m)-sized commutative merge a cluster uses to combine
+    per-executor / per-partition / per-day sketch state without
+    ever re-touching raw data. Emits, per week: the merged-sketch
+    estimate vs the exact distinct count (rel_error), plus the sum
+    of the per-day estimates — visibly larger than the union
+    because users repeat across days, which is exactly why you
+    merge registers instead of adding counts. All md5 + integer
+    bit math → every value rides the gate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+    h = md5_long(F.col("user_id").cast("string"), salt="hll:")
+    reg = (h % HLL_M).alias("register")
+    w = h.bitwiseAND(F.lit((1 << HLL_W_BITS) - 1))
+    rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS + 1) - F.length(F.conv(w, 10, 2))
+    )
+    daily_regs = (
+        ev.select("week", "day", reg, rho.alias("rho"))
+        .groupBy("week", "day", "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+    def estimate(grouped: DataFrame, keys: list[str]) -> DataFrame:
+        per = grouped.groupBy(*keys).agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("present_sum"),
+            F.count(F.lit(1)).alias("n_present"),
+        )
+        z = F.col("present_sum") + (F.lit(HLL_M) - F.col("n_present"))
+        raw_e = F.lit(HLL_ALPHA * HLL_M * HLL_M) / z
+        v = F.lit(HLL_M) - F.col("n_present")
+        small = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v)
+        est = F.when((raw_e <= 2.5 * HLL_M) & (v > 0), small).otherwise(raw_e)
+        return per.select(*keys, F.round(est + 1e-9, 4).alias("est"))
+
+    weekly_regs = daily_regs.groupBy("week", "register").agg(
+        F.max("max_rho").alias("max_rho")
+    )
+    merged = estimate(weekly_regs, ["week"]).withColumnRenamed("est", "merged_estimate")
+    daily_est = estimate(daily_regs, ["week", "day"])
+    daily_sum = daily_est.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.sum("est") + 1e-9, 4).alias("sum_daily_estimates"),
+    )
+    exact = ev.groupBy("week").agg(F.countDistinct("user_id").alias("exact_users"))
+    return (
+        merged.join(daily_sum, "week")
+        .join(exact, "week")
+        .select(
+            "week",
+            "n_days",
+            "exact_users",
+            "merged_estimate",
+            F.round(
+                F.abs(F.col("merged_estimate") - F.col("exact_users"))
+                / F.col("exact_users")
+                + 1e-9,
+                6,
+            ).alias("rel_error"),
+            "sum_daily_estimates",
+        )
+    )
+
+
+EVENTS_HLL_MERGE_DAILY_SQL = f"""
+WITH ev AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week, CAST(ts AS DATE) AS day,
+         user_id
+  FROM events
+),
+hashed AS (
+  SELECT week, day,
+         ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM ev
+),
+rr AS (
+  SELECT week, day, h % {HLL_M} AS register,
+         CASE WHEN (h & {(1 << HLL_W_BITS) - 1}) = 0 THEN {HLL_W_BITS + 1}
+              ELSE {HLL_W_BITS + 1} - length(format('{{:b}}', h & {(1 << HLL_W_BITS) - 1}))
+         END AS rho
+  FROM hashed
+),
+daily_regs AS (
+  SELECT week, day, register, max(rho) AS max_rho FROM rr GROUP BY 1, 2, 3
+),
+weekly_regs AS (
+  SELECT week, register, max(max_rho) AS max_rho FROM daily_regs GROUP BY 1, 2
+),
+merged AS (
+  SELECT week,
+         round(CASE WHEN {HLL_ALPHA * HLL_M * HLL_M} / (present_sum + ({HLL_M} - n_present))
+                         <= 2.5 * {HLL_M} AND ({HLL_M} - n_present) > 0
+                    THEN {float(HLL_M)} * ln({float(HLL_M)} / ({HLL_M} - n_present))
+                    ELSE {HLL_ALPHA * HLL_M * HLL_M} / (present_sum + ({HLL_M} - n_present))
+               END + 1e-9, 4) AS merged_estimate
+  FROM (
+    SELECT week, sum(pow(2.0, -max_rho)) AS present_sum, count(*) AS n_present
+    FROM weekly_regs GROUP BY week
+  )
+),
+daily_est AS (
+  SELECT week, day,
+         round(CASE WHEN {HLL_ALPHA * HLL_M * HLL_M} / (present_sum + ({HLL_M} - n_present))
+                         <= 2.5 * {HLL_M} AND ({HLL_M} - n_present) > 0
+                    THEN {float(HLL_M)} * ln({float(HLL_M)} / ({HLL_M} - n_present))
+                    ELSE {HLL_ALPHA * HLL_M * HLL_M} / (present_sum + ({HLL_M} - n_present))
+               END + 1e-9, 4) AS est
+  FROM (
+    SELECT week, day, sum(pow(2.0, -max_rho)) AS present_sum, count(*) AS n_present
+    FROM daily_regs GROUP BY week, day
+  )
+),
+daily_sum AS (
+  SELECT week, CAST(count(*) AS BIGINT) AS n_days,
+         round(sum(est) + 1e-9, 4) AS sum_daily_estimates
+  FROM daily_est GROUP BY week
+),
+exact AS (SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users FROM ev GROUP BY 1)
+SELECT m.week, d.n_days, e.exact_users, m.merged_estimate,
+       round(abs(m.merged_estimate - e.exact_users) / e.exact_users + 1e-9, 6) AS rel_error,
+       d.sum_daily_estimates
+FROM merged m JOIN daily_sum d ON m.week = d.week JOIN exact e ON m.week = e.week
+"""
+
+
+# ---------------------------------------------------------------------------
 # events_type_user_overlap — audience overlap matrix between event types
 # ---------------------------------------------------------------------------
 
@@ -2304,6 +2441,7 @@ QUERIES = {
     "events_trailing_1h": (events_trailing_1h, EVENTS_TRAILING_1H_SQL),
     "events_forecast_backtest": (events_forecast_backtest, EVENTS_FORECAST_BACKTEST_SQL),
     "events_type_user_overlap": (events_type_user_overlap, EVENTS_TYPE_USER_OVERLAP_SQL),
+    "events_hll_merge_daily": (events_hll_merge_daily, EVENTS_HLL_MERGE_DAILY_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
     "events_asof_join": (events_asof_join, EVENTS_ASOF_JOIN_SQL),
     "events_json_extract": (events_json_extract, EVENTS_JSON_EXTRACT_SQL),

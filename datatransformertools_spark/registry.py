@@ -228,6 +228,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "lineitem_orc_roundtrip",
         "events_type_user_overlap",
         "source_unigram_divergence",
+        "events_hll_merge_daily",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

@@ -695,3 +695,18 @@ class TestSourceDivergence:
         for r in rows:
             assert 0.0 <= r["js_divergence_bits"] <= 1.0 + 1e-6  # JS in bits is bounded by 1
             assert 1 <= r["n_vocab_present"] <= JS_VOCAB_V
+
+
+class TestHllMergeDaily:
+    def test_merge_semantics(self, spark, sf_dir):
+        from datatransformertools_spark.operators.events import events_hll_merge_daily
+
+        rows = events_hll_merge_daily(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            # HLL at m=512 is ~±4.6%; allow a generous envelope
+            assert r["rel_error"] < 0.15
+            # summing daily estimates double-counts repeat users:
+            # strictly above the merged union estimate for multi-day weeks
+            if r["n_days"] > 1:
+                assert r["sum_daily_estimates"] > r["merged_estimate"]
