@@ -822,8 +822,147 @@ FROM ap
 """
 
 
+# ---------------------------------------------------------------------------
+# detection_nms — greedy per-class non-maximum suppression
+# ---------------------------------------------------------------------------
+
+NMS_IOU = 0.5
+_NMS_SCHEMA = "image_id long, cls int, pred_id long, conf double, keep_rank int"
+
+
+def _make_nms_kernel():
+    # Factory → cloudpickle ships the kernel by value (see greedy).
+    def nms(pdf):
+        """Greedy NMS per (image, class): walk detections in
+        (conf desc, pred_id) order; a detection is kept iff its IoU
+        with every ALREADY-KEPT same-class box is ≤ NMS_IOU — the
+        exact sequential semantics of ultralytics' postprocessing
+        the reference's predictions implicitly passed through. The
+        IoU arithmetic mirrors iou_xywh op-for-op (IEEE add is
+        commutative, so kernel and SQL produce identical doubles
+        and the τ comparison can never disagree)."""
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["image_id", "cls", "conf", "pred_id"],
+            ascending=[True, True, False, True],
+            kind="mergesort",
+        )
+        out = {"image_id": [], "cls": [], "pred_id": [], "conf": [], "keep_rank": []}
+        cur = None
+        kept: list = []
+        for row in pdf.itertuples():
+            key = (row.image_id, row.cls)
+            if key != cur:
+                cur = key
+                kept = []
+            suppressed = False
+            for kx, ky, kw, kh in kept:
+                ix1 = max(row.px, kx)
+                iy1 = max(row.py, ky)
+                ix2 = min(row.px + row.pw, kx + kw)
+                iy2 = min(row.py + row.ph, ky + kh)
+                inter = max(0.0, ix2 - ix1) * max(0.0, iy2 - iy1)
+                union = row.pw * row.ph + kw * kh - inter
+                iou = inter / union if union > 0 else 0.0
+                if iou > NMS_IOU:
+                    suppressed = True
+                    break
+            if not suppressed:
+                kept.append((row.px, row.py, row.pw, row.ph))
+                out["image_id"].append(int(row.image_id))
+                out["cls"].append(int(row.cls))
+                out["pred_id"].append(int(row.pred_id))
+                out["conf"].append(float(row.conf))
+                out["keep_rank"].append(len(kept))
+        return pd.DataFrame(out)
+
+    return nms
+
+
+def detection_nms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-(image, class) non-maximum suppression over the
+    prediction set — the YOLO postprocessing step between raw model
+    output and every downstream consumer (predictions_to_json.py
+    assumes its input already passed through it). Sequential per
+    group by definition, so it runs as the per-key grouped-map
+    kernel (hash-bucketed images, like detection_eval_greedy) —
+    embarrassingly parallel across images at any scale; the oracle
+    replays the walk as a recursive CTE carrying the kept-box list,
+    with suppression decided from a pre-thresholded pred-pred IoU
+    pair table."""
+    p = _pred_df(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "image_id"
+    )
+    bucket = F.pmod(F.hash("image_id"), F.lit(N_GREEDY_BUCKETS))
+    return (
+        p.withColumn("_bucket", bucket)
+        .groupBy("_bucket")
+        .applyInPandas(_make_nms_kernel(), _NMS_SCHEMA)
+    )
+
+
+_NMS_IOU_EXPR = """
+CASE WHEN (a.pw * a.ph + b.pw * b.ph
+           - greatest(0.0, least(a.px + a.pw, b.px + b.pw) - greatest(a.px, b.px))
+             * greatest(0.0, least(a.py + a.ph, b.py + b.ph) - greatest(a.py, b.py))) > 0
+     THEN (greatest(0.0, least(a.px + a.pw, b.px + b.pw) - greatest(a.px, b.px))
+           * greatest(0.0, least(a.py + a.ph, b.py + b.ph) - greatest(a.py, b.py)))
+          / (a.pw * a.ph + b.pw * b.ph
+             - greatest(0.0, least(a.px + a.pw, b.px + b.pw) - greatest(a.px, b.px))
+               * greatest(0.0, least(a.py + a.ph, b.py + b.ph) - greatest(a.py, b.py)))
+     ELSE 0.0 END
+"""
+
+DETECTION_NMS_SQL = f"""
+WITH RECURSIVE {_GT_SQL},
+ppairs AS (
+  SELECT a.image_id, a.cls, a.pred_id AS sup, b.pred_id AS sub
+  FROM pred a JOIN pred b
+    ON a.image_id = b.image_id AND a.cls = b.cls
+   AND (a.conf > b.conf OR (a.conf = b.conf AND a.pred_id < b.pred_id))
+  WHERE {_NMS_IOU_EXPR} > {NMS_IOU}
+),
+seq AS (
+  SELECT image_id, cls, pred_id, conf,
+         row_number() OVER (PARTITION BY image_id, cls
+                            ORDER BY conf DESC, pred_id) AS rn
+  FROM pred
+),
+maxrn AS (SELECT image_id, cls, max(rn) AS n FROM seq GROUP BY 1, 2),
+walk AS (
+  SELECT image_id, cls, 0 AS rn, CAST([] AS BIGINT[]) AS kept FROM maxrn
+  UNION ALL
+  SELECT w.image_id, w.cls, w.rn + 1,
+         CASE WHEN sup.hit THEN w.kept ELSE list_append(w.kept, s.pred_id) END
+  FROM walk w
+  JOIN seq s ON s.image_id = w.image_id AND s.cls = w.cls AND s.rn = w.rn + 1
+  LEFT JOIN LATERAL (
+    SELECT TRUE AS hit FROM ppairs p
+    WHERE p.image_id = w.image_id AND p.cls = w.cls
+      AND p.sub = s.pred_id AND list_contains(w.kept, p.sup)
+    LIMIT 1
+  ) sup ON TRUE
+),
+final AS (
+  SELECT w.image_id, w.cls, w.kept
+  FROM walk w JOIN maxrn m
+    ON w.image_id = m.image_id AND w.cls = m.cls AND w.rn = m.n
+),
+kept_rows AS (
+  SELECT image_id, cls,
+         unnest(kept) AS pred_id,
+         CAST(unnest(range(1, len(kept) + 1)) AS INT) AS keep_rank
+  FROM final
+)
+SELECT k.image_id, CAST(k.cls AS INT) AS cls, k.pred_id, p.conf, k.keep_rank
+FROM kept_rows k JOIN pred p ON p.pred_id = k.pred_id AND p.image_id = k.image_id
+"""
+
+
 QUERIES = {
     "bbox_iou_pairs": (bbox_iou_pairs, BBOX_IOU_PAIRS_SQL),
+    "detection_nms": (detection_nms, DETECTION_NMS_SQL),
     "detection_eval": (detection_eval, DETECTION_EVAL_SQL),
     "detection_eval_per_class": (detection_eval_per_class, DETECTION_EVAL_PER_CLASS_SQL),
     "detection_eval_macro": (detection_eval_macro, DETECTION_EVAL_MACRO_SQL),

@@ -229,6 +229,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "events_type_user_overlap",
         "source_unigram_divergence",
         "events_hll_merge_daily",
+        "detection_nms",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

@@ -710,3 +710,38 @@ class TestHllMergeDaily:
             # strictly above the merged union estimate for multi-day weeks
             if r["n_days"] > 1:
                 assert r["sum_daily_estimates"] > r["merged_estimate"]
+
+
+class TestDetectionNMS:
+    def test_kept_set_is_maximal_and_conf_ordered(self, spark, sf_dir):
+        from datatransformertools_spark.operators.evaluation import (
+            _pred_df,
+            detection_nms,
+        )
+
+        kept = detection_nms(spark, sf_dir).collect()
+        assert kept
+        n_pred = _pred_df(spark, sf_dir).count()
+        assert len(kept) <= n_pred
+        by_group = {}
+        for r in kept:
+            by_group.setdefault((r["image_id"], r["cls"]), []).append(r)
+        for g, rs in by_group.items():
+            rs.sort(key=lambda r: r["keep_rank"])
+            assert [r["keep_rank"] for r in rs] == list(range(1, len(rs) + 1))
+            for a, b in zip(rs, rs[1:]):
+                # keep order follows (conf desc, pred_id)
+                assert (a["conf"], -a["pred_id"]) >= (b["conf"], -b["pred_id"])
+
+    def test_far_duplicates_survive_jittered_twins_suppressed(self, spark, sf_dir):
+        """The planted far-away FP boxes (pred_id >= 10^7) never
+        overlap their source, so NMS must keep them; at least one
+        overlapping pair must be suppressed somewhere."""
+        from datatransformertools_spark.operators.evaluation import (
+            _pred_df,
+            detection_nms,
+        )
+
+        kept_ids = {r["pred_id"] for r in detection_nms(spark, sf_dir).collect()}
+        n_pred = _pred_df(spark, sf_dir).count()
+        assert len(kept_ids) < n_pred  # something was suppressed
