@@ -798,6 +798,62 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# sentence_stats — sentence-level shape signals per document
+# ---------------------------------------------------------------------------
+
+_SENT_SPLIT = r"[.!?]+\s*"
+
+
+def sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level shape of each document: sentence count, mean
+    and max tokens per sentence — the signals Gopher-class quality
+    filters threshold on (too-few sentences ⇒ list/boilerplate,
+    huge max ⇒ unpunctuated dump). Entirely map-side: the sentence
+    split, per-sentence token counts, and the reductions all run
+    inside each row's arrays — zero shuffles before the scan-local
+    projection, so this is a free rider on any corpus pass."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sents = F.filter(
+        F.split(F.col("text"), _SENT_SPLIT), lambda s: F.length(F.trim(s)) > 0
+    )
+    tok_counts = F.transform(sents, lambda s: F.size(F.split(F.trim(s), r"\s+")))
+    n_sent = F.size(sents)
+    total_toks = F.aggregate(tok_counts, F.lit(0), lambda a, x: a + x)
+    return docs.select(
+        "doc_id",
+        n_sent.cast("long").alias("n_sentences"),
+        F.round(
+            F.when(n_sent > 0, total_toks / n_sent).otherwise(F.lit(0.0)) + 1e-9, 4
+        ).alias("avg_sentence_tokens"),
+        F.coalesce(F.array_max(tok_counts), F.lit(0)).cast("long").alias(
+            "max_sentence_tokens"
+        ),
+    )
+
+
+SENTENCE_STATS_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[.!?]+\s*'),
+                     x -> length(trim(x)) > 0) AS sents
+  FROM documents
+),
+t AS (
+  SELECT doc_id, sents,
+         list_transform(sents, x -> len(regexp_split_to_array(trim(x), '\s+'))) AS tc
+  FROM s
+)
+SELECT doc_id,
+       CAST(len(sents) AS BIGINT) AS n_sentences,
+       round(CASE WHEN len(sents) > 0
+                  THEN list_sum(tc) * 1.0 / len(sents) ELSE 0.0 END + 1e-9, 4)
+         AS avg_sentence_tokens,
+       CAST(coalesce(list_max(tc), 0) AS BIGINT) AS max_sentence_tokens
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
 # source_unigram_divergence — JS divergence of each source vs the corpus
 # ---------------------------------------------------------------------------
 
@@ -1592,6 +1648,7 @@ QUERIES = {
     "doc_unigram_logprob": (doc_unigram_logprob, DOC_UNIGRAM_LOGPROB_SQL),
     "doc_bigram_logprob": (doc_bigram_logprob, DOC_BIGRAM_LOGPROB_SQL),
     "source_unigram_divergence": (source_unigram_divergence, SOURCE_UNIGRAM_DIVERGENCE_SQL),
+    "sentence_stats": (sentence_stats, SENTENCE_STATS_SQL),
     "vocab_topk": (vocab_topk, VOCAB_TOPK_SQL),
     "doc_bm25_topk": (doc_bm25_topk, DOC_BM25_SQL),
     "pmi_bigrams": (pmi_bigrams, PMI_BIGRAMS_SQL),

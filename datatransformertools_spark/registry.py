@@ -230,6 +230,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "source_unigram_divergence",
         "events_hll_merge_daily",
         "detection_nms",
+        "sentence_stats",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

@@ -745,3 +745,16 @@ class TestDetectionNMS:
         kept_ids = {r["pred_id"] for r in detection_nms(spark, sf_dir).collect()}
         n_pred = _pred_df(spark, sf_dir).count()
         assert len(kept_ids) < n_pred  # something was suppressed
+
+
+class TestSentenceStats:
+    def test_shape_bounds(self, spark, sf_dir):
+        from datatransformertools_spark.operators.text_analysis import sentence_stats
+
+        rows = sentence_stats(spark, sf_dir).collect()
+        assert len(rows) == 500
+        for r in rows:
+            assert r["n_sentences"] >= 0
+            if r["n_sentences"] > 0:
+                assert r["avg_sentence_tokens"] > 0
+                assert r["max_sentence_tokens"] >= r["avg_sentence_tokens"] - 1e-9
