@@ -408,3 +408,40 @@ def test_price_elasticity_aggregates_before_join(spark, sf_dir):
     # l_quantity rows post-join
     plan = _plan_hints_only(spark, sf_dir, "part_price_elasticity")
     assert "BroadcastExchange" not in plan, plan  # nothing hinted
+
+
+def test_bloom_prune_broadcasts_only_bounded_frames(spark, sf_dir):
+    """The Bloom bit-set (≤ 64Ki ints) and the scalar count frames
+    are the only hinted broadcasts; the fact side is probed
+    map-side — no fact-keyed exchange before the pass decision."""
+    plan = _plan_hints_only(spark, sf_dir, "bloom_join_prune")
+    assert "BroadcastNestedLoopJoin" in plan  # bit-set rides a 1-row cross join
+    # the probe itself is an array_contains projection, not a join
+    assert "array_contains" in plan
+
+
+def test_substring_spans_semi_join_and_no_text_shuffle(spark, sf_dir):
+    """Duplicated-window detection: the hot-hash gate is a LeftSemi
+    join keyed on the md5, and no exchange carries the text column."""
+    plan = _plan(spark, sf_dir, "dedup_substring_spans")
+    assert "LeftSemi" in plan
+    for line in plan.splitlines():
+        if "Exchange" in line and "text#" in line:
+            raise AssertionError(f"text column reached an exchange: {line}")
+
+
+def test_trailing_1h_single_user_exchange(spark, sf_dir):
+    """The RANGE frame costs exactly one hashpartitioning(user_id)
+    exchange."""
+    plan = _plan(spark, sf_dir, "events_trailing_1h")
+    n_exchanges = sum(
+        1 for l in plan.splitlines() if "Exchange hashpartitioning(user_id" in l
+    )
+    assert n_exchanges == 1, plan
+
+
+def test_sentence_stats_shuffle_free(spark, sf_dir):
+    """Sentence shape is a pure scan-local projection: no exchange
+    anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "sentence_stats")
+    assert "Exchange" not in plan, plan
