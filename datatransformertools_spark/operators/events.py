@@ -2166,6 +2166,69 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 
 
 # ---------------------------------------------------------------------------
+# events_incremental_refresh — partition-pruned materialized-view repair
+# ---------------------------------------------------------------------------
+
+REFRESH_CUTOFF = "2024-01-25"
+
+
+def events_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a late micro-batch
+    (events on/after REFRESH_CUTOFF standing in for the new
+    arrivals) touches only SOME 5-minute windows, so the refresh
+    recomputes exactly the affected (window, type) partitions —
+    never the whole rollup. The affected-window set is a distinct
+    aggregate of the batch (tiny), and the full table is pruned by
+    a semi-join on the window key before any aggregation — the
+    declarative form of "recompute only dirty partitions", which is
+    the difference between O(batch) and O(history) on a year-long
+    100 TB rollup. Output = the refreshed rows a MERGE would
+    upsert."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    win = (F.unix_timestamp("ts") - F.unix_timestamp("ts") % 300).alias("win_start")
+    evw = ev.select(win, "event_type", "value")
+    batch_windows = (
+        evw.filter(
+            F.col("win_start")
+            >= F.unix_timestamp(F.lit(f"{REFRESH_CUTOFF} 00:00:00"))
+        )
+        .select("win_start")
+        .distinct()
+    )
+    affected = evw.join(batch_windows, "win_start", "left_semi")
+    return affected.groupBy("win_start", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value") + 1e-9, 4).alias("value_sum"),
+    ).select(
+        F.to_timestamp(F.from_unixtime("win_start")).alias("window_start"),
+        "event_type",
+        "n_events",
+        "value_sum",
+    )
+
+
+EVENTS_INCREMENTAL_REFRESH_SQL = f"""
+WITH evw AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) % 300 AS win_start, event_type, value
+  FROM events
+),
+batch_windows AS (
+  SELECT DISTINCT win_start FROM evw
+  WHERE win_start >= epoch(TIMESTAMP '{REFRESH_CUTOFF} 00:00:00')::BIGINT
+),
+affected AS (
+  SELECT e.* FROM evw e WHERE EXISTS (
+    SELECT 1 FROM batch_windows b WHERE b.win_start = e.win_start)
+)
+SELECT to_timestamp(win_start)::TIMESTAMP AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value) + 1e-9, 4) AS value_sum
+FROM affected
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # events_hll_merge_daily — sketch mergeability: daily HLLs → weekly union
 # ---------------------------------------------------------------------------
 
@@ -2442,6 +2505,7 @@ QUERIES = {
     "events_forecast_backtest": (events_forecast_backtest, EVENTS_FORECAST_BACKTEST_SQL),
     "events_type_user_overlap": (events_type_user_overlap, EVENTS_TYPE_USER_OVERLAP_SQL),
     "events_hll_merge_daily": (events_hll_merge_daily, EVENTS_HLL_MERGE_DAILY_SQL),
+    "events_incremental_refresh": (events_incremental_refresh, EVENTS_INCREMENTAL_REFRESH_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
     "events_asof_join": (events_asof_join, EVENTS_ASOF_JOIN_SQL),
     "events_json_extract": (events_json_extract, EVENTS_JSON_EXTRACT_SQL),

@@ -231,6 +231,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "events_hll_merge_daily",
         "detection_nms",
         "sentence_stats",
+        "events_incremental_refresh",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

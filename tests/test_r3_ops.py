@@ -758,3 +758,20 @@ class TestSentenceStats:
             if r["n_sentences"] > 0:
                 assert r["avg_sentence_tokens"] > 0
                 assert r["max_sentence_tokens"] >= r["avg_sentence_tokens"] - 1e-9
+
+
+class TestIncrementalRefresh:
+    def test_only_affected_windows_refresh(self, spark, sf_dir):
+        import datetime
+
+        from datatransformertools_spark.operators.events import (
+            events_incremental_refresh,
+        )
+
+        rows = events_incremental_refresh(spark, sf_dir).collect()
+        assert rows
+        cutoff = datetime.datetime(2024, 1, 25)
+        for r in rows:
+            # every refreshed window is one the batch touched
+            assert r["window_start"] >= cutoff
+            assert r["n_events"] >= 1
