@@ -411,13 +411,13 @@ def test_price_elasticity_aggregates_before_join(spark, sf_dir):
 
 
 def test_bloom_prune_broadcasts_only_bounded_frames(spark, sf_dir):
-    """The Bloom bit-set (≤ 64Ki ints) and the scalar count frames
+    """The Bloom packed bitmap (8Ki words) and the scalar count frames
     are the only hinted broadcasts; the fact side is probed
     map-side — no fact-keyed exchange before the pass decision."""
     plan = _plan_hints_only(spark, sf_dir, "bloom_join_prune")
     assert "BroadcastNestedLoopJoin" in plan  # bit-set rides a 1-row cross join
     # the probe itself is an array_contains projection, not a join
-    assert "array_contains" in plan
+    assert "shiftright" in plan  # O(1) bit test, not array_contains
 
 
 def test_substring_spans_semi_join_and_no_text_shuffle(spark, sf_dir):
