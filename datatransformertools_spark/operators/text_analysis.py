@@ -798,6 +798,148 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# doc_rake_keyphrases — RAKE keyword extraction per document
+# ---------------------------------------------------------------------------
+
+RAKE_STOPWORDS = (
+    "the a an and or of to in is are was were be been for on with as at by it "
+    "this that from not but they we you i he she his her its their our your"
+).split()
+RAKE_TOP_K = 3
+
+
+def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) per document:
+    candidate phrases are maximal stopword-free token runs;
+    word score = deg(w)/freq(w) computed WITHIN the document
+    (deg = freq + Σ (phrase_len − 1) over the word's phrases —
+    co-occurrence rewards multiword terms); phrase score = Σ word
+    scores; top-RAKE_TOP_K phrases per doc with deterministic
+    (score desc, phrase) ties. The classic unsupervised
+    keyword-tagging pass a corpus catalog runs at ingest.
+
+    Plan shape: tokens posexplode map-side; phrase segmentation is
+    one per-doc position window (phrase_id = running stopword
+    count); word stats, phrase scores, and the top-k window all key
+    on doc_id — embarrassingly parallel across documents, no
+    corpus-wide state at all."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(normalize_text(F.col("text")))).alias("pos", "w")
+    )
+    stop_arr = F.array(*[F.lit(s) for s in RAKE_STOPWORDS])
+    tok = tok.withColumn(
+        "is_stop", F.array_contains(stop_arr, F.col("w")).cast("int")
+    )
+    wseq = Window.partitionBy("doc_id").orderBy("pos")
+    tok = tok.withColumn(
+        "phrase_id", F.sum("is_stop").over(wseq.rowsBetween(Window.unboundedPreceding, 0))
+    ).filter(F.col("is_stop") == 0)
+    phrases = tok.groupBy("doc_id", "phrase_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "w"))), lambda x: x["w"]
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    # per-doc word stats: freq + deg over the word's phrases
+    word_stats = (
+        tok.join(phrases.select("doc_id", "phrase_id", "plen"), ["doc_id", "phrase_id"])
+        .groupBy("doc_id", "w")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.col("plen") - 1).alias("co"),
+        )
+        .select(
+            "doc_id",
+            "w",
+            ((F.col("freq") + F.col("co")) / F.col("freq")).alias("wscore"),
+        )
+    )
+    phrase_scores = (
+        tok.join(word_stats, ["doc_id", "w"])
+        .groupBy("doc_id", "phrase_id")
+        .agg(F.sum("wscore").alias("score"))
+        .join(phrases, ["doc_id", "phrase_id"])
+        .select("doc_id", "phrase", F.round(F.col("score") + 1e-9, 4).alias("score"))
+    )
+    # identical phrases within a doc: keep the max-scoring instance
+    dedup = phrase_scores.groupBy("doc_id", "phrase").agg(
+        F.max("score").alias("score")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "phrase")
+    )
+    return (
+        dedup.withColumn("rank", rn)
+        .filter(F.col("rank") <= RAKE_TOP_K)
+        .select("doc_id", F.col("rank").cast("int").alias("rank"), "phrase", "score")
+    )
+
+
+DOC_RAKE_KEYPHRASES_SQL = (
+    r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS w
+  FROM toks CROSS JOIN LATERAL unnest(range(1, len(t) + 1)) u(i)
+),
+flagged AS (
+  SELECT doc_id, pos, w,
+         CASE WHEN list_contains([STOPLIST], w) THEN 1 ELSE 0 END AS is_stop
+  FROM pos
+),
+seg AS (
+  SELECT doc_id, pos, w, is_stop,
+         sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS phrase_id
+  FROM flagged
+),
+content AS (SELECT doc_id, phrase_id, pos, w FROM seg WHERE is_stop = 0),
+phrases AS (
+  SELECT doc_id, phrase_id,
+         string_agg(w, ' ' ORDER BY pos) AS phrase,
+         count(*) AS plen
+  FROM content GROUP BY 1, 2
+),
+word_stats AS (
+  SELECT c.doc_id, c.w,
+         (count(*) + sum(p.plen - 1)) * 1.0 / count(*) AS wscore
+  FROM content c JOIN phrases p USING (doc_id, phrase_id)
+  GROUP BY 1, 2
+),
+phrase_scores AS (
+  SELECT c.doc_id, c.phrase_id, sum(ws.wscore) AS score
+  FROM content c JOIN word_stats ws ON ws.doc_id = c.doc_id AND ws.w = c.w
+  GROUP BY 1, 2
+),
+dedup AS (
+  SELECT ps.doc_id, p.phrase, max(round(ps.score + 1e-9, 4)) AS score
+  FROM phrase_scores ps JOIN phrases p USING (doc_id, phrase_id)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT doc_id, phrase, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, phrase) AS rank
+  FROM dedup
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, phrase, score
+FROM ranked WHERE rank <= TOPK
+""".replace("STOPLIST", ", ".join(f"'{s}'" for s in RAKE_STOPWORDS)).replace(
+        "TOPK", str(RAKE_TOP_K)
+    )
+)
+
+
+# ---------------------------------------------------------------------------
 # sentence_stats — sentence-level shape signals per document
 # ---------------------------------------------------------------------------
 
@@ -1649,6 +1791,7 @@ QUERIES = {
     "doc_bigram_logprob": (doc_bigram_logprob, DOC_BIGRAM_LOGPROB_SQL),
     "source_unigram_divergence": (source_unigram_divergence, SOURCE_UNIGRAM_DIVERGENCE_SQL),
     "sentence_stats": (sentence_stats, SENTENCE_STATS_SQL),
+    "doc_rake_keyphrases": (doc_rake_keyphrases, DOC_RAKE_KEYPHRASES_SQL),
     "vocab_topk": (vocab_topk, VOCAB_TOPK_SQL),
     "doc_bm25_topk": (doc_bm25_topk, DOC_BM25_SQL),
     "pmi_bigrams": (pmi_bigrams, PMI_BIGRAMS_SQL),

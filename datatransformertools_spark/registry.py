@@ -232,6 +232,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "detection_nms",
         "sentence_stats",
         "events_incremental_refresh",
+        "doc_rake_keyphrases",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

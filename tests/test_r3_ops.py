@@ -775,3 +775,29 @@ class TestIncrementalRefresh:
             # every refreshed window is one the batch touched
             assert r["window_start"] >= cutoff
             assert r["n_events"] >= 1
+
+
+class TestRake:
+    def test_phrases_stopword_free_and_ranked(self, spark, sf_dir):
+        from datatransformertools_spark.operators.text_analysis import (
+            RAKE_STOPWORDS,
+            RAKE_TOP_K,
+            doc_rake_keyphrases,
+        )
+
+        rows = doc_rake_keyphrases(spark, sf_dir).collect()
+        assert rows
+        stops = set(RAKE_STOPWORDS)
+        per_doc = {}
+        for r in rows:
+            assert not (set(r["phrase"].split()) & stops)  # runs are stopword-free
+            assert r["score"] > 0
+            per_doc.setdefault(r["doc_id"], []).append(r)
+        for d, rs in per_doc.items():
+            rs.sort(key=lambda r: r["rank"])
+            assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+            assert len(rs) <= RAKE_TOP_K
+            for a, b in zip(rs, rs[1:]):
+                assert a["score"] >= b["score"]
+        # multiword phrases outrank their parts often enough to exist
+        assert any(" " in r["phrase"] for r in rows)
