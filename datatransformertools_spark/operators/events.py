@@ -2166,6 +2166,101 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 
 
 # ---------------------------------------------------------------------------
+# events_session_paths — most common session event-type sequences
+# ---------------------------------------------------------------------------
+
+SESSION_PATH_TOP_K = 20
+SESSION_PATH_MAX_LEN = 8
+
+
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session paths: sessionize (same gap rule as
+    `events_sessionize`), render each session's first
+    SESSION_PATH_MAX_LEN event types as an ordered "a>b>c" path,
+    and count the corpus-wide top-SESSION_PATH_TOP_K paths — the
+    sequence-mining lite that answers "how do users actually move
+    through the product". Truncation to MAX_LEN bounds both the
+    path-string width and the distinct-path cardinality.
+
+    Plan shape: one user_id window pass sessionizes, the path
+    renders inside a per-session sort_array aggregate (no second
+    ordering shuffle), and the final top-k is
+    TakeOrderedAndProject over the |distinct paths| count frame."""
+    ev = _events_us(spark, sf_dir).select("user_id", "event_id", "ts_us", "event_type")
+    order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("ts_us").over(order)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(prev.isNull() | (F.col("ts_us") - prev > SESSION_GAP_US), 1).otherwise(0),
+    )
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = flagged.withColumn("session_idx", F.sum("new_session").over(running))
+    paths = sessions.groupBy("user_id", "session_idx").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("ts_us", "event_id", "event_type"))),
+                    lambda x: x["event_type"],
+                ),
+                1,
+                SESSION_PATH_MAX_LEN,
+            ),
+            ">",
+        ).alias("path"),
+        F.count(F.lit(1)).alias("session_len"),
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.round(F.avg("session_len") + 1e-9, 4).alias("avg_session_len"),
+    )
+    top = counts.orderBy(F.col("n_sessions").desc(), "path").limit(SESSION_PATH_TOP_K)
+    rn = F.row_number().over(Window.orderBy(F.col("n_sessions").desc(), "path"))
+    return top.withColumn("rank", rn.cast("int")).select(
+        "rank", "path", "n_sessions", "avg_session_len"
+    )
+
+
+EVENTS_SESSION_PATHS_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events
+),
+flagged AS (
+  SELECT *,
+    CASE WHEN lag(ts_us) OVER w IS NULL
+              OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_US}
+         THEN 1 ELSE 0 END AS new_session
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sessions AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS session_idx
+  FROM flagged
+),
+paths AS (
+  SELECT user_id, session_idx,
+         array_to_string(
+           list_slice(list(event_type ORDER BY ts_us, event_id), 1, {SESSION_PATH_MAX_LEN}),
+           '>') AS path,
+         count(*) AS session_len
+  FROM sessions GROUP BY 1, 2
+),
+counts AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+         round(avg(session_len) + 1e-9, 4) AS avg_session_len
+  FROM paths GROUP BY 1
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY n_sessions DESC, path) AS rank
+  FROM counts
+)
+SELECT CAST(rank AS INT) AS rank, path, n_sessions, avg_session_len
+FROM ranked WHERE rank <= {SESSION_PATH_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # events_incremental_refresh — partition-pruned materialized-view repair
 # ---------------------------------------------------------------------------
 
@@ -2506,6 +2601,7 @@ QUERIES = {
     "events_type_user_overlap": (events_type_user_overlap, EVENTS_TYPE_USER_OVERLAP_SQL),
     "events_hll_merge_daily": (events_hll_merge_daily, EVENTS_HLL_MERGE_DAILY_SQL),
     "events_incremental_refresh": (events_incremental_refresh, EVENTS_INCREMENTAL_REFRESH_SQL),
+    "events_session_paths": (events_session_paths, EVENTS_SESSION_PATHS_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
     "events_asof_join": (events_asof_join, EVENTS_ASOF_JOIN_SQL),
     "events_json_extract": (events_json_extract, EVENTS_JSON_EXTRACT_SQL),

@@ -233,6 +233,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "sentence_stats",
         "events_incremental_refresh",
         "doc_rake_keyphrases",
+        "events_session_paths",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

@@ -801,3 +801,25 @@ class TestRake:
                 assert a["score"] >= b["score"]
         # multiword phrases outrank their parts often enough to exist
         assert any(" " in r["phrase"] for r in rows)
+
+
+class TestSessionPaths:
+    def test_topk_counts_and_truncation(self, spark, sf_dir):
+        from datatransformertools_spark.operators.events import (
+            SESSION_PATH_MAX_LEN,
+            SESSION_PATH_TOP_K,
+            events_session_paths,
+            events_sessionize,
+        )
+
+        rows = sorted(
+            events_session_paths(spark, sf_dir).collect(), key=lambda r: r["rank"]
+        )
+        assert 1 <= len(rows) <= SESSION_PATH_TOP_K
+        total_sessions = events_sessionize(spark, sf_dir).count()
+        assert sum(r["n_sessions"] for r in rows) <= total_sessions
+        for a, b in zip(rows, rows[1:]):
+            assert a["n_sessions"] >= b["n_sessions"]
+        for r in rows:
+            assert len(r["path"].split(">")) <= SESSION_PATH_MAX_LEN
+            assert r["avg_session_len"] >= 1.0
