@@ -2166,6 +2166,82 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 
 
 # ---------------------------------------------------------------------------
+# events_value_winsorize — robust clipping at exact per-type percentiles
+# ---------------------------------------------------------------------------
+
+
+def events_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization audit: per event type, clamp `value` at the
+    EXACT p1/p99 (value at rank ceil(q·n) in (value, event_id)
+    order — a deterministic order statistic, not an interpolated
+    approximation) and report the clip thresholds, how many rows
+    each tail clipped, and the mean before/after — the robust
+    preprocessing step feature pipelines run before z-scoring
+    heavy-tailed metrics. One event_type-keyed window sort finds
+    the ranks; the clip + means reuse the same exchange."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    bounds = (
+        ranked.filter(
+            (F.col("rn") == F.ceil(0.01 * F.col("n")))
+            | (F.col("rn") == F.ceil(0.99 * F.col("n")))
+        )
+        .groupBy("event_type")
+        .agg(F.min("value").alias("p01"), F.max("value").alias("p99"))
+    )
+    clipped = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "value",
+        "p01",
+        "p99",
+        F.greatest(F.col("p01"), F.least(F.col("p99"), F.col("value"))).alias("wv"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.min("p01") + 1e-9, 4).alias("p01"),
+        F.round(F.min("p99") + 1e-9, 4).alias("p99"),
+        F.sum((F.col("value") < F.col("p01")).cast("long")).alias("n_clipped_low"),
+        F.sum((F.col("value") > F.col("p99")).cast("long")).alias("n_clipped_high"),
+        F.round(F.avg("value") + 1e-9, 4).alias("mean_raw"),
+        F.round(F.avg("wv") + 1e-9, 4).alias("mean_winsorized"),
+    )
+
+
+EVENTS_VALUE_WINSORIZE_SQL = """
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+bounds AS (
+  SELECT event_type, min(value) AS p01, max(value) AS p99
+  FROM ranked
+  WHERE rn = CAST(ceil(0.01 * n) AS BIGINT) OR rn = CAST(ceil(0.99 * n) AS BIGINT)
+  GROUP BY event_type
+),
+clipped AS (
+  SELECT e.event_type, e.value, b.p01, b.p99,
+         greatest(b.p01, least(b.p99, e.value)) AS wv
+  FROM events e JOIN bounds b USING (event_type)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(min(p01) + 1e-9, 4) AS p01,
+       round(min(p99) + 1e-9, 4) AS p99,
+       CAST(sum(CASE WHEN value < p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+       CAST(sum(CASE WHEN value > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+       round(avg(value) + 1e-9, 4) AS mean_raw,
+       round(avg(wv) + 1e-9, 4) AS mean_winsorized
+FROM clipped
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # events_session_paths — most common session event-type sequences
 # ---------------------------------------------------------------------------
 
@@ -2602,6 +2678,7 @@ QUERIES = {
     "events_hll_merge_daily": (events_hll_merge_daily, EVENTS_HLL_MERGE_DAILY_SQL),
     "events_incremental_refresh": (events_incremental_refresh, EVENTS_INCREMENTAL_REFRESH_SQL),
     "events_session_paths": (events_session_paths, EVENTS_SESSION_PATHS_SQL),
+    "events_value_winsorize": (events_value_winsorize, EVENTS_VALUE_WINSORIZE_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
     "events_asof_join": (events_asof_join, EVENTS_ASOF_JOIN_SQL),
     "events_json_extract": (events_json_extract, EVENTS_JSON_EXTRACT_SQL),

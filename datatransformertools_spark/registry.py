@@ -234,6 +234,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "events_incremental_refresh",
         "doc_rake_keyphrases",
         "events_session_paths",
+        "events_value_winsorize",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

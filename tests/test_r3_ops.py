@@ -823,3 +823,18 @@ class TestSessionPaths:
         for r in rows:
             assert len(r["path"].split(">")) <= SESSION_PATH_MAX_LEN
             assert r["avg_session_len"] >= 1.0
+
+
+class TestWinsorize:
+    def test_clip_mass_and_mean_shrinkage(self, spark, sf_dir):
+        from datatransformertools_spark.operators.events import events_value_winsorize
+
+        rows = events_value_winsorize(spark, sf_dir).collect()
+        assert len(rows) == 5
+        for r in rows:
+            assert r["p01"] <= r["p99"]
+            # ~1% clips in each tail (deterministic order statistic)
+            assert r["n_clipped_low"] <= 0.02 * r["n_events"]
+            assert r["n_clipped_high"] <= 0.02 * r["n_events"]
+            # winsorized mean lies within the clip bounds
+            assert r["p01"] - 1e-6 <= r["mean_winsorized"] <= r["p99"] + 1e-6
