@@ -1790,6 +1790,84 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# part_entity_resolution — blocked catalog duplicate-candidate scoring
+# ---------------------------------------------------------------------------
+
+ER_MATCH_TAU = 0.5
+
+
+def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entity resolution, the BLOCKING pattern that makes it
+    tractable at 100 TB: candidate pairs are generated ONLY inside
+    (name noun, type, size) blocks — the classic "never compare
+    everything to everything" key — then scored by weighted field
+    agreement (brand 0.5, adjective 0.3, retail price within ±1.0
+    0.2) with matches at ≥ ER_MATCH_TAU. The same join shape as the
+    dedup inverted indexes: the shuffle keys on the block, per-key
+    fan-out is bounded by block size, and a hot block is the
+    signal to refine the key, never to fall back to a cross join."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.split(F.col("p_name"), " ").getItem(0).alias("adj"),
+        F.split(F.col("p_name"), " ").getItem(1).alias("noun"),
+        "p_brand",
+        "p_type",
+        "p_size",
+        "p_retailprice",
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.noun") == F.col("b.noun"))
+        & (F.col("a.p_type") == F.col("b.p_type"))
+        & (F.col("a.p_size") == F.col("b.p_size"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    )
+    score = (
+        F.when(F.col("a.p_brand") == F.col("b.p_brand"), 0.5).otherwise(0.0)
+        + F.when(F.col("a.adj") == F.col("b.adj"), 0.3).otherwise(0.0)
+        + F.when(
+            F.abs(F.col("a.p_retailprice") - F.col("b.p_retailprice")) <= 1.0, 0.2
+        ).otherwise(0.0)
+    )
+    return pairs.select(
+        F.col("a.p_partkey").alias("part_a"),
+        F.col("b.p_partkey").alias("part_b"),
+        F.col("a.noun").alias("noun"),
+        F.col("a.p_type").alias("p_type"),
+        F.col("a.p_size").alias("p_size"),
+        F.round(score + 1e-9, 2).alias("match_score"),
+        (F.round(score + 1e-9, 2) >= ER_MATCH_TAU).alias("is_match"),
+    )
+
+
+PART_ENTITY_RESOLUTION_SQL = f"""
+WITH p AS (
+  SELECT p_partkey, split_part(p_name, ' ', 1) AS adj,
+         split_part(p_name, ' ', 2) AS noun,
+         p_brand, p_type, p_size, p_retailprice
+  FROM part
+)
+SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+       a.noun, a.p_type, a.p_size,
+       round(
+         (CASE WHEN a.p_brand = b.p_brand THEN 0.5 ELSE 0.0 END)
+         + (CASE WHEN a.adj = b.adj THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN abs(a.p_retailprice - b.p_retailprice) <= 1.0 THEN 0.2 ELSE 0.0 END)
+         + 1e-9, 2) AS match_score,
+       round(
+         (CASE WHEN a.p_brand = b.p_brand THEN 0.5 ELSE 0.0 END)
+         + (CASE WHEN a.adj = b.adj THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN abs(a.p_retailprice - b.p_retailprice) <= 1.0 THEN 0.2 ELSE 0.0 END)
+         + 1e-9, 2) >= {ER_MATCH_TAU} AS is_match
+FROM p a JOIN p b
+  ON a.noun = b.noun AND a.p_type = b.p_type AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # orders_priority_scd2 — build type-2 dimension intervals from history
 # ---------------------------------------------------------------------------
 
@@ -1874,6 +1952,7 @@ WINDOW wv AS (PARTITION BY o_custkey ORDER BY version)
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "orders_priority_scd2": (orders_priority_scd2, ORDERS_PRIORITY_SCD2_SQL),
+    "part_entity_resolution": (part_entity_resolution, PART_ENTITY_RESOLUTION_SQL),
     "orders_upsert_merge": (orders_upsert_merge, ORDERS_UPSERT_MERGE_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q3_top_unshipped": (q3_top_unshipped, Q3_SQL),

@@ -838,3 +838,17 @@ class TestWinsorize:
             assert r["n_clipped_high"] <= 0.02 * r["n_events"]
             # winsorized mean lies within the clip bounds
             assert r["p01"] - 1e-6 <= r["mean_winsorized"] <= r["p99"] + 1e-6
+
+
+class TestEntityResolution:
+    def test_blocking_and_score_bounds(self, spark, sf_dir):
+        from datatransformertools_spark.operators.relational import (
+            part_entity_resolution,
+        )
+
+        rows = part_entity_resolution(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r["part_a"] < r["part_b"]
+            assert 0.0 <= r["match_score"] <= 1.0
+            assert r["is_match"] == (r["match_score"] >= 0.5)
