@@ -1790,6 +1790,71 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# orders_backlog_sweep — open-order backlog via interval delta sweep
+# ---------------------------------------------------------------------------
+
+
+def orders_backlog_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog (placed but not fully shipped) via
+    the interval SWEEP pattern: every order contributes +1 at its
+    order date and −1 the day after its last line ships; the
+    running prefix sum over the date axis IS the backlog curve.
+    This is how you count concurrent intervals at 100 TB — the
+    naive day×order range join is O(days·orders), the sweep is one
+    aggregate to |days| delta rows plus a window over that tiny
+    frame. Orders with no line items never close and are excluded
+    (inner join defines the cohort — documented)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    closed = li.groupBy("l_orderkey").agg(
+        F.to_date(F.max("l_shipdate")).alias("close_date")
+    )
+    spans = orders.join(closed, orders.o_orderkey == closed.l_orderkey).select(
+        F.col("o_orderdate").alias("open_date"), "close_date"
+    )
+    deltas = (
+        spans.select(F.col("open_date").alias("day"), F.lit(1).alias("d"))
+        .unionByName(
+            spans.select(
+                F.date_add("close_date", 1).alias("day"), F.lit(-1).alias("d")
+            )
+        )
+        .groupBy("day")
+        .agg(F.sum("d").alias("delta"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return deltas.select(
+        "day",
+        F.col("delta").cast("long").alias("delta"),
+        F.sum("delta").over(w).cast("long").alias("open_orders"),
+    )
+
+
+ORDERS_BACKLOG_SWEEP_SQL = """
+WITH closed AS (
+  SELECT l_orderkey, CAST(max(l_shipdate) AS DATE) AS close_date
+  FROM lineitem GROUP BY 1
+),
+spans AS (
+  SELECT o.o_orderdate AS open_date, c.close_date
+  FROM orders o JOIN closed c ON o.o_orderkey = c.l_orderkey
+),
+deltas AS (
+  SELECT day, CAST(sum(d) AS BIGINT) AS delta FROM (
+    SELECT open_date AS day, 1 AS d FROM spans
+    UNION ALL
+    SELECT close_date + 1 AS day, -1 AS d FROM spans
+  ) GROUP BY day
+)
+SELECT day, delta,
+       CAST(sum(delta) OVER (ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS open_orders
+FROM deltas
+"""
+
+
+# ---------------------------------------------------------------------------
 # part_entity_resolution — blocked catalog duplicate-candidate scoring
 # ---------------------------------------------------------------------------
 
@@ -1953,6 +2018,7 @@ QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "orders_priority_scd2": (orders_priority_scd2, ORDERS_PRIORITY_SCD2_SQL),
     "part_entity_resolution": (part_entity_resolution, PART_ENTITY_RESOLUTION_SQL),
+    "orders_backlog_sweep": (orders_backlog_sweep, ORDERS_BACKLOG_SWEEP_SQL),
     "orders_upsert_merge": (orders_upsert_merge, ORDERS_UPSERT_MERGE_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q3_top_unshipped": (q3_top_unshipped, Q3_SQL),

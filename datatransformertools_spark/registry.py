@@ -236,6 +236,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "events_session_paths",
         "events_value_winsorize",
         "part_entity_resolution",
+        "orders_backlog_sweep",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

@@ -852,3 +852,16 @@ class TestEntityResolution:
             assert r["part_a"] < r["part_b"]
             assert 0.0 <= r["match_score"] <= 1.0
             assert r["is_match"] == (r["match_score"] >= 0.5)
+
+
+class TestBacklogSweep:
+    def test_backlog_nonnegative_and_terminates_at_zero(self, spark, sf_dir):
+        from datatransformertools_spark.operators.relational import orders_backlog_sweep
+
+        rows = sorted(orders_backlog_sweep(spark, sf_dir).collect(), key=lambda r: r["day"])
+        assert rows
+        for r in rows:
+            assert r["open_orders"] >= 0  # can't close more than opened
+        assert rows[-1]["open_orders"] == 0  # every order eventually closes
+        assert sum(r["delta"] for r in rows) == 0  # +1/-1 balance
+        assert max(r["open_orders"] for r in rows) > 0
