@@ -1790,6 +1790,71 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# supplier_concentration_hhi — supply-concentration audit per part type
+# ---------------------------------------------------------------------------
+
+
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain concentration per part type: each supplier's
+    revenue share and the Herfindahl-Hirschman index (Σ share²,
+    ×10⁴ in the antitrust convention), plus the top supplier's
+    share — the single-source-risk audit. Revenue is summed in
+    DECIMAL(38,4) so shares are ratios of exact totals; everything
+    reduces map-side to |types|·|suppliers| rows before any window,
+    and the HHI aggregate reuses the same type-keyed exchange."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_type", "l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,4)"
+                )
+            ).alias("rev")
+        )
+    )
+    w = Window.partitionBy("p_type")
+    total = F.sum("rev").over(w)
+    # divide as doubles: decimal÷decimal result scale is
+    # engine-specific, but decimal→double of the SAME exact total is
+    # bit-identical in both engines
+    shares = rev.withColumn(
+        "share", F.col("rev").cast("double") / total.cast("double")
+    )
+    return shares.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.round(F.sum(F.col("share") * F.col("share")) * 10000 + 1e-9, 2).alias("hhi"),
+        F.round(F.max("share") + 1e-9, 6).alias("top_share"),
+    )
+
+
+SUPPLIER_CONCENTRATION_HHI_SQL = """
+WITH rev AS (
+  SELECT p.p_type, l.l_suppkey,
+         CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,4)))
+              AS DECIMAL(38,4)) AS rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+shares AS (
+  SELECT p_type,
+         CAST(rev AS DOUBLE) / CAST(sum(rev) OVER (PARTITION BY p_type) AS DOUBLE) AS share
+  FROM rev
+)
+SELECT p_type,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       round(sum(share * share) * 10000 + 1e-9, 2) AS hhi,
+       round(max(share) + 1e-9, 6) AS top_share
+FROM shares
+GROUP BY p_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # orders_backlog_sweep — open-order backlog via interval delta sweep
 # ---------------------------------------------------------------------------
 
@@ -2019,6 +2084,7 @@ QUERIES = {
     "orders_priority_scd2": (orders_priority_scd2, ORDERS_PRIORITY_SCD2_SQL),
     "part_entity_resolution": (part_entity_resolution, PART_ENTITY_RESOLUTION_SQL),
     "orders_backlog_sweep": (orders_backlog_sweep, ORDERS_BACKLOG_SWEEP_SQL),
+    "supplier_concentration_hhi": (supplier_concentration_hhi, SUPPLIER_CONCENTRATION_HHI_SQL),
     "orders_upsert_merge": (orders_upsert_merge, ORDERS_UPSERT_MERGE_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q3_top_unshipped": (q3_top_unshipped, Q3_SQL),

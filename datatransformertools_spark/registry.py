@@ -237,6 +237,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "events_value_winsorize",
         "part_entity_resolution",
         "orders_backlog_sweep",
+        "supplier_concentration_hhi",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

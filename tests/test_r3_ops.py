@@ -865,3 +865,17 @@ class TestBacklogSweep:
         assert rows[-1]["open_orders"] == 0  # every order eventually closes
         assert sum(r["delta"] for r in rows) == 0  # +1/-1 balance
         assert max(r["open_orders"] for r in rows) > 0
+
+
+class TestHHI:
+    def test_hhi_bounds(self, spark, sf_dir):
+        from datatransformertools_spark.operators.relational import (
+            supplier_concentration_hhi,
+        )
+
+        rows = supplier_concentration_hhi(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            # HHI ranges from 10^4/n (equal shares) to 10^4 (monopoly)
+            assert 10000.0 / r["n_suppliers"] - 1e-6 <= r["hhi"] <= 10000.0 + 1e-6
+            assert 1.0 / r["n_suppliers"] - 1e-9 <= r["top_share"] <= 1.0
