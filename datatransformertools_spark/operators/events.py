@@ -2166,6 +2166,88 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 
 
 # ---------------------------------------------------------------------------
+# events_ab_test — hash-randomized A/B comparison with Welch's t
+# ---------------------------------------------------------------------------
+
+AB_Z_CRIT = 1.96
+
+
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The experimentation primitive end to end: users are
+    hash-randomized into arms (md5 parity — deterministic,
+    reproducible, uncorrelated with anything), and each event
+    type's `value` is compared between arms with Welch's unequal-
+    variance t statistic + the |t| > 1.96 significance flag. On a
+    null experiment like this hash split, the flags should almost
+    always be false — which is itself the A/A sanity check every
+    experimentation platform runs first.
+
+    Scale design: one map-side-combined groupBy collapses events to
+    per-(type, arm) count/sum/sum-of-squares — the sufficient
+    statistics; the t math runs on |types| rows. No window, no
+    join wider than the 2-arm pivot."""
+    from datatransformertools_spark.functions.hashing import md5_long
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    arm = (md5_long(F.col("user_id").cast("string"), salt="ab:") % 2).alias("arm")
+    stats = ev.select("event_type", arm, "value").groupBy("event_type", "arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    a = stats.filter(F.col("arm") == 0).select(
+        "event_type",
+        F.col("n").alias("na"),
+        (F.col("s") / F.col("n")).alias("ma"),
+        ((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)).alias("va"),
+    )
+    b = stats.filter(F.col("arm") == 1).select(
+        "event_type",
+        F.col("n").alias("nb"),
+        (F.col("s") / F.col("n")).alias("mb"),
+        ((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)).alias("vb"),
+    )
+    j = a.join(b, "event_type")
+    se = F.sqrt(F.col("va") / F.col("na") + F.col("vb") / F.col("nb"))
+    t = (F.col("mb") - F.col("ma")) / se
+    return j.select(
+        "event_type",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(F.col("ma") + 1e-9, 4).alias("mean_a"),
+        F.round(F.col("mb") + 1e-9, 4).alias("mean_b"),
+        F.round(t + 1e-9, 4).alias("t_stat"),
+        (F.abs(F.round(t + 1e-9, 4)) > AB_Z_CRIT).alias("significant"),
+    )
+
+
+EVENTS_AB_TEST_SQL = f"""
+WITH assigned AS (
+  SELECT event_type,
+         ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm,
+         value
+  FROM events
+),
+stats AS (
+  SELECT event_type, arm, count(*) AS n, sum(value) AS s, sum(value * value) AS ss
+  FROM assigned GROUP BY 1, 2
+),
+a AS (SELECT event_type, n AS na, s / n AS ma,
+             (ss - s * s / n) / (n - 1) AS va FROM stats WHERE arm = 0),
+b AS (SELECT event_type, n AS nb, s / n AS mb,
+             (ss - s * s / n) / (n - 1) AS vb FROM stats WHERE arm = 1)
+SELECT a.event_type,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(ma + 1e-9, 4) AS mean_a,
+       round(mb + 1e-9, 4) AS mean_b,
+       round((mb - ma) / sqrt(va / na + vb / nb) + 1e-9, 4) AS t_stat,
+       abs(round((mb - ma) / sqrt(va / na + vb / nb) + 1e-9, 4)) > {AB_Z_CRIT}
+         AS significant
+FROM a JOIN b USING (event_type)
+"""
+
+
+# ---------------------------------------------------------------------------
 # events_value_winsorize — robust clipping at exact per-type percentiles
 # ---------------------------------------------------------------------------
 
@@ -2679,6 +2761,7 @@ QUERIES = {
     "events_incremental_refresh": (events_incremental_refresh, EVENTS_INCREMENTAL_REFRESH_SQL),
     "events_session_paths": (events_session_paths, EVENTS_SESSION_PATHS_SQL),
     "events_value_winsorize": (events_value_winsorize, EVENTS_VALUE_WINSORIZE_SQL),
+    "events_ab_test": (events_ab_test, EVENTS_AB_TEST_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
     "events_asof_join": (events_asof_join, EVENTS_ASOF_JOIN_SQL),
     "events_json_extract": (events_json_extract, EVENTS_JSON_EXTRACT_SQL),

@@ -238,6 +238,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "part_entity_resolution",
         "orders_backlog_sweep",
         "supplier_concentration_hhi",
+        "events_ab_test",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

@@ -879,3 +879,18 @@ class TestHHI:
             # HHI ranges from 10^4/n (equal shares) to 10^4 (monopoly)
             assert 10000.0 / r["n_suppliers"] - 1e-6 <= r["hhi"] <= 10000.0 + 1e-6
             assert 1.0 / r["n_suppliers"] - 1e-9 <= r["top_share"] <= 1.0
+
+
+class TestABTest:
+    def test_null_experiment_mostly_insignificant(self, spark, sf_dir):
+        from datatransformertools_spark.operators.events import events_ab_test
+
+        rows = events_ab_test(spark, sf_dir).collect()
+        assert len(rows) == 5
+        for r in rows:
+            assert r["n_a"] > 0 and r["n_b"] > 0
+            # hash split is ~50/50
+            assert 0.3 < r["n_a"] / (r["n_a"] + r["n_b"]) < 0.7
+            assert r["significant"] == (abs(r["t_stat"]) > 1.96)
+        # an A/A split should rarely flag: allow at most 1 of 5
+        assert sum(r["significant"] for r in rows) <= 1
