@@ -2166,6 +2166,83 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 
 
 # ---------------------------------------------------------------------------
+# user_ctr_wilson — CTR ranking by Wilson lower bound
+# ---------------------------------------------------------------------------
+
+WILSON_Z = 1.96
+WILSON_TOP_K = 25
+WILSON_MIN_VIEWS = 10
+
+
+def user_ctr_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank users by click-through rate THE RIGHT WAY: the Wilson
+    score lower bound at z=1.96 instead of the raw ratio — the
+    uncertainty-aware ranking (the "how not to sort by average
+    rating" fix) that stops 1-view/1-click accounts from topping
+    the list. The proportion is clicks / (views + clicks) — a true
+    [0,1] binomial share of attention events; users need ≥
+    WILSON_MIN_VIEWS such events to rank. One map-side-combined
+    groupBy to per-user (views, clicks); the Wilson algebra is
+    row-local; top-k is TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "view").cast("long")).alias("views"),
+        F.sum((F.col("event_type") == "click").cast("long")).alias("clicks"),
+    ).filter(F.col("views") + F.col("clicks") >= WILSON_MIN_VIEWS)
+    z2 = WILSON_Z * WILSON_Z
+    n = (F.col("views") + F.col("clicks")).cast("double")
+    p = F.col("clicks") / n
+    lb = (
+        p
+        + z2 / (2 * n)
+        - WILSON_Z * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+    ) / (1 + z2 / n)
+    scored = per_user.select(
+        "user_id",
+        "views",
+        "clicks",
+        F.round(p + 1e-9, 6).alias("ctr"),
+        F.round(lb + 1e-9, 6).alias("wilson_lb"),
+    )
+    top = scored.orderBy(F.col("wilson_lb").desc(), "user_id").limit(WILSON_TOP_K)
+    rn = F.row_number().over(Window.orderBy(F.col("wilson_lb").desc(), "user_id"))
+    return top.withColumn("rank", rn.cast("int")).select(
+        "rank", "user_id", "views", "clicks", "ctr", "wilson_lb"
+    )
+
+
+USER_CTR_WILSON_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks
+  FROM events GROUP BY 1
+  HAVING sum(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END)
+           >= {WILSON_MIN_VIEWS}
+),
+scored AS (
+  SELECT user_id, views, clicks,
+         round(clicks * 1.0 / (views + clicks) + 1e-9, 6) AS ctr,
+         round((clicks * 1.0 / (views + clicks)
+                + {WILSON_Z * WILSON_Z} / (2 * (views + clicks))
+                - {WILSON_Z} * sqrt((clicks * 1.0 / (views + clicks))
+                                    * (1 - clicks * 1.0 / (views + clicks))
+                                    / (views + clicks)
+                                    + {WILSON_Z * WILSON_Z}
+                                      / (4 * (views + clicks) * (views + clicks))))
+               / (1 + {WILSON_Z * WILSON_Z} / (views + clicks)) + 1e-9, 6) AS wilson_lb
+  FROM per_user
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY wilson_lb DESC, user_id) AS rank
+  FROM scored
+)
+SELECT CAST(rank AS INT) AS rank, user_id, views, clicks, ctr, wilson_lb
+FROM ranked WHERE rank <= {WILSON_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # events_ab_test — hash-randomized A/B comparison with Welch's t
 # ---------------------------------------------------------------------------
 
@@ -2762,6 +2839,7 @@ QUERIES = {
     "events_session_paths": (events_session_paths, EVENTS_SESSION_PATHS_SQL),
     "events_value_winsorize": (events_value_winsorize, EVENTS_VALUE_WINSORIZE_SQL),
     "events_ab_test": (events_ab_test, EVENTS_AB_TEST_SQL),
+    "user_ctr_wilson": (user_ctr_wilson, USER_CTR_WILSON_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
     "events_asof_join": (events_asof_join, EVENTS_ASOF_JOIN_SQL),
     "events_json_extract": (events_json_extract, EVENTS_JSON_EXTRACT_SQL),

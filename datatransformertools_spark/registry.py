@@ -239,6 +239,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "orders_backlog_sweep",
         "supplier_concentration_hhi",
         "events_ab_test",
+        "user_ctr_wilson",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

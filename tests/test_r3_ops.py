@@ -894,3 +894,19 @@ class TestABTest:
             assert r["significant"] == (abs(r["t_stat"]) > 1.96)
         # an A/A split should rarely flag: allow at most 1 of 5
         assert sum(r["significant"] for r in rows) <= 1
+
+
+class TestWilsonCTR:
+    def test_lower_bound_below_point_estimate(self, spark, sf_dir):
+        from datatransformertools_spark.operators.events import (
+            WILSON_TOP_K,
+            user_ctr_wilson,
+        )
+
+        rows = sorted(user_ctr_wilson(spark, sf_dir).collect(), key=lambda r: r["rank"])
+        assert 1 <= len(rows) <= WILSON_TOP_K
+        for r in rows:
+            assert 0.0 <= r["wilson_lb"] <= r["ctr"] + 1e-9  # LB shrinks toward 0
+            assert 0.0 <= r["ctr"] <= 1.0
+        for a, b in zip(rows, rows[1:]):
+            assert a["wilson_lb"] >= b["wilson_lb"]
