@@ -2166,6 +2166,107 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 
 
 # ---------------------------------------------------------------------------
+# events_attribution_time_decay — multi-touch attribution with decay
+# ---------------------------------------------------------------------------
+
+DECAY_WINDOW_US = 30 * 60 * 1_000_000  # lookback
+DECAY_HALF_LIFE_US = 10 * 60 * 1_000_000  # credit halves every 10 min
+
+
+def events_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution with exponential time decay: every
+    click in the 30 minutes before a purchase shares the credit,
+    weighted pow(0.5, lag/half_life) and normalized per purchase —
+    the fairer sibling of `events_attribution`'s winner-take-all
+    last-touch. Emits, per purchase: touchpoint count, the
+    top-credited click and its normalized share.
+
+    Scale design: the purchase×click pairing uses the binned range
+    join (time buckets of window width; a purchase's candidates
+    live in its own or the previous bucket — two hash-join probes,
+    never a time-range nested loop), then one per-purchase window
+    normalizes and ranks. Same-user pairing keys the shuffle on
+    (user_id, bucket) — clickstream-partition friendly."""
+    ev = _events_us(spark, sf_dir).select("event_id", "user_id", "ts_us", "event_type")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts_us").alias("p_ts"),
+        F.floor(F.col("ts_us") / DECAY_WINDOW_US).alias("p_bucket"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts_us").alias("c_ts"),
+        F.floor(F.col("ts_us") / DECAY_WINDOW_US).alias("c_bucket"),
+    )
+    probes = purch.withColumn(
+        "c_bucket", F.explode(F.array(F.col("p_bucket"), F.col("p_bucket") - 1))
+    )
+    pairs = probes.join(clicks, ["user_id", "c_bucket"]).filter(
+        (F.col("p_ts") - F.col("c_ts") >= 0)
+        & (F.col("p_ts") - F.col("c_ts") <= DECAY_WINDOW_US)
+    )
+    w = F.pow(F.lit(0.5), (F.col("p_ts") - F.col("c_ts")) / DECAY_HALF_LIFE_US)
+    weighted = pairs.withColumn("w", w)
+    wp = Window.partitionBy("purchase_id")
+    credited = weighted.withColumn(
+        "credit", F.round(F.col("w") / F.sum("w").over(wp) + 1e-9, 6)
+    )
+    rn = F.row_number().over(
+        wp.orderBy(F.col("credit").desc(), F.col("click_id").desc())
+    )
+    return (
+        credited.withColumn("rn", rn)
+        .withColumn("n_touchpoints", F.count(F.lit(1)).over(wp).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            "n_touchpoints",
+            F.col("click_id").alias("top_click_id"),
+            F.col("credit").alias("top_click_credit"),
+        )
+    )
+
+
+EVENTS_ATTRIBUTION_TIME_DECAY_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events
+),
+purch AS (
+  SELECT event_id AS purchase_id, user_id, ts_us AS p_ts FROM ev
+  WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT event_id AS click_id, user_id, ts_us AS c_ts FROM ev
+  WHERE event_type = 'click'
+),
+pairs AS (
+  SELECT p.purchase_id, p.user_id, c.click_id,
+         pow(0.5, (p.p_ts - c.c_ts) * 1.0 / {DECAY_HALF_LIFE_US}) AS w
+  FROM purch p JOIN clicks c
+    ON p.user_id = c.user_id
+   AND p.p_ts - c.c_ts >= 0 AND p.p_ts - c.c_ts <= {DECAY_WINDOW_US}
+),
+credited AS (
+  SELECT purchase_id, user_id, click_id,
+         round(w / sum(w) OVER (PARTITION BY purchase_id) + 1e-9, 6) AS credit,
+         count(*) OVER (PARTITION BY purchase_id) AS n_touchpoints
+  FROM pairs
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY purchase_id
+                               ORDER BY credit DESC, click_id DESC) AS rn
+  FROM credited
+)
+SELECT purchase_id, user_id, CAST(n_touchpoints AS BIGINT) AS n_touchpoints,
+       click_id AS top_click_id, credit AS top_click_credit
+FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # user_ctr_wilson — CTR ranking by Wilson lower bound
 # ---------------------------------------------------------------------------
 
@@ -2840,6 +2941,7 @@ QUERIES = {
     "events_value_winsorize": (events_value_winsorize, EVENTS_VALUE_WINSORIZE_SQL),
     "events_ab_test": (events_ab_test, EVENTS_AB_TEST_SQL),
     "user_ctr_wilson": (user_ctr_wilson, USER_CTR_WILSON_SQL),
+    "events_attribution_time_decay": (events_attribution_time_decay, EVENTS_ATTRIBUTION_TIME_DECAY_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
     "events_asof_join": (events_asof_join, EVENTS_ASOF_JOIN_SQL),
     "events_json_extract": (events_json_extract, EVENTS_JSON_EXTRACT_SQL),

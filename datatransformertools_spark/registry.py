@@ -240,6 +240,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "supplier_concentration_hhi",
         "events_ab_test",
         "user_ctr_wilson",
+        "events_attribution_time_decay",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

@@ -910,3 +910,22 @@ class TestWilsonCTR:
             assert 0.0 <= r["ctr"] <= 1.0
         for a, b in zip(rows, rows[1:]):
             assert a["wilson_lb"] >= b["wilson_lb"]
+
+
+class TestTimeDecayAttribution:
+    def test_credit_normalized_and_top_is_latest(self, spark, sf_dir):
+        from datatransformertools_spark.operators.events import (
+            events_attribution_time_decay,
+        )
+
+        rows = events_attribution_time_decay(spark, sf_dir).collect()
+        assert rows
+        seen = set()
+        for r in rows:
+            assert r["purchase_id"] not in seen  # one winner per purchase
+            seen.add(r["purchase_id"])
+            assert r["n_touchpoints"] >= 1
+            # normalized share: 1/n <= top credit <= 1
+            assert 1.0 / r["n_touchpoints"] - 1e-6 <= r["top_click_credit"] <= 1.0 + 1e-9
+            if r["n_touchpoints"] == 1:
+                assert abs(r["top_click_credit"] - 1.0) < 1e-6
