@@ -375,6 +375,90 @@ FROM per_day p CROSS JOIN a
 
 
 # ---------------------------------------------------------------------------
+# zone_map_skipping_audit — min-max pruning effectiveness per layout
+# ---------------------------------------------------------------------------
+
+ZONE_CHUNK_ROWS = 4096
+ZONE_PRED_LO, ZONE_PRED_HI = 30.0, 40.0
+
+
+def zone_map_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min-max) data-skipping audit: chunk the events
+    table two ways — clustered by arrival (event_id ranges, the
+    layout a time-ordered ingest produces) vs randomly scattered
+    (md5-bucketed, the layout after a careless rewrite) — record
+    each chunk's value min/max, and measure how many chunks a
+    `value BETWEEN lo AND hi` predicate can skip under each layout.
+    This is THE number that justifies clustering/Z-ordering: same
+    data, same predicate, different file layout → different scan
+    cost. Per layout: chunk count, skippable chunks, skip fraction,
+    and the avg chunk value-span (the clustering-quality proxy).
+    One groupBy per layout at |chunks| output rows."""
+    from datatransformertools_spark.functions.hashing import md5_long
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    layouts = [
+        ("arrival_clustered", F.floor(F.col("event_id") / ZONE_CHUNK_ROWS)),
+        ("random_scatter", md5_long(F.col("event_id").cast("string"), salt="zm:") % 16),
+    ]
+    outs = []
+    for name, chunk in layouts:
+        zones = ev.groupBy(chunk.alias("chunk")).agg(
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        skippable = (F.col("vmax") < ZONE_PRED_LO) | (F.col("vmin") > ZONE_PRED_HI)
+        outs.append(
+            zones.agg(
+                F.lit(name).alias("layout"),
+                F.count(F.lit(1)).cast("long").alias("n_chunks"),
+                F.sum(skippable.cast("long")).alias("n_skippable"),
+                F.round(
+                    F.avg(skippable.cast("double")) + 1e-9, 6
+                ).alias("skip_fraction"),
+                F.round(F.avg(F.col("vmax") - F.col("vmin")) + 1e-9, 4).alias(
+                    "avg_chunk_span"
+                ),
+            )
+        )
+    from functools import reduce as _reduce
+
+    return _reduce(DataFrame.unionByName, outs)
+
+
+ZONE_MAP_SKIPPING_SQL = f"""
+WITH arrival AS (
+  SELECT CAST(floor(event_id / {ZONE_CHUNK_ROWS}) AS BIGINT) AS chunk,
+         min(value) AS vmin, max(value) AS vmax
+  FROM events GROUP BY 1
+),
+scatter AS (
+  SELECT ('0x' || substr(md5('zm:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS chunk,
+         min(value) AS vmin, max(value) AS vmax
+  FROM events GROUP BY 1
+)
+SELECT 'arrival_clustered' AS layout,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN vmax < {ZONE_PRED_LO} OR vmin > {ZONE_PRED_HI}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_skippable,
+       round(avg(CASE WHEN vmax < {ZONE_PRED_LO} OR vmin > {ZONE_PRED_HI}
+                      THEN 1.0 ELSE 0.0 END) + 1e-9, 6) AS skip_fraction,
+       round(avg(vmax - vmin) + 1e-9, 4) AS avg_chunk_span
+FROM arrival
+UNION ALL
+SELECT 'random_scatter',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN vmax < {ZONE_PRED_LO} OR vmin > {ZONE_PRED_HI}
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       round(avg(CASE WHEN vmax < {ZONE_PRED_LO} OR vmin > {ZONE_PRED_HI}
+                      THEN 1.0 ELSE 0.0 END) + 1e-9, 6),
+       round(avg(vmax - vmin) + 1e-9, 4)
+FROM scatter
+"""
+
+
+# ---------------------------------------------------------------------------
 # bloom_join_prune — Bloom-filter pre-join pruning with measured FP rate
 # ---------------------------------------------------------------------------
 
@@ -531,6 +615,7 @@ QUERIES = {
     "key_skew_profile": (key_skew_profile, KEY_SKEW_PROFILE_SQL),
     "partition_layout_audit": (partition_layout_audit, PARTITION_LAYOUT_AUDIT_SQL),
     "bloom_join_prune": (bloom_join_prune, BLOOM_JOIN_PRUNE_SQL),
+    "zone_map_skipping_audit": (zone_map_skipping_audit, ZONE_MAP_SKIPPING_SQL),
     "referential_integrity_audit": (referential_integrity_audit, REFERENTIAL_INTEGRITY_SQL),
     "deletion_cascade_audit": (deletion_cascade_audit, DELETION_CASCADE_SQL),
     "schema_contract_check": (schema_contract_check, SCHEMA_CONTRACT_SQL),

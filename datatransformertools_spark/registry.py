@@ -241,6 +241,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "events_ab_test",
         "user_ctr_wilson",
         "events_attribution_time_decay",
+        "zone_map_skipping_audit",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

@@ -929,3 +929,19 @@ class TestTimeDecayAttribution:
             assert 1.0 / r["n_touchpoints"] - 1e-6 <= r["top_click_credit"] <= 1.0 + 1e-9
             if r["n_touchpoints"] == 1:
                 assert abs(r["top_click_credit"] - 1.0) < 1e-6
+
+
+class TestZoneMapAudit:
+    def test_layouts_compared(self, spark, sf_dir):
+        from datatransformertools_spark.operators.audit import zone_map_skipping_audit
+
+        rows = {r["layout"]: r for r in zone_map_skipping_audit(spark, sf_dir).collect()}
+        assert set(rows) == {"arrival_clustered", "random_scatter"}
+        for r in rows.values():
+            assert 0.0 <= r["skip_fraction"] <= 1.0
+            assert r["n_skippable"] <= r["n_chunks"]
+            assert r["avg_chunk_span"] >= 0
+        # a 16-chunk random scatter sees the full value range in
+        # every chunk → never skippable; arrival chunks are also
+        # value-unclustered here, so the audit's point is the spans
+        assert rows["random_scatter"]["n_skippable"] == 0
