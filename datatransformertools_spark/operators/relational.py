@@ -1790,6 +1790,155 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# nation_trade_matrix — full supplier→customer nation revenue matrix
+# ---------------------------------------------------------------------------
+
+
+def nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full bilateral trade matrix q7 samples two cells of:
+    revenue between EVERY (supplier nation → customer nation) pair,
+    its share of world trade, and the domestic flag — the
+    trade-flow rollup an analyst pivots. Join shape: lineitem
+    resolves supplier nation and (via orders) customer nation with
+    the two fixed-25-row nation dims broadcast on both hops;
+    customer/supplier/orders joins shuffle (they scale with SF);
+    one (nation, nation) aggregate ends at ≤ 625 rows, and the
+    world total rides as a broadcast 1-row frame."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,4)")
+    flows = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+        .groupBy("supp_nation", "cust_nation")
+        .agg(F.sum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+    total = flows.agg(F.sum("revenue").alias("world_total"))
+    return flows.crossJoin(F.broadcast(total)).select(
+        "supp_nation",
+        "cust_nation",
+        F.col("revenue").cast("decimal(38,4)").alias("revenue"),
+        F.col("n_items").cast("long").alias("n_items"),
+        F.round(
+            F.col("revenue").cast("double") / F.col("world_total").cast("double")
+            + 1e-9,
+            6,
+        ).alias("world_share"),
+        (F.col("supp_nation") == F.col("cust_nation")).alias("domestic"),
+    )
+
+
+NATION_TRADE_MATRIX_SQL = """
+WITH flows AS (
+  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,4)))
+              AS DECIMAL(38,4)) AS revenue,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  GROUP BY 1, 2
+),
+total AS (SELECT CAST(sum(revenue) AS DECIMAL(38,4)) AS world_total FROM flows)
+SELECT supp_nation, cust_nation, revenue, n_items,
+       round(CAST(revenue AS DOUBLE) / CAST(world_total AS DOUBLE) + 1e-9, 6)
+         AS world_share,
+       supp_nation = cust_nation AS domestic
+FROM flows CROSS JOIN total
+"""
+
+
+# ---------------------------------------------------------------------------
+# part_abc_classification — cumulative-revenue ABC classes
+# ---------------------------------------------------------------------------
+
+
+def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, the
+    running cumulative share cut at 80% (A) and 95% (B), C beyond —
+    the classic "20% of SKUs carry 80% of value" segmentation that
+    prioritizes catalog curation. Revenue aggregates map-side to
+    |parts| rows; the cumulative window runs over that
+    dimension-sized frame (catalog-sized, not fact-sized —
+    documented single-axis sort, the same exemption the Pareto and
+    decile ops use); boundaries compare on 9-dp-quantized shares so
+    the class cut is bit-stable cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,4)")
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("revenue"))
+    total = per_part.agg(F.sum("revenue").alias("total"))
+    w = Window.orderBy(F.col("revenue").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_part.crossJoin(F.broadcast(total)).withColumn(
+        "cum_share",
+        F.round(
+            F.sum("revenue").over(w).cast("double") / F.col("total").cast("double")
+            + 1e-9,
+            9,
+        ),
+    )
+    cls = (
+        F.when(F.col("cum_share") <= 0.80, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+    )
+    classed = cum.select("l_partkey", "revenue", cls.alias("abc_class"))
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("revenue").cast("decimal(38,4)").alias("class_revenue"),
+    )
+
+
+PART_ABC_CLASSIFICATION_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4)))
+              AS DECIMAL(38,4)) AS revenue
+  FROM lineitem GROUP BY 1
+),
+total AS (SELECT CAST(sum(revenue) AS DECIMAL(38,4)) AS total FROM per_part),
+cum AS (
+  SELECT l_partkey, revenue,
+         round(CAST(sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) / CAST(total AS DOUBLE) + 1e-9, 9) AS cum_share
+  FROM per_part CROSS JOIN total
+),
+classed AS (
+  SELECT l_partkey, revenue,
+         CASE WHEN cum_share <= 0.80 THEN 'A'
+              WHEN cum_share <= 0.95 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM cum
+)
+SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(revenue) AS DECIMAL(38,4)) AS class_revenue
+FROM classed
+GROUP BY abc_class
+"""
+
+
+# ---------------------------------------------------------------------------
 # supplier_concentration_hhi — supply-concentration audit per part type
 # ---------------------------------------------------------------------------
 
@@ -2085,6 +2234,8 @@ QUERIES = {
     "part_entity_resolution": (part_entity_resolution, PART_ENTITY_RESOLUTION_SQL),
     "orders_backlog_sweep": (orders_backlog_sweep, ORDERS_BACKLOG_SWEEP_SQL),
     "supplier_concentration_hhi": (supplier_concentration_hhi, SUPPLIER_CONCENTRATION_HHI_SQL),
+    "nation_trade_matrix": (nation_trade_matrix, NATION_TRADE_MATRIX_SQL),
+    "part_abc_classification": (part_abc_classification, PART_ABC_CLASSIFICATION_SQL),
     "orders_upsert_merge": (orders_upsert_merge, ORDERS_UPSERT_MERGE_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q3_top_unshipped": (q3_top_unshipped, Q3_SQL),

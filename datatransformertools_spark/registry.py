@@ -242,6 +242,8 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "user_ctr_wilson",
         "events_attribution_time_decay",
         "zone_map_skipping_audit",
+        "nation_trade_matrix",
+        "part_abc_classification",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

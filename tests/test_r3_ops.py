@@ -945,3 +945,34 @@ class TestZoneMapAudit:
         # every chunk → never skippable; arrival chunks are also
         # value-unclustered here, so the audit's point is the spans
         assert rows["random_scatter"]["n_skippable"] == 0
+
+
+class TestTradeMatrix:
+    def test_shares_sum_to_one(self, spark, sf_dir):
+        from datatransformertools_spark.operators.relational import nation_trade_matrix
+
+        rows = nation_trade_matrix(spark, sf_dir).collect()
+        assert rows
+        assert abs(sum(r["world_share"] for r in rows) - 1.0) < 1e-3
+        for r in rows:
+            assert r["domestic"] == (r["supp_nation"] == r["cust_nation"])
+            assert r["n_items"] >= 1
+
+
+class TestABC:
+    def test_classes_partition_catalog(self, spark, sf_dir):
+        import duckdb
+
+        from datatransformertools_spark.operators.relational import (
+            part_abc_classification,
+        )
+
+        rows = {r["abc_class"]: r for r in part_abc_classification(spark, sf_dir).collect()}
+        assert set(rows) == {"A", "B", "C"}
+        sold_parts = duckdb.sql(
+            f"SELECT count(DISTINCT l_partkey) FROM '{sf_dir}/lineitem.parquet'"
+        ).fetchone()[0]
+        assert sum(r["n_parts"] for r in rows.values()) == sold_parts
+        total = sum(r["class_revenue"] for r in rows.values())
+        # A carries ~80% of revenue with far fewer parts than C
+        assert float(rows["A"]["class_revenue"]) / float(total) > 0.7
