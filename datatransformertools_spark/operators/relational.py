@@ -1790,6 +1790,79 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# priority_returnflag_chi2 — chi-square independence test
+# ---------------------------------------------------------------------------
+
+CHI2_CRIT_DOF8 = 15.507  # α = 0.05 upper tail, dof = (5-1)(3-1)
+
+
+def priority_returnflag_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between order priority and
+    lineitem return flag — the categorical-association check a
+    data-QA pass runs before trusting either field as a feature
+    (a significant statistic means the two leak into each other).
+    Observed counts come from one (priority, flag) groupBy;
+    expected counts are row_total·col_total/N with the margins
+    riding as broadcast frames; χ² sums (obs−exp)²/exp over the
+    ≤15-cell table. Emits N, cells, χ², dof, and the α=0.05
+    verdict against the dof-8 critical value.
+
+    Scale: the contingency table is |priorities|·|modes| rows no
+    matter how big the join is — the fact-scale work is exactly one
+    map-side-combined aggregate after an orderkey-keyed join."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    obs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    row_t = obs.groupBy("o_orderpriority").agg(F.sum("obs").alias("rt"))
+    col_t = obs.groupBy("l_returnflag").agg(F.sum("obs").alias("ct"))
+    total = obs.agg(F.sum("obs").alias("n"))
+    cells = (
+        obs.join(F.broadcast(row_t), "o_orderpriority")
+        .join(F.broadcast(col_t), "l_returnflag")
+        .crossJoin(F.broadcast(total))
+        .withColumn("exp", F.col("rt") * F.col("ct") / F.col("n"))
+    )
+    chi2 = F.sum((F.col("obs") - F.col("exp")) * (F.col("obs") - F.col("exp")) / F.col("exp"))
+    n_rows = F.countDistinct("o_orderpriority")
+    n_cols = F.countDistinct("l_returnflag")
+    return cells.agg(
+        F.first("n").cast("long").alias("n_pairs"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.round(chi2 + 1e-9, 4).alias("chi2"),
+        ((n_rows - 1) * (n_cols - 1)).cast("long").alias("dof"),
+        (F.round(chi2 + 1e-9, 4) > CHI2_CRIT_DOF8).alias("dependent"),
+    )
+
+
+PRIORITY_RETURNFLAG_CHI2_SQL = f"""
+WITH obs AS (
+  SELECT o.o_orderpriority, l.l_returnflag, count(*) AS obs
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+rt AS (SELECT o_orderpriority, sum(obs) AS rt FROM obs GROUP BY 1),
+ct AS (SELECT l_returnflag, sum(obs) AS ct FROM obs GROUP BY 1),
+n AS (SELECT sum(obs) AS n FROM obs),
+cells AS (
+  SELECT obs.obs, rt.rt * ct.ct / n.n AS exp, obs.o_orderpriority, obs.l_returnflag
+  FROM obs JOIN rt USING (o_orderpriority) JOIN ct USING (l_returnflag) CROSS JOIN n
+)
+SELECT CAST((SELECT n FROM n) AS BIGINT) AS n_pairs,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       round(sum((obs - exp) * (obs - exp) / exp) + 1e-9, 4) AS chi2,
+       CAST((count(DISTINCT o_orderpriority) - 1)
+            * (count(DISTINCT l_returnflag) - 1) AS BIGINT) AS dof,
+       round(sum((obs - exp) * (obs - exp) / exp) + 1e-9, 4) > {CHI2_CRIT_DOF8}
+         AS dependent
+FROM cells
+"""
+
+
+# ---------------------------------------------------------------------------
 # nation_trade_matrix — full supplier→customer nation revenue matrix
 # ---------------------------------------------------------------------------
 
@@ -2235,6 +2308,7 @@ QUERIES = {
     "orders_backlog_sweep": (orders_backlog_sweep, ORDERS_BACKLOG_SWEEP_SQL),
     "supplier_concentration_hhi": (supplier_concentration_hhi, SUPPLIER_CONCENTRATION_HHI_SQL),
     "nation_trade_matrix": (nation_trade_matrix, NATION_TRADE_MATRIX_SQL),
+    "priority_returnflag_chi2": (priority_returnflag_chi2, PRIORITY_RETURNFLAG_CHI2_SQL),
     "part_abc_classification": (part_abc_classification, PART_ABC_CLASSIFICATION_SQL),
     "orders_upsert_merge": (orders_upsert_merge, ORDERS_UPSERT_MERGE_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),

@@ -244,6 +244,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "zone_map_skipping_audit",
         "nation_trade_matrix",
         "part_abc_classification",
+        "priority_returnflag_chi2",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

@@ -976,3 +976,16 @@ class TestABC:
         total = sum(r["class_revenue"] for r in rows.values())
         # A carries ~80% of revenue with far fewer parts than C
         assert float(rows["A"]["class_revenue"]) / float(total) > 0.7
+
+
+class TestChi2:
+    def test_table_shape_and_stat(self, spark, sf_dir):
+        from datatransformertools_spark.operators.relational import (
+            priority_returnflag_chi2,
+        )
+
+        r = priority_returnflag_chi2(spark, sf_dir).first()
+        assert r["n_cells"] <= 15  # 5 priorities × 3 flags
+        assert r["dof"] == 8
+        assert r["chi2"] >= 0.0
+        assert r["dependent"] == (r["chi2"] > 15.507)
