@@ -2166,6 +2166,109 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 
 
 # ---------------------------------------------------------------------------
+# events_next_event_eval — time-split Markov next-event prediction
+# ---------------------------------------------------------------------------
+
+NEXT_EVENT_SPLIT = "2024-01-20"
+
+
+def events_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event prediction with honest evaluation hygiene: a
+    first-order Markov model (argmax of the transition matrix,
+    ties → lexicographic) TRAINS on transitions before
+    NEXT_EVENT_SPLIT and is TESTED on transitions after it, against
+    the majority-class baseline trained on the same window — the
+    time-based train/test split that keeps a sequence model from
+    grading itself on memorized data. Emits per prior-state test
+    accuracy vs baseline accuracy and the lift.
+
+    Scale design: transitions come from one user-keyed lead()
+    window over the events; both models are ≤|types|² aggregate
+    rows that broadcast back onto the |types|-grain test aggregate
+    — the fact-scale work is exactly two window/agg passes."""
+    ev = _events_us(spark, sf_dir).select("user_id", "event_id", "ts_us", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    trans = ev.select(
+        "ts",
+        F.col("event_type").alias("prev"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    split = F.lit(f"{NEXT_EVENT_SPLIT} 00:00:00").cast("timestamp")
+    train = trans.filter(F.col("ts") < split)
+    test = trans.filter(F.col("ts") >= split)
+    model = (
+        train.groupBy("prev", "nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("prev").orderBy(F.col("c").desc(), "nxt")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("prev", F.col("nxt").alias("pred"))
+    )
+    base = (
+        train.groupBy("nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "nxt")
+        .limit(1)
+        .select(F.col("nxt").alias("base_pred"))
+    )
+    scored = test.join(F.broadcast(model), "prev").crossJoin(F.broadcast(base))
+    return scored.groupBy("prev").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.round(F.avg((F.col("nxt") == F.col("pred")).cast("double")) + 1e-9, 6).alias(
+            "model_acc"
+        ),
+        F.round(
+            F.avg((F.col("nxt") == F.col("base_pred")).cast("double")) + 1e-9, 6
+        ).alias("baseline_acc"),
+        F.round(
+            F.avg((F.col("nxt") == F.col("pred")).cast("double"))
+            - F.avg((F.col("nxt") == F.col("base_pred")).cast("double"))
+            + 1e-9,
+            6,
+        ).alias("lift"),
+    )
+
+
+EVENTS_NEXT_EVENT_EVAL_SQL = f"""
+WITH trans AS (
+  SELECT ts, event_type AS prev,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+           AS nxt
+  FROM events
+),
+t2 AS (SELECT * FROM trans WHERE nxt IS NOT NULL),
+train AS (SELECT * FROM t2 WHERE ts < TIMESTAMP '{NEXT_EVENT_SPLIT} 00:00:00'),
+test AS (SELECT * FROM t2 WHERE ts >= TIMESTAMP '{NEXT_EVENT_SPLIT} 00:00:00'),
+model AS (
+  SELECT prev, nxt AS pred FROM (
+    SELECT prev, nxt, row_number() OVER (PARTITION BY prev
+                                         ORDER BY count(*) DESC, nxt) AS rn
+    FROM train GROUP BY prev, nxt
+  ) WHERE rn = 1
+),
+base AS (
+  SELECT nxt AS base_pred FROM train GROUP BY nxt
+  ORDER BY count(*) DESC, nxt LIMIT 1
+)
+SELECT t.prev,
+       CAST(count(*) AS BIGINT) AS n_test,
+       round(avg(CASE WHEN t.nxt = m.pred THEN 1.0 ELSE 0.0 END) + 1e-9, 6)
+         AS model_acc,
+       round(avg(CASE WHEN t.nxt = b.base_pred THEN 1.0 ELSE 0.0 END) + 1e-9, 6)
+         AS baseline_acc,
+       round(avg(CASE WHEN t.nxt = m.pred THEN 1.0 ELSE 0.0 END)
+             - avg(CASE WHEN t.nxt = b.base_pred THEN 1.0 ELSE 0.0 END) + 1e-9, 6)
+         AS lift
+FROM test t JOIN model m ON t.prev = m.prev CROSS JOIN base b
+GROUP BY t.prev
+"""
+
+
+# ---------------------------------------------------------------------------
 # events_attribution_time_decay — multi-touch attribution with decay
 # ---------------------------------------------------------------------------
 
@@ -2942,6 +3045,7 @@ QUERIES = {
     "events_ab_test": (events_ab_test, EVENTS_AB_TEST_SQL),
     "user_ctr_wilson": (user_ctr_wilson, USER_CTR_WILSON_SQL),
     "events_attribution_time_decay": (events_attribution_time_decay, EVENTS_ATTRIBUTION_TIME_DECAY_SQL),
+    "events_next_event_eval": (events_next_event_eval, EVENTS_NEXT_EVENT_EVAL_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
     "events_asof_join": (events_asof_join, EVENTS_ASOF_JOIN_SQL),
     "events_json_extract": (events_json_extract, EVENTS_JSON_EXTRACT_SQL),

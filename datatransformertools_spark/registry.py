@@ -245,6 +245,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "nation_trade_matrix",
         "part_abc_classification",
         "priority_returnflag_chi2",
+        "events_next_event_eval",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

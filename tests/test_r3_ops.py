@@ -989,3 +989,16 @@ class TestChi2:
         assert r["dof"] == 8
         assert r["chi2"] >= 0.0
         assert r["dependent"] == (r["chi2"] > 15.507)
+
+
+class TestNextEventEval:
+    def test_accuracies_bounded_and_lift_consistent(self, spark, sf_dir):
+        from datatransformertools_spark.operators.events import events_next_event_eval
+
+        rows = events_next_event_eval(spark, sf_dir).collect()
+        assert len(rows) == 5
+        for r in rows:
+            assert 0.0 <= r["model_acc"] <= 1.0
+            assert 0.0 <= r["baseline_acc"] <= 1.0
+            assert abs(r["lift"] - (r["model_acc"] - r["baseline_acc"])) < 2e-6
+            assert r["n_test"] > 0
