@@ -1790,6 +1790,98 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# customer_segment_migration — spend-tier transitions across periods
+# ---------------------------------------------------------------------------
+
+MIGRATION_SPLIT = "1998-01-01"
+
+
+def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifecycle migration matrix: spend tiers (LOW/MID/
+    HIGH thirds by ntile over period spend, plus NONE for absent
+    customers) assigned independently in the before/after halves of
+    the timeline, then the |4×4| transition matrix with
+    within-origin shares — the churn/upsell flow a CRM review
+    reads. Period spend reduces map-side to |customers| rows per
+    half; tier assignment is an ntile window over that
+    dimension-sized frame; the FULL OUTER join on customer aligns
+    the halves so appearing/churning customers land in the NONE
+    row/column instead of silently dropping."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    split = F.lit(f"{MIGRATION_SPLIT} 00:00:00").cast("timestamp")
+
+    def tiers(side: F.Column, alias: str) -> DataFrame:
+        spend = (
+            orders.filter(side)
+            .groupBy("o_custkey")
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(38,4)")).alias("spend"))
+        )
+        t = F.ntile(3).over(Window.orderBy(F.col("spend"), F.col("o_custkey")))
+        name = (
+            F.when(F.col("t") == 1, "LOW").when(F.col("t") == 2, "MID").otherwise("HIGH")
+        )
+        return spend.withColumn("t", t).select(
+            "o_custkey", name.alias(alias)
+        )
+    before = tiers(F.col("o_orderdate") < split, "tier_before")
+    after = tiers(F.col("o_orderdate") >= split, "tier_after")
+    joined = before.join(after, "o_custkey", "full_outer").select(
+        F.coalesce("tier_before", F.lit("NONE")).alias("tier_before"),
+        F.coalesce("tier_after", F.lit("NONE")).alias("tier_after"),
+    )
+    counts = joined.groupBy("tier_before", "tier_after").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    w = Window.partitionBy("tier_before")
+    return counts.withColumn(
+        "origin_share",
+        F.round(F.col("n_customers") / F.sum("n_customers").over(w) + 1e-9, 6),
+    )
+
+
+CUSTOMER_SEGMENT_MIGRATION_SQL = f"""
+WITH before_spend AS (
+  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS spend
+  FROM orders WHERE o_orderdate < TIMESTAMP '{MIGRATION_SPLIT} 00:00:00'
+  GROUP BY 1
+),
+after_spend AS (
+  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS spend
+  FROM orders WHERE o_orderdate >= TIMESTAMP '{MIGRATION_SPLIT} 00:00:00'
+  GROUP BY 1
+),
+before_t AS (
+  SELECT o_custkey,
+         CASE ntile(3) OVER (ORDER BY spend, o_custkey)
+              WHEN 1 THEN 'LOW' WHEN 2 THEN 'MID' ELSE 'HIGH' END AS tier_before
+  FROM before_spend
+),
+after_t AS (
+  SELECT o_custkey,
+         CASE ntile(3) OVER (ORDER BY spend, o_custkey)
+              WHEN 1 THEN 'LOW' WHEN 2 THEN 'MID' ELSE 'HIGH' END AS tier_after
+  FROM after_spend
+),
+joined AS (
+  SELECT coalesce(b.tier_before, 'NONE') AS tier_before,
+         coalesce(a.tier_after, 'NONE') AS tier_after
+  FROM before_t b FULL OUTER JOIN after_t a ON b.o_custkey = a.o_custkey
+),
+counts AS (
+  SELECT tier_before, tier_after, CAST(count(*) AS BIGINT) AS n_customers
+  FROM joined GROUP BY 1, 2
+)
+SELECT tier_before, tier_after, n_customers,
+       round(n_customers * 1.0
+             / sum(n_customers) OVER (PARTITION BY tier_before) + 1e-9, 6)
+         AS origin_share
+FROM counts
+"""
+
+
+# ---------------------------------------------------------------------------
 # priority_returnflag_chi2 — chi-square independence test
 # ---------------------------------------------------------------------------
 
@@ -2309,6 +2401,7 @@ QUERIES = {
     "supplier_concentration_hhi": (supplier_concentration_hhi, SUPPLIER_CONCENTRATION_HHI_SQL),
     "nation_trade_matrix": (nation_trade_matrix, NATION_TRADE_MATRIX_SQL),
     "priority_returnflag_chi2": (priority_returnflag_chi2, PRIORITY_RETURNFLAG_CHI2_SQL),
+    "customer_segment_migration": (customer_segment_migration, CUSTOMER_SEGMENT_MIGRATION_SQL),
     "part_abc_classification": (part_abc_classification, PART_ABC_CLASSIFICATION_SQL),
     "orders_upsert_merge": (orders_upsert_merge, ORDERS_UPSERT_MERGE_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),

@@ -246,6 +246,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "part_abc_classification",
         "priority_returnflag_chi2",
         "events_next_event_eval",
+        "customer_segment_migration",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

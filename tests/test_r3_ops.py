@@ -1002,3 +1002,28 @@ class TestNextEventEval:
             assert 0.0 <= r["baseline_acc"] <= 1.0
             assert abs(r["lift"] - (r["model_acc"] - r["baseline_acc"])) < 2e-6
             assert r["n_test"] > 0
+
+
+class TestSegmentMigration:
+    def test_matrix_partitions_customers(self, spark, sf_dir):
+        import duckdb
+
+        from datatransformertools_spark.operators.relational import (
+            customer_segment_migration,
+        )
+
+        rows = customer_segment_migration(spark, sf_dir).collect()
+        assert rows
+        total_cust = duckdb.sql(
+            f"SELECT count(DISTINCT o_custkey) FROM '{sf_dir}/orders.parquet'"
+        ).fetchone()[0]
+        assert sum(r["n_customers"] for r in rows) == total_cust
+        by_origin = {}
+        for r in rows:
+            assert r["tier_before"] in {"LOW", "MID", "HIGH", "NONE"}
+            assert r["tier_after"] in {"LOW", "MID", "HIGH", "NONE"}
+            assert not (r["tier_before"] == "NONE" and r["tier_after"] == "NONE")
+            by_origin.setdefault(r["tier_before"], 0.0)
+            by_origin[r["tier_before"]] += r["origin_share"]
+        for share in by_origin.values():
+            assert abs(share - 1.0) < 1e-3
