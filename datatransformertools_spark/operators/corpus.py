@@ -845,6 +845,81 @@ FROM s
 
 
 # ---------------------------------------------------------------------------
+# quality_token_retention — token mass surviving each quality cutoff
+# ---------------------------------------------------------------------------
+
+RETENTION_CUTOFFS = [0.3, 0.4, 0.5, 0.6, 0.7]
+
+
+def quality_token_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-budget planning curve: for each candidate quality
+    cutoff, how many documents and how much TOKEN MASS survive —
+    the trade a pretraining-mix owner actually negotiates (a
+    cutoff that drops 5% of docs but 20% of tokens is cutting long
+    documents, not bad ones; this table shows that immediately).
+    One scan scores docs (quality + token count map-side); the
+    cutoff fan-out is a broadcast join against |cutoffs| rows;
+    totals ride as ONE broadcast aggregate."""
+    from datatransformertools_spark.functions.text import normalize_text, tokens
+    from datatransformertools_spark.operators.text_analysis import quality_score_expr
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    scored = docs.select(
+        quality_score_expr().alias("q"),
+        F.size(tokens(normalize_text(F.col("text")))).cast("long").alias("n_tokens"),
+    )
+    totals = scored.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    cuts = spark.createDataFrame([(c,) for c in RETENTION_CUTOFFS], "cutoff double")
+    kept = (
+        scored.join(F.broadcast(cuts), scored.q >= F.col("cutoff"))
+        .groupBy("cutoff")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs_kept"),
+            F.sum("n_tokens").cast("long").alias("tokens_kept"),
+        )
+    )
+    return kept.crossJoin(F.broadcast(totals)).select(
+        F.round(F.col("cutoff"), 2).alias("cutoff"),
+        "docs_kept",
+        F.round(F.col("docs_kept") / F.col("total_docs") + 1e-9, 6).alias("doc_retention"),
+        "tokens_kept",
+        F.round(F.col("tokens_kept") / F.col("total_tokens") + 1e-9, 6).alias(
+            "token_retention"
+        ),
+    )
+
+
+QUALITY_TOKEN_RETENTION_SQL = (
+    r"""
+WITH base AS (
+  SELECT doc_id, n_chars,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS t
+  FROM documents
+),
+scored AS (
+  SELECT round(0.5 * (CASE WHEN len(t) > 0 THEN len(list_distinct(t))::DOUBLE / len(t) ELSE 0.0 END)
+               + 0.5 * least(n_chars / 400.0, 1.0) + 1e-9, 6) AS q,
+         CAST(len(t) AS BIGINT) AS n_tokens
+  FROM base
+),
+totals AS (SELECT count(*) AS total_docs, sum(n_tokens) AS total_tokens FROM scored),
+cuts AS (SELECT unnest([CUTLIST]) AS cutoff)
+SELECT round(c.cutoff, 2) AS cutoff,
+       CAST(count(*) AS BIGINT) AS docs_kept,
+       round(count(*) * 1.0 / t.total_docs + 1e-9, 6) AS doc_retention,
+       CAST(sum(s.n_tokens) AS BIGINT) AS tokens_kept,
+       round(sum(s.n_tokens) * 1.0 / t.total_tokens + 1e-9, 6) AS token_retention
+FROM cuts c JOIN scored s ON s.q >= c.cutoff
+CROSS JOIN totals t
+GROUP BY c.cutoff, t.total_docs, t.total_tokens
+""".replace("CUTLIST", ", ".join(str(c) for c in RETENTION_CUTOFFS))
+)
+
+
+# ---------------------------------------------------------------------------
 # source_quality_calibration — per-source quality vs corpus baseline
 # ---------------------------------------------------------------------------
 
@@ -922,6 +997,7 @@ QUERIES = {
         source_quality_calibration,
         SOURCE_QUALITY_CALIBRATION_SQL,
     ),
+    "quality_token_retention": (quality_token_retention, QUALITY_TOKEN_RETENTION_SQL),
     "contamination_check": (contamination_check, CONTAMINATION_CHECK_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "corpus_mix_summary": (corpus_mix_summary, CORPUS_MIX_SUMMARY_SQL),

@@ -247,6 +247,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "priority_returnflag_chi2",
         "events_next_event_eval",
         "customer_segment_migration",
+        "quality_token_retention",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

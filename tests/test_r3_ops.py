@@ -1027,3 +1027,19 @@ class TestSegmentMigration:
             by_origin[r["tier_before"]] += r["origin_share"]
         for share in by_origin.values():
             assert abs(share - 1.0) < 1e-3
+
+
+class TestTokenRetention:
+    def test_monotone_decreasing_in_cutoff(self, spark, sf_dir):
+        from datatransformertools_spark.operators.corpus import quality_token_retention
+
+        rows = sorted(
+            quality_token_retention(spark, sf_dir).collect(), key=lambda r: r["cutoff"]
+        )
+        assert rows
+        for a, b in zip(rows, rows[1:]):
+            assert a["docs_kept"] >= b["docs_kept"]
+            assert a["tokens_kept"] >= b["tokens_kept"]
+        for r in rows:
+            assert 0.0 < r["doc_retention"] <= 1.0
+            assert 0.0 < r["token_retention"] <= 1.0
