@@ -2166,6 +2166,128 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 
 
 # ---------------------------------------------------------------------------
+# user_aging_curve — behavior by days-since-first-event bucket
+# ---------------------------------------------------------------------------
+
+
+def user_aging_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User aging curve: events bucketed by the user's age in days
+    at the moment of the event (days since their first event),
+    with per-bucket event counts, active-user counts, events per
+    active user, and mean value — the maturation profile that
+    separates onboarding behavior from steady state. The user's
+    first-event time is one min-aggregate joined back on user_id
+    (reusing the same key the bucket groupBy shuffles on); no
+    window over history is needed."""
+    ev = _events_us(spark, sf_dir).select("user_id", "ts_us", "value")
+    first = ev.groupBy("user_id").agg(F.min("ts_us").alias("first_us"))
+    aged = ev.join(first, "user_id").select(
+        "user_id",
+        "value",
+        ((F.col("ts_us") - F.col("first_us")) / F.lit(86_400_000_000)).cast("long").alias(
+            "age_days"
+        ),
+    )
+    return aged.groupBy("age_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.round(F.count(F.lit(1)) / F.countDistinct("user_id") + 1e-9, 4).alias(
+            "events_per_user"
+        ),
+        F.round(F.avg("value") + 1e-9, 4).alias("mean_value"),
+    )
+
+
+USER_AGING_CURVE_SQL = """
+WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+first AS (SELECT user_id, min(ts_us) AS first_us FROM ev GROUP BY 1),
+aged AS (
+  SELECT e.user_id, e.value,
+         CAST((e.ts_us - f.first_us) // 86400000000 AS BIGINT) AS age_days
+  FROM ev e JOIN first f USING (user_id)
+)
+SELECT age_days,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(count(*) * 1.0 / count(DISTINCT user_id) + 1e-9, 4) AS events_per_user,
+       round(avg(value) + 1e-9, 4) AS mean_value
+FROM aged
+GROUP BY age_days
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_type_anova — one-way ANOVA of value across event types
+# ---------------------------------------------------------------------------
+
+ANOVA_F_CRIT = 2.372  # α = 0.05, df1 = 4, df2 = ∞
+
+
+def events_type_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA: does mean `value` differ across event types?
+    F = between-group mean square / within-group mean square,
+    computed entirely from per-group sufficient statistics
+    (n, Σv, Σv²) — one map-side-combined groupBy and |types| rows
+    of algebra, the third member of the statistics family next to
+    the χ² independence test and Welch A/B t. Emits group count,
+    total n, F, dof pair, and the α=0.05 verdict."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_tot"),
+        F.sum("s").alias("s_tot"),
+    )
+    cells = g.crossJoin(F.broadcast(tot))
+    # SS_between = Σ n_i (m_i - m)²; SS_within = Σ (ss_i - s_i²/n_i)
+    grand_m = F.col("s_tot") / F.col("n_tot")
+    m_i = F.col("s") / F.col("n")
+    agg = cells.agg(
+        F.first("k").alias("k"),
+        F.first("n_tot").alias("n_tot"),
+        F.sum(F.col("n") * (m_i - grand_m) * (m_i - grand_m)).alias("ssb"),
+        F.sum(F.col("ss") - F.col("s") * F.col("s") / F.col("n")).alias("ssw"),
+    )
+    f_stat = (F.col("ssb") / (F.col("k") - 1)) / (
+        F.col("ssw") / (F.col("n_tot") - F.col("k"))
+    )
+    return agg.select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("n_tot").cast("long").alias("n_total"),
+        F.round(f_stat + 1e-9, 4).alias("f_stat"),
+        (F.col("k") - 1).cast("long").alias("df_between"),
+        (F.col("n_tot") - F.col("k")).cast("long").alias("df_within"),
+        (F.round(f_stat + 1e-9, 4) > ANOVA_F_CRIT).alias("means_differ"),
+    )
+
+
+EVENTS_TYPE_ANOVA_SQL = f"""
+WITH g AS (
+  SELECT event_type, count(*) AS n, sum(value) AS s, sum(value * value) AS ss
+  FROM events GROUP BY 1
+),
+tot AS (SELECT count(*) AS k, sum(n) AS N, sum(s) AS S FROM g),
+agg AS (
+  SELECT min(t.k) AS k, min(t.N) AS N,
+         sum(g.n * (g.s / g.n - t.S / t.N) * (g.s / g.n - t.S / t.N)) AS ssb,
+         sum(g.ss - g.s * g.s / g.n) AS ssw
+  FROM g CROSS JOIN tot t
+)
+SELECT CAST(k AS BIGINT) AS n_groups, CAST(N AS BIGINT) AS n_total,
+       round((ssb / (k - 1)) / (ssw / (N - k)) + 1e-9, 4) AS f_stat,
+       CAST(k - 1 AS BIGINT) AS df_between,
+       CAST(N - k AS BIGINT) AS df_within,
+       round((ssb / (k - 1)) / (ssw / (N - k)) + 1e-9, 4) > {ANOVA_F_CRIT}
+         AS means_differ
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # events_next_event_eval — time-split Markov next-event prediction
 # ---------------------------------------------------------------------------
 
@@ -3046,6 +3168,8 @@ QUERIES = {
     "user_ctr_wilson": (user_ctr_wilson, USER_CTR_WILSON_SQL),
     "events_attribution_time_decay": (events_attribution_time_decay, EVENTS_ATTRIBUTION_TIME_DECAY_SQL),
     "events_next_event_eval": (events_next_event_eval, EVENTS_NEXT_EVENT_EVAL_SQL),
+    "user_aging_curve": (user_aging_curve, USER_AGING_CURVE_SQL),
+    "events_type_anova": (events_type_anova, EVENTS_TYPE_ANOVA_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
     "events_asof_join": (events_asof_join, EVENTS_ASOF_JOIN_SQL),
     "events_json_extract": (events_json_extract, EVENTS_JSON_EXTRACT_SQL),

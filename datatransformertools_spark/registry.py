@@ -248,6 +248,8 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "events_next_event_eval",
         "customer_segment_migration",
         "quality_token_retention",
+        "user_aging_curve",
+        "events_type_anova",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

@@ -1043,3 +1043,30 @@ class TestTokenRetention:
         for r in rows:
             assert 0.0 < r["doc_retention"] <= 1.0
             assert 0.0 < r["token_retention"] <= 1.0
+
+
+class TestAgingCurve:
+    def test_buckets_cover_events(self, spark, sf_dir):
+        import duckdb
+
+        from datatransformertools_spark.operators.events import user_aging_curve
+
+        rows = user_aging_curve(spark, sf_dir).collect()
+        total = duckdb.sql(f"SELECT count(*) FROM '{sf_dir}/events.parquet'").fetchone()[0]
+        assert sum(r["n_events"] for r in rows) == total
+        for r in rows:
+            assert r["age_days"] >= 0
+            assert r["events_per_user"] >= 1.0 - 1e-9
+        assert any(r["age_days"] == 0 for r in rows)  # everyone has a first day
+
+
+class TestAnova:
+    def test_f_stat_consistency(self, spark, sf_dir):
+        from datatransformertools_spark.operators.events import events_type_anova
+
+        r = events_type_anova(spark, sf_dir).first()
+        assert r["n_groups"] == 5
+        assert r["df_between"] == 4
+        assert r["df_within"] == r["n_total"] - 5
+        assert r["f_stat"] >= 0.0
+        assert r["means_differ"] == (r["f_stat"] > 2.372)
