@@ -798,6 +798,66 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# doc_char_entropy — character-trigram entropy per document
+# ---------------------------------------------------------------------------
+
+
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram Shannon entropy per document (bits): the
+    gibberish detector — repetitive boilerplate scores low, natural
+    prose sits in a tight band, random noise scores near the
+    uniform ceiling — used as a quality gate alongside the
+    token-level signals. Trigram extraction is a map-side substring
+    explode; the per-(doc, gram) count and the per-doc entropy
+    reduction both key on doc_id, so the whole op is one
+    doc-partitioned aggregation chain."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(trim(regexp_replace(lower(text),"
+                " '\\\\s+', ' '))) - 2, 0)),"
+                " i -> substring(trim(regexp_replace(lower(text), '\\\\s+', ' ')), i, 3))"
+            )
+        ).alias("g"),
+    )
+    counts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.log2("c")).alias("clogc"),
+    )
+    # H = log2(n) − Σ c·log2(c) / n  (algebraic form — one pass)
+    return per_doc.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_trigrams"),
+        F.round(F.log2("n") - F.col("clogc") / F.col("n") + 1e-9, 6).alias(
+            "char_entropy_bits"
+        ),
+    )
+
+
+DOC_CHAR_ENTROPY_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, substr(t, CAST(i AS INT), 3) AS g
+  FROM norm CROSS JOIN LATERAL unnest(range(1, greatest(length(t) - 2, 0) + 1)) u(i)
+),
+counts AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+per_doc AS (
+  SELECT doc_id, sum(c) AS n, sum(c * log2(c)) AS clogc FROM counts GROUP BY 1
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_trigrams,
+       round(log2(n) - clogc / n + 1e-9, 6) AS char_entropy_bits
+FROM per_doc
+"""
+
+
+# ---------------------------------------------------------------------------
 # doc_rake_keyphrases — RAKE keyword extraction per document
 # ---------------------------------------------------------------------------
 
@@ -1792,6 +1852,7 @@ QUERIES = {
     "source_unigram_divergence": (source_unigram_divergence, SOURCE_UNIGRAM_DIVERGENCE_SQL),
     "sentence_stats": (sentence_stats, SENTENCE_STATS_SQL),
     "doc_rake_keyphrases": (doc_rake_keyphrases, DOC_RAKE_KEYPHRASES_SQL),
+    "doc_char_entropy": (doc_char_entropy, DOC_CHAR_ENTROPY_SQL),
     "vocab_topk": (vocab_topk, VOCAB_TOPK_SQL),
     "doc_bm25_topk": (doc_bm25_topk, DOC_BM25_SQL),
     "pmi_bigrams": (pmi_bigrams, PMI_BIGRAMS_SQL),

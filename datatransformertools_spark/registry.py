@@ -250,6 +250,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "quality_token_retention",
         "user_aging_curve",
         "events_type_anova",
+        "doc_char_entropy",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

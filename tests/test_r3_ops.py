@@ -1070,3 +1070,19 @@ class TestAnova:
         assert r["df_within"] == r["n_total"] - 5
         assert r["f_stat"] >= 0.0
         assert r["means_differ"] == (r["f_stat"] > 2.372)
+
+
+class TestCharEntropy:
+    def test_entropy_bounds(self, spark, sf_dir):
+        import math as m
+
+        from datatransformertools_spark.operators.text_analysis import doc_char_entropy
+
+        rows = doc_char_entropy(spark, sf_dir).collect()
+        assert len(rows) == 500
+        for r in rows:
+            # 0 <= H <= log2(distinct trigrams) <= log2(n)
+            assert -1e-9 <= r["char_entropy_bits"] <= m.log2(max(r["n_trigrams"], 2)) + 1e-6
+        # natural text sits well above zero on average
+        avg = sum(r["char_entropy_bits"] for r in rows) / len(rows)
+        assert avg > 3.0
