@@ -1790,6 +1790,68 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# lineitem_numeric_corr — Pearson correlation profile
+# ---------------------------------------------------------------------------
+
+CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def lineitem_numeric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation over every numeric column pair of
+    lineitem — the data-profiling staple that catches derived or
+    leaking columns before feature selection (here it exposes
+    quantity↔extendedprice immediately). Computed exactly from ONE
+    map-side-combined aggregate of sufficient statistics (Σx, Σx²,
+    Σxy per pair) — a single pass over the fact table emitting one
+    row, then |pairs| rows of driver-free algebra via an inline
+    pair table."""
+    li = load_table(spark, sf_dir, "lineitem").select(*CORR_COLS)
+    n = F.count(F.lit(1))
+    aggs = [n.alias("n")]
+    for c in CORR_COLS:
+        aggs.append(F.sum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    pairs = [
+        (a, b) for i, a in enumerate(CORR_COLS) for b in CORR_COLS[i + 1 :]
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    stats = li.agg(*aggs)
+    rows = []
+    for a, b in pairs:
+        cov = F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}") / F.col("n")
+        va = F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}") / F.col("n")
+        vb = F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}") / F.col("n")
+        rows.append(
+            stats.select(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.round(cov / F.sqrt(va * vb) + 1e-9, 6).alias("pearson_r"),
+            )
+        )
+    from functools import reduce as _reduce
+
+    return _reduce(DataFrame.unionByName, rows)
+
+
+def _corr_leg(a: str, b: str) -> str:
+    return f"""
+SELECT '{a}' AS col_a, '{b}' AS col_b,
+       round((sum({a} * {b}) - sum({a}) * sum({b}) / count(*))
+             / sqrt((sum({a} * {a}) - sum({a}) * sum({a}) / count(*))
+                    * (sum({b} * {b}) - sum({b}) * sum({b}) / count(*)))
+             + 1e-9, 6) AS pearson_r
+FROM lineitem"""
+
+
+LINEITEM_NUMERIC_CORR_SQL = "\nUNION ALL\n".join(
+    _corr_leg(a, b)
+    for i, a in enumerate(CORR_COLS)
+    for b in CORR_COLS[i + 1 :]
+)
+
+
+# ---------------------------------------------------------------------------
 # customer_segment_migration — spend-tier transitions across periods
 # ---------------------------------------------------------------------------
 
@@ -2402,6 +2464,7 @@ QUERIES = {
     "nation_trade_matrix": (nation_trade_matrix, NATION_TRADE_MATRIX_SQL),
     "priority_returnflag_chi2": (priority_returnflag_chi2, PRIORITY_RETURNFLAG_CHI2_SQL),
     "customer_segment_migration": (customer_segment_migration, CUSTOMER_SEGMENT_MIGRATION_SQL),
+    "lineitem_numeric_corr": (lineitem_numeric_corr, LINEITEM_NUMERIC_CORR_SQL),
     "part_abc_classification": (part_abc_classification, PART_ABC_CLASSIFICATION_SQL),
     "orders_upsert_merge": (orders_upsert_merge, ORDERS_UPSERT_MERGE_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),

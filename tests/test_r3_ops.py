@@ -1086,3 +1086,18 @@ class TestCharEntropy:
         # natural text sits well above zero on average
         avg = sum(r["char_entropy_bits"] for r in rows) / len(rows)
         assert avg > 3.0
+
+
+class TestNumericCorr:
+    def test_bounds_and_known_structure(self, spark, sf_dir):
+        from datatransformertools_spark.operators.relational import (
+            lineitem_numeric_corr,
+        )
+
+        rows = {(r["col_a"], r["col_b"]): r["pearson_r"] for r in lineitem_numeric_corr(spark, sf_dir).collect()}
+        assert len(rows) == 6
+        for v in rows.values():
+            assert -1.0 - 1e-9 <= v <= 1.0 + 1e-9
+        # the synthetic columns are independently generated → all
+        # correlations should be near zero (none spuriously strong)
+        assert all(abs(v) < 0.2 for v in rows.values())
