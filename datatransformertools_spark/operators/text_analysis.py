@@ -798,6 +798,60 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# doc_readability — Automated Readability Index per document
+# ---------------------------------------------------------------------------
+
+
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automated Readability Index per document (Senter & Smith
+    1967): 4.71·(chars/words) + 0.5·(words/sentences) − 21.43,
+    clamped at 0 — the grade-level proxy quality filters bucket on
+    (alphanumeric chars only, sentences from the shared [.!?] split,
+    both floored at 1 so degenerate docs don't divide by zero).
+    Entirely map-side — char/word/sentence counts all resolve
+    inside the row — so like sentence_stats it's a free rider on
+    any corpus scan."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = normalize_text(F.col("text"))
+    n_chars = F.length(F.regexp_replace(norm, r"[^A-Za-z0-9]", ""))
+    n_words = F.greatest(F.size(tokens(norm)), F.lit(1))
+    sents = F.filter(
+        F.split(F.col("text"), _SENT_SPLIT), lambda s: F.length(F.trim(s)) > 0
+    )
+    n_sents = F.greatest(F.size(sents), F.lit(1))
+    ari = 4.71 * (n_chars / n_words) + 0.5 * (n_words / n_sents) - 21.43
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_alnum_chars"),
+        n_words.cast("long").alias("n_words"),
+        n_sents.cast("long").alias("n_sentences"),
+        F.round(F.greatest(ari, F.lit(0.0)) + 1e-9, 4).alias("ari_grade"),
+    )
+
+
+DOC_READABILITY_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         length(regexp_replace(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                               '[^A-Za-z0-9]', '', 'g')) AS n_chars,
+         greatest(len(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')), 1) AS n_words,
+         greatest(len(list_filter(regexp_split_to_array(text, '[.!?]+\s*'),
+                                  x -> length(trim(x)) > 0)), 1) AS n_sents
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_alnum_chars,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sents AS BIGINT) AS n_sentences,
+       round(greatest(4.71 * (n_chars * 1.0 / n_words)
+                      + 0.5 * (n_words * 1.0 / n_sents) - 21.43, 0.0) + 1e-9, 4)
+         AS ari_grade
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
 # doc_char_entropy — character-trigram entropy per document
 # ---------------------------------------------------------------------------
 
@@ -1853,6 +1907,7 @@ QUERIES = {
     "sentence_stats": (sentence_stats, SENTENCE_STATS_SQL),
     "doc_rake_keyphrases": (doc_rake_keyphrases, DOC_RAKE_KEYPHRASES_SQL),
     "doc_char_entropy": (doc_char_entropy, DOC_CHAR_ENTROPY_SQL),
+    "doc_readability": (doc_readability, DOC_READABILITY_SQL),
     "vocab_topk": (vocab_topk, VOCAB_TOPK_SQL),
     "doc_bm25_topk": (doc_bm25_topk, DOC_BM25_SQL),
     "pmi_bigrams": (pmi_bigrams, PMI_BIGRAMS_SQL),

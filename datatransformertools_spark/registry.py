@@ -252,6 +252,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "events_type_anova",
         "doc_char_entropy",
         "lineitem_numeric_corr",
+        "doc_readability",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

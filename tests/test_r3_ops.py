@@ -1101,3 +1101,15 @@ class TestNumericCorr:
         # the synthetic columns are independently generated → all
         # correlations should be near zero (none spuriously strong)
         assert all(abs(v) < 0.2 for v in rows.values())
+
+
+class TestReadability:
+    def test_ari_bounds_and_counts(self, spark, sf_dir):
+        from datatransformertools_spark.operators.text_analysis import doc_readability
+
+        rows = doc_readability(spark, sf_dir).collect()
+        assert len(rows) == 500
+        for r in rows:
+            assert r["ari_grade"] >= 0.0
+            assert r["n_alnum_chars"] >= r["n_words"]  # words have ≥1 char
+            assert r["n_words"] >= r["n_sentences"] or r["n_sentences"] == 1
