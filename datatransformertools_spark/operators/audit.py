@@ -375,6 +375,89 @@ FROM per_day p CROSS JOIN a
 
 
 # ---------------------------------------------------------------------------
+# benford_first_digit_audit — Benford's-law conformance check
+# ---------------------------------------------------------------------------
+
+
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over lineitem extended
+    prices — the forensic data-quality check that flags fabricated
+    or truncated numeric columns (organic multi-scale amounts
+    follow log10(1+1/d); uniform synthetics don't, and the audit
+    says so rather than assuming). Per digit 1-9: observed count,
+    observed vs expected share, and the deviation; the headline
+    MAD (mean absolute deviation across digits) rides on every row
+    for a one-glance verdict against the ~0.015 conformance
+    threshold auditors use. One map-side groupBy to 9 rows; the
+    digit extraction is a string head on the scan."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    digit = F.substring(
+        F.regexp_replace(F.col("l_extendedprice").cast("string"), r"[^1-9]", ""), 1, 1
+    )
+    obs = (
+        li.filter(F.col("l_extendedprice") > 0)
+        .groupBy(digit.cast("int").alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = obs.agg(F.sum("n").alias("t"))
+    import math as _math
+
+    expected = F.element_at(
+        F.array(*[F.lit(_math.log10(1 + 1 / d)) for d in range(1, 10)]),
+        F.col("digit"),
+    )
+    scored = (
+        obs.crossJoin(F.broadcast(total))
+        .withColumn("obs_share", F.col("n") / F.col("t"))
+        .withColumn("exp_share", expected)
+        .withColumn("abs_dev", F.abs(F.col("obs_share") - F.col("exp_share")))
+    )
+    mad = scored.agg(F.round(F.avg("abs_dev") + 1e-9, 6).alias("mad"))
+    return (
+        scored.crossJoin(F.broadcast(mad))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n_values"),
+            F.round(F.col("obs_share") + 1e-9, 6).alias("obs_share"),
+            F.round(F.col("exp_share") + 1e-9, 6).alias("benford_share"),
+            F.round(F.col("abs_dev") + 1e-9, 6).alias("abs_deviation"),
+            "mad",
+            (F.col("mad") > 0.015).alias("nonconforming"),
+        )
+    )
+
+
+def _benford_expected_sql() -> str:
+    import math as _math
+
+    return "[" + ", ".join(str(_math.log10(1 + 1 / d)) for d in range(1, 10)) + "]"
+
+
+BENFORD_FIRST_DIGIT_SQL = f"""
+WITH obs AS (
+  SELECT CAST(substr(regexp_replace(CAST(l_extendedprice AS VARCHAR), '[^1-9]', '', 'g'), 1, 1)
+              AS INT) AS digit,
+         count(*) AS n
+  FROM lineitem WHERE l_extendedprice > 0
+  GROUP BY 1
+),
+total AS (SELECT sum(n) AS t FROM obs),
+scored AS (
+  SELECT digit, n, n * 1.0 / t AS obs_share,
+         ({_benford_expected_sql()})[digit] AS exp_share
+  FROM obs CROSS JOIN total
+),
+m AS (SELECT round(avg(abs(obs_share - exp_share)) + 1e-9, 6) AS mad FROM scored)
+SELECT digit, CAST(n AS BIGINT) AS n_values,
+       round(obs_share + 1e-9, 6) AS obs_share,
+       round(exp_share + 1e-9, 6) AS benford_share,
+       round(abs(obs_share - exp_share) + 1e-9, 6) AS abs_deviation,
+       m.mad, m.mad > 0.015 AS nonconforming
+FROM scored CROSS JOIN m
+"""
+
+
+# ---------------------------------------------------------------------------
 # zone_map_skipping_audit — min-max pruning effectiveness per layout
 # ---------------------------------------------------------------------------
 
@@ -616,6 +699,7 @@ QUERIES = {
     "partition_layout_audit": (partition_layout_audit, PARTITION_LAYOUT_AUDIT_SQL),
     "bloom_join_prune": (bloom_join_prune, BLOOM_JOIN_PRUNE_SQL),
     "zone_map_skipping_audit": (zone_map_skipping_audit, ZONE_MAP_SKIPPING_SQL),
+    "benford_first_digit_audit": (benford_first_digit_audit, BENFORD_FIRST_DIGIT_SQL),
     "referential_integrity_audit": (referential_integrity_audit, REFERENTIAL_INTEGRITY_SQL),
     "deletion_cascade_audit": (deletion_cascade_audit, DELETION_CASCADE_SQL),
     "schema_contract_check": (schema_contract_check, SCHEMA_CONTRACT_SQL),

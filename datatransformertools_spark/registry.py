@@ -253,6 +253,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "doc_char_entropy",
         "lineitem_numeric_corr",
         "doc_readability",
+        "benford_first_digit_audit",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

@@ -1113,3 +1113,19 @@ class TestReadability:
             assert r["ari_grade"] >= 0.0
             assert r["n_alnum_chars"] >= r["n_words"]  # words have ≥1 char
             assert r["n_words"] >= r["n_sentences"] or r["n_sentences"] == 1
+
+
+class TestBenford:
+    def test_digit_coverage_and_shares(self, spark, sf_dir):
+        from datatransformertools_spark.operators.audit import benford_first_digit_audit
+
+        rows = sorted(
+            benford_first_digit_audit(spark, sf_dir).collect(), key=lambda r: r["digit"]
+        )
+        assert [r["digit"] for r in rows] == list(range(1, 10))
+        assert abs(sum(r["obs_share"] for r in rows) - 1.0) < 1e-3
+        assert abs(sum(r["benford_share"] for r in rows) - 1.0) < 1e-3
+        mad = rows[0]["mad"]
+        for r in rows:
+            assert r["mad"] == mad  # headline rides on every row
+            assert r["nonconforming"] == (mad > 0.015)
