@@ -1790,6 +1790,80 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# first_order_value_cohort — does a big first order predict loyalty?
+# ---------------------------------------------------------------------------
+
+
+def first_order_value_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does a big first order predict loyalty? Customers cohorted
+    by the QUARTILE of their first order's value (first =
+    deterministic (o_orderdate, o_orderkey) min per customer);
+    per cohort: customer count, repeat rate (≥2 lifetime orders),
+    mean lifetime orders, and mean lifetime spend — the
+    acquisition-quality read-out of CRM analytics. One window pass
+    marks first orders, lifetime stats are one customer-keyed
+    aggregate, the quartile ntile runs over the customer-sized
+    frame (dimension-scale sort exemption)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    firsts = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", F.col("o_totalprice").alias("first_value"))
+    )
+    life = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,4)")).alias("lifetime_spend"),
+    )
+    q = F.ntile(4).over(Window.orderBy(F.col("first_value"), F.col("o_custkey")))
+    cohorted = firsts.withColumn("quartile", q).join(life, "o_custkey")
+    return cohorted.groupBy("quartile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(
+            F.avg((F.col("n_orders") >= 2).cast("double")) + 1e-9, 6
+        ).alias("repeat_rate"),
+        F.round(F.avg("n_orders") + 1e-9, 4).alias("avg_lifetime_orders"),
+        F.round(F.avg(F.col("lifetime_spend").cast("double")) + 1e-9, 2).alias(
+            "avg_lifetime_spend"
+        ),
+    )
+
+
+FIRST_ORDER_VALUE_COHORT_SQL = """
+WITH firsts AS (
+  SELECT o_custkey, o_totalprice AS first_value FROM (
+    SELECT o_custkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS rn
+    FROM orders
+  ) WHERE rn = 1
+),
+life AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4))
+           AS lifetime_spend
+  FROM orders GROUP BY 1
+),
+cohorted AS (
+  SELECT f.o_custkey,
+         ntile(4) OVER (ORDER BY f.first_value, f.o_custkey) AS quartile,
+         l.n_orders, l.lifetime_spend
+  FROM firsts f JOIN life l USING (o_custkey)
+)
+SELECT quartile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(avg(CASE WHEN n_orders >= 2 THEN 1.0 ELSE 0.0 END) + 1e-9, 6)
+         AS repeat_rate,
+       round(avg(n_orders) + 1e-9, 4) AS avg_lifetime_orders,
+       round(avg(CAST(lifetime_spend AS DOUBLE)) + 1e-9, 2) AS avg_lifetime_spend
+FROM cohorted
+GROUP BY quartile
+"""
+
+
+# ---------------------------------------------------------------------------
 # lineitem_numeric_corr — Pearson correlation profile
 # ---------------------------------------------------------------------------
 
@@ -2465,6 +2539,7 @@ QUERIES = {
     "priority_returnflag_chi2": (priority_returnflag_chi2, PRIORITY_RETURNFLAG_CHI2_SQL),
     "customer_segment_migration": (customer_segment_migration, CUSTOMER_SEGMENT_MIGRATION_SQL),
     "lineitem_numeric_corr": (lineitem_numeric_corr, LINEITEM_NUMERIC_CORR_SQL),
+    "first_order_value_cohort": (first_order_value_cohort, FIRST_ORDER_VALUE_COHORT_SQL),
     "part_abc_classification": (part_abc_classification, PART_ABC_CLASSIFICATION_SQL),
     "orders_upsert_merge": (orders_upsert_merge, ORDERS_UPSERT_MERGE_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),

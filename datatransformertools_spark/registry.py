@@ -254,6 +254,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "lineitem_numeric_corr",
         "doc_readability",
         "benford_first_digit_audit",
+        "first_order_value_cohort",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

@@ -1129,3 +1129,24 @@ class TestBenford:
         for r in rows:
             assert r["mad"] == mad  # headline rides on every row
             assert r["nonconforming"] == (mad > 0.015)
+
+
+class TestFirstOrderCohort:
+    def test_quartiles_partition_customers(self, spark, sf_dir):
+        import duckdb
+
+        from datatransformertools_spark.operators.relational import (
+            first_order_value_cohort,
+        )
+
+        rows = sorted(
+            first_order_value_cohort(spark, sf_dir).collect(), key=lambda r: r["quartile"]
+        )
+        assert [r["quartile"] for r in rows] == [1, 2, 3, 4]
+        total = duckdb.sql(
+            f"SELECT count(DISTINCT o_custkey) FROM '{sf_dir}/orders.parquet'"
+        ).fetchone()[0]
+        assert sum(r["n_customers"] for r in rows) == total
+        for r in rows:
+            assert 0.0 <= r["repeat_rate"] <= 1.0
+            assert r["avg_lifetime_orders"] >= 1.0
