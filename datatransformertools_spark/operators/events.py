@@ -2166,6 +2166,66 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 
 
 # ---------------------------------------------------------------------------
+# attribution_lag_cdf — conversion-lag CDF at decision thresholds
+# ---------------------------------------------------------------------------
+
+LAG_CDF_MINUTES = [5, 10, 30, 60, 1440]
+
+
+def attribution_lag_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-lag CDF: of the purchases `events_attribution`
+    ties to a click, what share converted within 5/10/30/60/1440
+    minutes — the curve that picks the attribution window itself
+    (a knee at 30 min says the 7-day window is mostly dead weight).
+    Reuses the last-touch attribution frame (one user window pass);
+    the threshold fan-out is a broadcast join against |thresholds|
+    rows over the already-aggregated purchase frame."""
+    attributed = events_attribution(spark, sf_dir).filter(
+        F.col("attributed_click_id").isNotNull()
+    )
+    total = attributed.agg(F.count(F.lit(1)).alias("n_attributed"))
+    ts = spark.createDataFrame([(m,) for m in LAG_CDF_MINUTES], "threshold_min int")
+    hits = (
+        attributed.crossJoin(F.broadcast(ts))
+        .filter(
+            F.col("attribution_lag_us")
+            <= F.col("threshold_min").cast("long") * F.lit(60_000_000).cast("long")
+        )
+        .groupBy("threshold_min")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_within"))
+    )
+    return hits.crossJoin(F.broadcast(total)).select(
+        "threshold_min",
+        "n_within",
+        F.col("n_attributed").cast("long").alias("n_attributed"),
+        F.round(F.col("n_within") / F.col("n_attributed") + 1e-9, 6).alias(
+            "share_within"
+        ),
+    )
+
+
+def _attribution_lag_cdf_sql() -> str:
+    return f"""
+WITH att AS (
+  SELECT attribution_lag_us FROM ({EVENTS_ATTRIBUTION_SQL})
+  WHERE attributed_click_id IS NOT NULL
+),
+total AS (SELECT count(*) AS n_attributed FROM att),
+ts AS (SELECT unnest([{", ".join(str(m) for m in LAG_CDF_MINUTES)}]) AS threshold_min)
+SELECT CAST(ts.threshold_min AS INT) AS threshold_min,
+       CAST(count(*) AS BIGINT) AS n_within,
+       CAST(t.n_attributed AS BIGINT) AS n_attributed,
+       round(count(*) * 1.0 / t.n_attributed + 1e-9, 6) AS share_within
+FROM ts JOIN att a ON a.attribution_lag_us <= CAST(ts.threshold_min AS BIGINT) * 60000000
+CROSS JOIN total t
+GROUP BY ts.threshold_min, t.n_attributed
+"""
+
+
+ATTRIBUTION_LAG_CDF_SQL = _attribution_lag_cdf_sql()
+
+
+# ---------------------------------------------------------------------------
 # user_aging_curve — behavior by days-since-first-event bucket
 # ---------------------------------------------------------------------------
 
@@ -3169,6 +3229,7 @@ QUERIES = {
     "events_attribution_time_decay": (events_attribution_time_decay, EVENTS_ATTRIBUTION_TIME_DECAY_SQL),
     "events_next_event_eval": (events_next_event_eval, EVENTS_NEXT_EVENT_EVAL_SQL),
     "user_aging_curve": (user_aging_curve, USER_AGING_CURVE_SQL),
+    "attribution_lag_cdf": (attribution_lag_cdf, ATTRIBUTION_LAG_CDF_SQL),
     "events_type_anova": (events_type_anova, EVENTS_TYPE_ANOVA_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
     "events_asof_join": (events_asof_join, EVENTS_ASOF_JOIN_SQL),

@@ -255,6 +255,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "doc_readability",
         "benford_first_digit_audit",
         "first_order_value_cohort",
+        "attribution_lag_cdf",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

@@ -1150,3 +1150,21 @@ class TestFirstOrderCohort:
         for r in rows:
             assert 0.0 <= r["repeat_rate"] <= 1.0
             assert r["avg_lifetime_orders"] >= 1.0
+
+
+class TestLagCDF:
+    def test_monotone_cdf(self, spark, sf_dir):
+        from datatransformertools_spark.operators.events import attribution_lag_cdf
+
+        rows = sorted(
+            attribution_lag_cdf(spark, sf_dir).collect(), key=lambda r: r["threshold_min"]
+        )
+        assert rows
+        prev = 0.0
+        for r in rows:
+            assert r["share_within"] >= prev  # CDF is monotone
+            assert r["n_within"] <= r["n_attributed"]
+            prev = r["share_within"]
+        # the 1-day threshold must capture every 7-day-window hit? no —
+        # but it must capture at least what 60 min does
+        assert rows[-1]["share_within"] >= rows[0]["share_within"]
