@@ -2166,6 +2166,53 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 
 
 # ---------------------------------------------------------------------------
+# events_hour_dow_heatmap — hour × weekday activity matrix
+# ---------------------------------------------------------------------------
+
+
+def events_hour_dow_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ops heatmap: event counts and mean value per
+    (ISO weekday, hour-of-day) cell, each cell's share of the
+    week — the capacity/staffing picture behind
+    `events_forecast_backtest`'s seasonal profile. One
+    map-side-combined groupBy to ≤168 rows plus a broadcast total;
+    weekday is ISO (Mon=1) in both engines."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    cells = ev.groupBy(
+        F.dayofweek("ts").alias("dow_sun1"),
+        F.hour("ts").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value") + 1e-9, 4).alias("mean_value"),
+    )
+    # normalize to ISO weekday (Mon=1..Sun=7) from Spark's Sun=1
+    iso = F.when(F.col("dow_sun1") == 1, 7).otherwise(F.col("dow_sun1") - 1)
+    total = cells.agg(F.sum("n_events").alias("t"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        iso.cast("int").alias("iso_weekday"),
+        F.col("hour").cast("int").alias("hour"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "mean_value",
+        F.round(F.col("n_events") / F.col("t") + 1e-9, 6).alias("week_share"),
+    )
+
+
+EVENTS_HOUR_DOW_HEATMAP_SQL = """
+WITH cells AS (
+  SELECT isodow(ts) AS iso_weekday, extract(hour FROM ts) AS hour,
+         count(*) AS n_events,
+         round(avg(value) + 1e-9, 4) AS mean_value
+  FROM events GROUP BY 1, 2
+),
+t AS (SELECT sum(n_events) AS t FROM cells)
+SELECT CAST(iso_weekday AS INT) AS iso_weekday, CAST(hour AS INT) AS hour,
+       CAST(n_events AS BIGINT) AS n_events, mean_value,
+       round(n_events * 1.0 / t.t + 1e-9, 6) AS week_share
+FROM cells CROSS JOIN t
+"""
+
+
+# ---------------------------------------------------------------------------
 # attribution_lag_cdf — conversion-lag CDF at decision thresholds
 # ---------------------------------------------------------------------------
 
@@ -3230,6 +3277,7 @@ QUERIES = {
     "events_next_event_eval": (events_next_event_eval, EVENTS_NEXT_EVENT_EVAL_SQL),
     "user_aging_curve": (user_aging_curve, USER_AGING_CURVE_SQL),
     "attribution_lag_cdf": (attribution_lag_cdf, ATTRIBUTION_LAG_CDF_SQL),
+    "events_hour_dow_heatmap": (events_hour_dow_heatmap, EVENTS_HOUR_DOW_HEATMAP_SQL),
     "events_type_anova": (events_type_anova, EVENTS_TYPE_ANOVA_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
     "events_asof_join": (events_asof_join, EVENTS_ASOF_JOIN_SQL),

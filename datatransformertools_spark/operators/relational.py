@@ -1790,6 +1790,40 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# order_line_count_histogram — basket-size distribution
+# ---------------------------------------------------------------------------
+
+
+def order_line_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size distribution: how many orders have k line items,
+    with the share per k — the shape parameter behind every
+    basket-explode plan in this engine (market basket, PageRank
+    adjacency): their fan-out bounds are exactly this histogram's
+    support. Two nested map-side-combined aggregates (order → k,
+    k → count); output is |distinct k| rows."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    per_order = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("k"))
+    hist = per_order.groupBy("k").agg(F.count(F.lit(1)).alias("n_orders"))
+    total = hist.agg(F.sum("n_orders").alias("t"))
+    return hist.crossJoin(F.broadcast(total)).select(
+        F.col("k").cast("long").alias("lines_per_order"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round(F.col("n_orders") / F.col("t") + 1e-9, 6).alias("share"),
+    )
+
+
+ORDER_LINE_COUNT_HISTOGRAM_SQL = """
+WITH per_order AS (SELECT l_orderkey, count(*) AS k FROM lineitem GROUP BY 1),
+hist AS (SELECT k, count(*) AS n_orders FROM per_order GROUP BY 1),
+t AS (SELECT sum(n_orders) AS t FROM hist)
+SELECT CAST(k AS BIGINT) AS lines_per_order,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       round(n_orders * 1.0 / t.t + 1e-9, 6) AS share
+FROM hist CROSS JOIN t
+"""
+
+
+# ---------------------------------------------------------------------------
 # first_order_value_cohort — does a big first order predict loyalty?
 # ---------------------------------------------------------------------------
 
@@ -2540,6 +2574,7 @@ QUERIES = {
     "customer_segment_migration": (customer_segment_migration, CUSTOMER_SEGMENT_MIGRATION_SQL),
     "lineitem_numeric_corr": (lineitem_numeric_corr, LINEITEM_NUMERIC_CORR_SQL),
     "first_order_value_cohort": (first_order_value_cohort, FIRST_ORDER_VALUE_COHORT_SQL),
+    "order_line_count_histogram": (order_line_count_histogram, ORDER_LINE_COUNT_HISTOGRAM_SQL),
     "part_abc_classification": (part_abc_classification, PART_ABC_CLASSIFICATION_SQL),
     "orders_upsert_merge": (orders_upsert_merge, ORDERS_UPSERT_MERGE_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),

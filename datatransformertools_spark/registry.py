@@ -256,6 +256,8 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "benford_first_digit_audit",
         "first_order_value_cohort",
         "attribution_lag_cdf",
+        "order_line_count_histogram",
+        "events_hour_dow_heatmap",
     ]
     ordered = {n: merged[n] for n in merged if n not in deferred}
     ordered.update({n: merged[n] for n in deferred if n in merged})

@@ -1168,3 +1168,35 @@ class TestLagCDF:
         # the 1-day threshold must capture every 7-day-window hit? no —
         # but it must capture at least what 60 min does
         assert rows[-1]["share_within"] >= rows[0]["share_within"]
+
+
+class TestBasketHistogram:
+    def test_shares_and_coverage(self, spark, sf_dir):
+        import duckdb
+
+        from datatransformertools_spark.operators.relational import (
+            order_line_count_histogram,
+        )
+
+        rows = order_line_count_histogram(spark, sf_dir).collect()
+        n_orders = duckdb.sql(
+            f"SELECT count(DISTINCT l_orderkey) FROM '{sf_dir}/lineitem.parquet'"
+        ).fetchone()[0]
+        assert sum(r["n_orders"] for r in rows) == n_orders
+        assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-3
+        assert all(r["lines_per_order"] >= 1 for r in rows)
+
+
+class TestHourDowHeatmap:
+    def test_cells_cover_events(self, spark, sf_dir):
+        import duckdb
+
+        from datatransformertools_spark.operators.events import events_hour_dow_heatmap
+
+        rows = events_hour_dow_heatmap(spark, sf_dir).collect()
+        total = duckdb.sql(f"SELECT count(*) FROM '{sf_dir}/events.parquet'").fetchone()[0]
+        assert sum(r["n_events"] for r in rows) == total
+        assert len(rows) <= 168
+        for r in rows:
+            assert 1 <= r["iso_weekday"] <= 7
+            assert 0 <= r["hour"] <= 23
