@@ -623,7 +623,11 @@ def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     passed = probed.withColumn(
         "pass", bit_test[0] & bit_test[1] & bit_test[2] & bit_test[3]
     )
-    truth = fact_keys.join(F.broadcast(dim_keys), "k", "left_semi").agg(
+    # ground-truth leg: dim_keys is SF-scaled (urgent orders ≈ 20% of
+    # orders) — a broadcast HINT here would force an OOM-sized build
+    # side at 100 TB, so it shuffle-semi-joins; AQE may upgrade to a
+    # broadcast at runtime when the stats genuinely allow it.
+    truth = fact_keys.join(dim_keys, "k", "left_semi").agg(
         F.count(F.lit(1)).alias("n_true_match")
     )
     stats = passed.agg(

@@ -65,26 +65,96 @@ def test_q5_broadcasts_fixed_dims_only(spark, sf_dir):
     assert "SortMergeJoin" in plan
 
 
-def test_customer_scale_frames_never_hint_broadcast(spark, sf_dir):
-    # These queries join customer/part/supplier-scale or per-document
-    # frames; a broadcast HINT on any of them would OOM at 100 TB
-    # (all of those tables grow with SF). With size-based broadcast
-    # off, their plans must contain no BroadcastExchange at all
-    # (they have no fixed-size dims).
-    for name in (
-        "q3_top_unshipped",
-        "q10_returned_items",
-        "q18_large_orders",
-        "top_customers_window",
-        "dedup_ngram_jaccard",
-        "q2_min_cost_supplier",
-        "part_brand_pivot",
-        "q14_promo_revenue",
-        "q15_top_supplier",
-        "q19_discounted_revenue",
-    ):
+# Engine-wide broadcast-hint contract (the §4 house rule as an
+# invariant): with AQE + size-based auto-broadcast OFF, the ONLY
+# queries allowed to plan a BroadcastExchange are the ones on this
+# audited allowlist — and each entry here was hand-checked to hint
+# nothing but a frame bounded by a CONSTANT of the query, never by
+# table size: 1-row scalar aggregates, fixed dims (region=5 /
+# nation=25 rows), |classes|/|types|/|sources|-bounded model frames,
+# codebooks / LUTs / hyperplane shortlists, the fixed query side of
+# an ANN search, or an M-bounded packed bitmap. Any new hint —
+# including on an existing allowlisted query growing an extra one —
+# must be audited and added here explicitly.
+_HINT_BROADCAST_ALLOWLIST = {
+    # 1-row scalar aggregates riding cross joins (house rule)
+    "customer_rfm": 1,
+    "doc_unigram_logprob": 1,
+    "doc_bm25_topk": 1,
+    "doc_tfidf_topk": 1,
+    "doc_length_percentile_filter": 1,
+    "orders_association_rules": 1,
+    "events_value_winsorize": 1,
+    "events_type_anova": 1,
+    "part_abc_classification": 1,
+    "customer_survival_km": 1,
+    "partition_layout_audit": 1,
+    "source_quality_calibration": 1,
+    "order_line_count_histogram": 1,
+    "events_hour_dow_heatmap": 1,
+    "q9_profit_by_nation": 1,  # 25-row nation dim
+    "q21_waiting_suppliers": 1,  # 25-row nation dim
+    "q22_global_sales_opportunity": 1,  # 1-row avg-balance scalar
+    "events_peak_detection": 1,  # 1-row global-stats scalar
+    "events_drift_psi": 1,  # |bins|-row reference histogram
+    "events_scd_join": 1,  # |types|-row SCD dimension
+    "events_range_join_binned": 1,  # |tiers|-row range dim
+    "source_temperature_weights": 1,  # |sources|-row weight frame
+    "events_type_user_overlap": 2,  # |types|-row size frames
+    "pmi_bigrams": 2,  # n_tok / n_big scalars
+    "cross_source_overlap": 2,  # two |sources|-row size frames
+    "embedding_covariance": 2,  # d-row mean frame ×2 (schema-bounded)
+    "quality_token_retention": 2,  # threshold scalar + |buckets| frame
+    "attribution_lag_cdf": 2,  # 1-row total + |grid| literal
+    "events_next_event_eval": 2,  # |types|² model + 1-row accuracy base
+    "priority_returnflag_chi2": 3,  # row/col marginals + N scalar
+    "benford_first_digit_audit": 3,  # 9-row Benford literal + scalars
+    "nation_trade_matrix": 5,  # nation dim hops + totals
+    "source_unigram_divergence": 5,  # |sources| profiles + smoothing scalars
+    "vocab_coverage_curve": 2,  # 1-row total + |grid| literal
+    "q5_region_revenue": 2,  # region + nation dims
+    "q7_volume_shipping": 2,  # nation dim ×2
+    "q8_market_share": 3,  # region + nation ×2
+    "q11_important_stock": 2,  # nation dim + 1-row threshold
+    "part_triangles": 2,  # degree-cap scalar frames
+    "detection_eval": 2,  # n_pred / n_gt scalars
+    "detection_eval_greedy": 2,  # n_pred / n_gt scalars
+    "detection_eval_sweep": 3,  # scalars + 5-row threshold literal
+    # (detection_eval_ap/_map: the |classes|-row GT-count hint sits on
+    # the LEFT side of a left join, which Spark cannot build — the
+    # hint is ignored and the plan carries no BroadcastExchange.)
+    "batch_inference": 1,  # |classes|-row class map
+    "ann_bruteforce_topk": 1,  # fixed query side
+    "ann_lsh_topk": 1,  # fixed query side
+    "ann_ivf_topk": 3,  # centroids + assignments-of-queries + query side
+    "ann_pq_topk": 5,  # codebooks / LUT / query side
+    "ann_mmr_topk": 1,  # shortlist (k·|queries| bounded)
+    "ann_range_search": 1,  # fixed query side
+    "ann_recall_eval": 2,  # exact + approx top-k shortlists
+    "knn_label_eval": 1,  # 50-row eval frame
+    "embedding_quantize": 1,  # d-row codebook
+    "bloom_join_prune": 4,  # M-bounded bitmap + three 1-row scalars
+}
+
+
+def test_registry_sweep_no_unaudited_broadcast_hints(spark, sf_dir):
+    """Iterate the WHOLE registry with AQE + auto-broadcast off:
+    every BroadcastExchange left is a hard-coded hint, and each must
+    be on the audited constants-bounded allowlist with exactly the
+    audited count. More hints than audited = a new unreviewed
+    broadcast slipped in; fewer = the allowlist is stale. This is
+    the test that catches the next SF-scaled `F.broadcast(...)`
+    before it ships (the r3 `bloom_join_prune` defect class)."""
+    bad = []
+    for name in _QUERIES:
+        if name.startswith("events_stream_"):
+            continue  # memory-sink aggregates; plans not informative
         plan = _plan_hints_only(spark, sf_dir, name)
-        assert "BroadcastExchange" not in plan, f"{name} force-broadcasts:\n{plan}"
+        n = plan.count("BroadcastExchange")
+        expected = _HINT_BROADCAST_ALLOWLIST.get(name, 0)
+        if n != expected:
+            bad.append(f"{name}: {n} BroadcastExchange (audited: {expected})")
+    assert not bad, "unaudited broadcast hints:\n" + "\n".join(bad)
 
 
 def test_q7_broadcasts_nation_only(spark, sf_dir):
