@@ -638,30 +638,11 @@ def _make_conf_greedy_kernel():
     return conf_greedy_match
 
 
-def _ap_per_class_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-class all-points AP@0.5 (shared by detection_eval_ap and
-    detection_eval_map).
-
-    Pipeline: (1) greedy-match candidates per image in confidence
-    order (grouped-map Arrow kernel — embarrassingly parallel across
-    image buckets); (2) rank ALL detections per class by
-    (conf desc, pred_id) and accumulate TP with one window pass;
-    (3) precision envelope p_env(i) = max precision at rank ≥ i (a
-    second window pass — running max over the REVERSED ordering,
-    because Spark recomputes shrinking CURRENT→UNBOUNDED FOLLOWING
-    frames per row, O(n²); DuckDB's oracle keeps the forward
-    shrinking frame, which it evaluates with a segment tree); (4) AP =
-    Σ_TP p_env / n_gt — the all-points PR-curve integral (VOC 2010+ /
-    COCO definition, minus COCO's 101-point resampling).
-
-    Scale note: step 2's window partitions by class (6 values), so
-    the ranking sort concentrates on |classes| reducers. That is
-    inherent to exact AP — it totally orders every detection per
-    class by score (pycocotools does the same sort single-node). The
-    100 TB fallback is binning scores into fixed-width buckets and
-    ranking the |buckets|-row histogram instead (error ≤ bucket
-    width); detections above threshold are also typically orders of
-    magnitude fewer than raw corpus rows."""
+def _ap_ranked_env_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confidence-ranked detections with cumulative TP and the
+    precision envelope — the shared core of the AP family (all-points
+    AP, mAP, and the 101-point COCO resampling). One row per
+    detection: (cls, conf, pred_id, is_tp, rnk, cum_tp, p_env)."""
     cand = _pairs_df(spark, sf_dir).filter(F.col("iou") >= IOU_THRESHOLD)
     bucket = F.pmod(F.hash("image_id"), F.lit(N_GREEDY_BUCKETS))
     matched = (
@@ -692,7 +673,34 @@ def _ap_per_class_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_env = F.max(F.col("cum_tp").cast("double") / F.col("rnk")).over(
         rev_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    env = ranked.select("cls", "is_tp", p_env.alias("p_env"))
+    return ranked.select("cls", "conf", "pred_id", "is_tp", "rnk", "cum_tp", p_env.alias("p_env"))
+
+
+def _ap_per_class_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class all-points AP@0.5 (shared by detection_eval_ap and
+    detection_eval_map).
+
+    Pipeline: (1) greedy-match candidates per image in confidence
+    order (grouped-map Arrow kernel — embarrassingly parallel across
+    image buckets); (2) rank ALL detections per class by
+    (conf desc, pred_id) and accumulate TP with one window pass;
+    (3) precision envelope p_env(i) = max precision at rank ≥ i (a
+    second window pass — running max over the REVERSED ordering,
+    because Spark recomputes shrinking CURRENT→UNBOUNDED FOLLOWING
+    frames per row, O(n²); DuckDB's oracle keeps the forward
+    shrinking frame, which it evaluates with a segment tree); (4) AP =
+    Σ_TP p_env / n_gt — the all-points PR-curve integral (VOC 2010+ /
+    COCO definition, minus COCO's 101-point resampling).
+
+    Scale note: step 2's window partitions by class (6 values), so
+    the ranking sort concentrates on |classes| reducers. That is
+    inherent to exact AP — it totally orders every detection per
+    class by score (pycocotools does the same sort single-node). The
+    100 TB fallback is binning scores into fixed-width buckets and
+    ranking the |buckets|-row histogram instead (error ≤ bucket
+    width); detections above threshold are also typically orders of
+    magnitude fewer than raw corpus rows."""
+    env = _ap_ranked_env_df(spark, sf_dir).select("cls", "is_tp", "p_env")
     term = F.when(F.col("is_tp") == 1, F.round(F.col("p_env") * _AP_QUANT).cast("long")).otherwise(
         F.lit(0)
     )
@@ -734,6 +742,62 @@ def detection_eval_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ap.agg(
         F.count(F.lit(1)).alias("n_classes"),
         F.round(F.sum(q) / (F.count(F.lit(1)) * F.lit(1_000_000.0)) + 1e-9, 6).alias("map50"),
+    )
+
+
+N_COCO_RECALL_POINTS = 101  # recall grid 0.00, 0.01, ..., 1.00
+
+
+def detection_eval_ap_coco(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class 101-point COCO AP@0.5 — the pycocotools definition
+    (minus per-area/maxDet stratification): the precision envelope is
+    resampled at recall ∈ {0, 0.01, ..., 1.00} and AP is the mean of
+    the 101 sampled precisions, p(r) = max precision over detections
+    with recall ≥ r (0 where no detection reaches r). This is the
+    variant a user migrating from pycocotools' COCOeval expects;
+    `detection_eval_ap` keeps the all-points VOC-2010 integral.
+
+    The recall comparison is done in INTEGERS (100·cum_tp ≥
+    thr_idx·n_gt ⟺ recall ≥ thr_idx/100) so the grid membership can
+    never disagree between engines on a float boundary; each sampled
+    max is 9-dp-quantized to int64 before the per-class sum (the AP
+    family's associativity recipe).
+
+    Scale design: the envelope rows fan out ×101 against a literal
+    grid frame (broadcast — fixed 101 rows) and collapse through
+    map-side partial aggregation into |classes|·101 groups; the
+    |classes|-row GT-count frame broadcasts. Same |classes|-reducer
+    ranking caveat as `detection_eval_ap` (inherent to exact AP)."""
+    env = _ap_ranked_env_df(spark, sf_dir)
+    n_gt = _gt_df(spark, sf_dir).groupBy("cls").agg(F.count(F.lit(1)).alias("n_gt"))
+    sums = env.groupBy("cls").agg(
+        F.sum("is_tp").alias("tp"),
+        F.count(F.lit(1)).alias("n_pred"),
+    )
+    thr = spark.range(N_COCO_RECALL_POINTS).select(F.col("id").cast("int").alias("thr_idx"))
+    env_r = env.join(F.broadcast(n_gt), "cls")
+    pr = (
+        env_r.join(
+            F.broadcast(thr),
+            F.lit(100) * F.col("cum_tp") >= F.col("thr_idx") * F.col("n_gt"),
+        )
+        .groupBy("cls", "thr_idx")
+        .agg(F.round(F.max("p_env") * _AP_QUANT).cast("long").alias("q"))
+    )
+    coco = pr.groupBy("cls").agg(F.sum("q").alias("sum_q"))
+    ap = F.round(
+        F.col("sum_q") / F.lit(float(_AP_QUANT)) / F.lit(float(N_COCO_RECALL_POINTS)) + 1e-9, 6
+    )
+    return (
+        n_gt.join(sums, "cls", "left")
+        .join(coco, "cls", "left")
+        .select(
+            "cls",
+            "n_gt",
+            F.coalesce(F.col("n_pred"), F.lit(0)).alias("n_pred"),
+            F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+            F.coalesce(ap, F.lit(0.0)).alias("ap50_coco"),
+        )
     )
 
 
@@ -780,7 +844,7 @@ ranked AS (
   FROM det
 ),
 env AS (
-  SELECT cls, is_tp,
+  SELECT cls, is_tp, cum_tp,
          max(CAST(cum_tp AS DOUBLE) / rnk) OVER (
            PARTITION BY cls ORDER BY conf DESC, pred_id
            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS p_env
@@ -819,6 +883,31 @@ SELECT CAST(count(*) AS BIGINT) AS n_classes,
        round(sum(CAST(round(ap50 * 1000000) AS BIGINT)) / (count(*) * 1000000.0) + 1e-9, 6)
          AS map50
 FROM ap
+"""
+
+DETECTION_EVAL_AP_COCO_SQL = f"""
+WITH RECURSIVE {_GT_SQL},
+{_PAIRS_SQL},
+{_AP_BASE_SQL},
+env_r AS (
+  SELECT e.cls, e.cum_tp, e.p_env, g.n_gt
+  FROM env e JOIN gt_counts g USING (cls)
+),
+thr AS (SELECT CAST(k AS INT) AS thr_idx FROM range(0, {N_COCO_RECALL_POINTS}) t(k)),
+pr AS (
+  SELECT cls, thr_idx, CAST(round(max(p_env) * {_AP_QUANT}) AS BIGINT) AS q
+  FROM env_r JOIN thr ON 100 * cum_tp >= thr_idx * n_gt
+  GROUP BY 1, 2
+),
+coco AS (SELECT cls, CAST(sum(q) AS BIGINT) AS sum_q FROM pr GROUP BY 1)
+SELECT g.cls, g.n_gt,
+       COALESCE(s.n_pred, 0) AS n_pred,
+       COALESCE(s.tp, 0) AS tp,
+       COALESCE(round(c.sum_q / {float(_AP_QUANT)} / {float(N_COCO_RECALL_POINTS)} + 1e-9, 6), 0.0)
+         AS ap50_coco
+FROM gt_counts g
+LEFT JOIN sums s USING (cls)
+LEFT JOIN coco c USING (cls)
 """
 
 
@@ -970,4 +1059,5 @@ QUERIES = {
     "detection_eval_greedy": (detection_eval_greedy, DETECTION_EVAL_GREEDY_SQL),
     "detection_eval_ap": (detection_eval_ap, DETECTION_EVAL_AP_SQL),
     "detection_eval_map": (detection_eval_map, DETECTION_EVAL_MAP_SQL),
+    "detection_eval_ap_coco": (detection_eval_ap_coco, DETECTION_EVAL_AP_COCO_SQL),
 }

@@ -1335,25 +1335,16 @@ FROM picked WHERE pick = 1
 PCA_K = 2
 
 
-def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA projection of the embedding store onto its top-K
-    principal components, the MLlib pattern end to end: the
-    covariance reduces distributed (the N·d²/2 grain collapses
-    map-side to d(d+1)/2 sums — embedding_covariance's plan), ONLY
-    the d×d matrix reaches the driver for numpy eigh (d=64: 32 KB,
-    cluster-size-independent), and the top-K eigenvectors ride
-    back as literals inside a codegen'd dot-product projection —
-    one scan, zero Python in the per-row path.
-
-    Eigenvector sign is normalized (first nonzero component > 0)
-    so output is deterministic. No SQL oracle — eigh has no SQL
-    form (rows-only gate; invariants asserted in tests: projection
-    variance equals the eigenvalue, components orthonormal,
-    explained share in (0,1])."""
+def _pca_fit(spark: SparkSession, sf_dir: str):
+    """Distributed covariance (embedding_covariance's map-side
+    d(d+1)/2 reduction) + driver-side numpy eigh. Only the d×d
+    matrix reaches the driver (d=64: 32 KB, cluster-size-
+    independent). Returns (mu, components, shares, eigenvalues
+    descending, total_var) with sign-normalized components."""
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+        as_double(F.col("embedding")).alias("v")
     )
     ex = emb.select(F.posexplode("v").alias("i", "xi"), F.size("v").alias("d"), "v")
     pairs = ex.select(
@@ -1374,16 +1365,40 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         cov[r["i"], r["j"]] = c
         cov[r["j"], r["i"]] = c
     evals, evecs = np.linalg.eigh(cov)  # ascending
-    order = np.argsort(evals)[::-1][:PCA_K]
+    order = np.argsort(evals)[::-1]
     total_var = float(evals.sum())
     comps, shares = [], []
-    for idx in order:
+    for idx in order[:PCA_K]:
         vec = evecs[:, idx]
         nz = np.nonzero(np.abs(vec) > 1e-12)[0]
         if len(nz) and vec[nz[0]] < 0:
             vec = -vec
         comps.append(vec)
         shares.append(float(evals[idx]) / total_var if total_var > 0 else 0.0)
+    evals_desc = [float(evals[idx]) for idx in order]
+    return mu, comps, shares, evals_desc, total_var
+
+
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding store onto its top-K
+    principal components, the MLlib pattern end to end: the
+    covariance reduces distributed (the N·d²/2 grain collapses
+    map-side to d(d+1)/2 sums — embedding_covariance's plan), ONLY
+    the d×d matrix reaches the driver for numpy eigh (d=64: 32 KB,
+    cluster-size-independent), and the top-K eigenvectors ride
+    back as literals inside a codegen'd dot-product projection —
+    one scan, zero Python in the per-row path.
+
+    Eigenvector sign is normalized (first nonzero component > 0)
+    so output is deterministic. No SQL oracle — eigh has no SQL
+    form (rows-only gate); the hash-gated companion
+    `embedding_pca_invariants` certifies the numbers DuckDB CAN
+    check (trace, projection-mean/variance/orthonormality
+    residuals, share bounds)."""
+    mu, comps, shares, _evals, _total_var = _pca_fit(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
 
     # project: centered dot product as a zip_with sum — pure JVM
     out_cols = [emb["vec_id"], emb["label"]]
@@ -1398,6 +1413,103 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_cols.append(F.round(score + 1e-9, 6).alias(f"pc{k + 1}"))
         out_cols.append(F.lit(round(shares[k] + 1e-9, 6)).alias(f"pc{k + 1}_var_share"))
     return emb.select(*out_cols)
+
+
+def embedding_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated companion certifying `embedding_pca_project`'s
+    error contract — the sketch-companion recipe
+    (events_user_count_hll_error): the projection itself has no SQL
+    form (eigh), so this query emits the numbers DuckDB CAN verify
+    independently, one row per principal component:
+
+    - ``total_var``: trace of the covariance matrix, computed by
+      the distributed d(d+1)/2 reduction + driver sum — the oracle
+      recomputes it from the raw embeddings as Σ_i var(x_i), so a
+      wrong covariance pass cannot hash-match.
+    - ``mean_residual``: |mean of the projected component over the
+      data| at 6 dp — centered projections have exactly zero mean,
+      so both engines must see 0.0.
+    - ``ortho_residual``: max |⟨c_k,c_j⟩ − δ_kj| over j ≤ k at
+      6 dp — components are orthonormal, must be 0.0.
+    - ``var_matches_eigenvalue``: the data-side population variance
+      of pc_k (a second, independent Spark aggregation over the
+      projected scores) equals λ_k within 1e-5 relative — ties the
+      projection path to the eigendecomposition.
+    - ``share_ok`` / ``recon_bound_ok``: explained shares in (0,1],
+      non-increasing, cumulative ≤ 1; reconstruction error
+      total_var − Σ_{j≤k} λ_j is non-negative.
+
+    Scale design: one extra scan of the embedding table collapsing
+    to a single 1-row aggregate (2 avgs per component); everything
+    else is driver-side arithmetic on the d²-bounded fit."""
+    import numpy as np
+
+    mu, comps, shares, evals_desc, total_var = _pca_fit(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        as_double(F.col("embedding")).alias("v")
+    )
+    mu_lit = F.array(*[F.lit(float(m)) for m in mu])
+    aggs = []
+    for k, vec in enumerate(comps):
+        w = F.array(*[F.lit(float(x)) for x in vec])
+        centered = F.zip_with(F.col("v"), mu_lit, lambda x, m: x - m)
+        score = F.aggregate(
+            F.zip_with(centered, w, lambda x, wk: x * wk),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        aggs.append(F.avg(score).alias(f"m{k}"))
+        aggs.append(F.avg(score * score).alias(f"s{k}"))
+    stats = emb.agg(*aggs)  # 1 row
+
+    parts = []
+    cum = 0.0
+    tol = 1e-5
+    for k in range(PCA_K):
+        lam = evals_desc[k]
+        cum += lam
+        ortho = max(
+            abs(float(np.dot(comps[k], comps[j])) - (1.0 if j == k else 0.0))
+            for j in range(k + 1)
+        )
+        share_ok = (
+            0.0 < shares[k] <= 1.0 + 1e-12
+            and (k == 0 or shares[k] <= shares[k - 1] + 1e-12)
+            and sum(shares[: k + 1]) <= 1.0 + 1e-9
+        )
+        recon_ok = total_var - cum >= -1e-9 * max(total_var, 1.0)
+        var_k = F.col(f"s{k}") - F.col(f"m{k}") * F.col(f"m{k}")
+        parts.append(
+            stats.select(
+                F.lit(k + 1).cast("int").alias("component"),
+                F.lit(round(total_var + 1e-9, 6)).alias("total_var"),
+                (F.round(F.abs(F.col(f"m{k}")), 6) + F.lit(0.0)).alias("mean_residual"),
+                F.lit(round(ortho + 1e-9, 6) + 0.0).alias("ortho_residual"),
+                (F.abs(var_k - F.lit(lam)) <= F.lit(tol) * F.greatest(F.lit(lam), F.lit(1e-9))).alias(
+                    "var_matches_eigenvalue"
+                ),
+                F.lit(bool(share_ok)).alias("share_ok"),
+                F.lit(bool(recon_ok)).alias("recon_bound_ok"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+EMBEDDING_PCA_INVARIANTS_SQL = f"""
+WITH ex AS (
+  SELECT i, embedding[i]::DOUBLE AS xi
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+dims AS (SELECT i, avg(xi * xi) AS e2, avg(xi) AS m FROM ex GROUP BY i),
+trace AS (SELECT round(sum(e2 - m * m) + 1e-9, 6) AS total_var FROM dims)
+SELECT CAST(k AS INT) AS component, total_var,
+       0.0::DOUBLE AS mean_residual, 0.0::DOUBLE AS ortho_residual,
+       TRUE AS var_matches_eigenvalue, TRUE AS share_ok, TRUE AS recon_bound_ok
+FROM trace, unnest(range(1, {PCA_K} + 1)) AS t(k)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1603,4 +1715,5 @@ QUERIES = {
     "embedding_covariance": (embedding_covariance, EMBEDDING_COVARIANCE_SQL),
     "knn_label_eval": (knn_label_eval, KNN_LABEL_EVAL_SQL),
     "embedding_pca_project": (embedding_pca_project, None),
+    "embedding_pca_invariants": (embedding_pca_invariants, EMBEDDING_PCA_INVARIANTS_SQL),
 }

@@ -123,6 +123,7 @@ _HINT_BROADCAST_ALLOWLIST = {
     # (detection_eval_ap/_map: the |classes|-row GT-count hint sits on
     # the LEFT side of a left join, which Spark cannot build — the
     # hint is ignored and the plan carries no BroadcastExchange.)
+    "detection_eval_ap_coco": 2,  # |classes|-row GT counts + 101-row recall grid
     "batch_inference": 1,  # |classes|-row class map
     "ann_bruteforce_topk": 1,  # fixed query side
     "ann_lsh_topk": 1,  # fixed query side

@@ -179,3 +179,60 @@ def test_stream_interval_join_boundary(spark):
     assert got[0]["n_pairs"] == 1
     assert got[0]["total_lag_us"] == half_hour_ns // 1000
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_checkpoint_freezes_state_partition_count(spark, sf_dir):
+    """The documented DTT_STREAM_STATE_PARTITIONS invariant: the
+    state-store layout is pinned to spark.sql.shuffle.partitions at
+    FIRST checkpoint, and a later drain against the SAME checkpoint
+    keeps the frozen count even when the session setting changed in
+    between (a driver re-run with a different env must not corrupt
+    or re-shard existing state). Also asserts the second drain picks
+    up only the new file and the accumulated counts stay correct —
+    i.e. state actually survived the re-open."""
+    import json
+
+    from datatransformertools_spark.streaming.events import _state_partitions
+
+    tmp = Path(tempfile.mkdtemp(prefix="dtt-stream-frozen-"))
+    src = tmp / "events"
+    src.mkdir()
+    ckpt = str(tmp / "ckpt")
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part-0.parquet")
+
+    def drain(n_parts, name):
+        stream = read_events_stream(spark, str(src))
+        agg = stream_tumbling_agg(stream)
+        with _state_partitions(spark, n_parts):
+            q = run_available_now(agg, name, ckpt)
+            q.awaitTermination(120)
+        return {
+            (r["window_start"], r["event_type"]): r["n_events"]
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+
+    first = drain(8, "frozen_a")
+    assert first
+
+    # second batch: the same rows again (a new file), then re-drain
+    # with a DIFFERENT session shuffle setting against the same
+    # checkpoint — counts must exactly double (state reloaded), and
+    # the state layout must stay at the frozen 8.
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part-1.parquet")
+    second = drain(4, "frozen_b")
+    assert second == {k: 2 * v for k, v in first.items()}
+
+    # the offsets metadata of EVERY microbatch records the state
+    # partition count the runtime actually used; all committed
+    # batches must carry the count the checkpoint was created with.
+    offsets_dir = Path(ckpt) / "offsets"
+    counts = set()
+    for f in offsets_dir.iterdir():
+        if not f.name.isdigit():
+            continue
+        for line in f.read_text().splitlines():
+            if line.startswith("{") and "shuffle.partitions" in line:
+                meta = json.loads(line)
+                counts.add(meta["conf"]["spark.sql.shuffle.partitions"])
+    assert counts == {"8"}, counts
+    shutil.rmtree(tmp, ignore_errors=True)
