@@ -1462,7 +1462,9 @@ def embedding_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(F.avg(score * score).alias(f"s{k}"))
     stats = emb.agg(*aggs)  # 1 row
 
-    parts = []
+    # ONE aggregate row → K output rows via array+explode (a Union
+    # of per-component selects would re-run the scan+agg per branch)
+    rows = []
     cum = 0.0
     tol = 1e-5
     for k in range(PCA_K):
@@ -1479,8 +1481,8 @@ def embedding_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         recon_ok = total_var - cum >= -1e-9 * max(total_var, 1.0)
         var_k = F.col(f"s{k}") - F.col(f"m{k}") * F.col(f"m{k}")
-        parts.append(
-            stats.select(
+        rows.append(
+            F.struct(
                 F.lit(k + 1).cast("int").alias("component"),
                 F.lit(round(total_var + 1e-9, 6)).alias("total_var"),
                 (F.round(F.abs(F.col(f"m{k}")), 6) + F.lit(0.0)).alias("mean_residual"),
@@ -1492,10 +1494,7 @@ def embedding_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(bool(recon_ok)).alias("recon_bound_ok"),
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    return stats.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
 
 
 EMBEDDING_PCA_INVARIANTS_SQL = f"""

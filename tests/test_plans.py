@@ -424,8 +424,19 @@ def test_ap_envelope_no_shrinking_frame(spark, sf_dir):
     # the precision envelope must be the O(n) running max over the
     # reversed ordering — a CURRENT->UNBOUNDED FOLLOWING frame is
     # recomputed per row by WindowExec (O(n^2) per class partition)
-    plan = _plan(spark, sf_dir, "detection_eval_ap")
-    assert "unboundedfollowing" not in plan.lower(), plan
+    for name in ("detection_eval_ap", "detection_eval_map", "detection_eval_ap_coco"):
+        plan = _plan(spark, sf_dir, name)
+        assert "unboundedfollowing" not in plan.lower(), f"{name}:\n{plan}"
+
+
+def test_pca_invariants_single_scalar_aggregate(spark, sf_dir):
+    # the data-side verification pass collapses to ONE global 1-row
+    # aggregate (2 avgs per component) with map-side partials — no
+    # join, no per-row Python, exactly one SinglePartition exchange
+    plan = _plan(spark, sf_dir, "embedding_pca_invariants")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "partial" in plan.lower(), plan
 
 
 def test_minhash_verify_prunes_before_text_join(spark, sf_dir):

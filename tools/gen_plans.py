@@ -327,6 +327,27 @@ SECTIONS = [
         False,
     ),
     (
+        "detection_eval_ap_coco",
+        "101-point COCO AP: the envelope rows fan out against the "
+        "101-row recall grid as a BroadcastNestedLoopJoin (fixed-size "
+        "literal frame) with an integer-exact membership predicate, "
+        "then collapse map-side into |classes|*101 groups; the "
+        "|classes|-row GT-count frame is the only other hinted "
+        "broadcast. No shrinking window frame anywhere (the envelope "
+        "is the O(n) reversed running max).",
+        True,
+    ),
+    (
+        "embedding_pca_invariants",
+        "PCA error-contract companion: the data-side verification is "
+        "ONE global 1-row aggregate (two avgs per component, map-side "
+        "partials, single SinglePartition exchange) over the projected "
+        "scores; the d^2-bounded fit happens driver-side and rides back "
+        "as literals, and the K output rows explode from the single "
+        "aggregate row — no join, no union re-scan.",
+        False,
+    ),
+    (
         "doc_bigram_logprob",
         "Bigram LM: adjacency resolves inside each row's token array "
         "(zip with the 1-shifted copy, map-side — no window, no "
