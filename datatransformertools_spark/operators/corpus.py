@@ -991,8 +991,94 @@ FROM per_source CROSS JOIN corpus
 """
 
 
+# ---------------------------------------------------------------------------
+# tokenize_to_ids — text → input_ids against an induced vocabulary
+# ---------------------------------------------------------------------------
+
+TOKENIZE_VOCAB_V = 20  # < corpus vocab (31), so the OOV path is real
+TOKENIZE_UNK_ID = 0
+
+
+def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenize-for-training step that bridges vocabulary
+    induction (`vocab_topk`) and batch assembly (`pack_sequences`):
+    every document becomes an ``input_ids`` int array under a
+    frequency-ranked vocabulary (ids 1..V by count DESC, token;
+    OOV → unk id 0), plus token/OOV counts. V is set below the
+    corpus vocabulary so the unk path is value-certified, not
+    vacuously green.
+
+    Scale design: the token grain is the irreducible work. Tokens
+    posexplode map-side, the id lookup is a shuffle join keyed on
+    the token (the vocabulary grows with the corpus — never
+    hint-broadcast; at runtime AQE upgrades when V is small, and a
+    production variant would broadcast the fixed top-V head and
+    shuffle only the tail), and documents re-assemble with ONE
+    doc_id shuffle — sort_array(collect_list(struct(pos, id)))
+    rebuilds token order without a per-doc window sort pass."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens(normalize_text(F.col("text")))).alias("pos", "token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(F.col("cnt").desc(), "token").limit(TOKENIZE_VOCAB_V)
+    rank = F.row_number().over(Window.orderBy(F.col("cnt").desc(), "token"))
+    vocab = top.withColumn("token_id", rank).select("token", "token_id")
+    joined = toks.join(vocab, "token", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("pos"),
+                            F.coalesce(F.col("token_id"), F.lit(TOKENIZE_UNK_ID)).alias("tid"),
+                        )
+                    )
+                ),
+                lambda s: s["tid"],
+            ).alias("input_ids"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("token_id").isNull().cast("long")).alias("n_oov"),
+        )
+        .select("doc_id", "input_ids", "n_tokens", "n_oov")
+    )
+
+
+TOKENIZE_TO_IDS_SQL = (
+    r"""
+WITH split AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS arr
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, i AS pos, arr[i] AS token
+  FROM split, unnest(range(1, len(arr) + 1)) AS t(i)
+),
+counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+vocab AS (
+  SELECT token, CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS token_id
+  FROM counts ORDER BY cnt DESC, token LIMIT TOPV
+),
+joined AS (
+  SELECT t.doc_id, t.pos, v.token_id
+  FROM tok t LEFT JOIN vocab v USING (token)
+)
+SELECT doc_id,
+       list(COALESCE(token_id, UNKID) ORDER BY pos) AS input_ids,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+FROM joined
+GROUP BY doc_id
+""".replace("TOPV", str(TOKENIZE_VOCAB_V)).replace("UNKID", str(TOKENIZE_UNK_ID))
+)
+
+
 QUERIES = {
     "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
+    "tokenize_to_ids": (tokenize_to_ids, TOKENIZE_TO_IDS_SQL),
     "source_quality_calibration": (
         source_quality_calibration,
         SOURCE_QUALITY_CALIBRATION_SQL,

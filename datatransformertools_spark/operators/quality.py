@@ -238,8 +238,136 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus_filter_funnel — per-stage survivor counts of the filter chain
+# ---------------------------------------------------------------------------
+
+FUNNEL_QUALITY_MIN = 0.5  # corpus_prep_pipeline's keep threshold
+
+
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-funnel observability: the per-stage doc/token survivor
+    counts every production corpus pipeline reports (raw → quality
+    score ≥ 0.5 → exact dedup first-keeper → length inside the raw
+    [P5, P95] band). Same score/hash definitions as
+    `corpus_prep_pipeline`, same percentile definition as
+    `doc_length_percentile_filter`, so the funnel audits exactly the
+    filters the engine ships.
+
+    Scale design: one scan computes every per-doc flag (score, hash,
+    tokens fused in one projection); the percentile bounds ride as a
+    broadcast 1-row frame; the dedup-keeper decision is the single
+    data-scale shuffle (hash window); all eight funnel sums collapse
+    map-side into ONE 1-row aggregate, and the 4 output rows explode
+    from it — counts only, no per-doc rows leave the executors."""
+    from datatransformertools_spark.functions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    norm = normalize_text(F.col("text"))
+    tok = tokens(norm)
+    n_tokens = F.size(tok)
+    uniq_ratio = F.when(n_tokens > 0, F.size(F.array_distinct(tok)) / n_tokens).otherwise(
+        F.lit(0.0)
+    )
+    score = F.round(
+        0.5 * uniq_ratio + 0.5 * F.least(F.col("n_chars") / F.lit(400.0), F.lit(1.0)) + 1e-9, 6
+    )
+    base = docs.select(
+        "doc_id",
+        "n_chars",
+        F.md5(norm).alias("h"),
+        n_tokens.alias("n_tok"),
+        score.alias("q"),
+    )
+    bounds = docs.agg(
+        F.round(F.expr(f"percentile(n_chars, {P_LO})") + 1e-9, 6).alias("p_lo"),
+        F.round(F.expr(f"percentile(n_chars, {P_HI})") + 1e-9, 6).alias("p_hi"),
+    )
+    rn = F.row_number().over(Window.partitionBy("h", "q_pass").orderBy("doc_id"))
+    flags = (
+        base.crossJoin(F.broadcast(bounds))
+        .withColumn("q_pass", F.col("q") >= FUNNEL_QUALITY_MIN)
+        .withColumn("d_pass", F.col("q_pass") & (rn == 1))
+        .withColumn(
+            "l_pass",
+            F.col("d_pass")
+            & (F.col("n_chars") >= F.col("p_lo"))
+            & (F.col("n_chars") <= F.col("p_hi")),
+        )
+    )
+    passes = [F.lit(True), F.col("q_pass"), F.col("d_pass"), F.col("l_pass")]
+    aggs = []
+    for i, p in enumerate(passes):
+        aggs.append(F.sum(p.cast("long")).alias(f"docs{i}"))
+        aggs.append(F.sum(F.when(p, F.col("n_tok").cast("long")).otherwise(F.lit(0))).alias(f"toks{i}"))
+    sums = flags.agg(*aggs)  # 1 row
+    stages = ["raw", "quality", "exact_dedup", "length_band"]
+    rows = [
+        F.struct(
+            F.lit(i).cast("int").alias("stage_idx"),
+            F.lit(s).alias("stage"),
+            F.col(f"docs{i}").alias("n_docs"),
+            F.col(f"toks{i}").alias("n_tokens"),
+            F.round(F.col(f"docs{i}") / F.col("docs0") + 1e-9, 6).alias("doc_retention"),
+            F.round(F.col(f"toks{i}") / F.col("toks0") + 1e-9, 6).alias("token_retention"),
+        )
+        for i, s in enumerate(stages)
+    ]
+    return sums.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+CORPUS_FILTER_FUNNEL_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, n_chars,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
+         len(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), '\s+')) AS n_tok,
+         round(
+           0.5 * (CASE WHEN len(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), '\s+')) > 0
+                       THEN len(list_distinct(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), '\s+')))::DOUBLE
+                            / len(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), '\s+'))
+                       ELSE 0.0 END)
+           + 0.5 * least(n_chars / 400.0, 1.0) + 1e-9, 6) AS q
+  FROM documents
+),
+bounds AS (
+  SELECT round(quantile_cont(n_chars, {P_LO}) + 1e-9, 6) AS p_lo,
+         round(quantile_cont(n_chars, {P_HI}) + 1e-9, 6) AS p_hi
+  FROM documents
+),
+flag1 AS (SELECT *, (q >= {FUNNEL_QUALITY_MIN}) AS q_pass FROM base),
+flag2 AS (
+  SELECT *, row_number() OVER (PARTITION BY h, q_pass ORDER BY doc_id) AS rn FROM flag1
+),
+flags AS (
+  SELECT f.*, (q_pass AND rn = 1) AS d_pass,
+         (q_pass AND rn = 1 AND n_chars >= p_lo AND n_chars <= p_hi) AS l_pass
+  FROM flag2 f, bounds
+),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS docs0, CAST(sum(n_tok) AS BIGINT) AS toks0,
+         CAST(sum(CASE WHEN q_pass THEN 1 ELSE 0 END) AS BIGINT) AS docs1,
+         CAST(sum(CASE WHEN q_pass THEN n_tok ELSE 0 END) AS BIGINT) AS toks1,
+         CAST(sum(CASE WHEN d_pass THEN 1 ELSE 0 END) AS BIGINT) AS docs2,
+         CAST(sum(CASE WHEN d_pass THEN n_tok ELSE 0 END) AS BIGINT) AS toks2,
+         CAST(sum(CASE WHEN l_pass THEN 1 ELSE 0 END) AS BIGINT) AS docs3,
+         CAST(sum(CASE WHEN l_pass THEN n_tok ELSE 0 END) AS BIGINT) AS toks3
+  FROM flags
+)
+SELECT CAST(s.idx AS INT) AS stage_idx, s.stage,
+       CASE s.idx WHEN 0 THEN docs0 WHEN 1 THEN docs1 WHEN 2 THEN docs2 ELSE docs3 END AS n_docs,
+       CASE s.idx WHEN 0 THEN toks0 WHEN 1 THEN toks1 WHEN 2 THEN toks2 ELSE toks3 END AS n_tokens,
+       round((CASE s.idx WHEN 0 THEN docs0 WHEN 1 THEN docs1 WHEN 2 THEN docs2 ELSE docs3 END)
+             / docs0 + 1e-9, 6) AS doc_retention,
+       round((CASE s.idx WHEN 0 THEN toks0 WHEN 1 THEN toks1 WHEN 2 THEN toks2 ELSE toks3 END)
+             / toks0 + 1e-9, 6) AS token_retention
+FROM (VALUES (0, 'raw'), (1, 'quality'), (2, 'exact_dedup'), (3, 'length_band')) AS s(idx, stage),
+     sums
+"""
+
+
 QUERIES = {
     "gopher_quality_filter": (gopher_quality_filter, GOPHER_QUALITY_FILTER_SQL),
+    "corpus_filter_funnel": (corpus_filter_funnel, CORPUS_FILTER_FUNNEL_SQL),
     "doc_length_percentile_filter": (
         doc_length_percentile_filter,
         DOC_LENGTH_PERCENTILE_FILTER_SQL,

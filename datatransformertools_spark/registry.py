@@ -120,6 +120,8 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
     # last 6). Sits immediately after the head so next round's
     # rotation is a pure window shift.
     queue_r5 = [
+        "tokenize_to_ids",  # new in r4 (post-window) → certify first in r5
+        "corpus_filter_funnel",  # new in r4 (post-window)
         "bpe_segment_stats",
         "dataset_datasheet",
         "partitioned_write_prune",

@@ -83,6 +83,7 @@ _HINT_BROADCAST_ALLOWLIST = {
     "doc_bm25_topk": 1,
     "doc_tfidf_topk": 1,
     "doc_length_percentile_filter": 1,
+    "corpus_filter_funnel": 1,  # 1-row P5/P95 bounds scalar
     "orders_association_rules": 1,
     "events_value_winsorize": 1,
     "events_type_anova": 1,
@@ -329,6 +330,43 @@ def test_dedup_incremental_never_shuffles_text(spark, sf_dir):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text#" not in line, line
+
+
+def test_no_data_scale_driver_collects(spark, sf_dir):
+    """Engine-wide scale contract: BUILDING any query may pull only
+    bounded frames to the driver. Iterative fits legitimately
+    collect between rounds — centroids (K·DIM), the covariance
+    upper triangle (d(d+1)/2), 1-row argmax/convergence scalars —
+    all cluster-size- and data-size-independent. A collect whose
+    row count grows with the table is the operator silently
+    un-distributing itself; this pins every call site under a hard
+    cap. (take/head/first funnel through collect in PySpark, so one
+    intercept covers them.)"""
+    from pyspark.sql import DataFrame
+
+    cap = 5_000  # >> d(d+1)/2 = 2080 (the largest legitimate fit frame)
+    orig = DataFrame.collect
+    seen: dict[str, list[int]] = {}
+    current: list[str | None] = [None]
+
+    def counting(self):
+        rows = orig(self)
+        if current[0] is not None:
+            seen.setdefault(current[0], []).append(len(rows))
+        return rows
+
+    DataFrame.collect = counting
+    try:
+        for name, fn in _QUERIES.items():
+            if name.startswith("events_stream_"):
+                continue  # streams drain through sinks, not collect
+            current[0] = name
+            fn(spark, sf_dir)
+        current[0] = None
+    finally:
+        DataFrame.collect = orig
+    bad = {n: cs for n, cs in seen.items() if any(c > cap for c in cs)}
+    assert not bad, f"data-scale driver collects: {bad}"
 
 
 def test_global_plan_hygiene(spark, sf_dir):
