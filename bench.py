@@ -49,30 +49,40 @@ _ISOLATE_DEFAULT = [
 ]
 
 
-def _run_one_isolated(name: str, sf_dir: str, cpus: str) -> float:
-    """Time one query in a fresh python/JVM (cold JIT excluded via an
-    in-process warm-up of the same plan's scan family)."""
+def _run_one_isolated(name: str, sf_dir: str, cpus: str) -> dict[str, float]:
+    """Time one query in a fresh python/JVM, twice: `cold` includes
+    first-plan codegen/JIT of that query's operator family, `warm`
+    (caches released, plan rebuilt) is the steady-state number to
+    diff round-over-round — cold JIT dominated the single-number
+    variant (2-3× the in-suite timing) and hid real regressions."""
     code = f"""
 import sys, time, os
 sys.path.insert(0, {_REPO_ROOT!r})
 os.environ["SPARK_GRAFT_CPUS"] = {cpus!r}
 from datatransformertools_spark import get_spark, registry
+from datatransformertools_spark.caching import release_caches
 spark = get_spark("dtt-bench-iso")
 spark.sparkContext.setLogLevel("ERROR")
 q = registry.queries()[{name!r}]
 # one throwaway run of a trivial plan to pay session/scan init
 spark.read.parquet({sf_dir!r} + "/nation.parquet").write.format("noop").mode("overwrite").save()
-t0 = time.perf_counter()
-q(spark, {sf_dir!r}).write.format("noop").mode("overwrite").save()
-print("ISO_SEC", round(time.perf_counter() - t0, 3))
+for tag in ("cold", "warm"):
+    t0 = time.perf_counter()
+    q(spark, {sf_dir!r}).write.format("noop").mode("overwrite").save()
+    print("ISO_SEC_" + tag, round(time.perf_counter() - t0, 3))
+    release_caches()
 """
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
     )
+    times: dict[str, float] = {}
     for line in out.stdout.splitlines():
-        if line.startswith("ISO_SEC "):
-            return float(line.split()[1])
-    raise RuntimeError(f"isolated run of {name} failed:\n{out.stderr[-2000:]}")
+        if line.startswith("ISO_SEC_"):
+            tag, val = line.split()
+            times[tag.removeprefix("ISO_SEC_")] = float(val)
+    if "warm" not in times:
+        raise RuntimeError(f"isolated run of {name} failed:\n{out.stderr[-2000:]}")
+    return times
 
 
 def main() -> None:
@@ -127,7 +137,7 @@ def main() -> None:
 
     # isolated re-timings for the iterative family (fresh JVM each;
     # see module docstring). Skippable for quick local loops.
-    isolated: dict[str, float] = {}
+    isolated: dict[str, dict[str, float]] = {}
     if os.environ.get("SPARK_GRAFT_SKIP_ISOLATED") != "1":
         spark.stop()  # free the 32-thread JVM before forking fresh ones
         for name in _ISOLATE_DEFAULT:
@@ -135,7 +145,7 @@ def main() -> None:
                 try:
                     isolated[name] = _run_one_isolated(name, sf_dir, cpus)
                 except Exception as e:  # noqa: BLE001 — a broken iso run shouldn't kill the bench
-                    isolated[name] = -1.0
+                    isolated[name] = {}
                     print(f"isolated {name} failed: {e}", file=sys.stderr)
 
     # Full per-query detail: one JSON line for automation reading the

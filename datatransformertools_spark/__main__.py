@@ -8,6 +8,8 @@ operator runs the same way):
     python -m datatransformertools_spark run dedup_exact --sf /root/testdata/sf0.01 \\
         --output /tmp/deduped --format parquet
     python -m datatransformertools_spark explain events_asof_join
+    python -m datatransformertools_spark sql \
+        "SELECT source, count(*) FROM documents GROUP BY 1" --sf /root/testdata/sf0.01
 
 `run` without --output prints up to --limit rows; with --output it
 writes the full result (parquet/csv/json) — nothing ever collects
@@ -41,6 +43,20 @@ def _build_parser() -> argparse.ArgumentParser:
     exp = sub.add_parser("explain", help="print a query's physical plan")
     exp.add_argument("query")
     exp.add_argument("--sf", default="/root/testdata/sf0.01")
+
+    sql = sub.add_parser(
+        "sql",
+        help="run ad-hoc Spark SQL over the registered tables "
+        "(region nation customer supplier part orders lineitem "
+        "events documents embeddings as temp views)",
+    )
+    sql.add_argument("query", help="SQL text, or '-' to read it from stdin")
+    sql.add_argument("--sf", default="/root/testdata/sf0.01", help="table directory")
+    sql.add_argument("--limit", type=int, default=20, help="rows to print (no --output)")
+    sql.add_argument("--output", default=None, help="write result here instead of printing")
+    sql.add_argument(
+        "--format", default="parquet", choices=("parquet", "csv", "json"), help="output format"
+    )
     return p
 
 
@@ -55,15 +71,26 @@ def main(argv: list[str] | None = None) -> int:
             print(name)
         return 0
 
-    if args.query not in queries:
-        print(f"unknown query {args.query!r}; `list` shows the registry", file=sys.stderr)
-        return 2
+    if args.cmd == "sql":
+        from datatransformertools_spark.session import get_spark
+        from datatransformertools_spark.sources.tables import TABLE_NAMES, load_table
 
-    from datatransformertools_spark.session import get_spark
+        text = sys.stdin.read() if args.query == "-" else args.query
+        spark = get_spark("dtt-cli-sql")
+        spark.sparkContext.setLogLevel("ERROR")
+        for t in TABLE_NAMES:
+            load_table(spark, args.sf, t).createOrReplaceTempView(t)
+        df = spark.sql(text)
+    else:
+        if args.query not in queries:
+            print(f"unknown query {args.query!r}; `list` shows the registry", file=sys.stderr)
+            return 2
 
-    spark = get_spark(f"dtt-cli-{args.cmd}")
-    spark.sparkContext.setLogLevel("ERROR")
-    df = queries[args.query](spark, args.sf)
+        from datatransformertools_spark.session import get_spark
+
+        spark = get_spark(f"dtt-cli-{args.cmd}")
+        spark.sparkContext.setLogLevel("ERROR")
+        df = queries[args.query](spark, args.sf)
 
     if args.cmd == "explain":
         print(df._jdf.queryExecution().executedPlan().toString())
