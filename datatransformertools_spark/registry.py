@@ -117,11 +117,12 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
     ]
     # The remaining never-certified operators, in r5→r6 promotion
     # order (r5's window = the first 50 of this queue; r6 closes the
-    # last 6). Sits immediately after the head so next round's
+    # rest). Sits immediately after the head so next round's
     # rotation is a pure window shift.
     queue_r5 = [
         "tokenize_to_ids",  # new in r4 (post-window) → certify first in r5
         "corpus_filter_funnel",  # new in r4 (post-window)
+        "events_stream_interval_join_outer",  # new in r4 (post-window)
         "bpe_segment_stats",
         "dataset_datasheet",
         "partitioned_write_prune",

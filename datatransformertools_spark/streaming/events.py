@@ -540,6 +540,138 @@ def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IJ_INTERVAL_US = 30 * 60 * 1_000_000  # the [click, click+30min] window
+_IJ_WATERMARK_US = 60 * 60 * 1_000_000  # both sides' watermark delay
+_IJ_SAFE_SLACK_US = 60 * 60 * 1_000_000  # boundary guard (see below)
+
+
+def events_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM **left-outer** interval join under the gate —
+    the semantics the inner variant can't certify: a click with NO
+    purchase in [click, click+30min] must still emit (null-joined),
+    and Structured Streaming may do so only once the global
+    watermark passes the click's join horizon (that is the state
+    eviction rule that keeps the join runnable on an unbounded
+    feed). This query certifies that null-emission machinery
+    end-to-end.
+
+    Determinism at the horizon: whether Spark evicts at
+    `horizon < wm` or `≤ wm` is an engine internal, so the drained
+    result is filtered to clicks whose horizon sits a full
+    watermark-delay BELOW the final watermark (computed from the
+    data: min of both sides' max event time − 60 min — exactly the
+    engine's min-across-sources policy). Every click in that safe
+    region has provably been either matched (inner rows emit
+    immediately) or null-emitted under EITHER strictness, so the
+    DuckDB left-join replay hash-matches without modeling microbatch
+    timing. The boundary exclusion is applied identically in both
+    engines."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F  # noqa: F811 (self-contained)
+
+    from datatransformertools_spark.sources.tables import load_table
+
+    def _side(prefix: str, event_type: str, user: str, tcol: str, ucol: str) -> DataFrame:
+        src_dir = tempfile.mkdtemp(prefix=prefix)
+        os.symlink(
+            os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events.parquet"
+        )
+        raw = _read_raw(spark, src_dir)
+        return (
+            raw.filter(F.col("event_type") == event_type)
+            .withColumn(tcol, events_event_time(raw))
+            .withColumn(ucol, events_ts_us(raw))
+            .select(F.col("user_id").alias(user), F.col(tcol), F.col(ucol))
+            .withWatermark(tcol, "60 minutes")
+        )
+
+    clicks = _side("dtt-stream-oj-c-", "click", "c_user", "click_time", "click_us")
+    purchases = _side("dtt-stream-oj-p-", "purchase", "p_user", "purchase_time", "purchase_us")
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            c_user = p_user AND
+            purchase_time >= click_time AND
+            purchase_time <= click_time + interval 30 minutes
+            """
+        ),
+        "left_outer",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_us",
+        "purchase_us",
+    )
+    name = f"stream_interval_oj_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="dtt-stream-oj-ckpt-"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # final global watermark, recomputed from the data via two 1-row
+    # batch aggregates (bounded): min across sides of max event time,
+    # minus the 60-minute delay — the engine's min-across-sources
+    # policy.
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = events_ts_us(ev)
+    maxes = ev.groupBy("event_type").agg(F.max(ts_us).alias("m")).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    wm_us = min(r["m"] for r in maxes.collect()) - _IJ_WATERMARK_US
+    safe_cut = wm_us - _IJ_INTERVAL_US - _IJ_SAFE_SLACK_US
+    return (
+        spark.table(name)
+        .filter(F.col("click_us") <= F.lit(safe_cut))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("purchase_us").isNotNull().cast("long")).alias("n_matched"),
+            F.sum(F.col("purchase_us").isNull().cast("long")).alias("n_unmatched"),
+            F.sum(F.coalesce(F.col("purchase_us") - F.col("click_us"), F.lit(0))).alias(
+                "total_lag_us"
+            ),
+        )
+    )
+
+
+EVENTS_STREAM_INTERVAL_JOIN_OUTER_SQL = f"""
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS cus FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, epoch_us(ts) AS pus FROM events WHERE event_type = 'purchase'
+),
+wm AS (
+  SELECT least((SELECT max(cus) FROM c), (SELECT max(pus) FROM p))
+         - {_IJ_WATERMARK_US} AS wm_us
+),
+j AS (
+  SELECT c.user_id, c.cus, p.pus
+  FROM c LEFT JOIN p
+    ON p.user_id = c.user_id
+   AND p.pus >= c.cus AND p.pus <= c.cus + {_IJ_INTERVAL_US}
+),
+safe AS (
+  SELECT j.* FROM j, wm
+  WHERE cus <= wm_us - {_IJ_INTERVAL_US} - {_IJ_SAFE_SLACK_US}
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN pus IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(sum(CASE WHEN pus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
+       CAST(sum(COALESCE(pus - cus, 0)) AS BIGINT) AS total_lag_us
+FROM safe
+GROUP BY user_id
+"""
+
+
 def events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STATIC join executed as a stream: each micro-batch of
     the event stream joins a STATIC per-type reference table (the
@@ -1004,6 +1136,10 @@ QUERIES = {
     "events_stream_interval_join": (
         events_stream_interval_join,
         EVENTS_STREAM_INTERVAL_JOIN_SQL,
+    ),
+    "events_stream_interval_join_outer": (
+        events_stream_interval_join_outer,
+        EVENTS_STREAM_INTERVAL_JOIN_OUTER_SQL,
     ),
     "events_stream_enrich": (events_stream_enrich, EVENTS_STREAM_ENRICH_SQL),
     "events_stream_replay_dedup": (events_stream_replay_dedup, EVENTS_STREAM_REPLAY_DEDUP_SQL),

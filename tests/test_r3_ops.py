@@ -1200,3 +1200,63 @@ class TestHourDowHeatmap:
         for r in rows:
             assert 1 <= r["iso_weekday"] <= 7
             assert 0 <= r["hour"] <= 23
+
+
+# --- r4 additions -----------------------------------------------------------
+
+
+def test_tokenize_to_ids_reconstructs_tokens(spark, sf_dir):
+    """input_ids must be a faithful encoding: per doc the array length
+    equals the token count, ids stay in [0, V], OOV count matches the
+    unk occurrences, and decoding in-vocab ids through the induced
+    vocabulary reproduces the original token stream positions."""
+    from pyspark.sql import functions as F
+
+    from datatransformertools_spark.functions.text import normalize_text, tokens
+    from datatransformertools_spark.operators.corpus import (
+        TOKENIZE_UNK_ID,
+        TOKENIZE_VOCAB_V,
+        tokenize_to_ids,
+    )
+    from datatransformertools_spark.sources.tables import load_table
+
+    out = tokenize_to_ids(spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert len(r["input_ids"]) == r["n_tokens"]
+        assert all(0 <= i <= TOKENIZE_VOCAB_V for i in r["input_ids"])
+        assert sum(1 for i in r["input_ids"] if i == TOKENIZE_UNK_ID) == r["n_oov"]
+
+    # decode check on one doc: rebuild id->token map the same way
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.explode(tokens(normalize_text(F.col("text")))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = {
+        r["token"]: i + 1
+        for i, r in enumerate(
+            counts.orderBy(F.col("cnt").desc(), "token").limit(TOKENIZE_VOCAB_V).collect()
+        )
+    }
+    doc = docs.orderBy("doc_id").first()
+    expected = [
+        vocab.get(t, TOKENIZE_UNK_ID)
+        for t in doc["text"].lower().split()
+    ]
+    got = next(r["input_ids"] for r in rows if r["doc_id"] == doc["doc_id"])
+    assert got == expected
+
+
+def test_corpus_filter_funnel_monotone(spark, sf_dir):
+    from datatransformertools_spark.operators.quality import corpus_filter_funnel
+    from datatransformertools_spark.sources.tables import load_table
+
+    rows = sorted(corpus_filter_funnel(spark, sf_dir).collect(), key=lambda r: r["stage_idx"])
+    assert [r["stage"] for r in rows] == ["raw", "quality", "exact_dedup", "length_band"]
+    n_raw = load_table(spark, sf_dir, "documents").count()
+    assert rows[0]["n_docs"] == n_raw
+    assert rows[0]["doc_retention"] == 1.0
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_docs"] <= a["n_docs"]
+        assert b["n_tokens"] <= a["n_tokens"]
+        assert b["doc_retention"] <= a["doc_retention"]

@@ -236,3 +236,56 @@ def test_checkpoint_freezes_state_partition_count(spark, sf_dir):
                 counts.add(meta["conf"]["spark.sql.shuffle.partitions"])
     assert counts == {"8"}, counts
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_outer_interval_join_emits_null_rows(spark, sf_dir):
+    """The left-outer interval join must emit clicks with NO
+    purchase in-window (null-joined) once the watermark passes
+    their horizon — and in the safe comparison region, matched +
+    unmatched must account for every click."""
+    from pyspark.sql import functions as F
+
+    from datatransformertools_spark.sources.tables import events_ts_us, load_table
+    from datatransformertools_spark.streaming.events import (
+        _IJ_INTERVAL_US,
+        _IJ_SAFE_SLACK_US,
+        _IJ_WATERMARK_US,
+        events_stream_interval_join_outer,
+    )
+
+    out = events_stream_interval_join_outer(spark, sf_dir)
+    tot = out.agg(
+        F.sum("n_matched").alias("m"), F.sum("n_unmatched").alias("u")
+    ).collect()[0]
+    assert tot["u"] > 0, "no null-joined clicks emitted"
+
+    # every safe-region click is accounted for exactly once per
+    # (click, matching purchase) pair or once as unmatched
+    ev = load_table(spark, sf_dir, "events")
+    ts = events_ts_us(ev)
+    maxes = {
+        r["event_type"]: r["m"]
+        for r in ev.groupBy("event_type").agg(F.max(ts).alias("m")).collect()
+    }
+    wm = min(maxes["click"], maxes["purchase"]) - _IJ_WATERMARK_US
+    cut = wm - _IJ_INTERVAL_US - _IJ_SAFE_SLACK_US
+    clicks = ev.filter((F.col("event_type") == "click") & (ts <= F.lit(cut)))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), ts.alias("pus")
+    )
+    c = clicks.select("user_id", ts.alias("cus"))
+    matched_pairs = c.join(
+        purchases,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("pus") >= F.col("cus"))
+        & (F.col("pus") <= F.col("cus") + _IJ_INTERVAL_US),
+    ).count()
+    unmatched_clicks = c.join(
+        purchases,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("pus") >= F.col("cus"))
+        & (F.col("pus") <= F.col("cus") + _IJ_INTERVAL_US),
+        "left_anti",
+    ).count()
+    assert tot["m"] == matched_pairs
+    assert tot["u"] == unmatched_clicks
