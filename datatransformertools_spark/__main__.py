@@ -43,6 +43,13 @@ def _build_parser() -> argparse.ArgumentParser:
     exp = sub.add_parser("explain", help="print a query's physical plan")
     exp.add_argument("query")
     exp.add_argument("--sf", default="/root/testdata/sf0.01")
+    exp.add_argument(
+        "--hints-only",
+        action="store_true",
+        help="disable AQE + size-based auto-broadcast first, so every "
+        "BroadcastExchange shown comes from an explicit hint — the "
+        "plan shape that holds at any scale",
+    )
 
     sql = sub.add_parser(
         "sql",
@@ -93,6 +100,10 @@ def main(argv: list[str] | None = None) -> int:
         df = queries[args.query](spark, args.sf)
 
     if args.cmd == "explain":
+        if args.hints_only:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            df = queries[args.query](spark, args.sf)  # re-plan under the pinned confs
         print(df._jdf.queryExecution().executedPlan().toString())
         return 0
 

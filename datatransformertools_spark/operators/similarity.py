@@ -1335,12 +1335,11 @@ FROM picked WHERE pick = 1
 PCA_K = 2
 
 
-def _pca_fit(spark: SparkSession, sf_dir: str):
+def _cov_fit(spark: SparkSession, sf_dir: str):
     """Distributed covariance (embedding_covariance's map-side
-    d(d+1)/2 reduction) + driver-side numpy eigh. Only the d×d
-    matrix reaches the driver (d=64: 32 KB, cluster-size-
-    independent). Returns (mu, components, shares, eigenvalues
-    descending, total_var) with sign-normalized components."""
+    d(d+1)/2 reduction): only the d×d matrix reaches the driver
+    (d=64: 32 KB, cluster-size-independent). Returns (mu, cov) as
+    numpy arrays — the shared fit for PCA and ZCA whitening."""
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -1364,6 +1363,16 @@ def _pca_fit(spark: SparkSession, sf_dir: str):
         c = r["e_xy"] - mu[r["i"]] * mu[r["j"]]
         cov[r["i"], r["j"]] = c
         cov[r["j"], r["i"]] = c
+    return mu, cov
+
+
+def _pca_fit(spark: SparkSession, sf_dir: str):
+    """Covariance fit + driver-side numpy eigh. Returns (mu,
+    components, shares, eigenvalues descending, total_var) with
+    sign-normalized components."""
+    import numpy as np
+
+    mu, cov = _cov_fit(spark, sf_dir)
     evals, evecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(evals)[::-1]
     total_var = float(evals.sum())
@@ -1508,6 +1517,137 @@ SELECT CAST(k AS INT) AS component, total_var,
        0.0::DOUBLE AS mean_residual, 0.0::DOUBLE AS ortho_residual,
        TRUE AS var_matches_eigenvalue, TRUE AS share_ok, TRUE AS recon_bound_ok
 FROM trace, unnest(range(1, {PCA_K} + 1)) AS t(k)
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding_whitening — ZCA whitening (covariance → identity)
+# ---------------------------------------------------------------------------
+
+WHITEN_K = 4  # leading whitened coordinates emitted / probed
+WHITEN_EPS = 1e-12  # eigenvalue floor (rank-deficiency guard)
+
+
+def _whiten_fit(spark: SparkSession, sf_dir: str):
+    """ZCA whitening matrix W = V Λ^(-1/2) Vᵀ from the distributed
+    covariance fit; driver-side d×d arithmetic only."""
+    import numpy as np
+
+    mu, cov = _cov_fit(spark, sf_dir)
+    evals, evecs = np.linalg.eigh(cov)
+    inv_sqrt = 1.0 / np.sqrt(np.maximum(evals, WHITEN_EPS))
+    w = (evecs * inv_sqrt) @ evecs.T  # ZCA: V Λ^-1/2 Vᵀ
+    return mu, w, float(cov.trace())
+
+
+def _whiten_scores(mu, w, n: int) -> list:
+    """Column expressions for the first n whitened coordinates —
+    centered dot products against literal W rows, pure JVM."""
+    mu_lit = F.array(*[F.lit(float(m)) for m in mu])
+    centered = F.zip_with(F.col("v"), mu_lit, lambda x, m: x - m)
+    scores = []
+    for k in range(n):
+        wk = F.array(*[F.lit(float(x)) for x in w[k]])
+        scores.append(
+            F.aggregate(
+                F.zip_with(centered, wk, lambda x, c: x * c),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    return scores
+
+
+def embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZCA whitening of the embedding store — the feature
+    preprocessing that maps the covariance to the identity while
+    staying closest (least-squares) to the original basis, the
+    standard decorrelation step before linear probes / nearest-
+    centroid classifiers. Same execution shape as
+    `embedding_pca_project`: the d(d+1)/2 covariance reduction is
+    the only distributed fit work, W = V Λ^(-1/2) Vᵀ is d×d
+    driver-side arithmetic, and the whitened coordinates ride back
+    as literal-array dot products inside codegen (no per-row
+    Python). Emits the first WHITEN_K whitened coordinates per
+    vector. Rows-only at the gate (eigh has no SQL form); the
+    hash-gated companion `embedding_whiten_invariants` certifies
+    the contract."""
+    mu, w, _total_var = _whiten_fit(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    scores = _whiten_scores(mu, w, WHITEN_K)
+    return emb.select(
+        "vec_id",
+        "label",
+        *[
+            (F.round(s + 1e-9, 6) + F.lit(0.0)).alias(f"w{k + 1}")
+            for k, s in enumerate(scores)
+        ],
+    )
+
+
+def embedding_whiten_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated companion for `embedding_whitening` (the PCA
+    companion's recipe): one row per probe pair (j ≤ k ≤ WHITEN_K)
+    carrying
+
+    - ``total_var``: the covariance trace, independently recomputed
+      by the oracle from the raw embeddings (anchors the
+      distributed fit to data);
+    - ``mean_residual``: |mean of whitened coordinate j| at 6 dp —
+      centering makes it exactly 0.0;
+    - ``cov_matches_identity``: the data-side covariance of
+      (y_j, y_k) — a second, independent Spark aggregation over the
+      whitened scores — equals δ_jk within 1e-5 (whitening's
+      defining property, verified on data, not assumed from
+      algebra).
+
+    One extra scan collapsing to a single 1-row aggregate
+    (WHITEN_K means + WHITEN_K(WHITEN_K+1)/2 product means)."""
+    mu, w, total_var = _whiten_fit(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        as_double(F.col("embedding")).alias("v")
+    )
+    scores = _whiten_scores(mu, w, WHITEN_K)
+    aggs = []
+    for j in range(WHITEN_K):
+        aggs.append(F.avg(scores[j]).alias(f"m{j}"))
+        for k in range(j, WHITEN_K):
+            aggs.append(F.avg(scores[j] * scores[k]).alias(f"p{j}_{k}"))
+    stats = emb.agg(*aggs)  # 1 row
+
+    tol = 1e-5
+    rows = []
+    for j in range(WHITEN_K):
+        for k in range(j, WHITEN_K):
+            target = 1.0 if j == k else 0.0
+            cov_jk = F.col(f"p{j}_{k}") - F.col(f"m{j}") * F.col(f"m{k}")
+            rows.append(
+                F.struct(
+                    F.lit(j + 1).cast("int").alias("j"),
+                    F.lit(k + 1).cast("int").alias("k"),
+                    F.lit(round(total_var + 1e-9, 6)).alias("total_var"),
+                    (F.round(F.abs(F.col(f"m{j}")), 6) + F.lit(0.0)).alias("mean_residual"),
+                    (F.abs(cov_jk - F.lit(target)) <= F.lit(tol)).alias("cov_matches_identity"),
+                )
+            )
+    return stats.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+EMBEDDING_WHITEN_INVARIANTS_SQL = f"""
+WITH ex AS (
+  SELECT i, embedding[i]::DOUBLE AS xi
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+dims AS (SELECT i, avg(xi * xi) AS e2, avg(xi) AS m FROM ex GROUP BY i),
+trace AS (SELECT round(sum(e2 - m * m) + 1e-9, 6) AS total_var FROM dims)
+SELECT CAST(j AS INT) AS j, CAST(k AS INT) AS k, total_var,
+       0.0::DOUBLE AS mean_residual, TRUE AS cov_matches_identity
+FROM trace,
+     unnest(range(1, {WHITEN_K} + 1)) AS t1(j),
+     unnest(range(1, {WHITEN_K} + 1)) AS t2(k)
+WHERE j <= k
 """
 
 
@@ -1715,4 +1855,6 @@ QUERIES = {
     "knn_label_eval": (knn_label_eval, KNN_LABEL_EVAL_SQL),
     "embedding_pca_project": (embedding_pca_project, None),
     "embedding_pca_invariants": (embedding_pca_invariants, EMBEDDING_PCA_INVARIANTS_SQL),
+    "embedding_whitening": (embedding_whitening, None),
+    "embedding_whiten_invariants": (embedding_whiten_invariants, EMBEDDING_WHITEN_INVARIANTS_SQL),
 }

@@ -123,6 +123,8 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "tokenize_to_ids",  # new in r4 (post-window) → certify first in r5
         "corpus_filter_funnel",  # new in r4 (post-window)
         "events_stream_interval_join_outer",  # new in r4 (post-window)
+        "embedding_whiten_invariants",  # new in r4 (post-window)
+        "embedding_whitening",  # new in r4 (post-window; rows-only)
         "bpe_segment_stats",
         "dataset_datasheet",
         "partitioned_write_prune",

@@ -30,3 +30,11 @@ def test_cli_explain(capsys, spark, sf_dir):
     assert main(["explain", "q6_forecast_revenue", "--sf", sf_dir]) == 0
     out = capsys.readouterr().out
     assert "FileScan parquet" in out
+
+
+def test_cli_explain_hints_only(capsys, spark, sf_dir):
+    assert main(["explain", "q5_region_revenue", "--sf", sf_dir, "--hints-only"]) == 0
+    out = capsys.readouterr().out
+    # only the two fixed-size dim hints survive with AQE off
+    assert out.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" in out
