@@ -912,6 +912,154 @@ LEFT JOIN coco c USING (cls)
 
 
 # ---------------------------------------------------------------------------
+# detection_confusion_matrix — class-agnostic matching → confusion counts
+# ---------------------------------------------------------------------------
+
+_CM_BACKGROUND = -1  # row/col id for "no match" (background)
+
+
+def detection_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detection confusion matrix: greedy-match predictions to
+    ground truth in confidence order at IoU ≥ 0.5 **ignoring
+    class** (localization match only), then count (gt_cls,
+    pred_cls) pairs — the per-class eval can't show WHICH classes
+    the model confuses; this is the artifact that does. Unmatched
+    predictions count against background (gt_cls = −1, the FP
+    column) and unmatched ground truths as misses (pred_cls = −1,
+    the FN row). The class-jittered synthetic predictions (every
+    13th flips class, `_pred_df`) guarantee real off-diagonal mass.
+
+    Scale design: identical to the AP family — the class-agnostic
+    pair fan-out is image-keyed, the sequential claim loop runs as
+    the grouped-map Arrow kernel over hash-bucketed images
+    (embarrassingly parallel), and the matrix collapses map-side to
+    ≤(|classes|+1)² rows. Oracle: the same recursive-CTE greedy
+    replay as AP, extended to carry the claimed gt_id."""
+    par = spark.sparkContext.defaultParallelism
+    p = _pred_df(spark, sf_dir).repartition(par, "image_id")
+    g = _gt_df(spark, sf_dir)
+    pr = p.select(
+        "pred_id", "image_id", "conf", F.col("cls").alias("pred_cls"),
+        "px", "py", "pw", "ph",
+    )
+    gr = g.select(
+        "gt_id", "image_id", F.col("cls").alias("gt_cls"), "gx", "gy", "gw", "gh"
+    )
+    iou = iou_xywh(
+        F.col("px"), F.col("py"), F.col("pw"), F.col("ph"),
+        F.col("gx"), F.col("gy"), F.col("gw"), F.col("gh"),
+    )
+    cand = (
+        pr.join(gr, "image_id")
+        .select("image_id", "pred_id", "conf", "gt_id", iou.alias("iou"), "pred_cls")
+        .filter(F.col("iou") >= IOU_THRESHOLD)
+    )
+    # the shared confidence-order greedy kernel expects a `cls`
+    # column and passes it through untouched — ride pred_cls in it.
+    bucket = F.pmod(F.hash("image_id"), F.lit(N_GREEDY_BUCKETS))
+    matched = (
+        cand.withColumnRenamed("pred_cls", "cls")
+        .withColumn("_bucket", bucket)
+        .groupBy("_bucket")
+        .applyInPandas(_make_conf_greedy_kernel(), _GREEDY_MATCH_SCHEMA)
+        .select("pred_id", "gt_id", F.col("cls").alias("pred_cls"))
+    )
+    # matched grows with the corpus → shuffle joins, never broadcast
+    mm = (
+        matched.join(gr.select("gt_id", "gt_cls"), "gt_id")
+        .groupBy("gt_cls", "pred_cls")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    fp = (
+        pr.join(matched.select("pred_id"), "pred_id", "left_anti")
+        .groupBy("pred_cls")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit(_CM_BACKGROUND).cast("int").alias("gt_cls"), "pred_cls", "n")
+    )
+    fn = (
+        gr.join(matched.select("gt_id"), "gt_id", "left_anti")
+        .groupBy("gt_cls")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("gt_cls", F.lit(_CM_BACKGROUND).cast("int").alias("pred_cls"), "n")
+    )
+    return mm.unionByName(fp).unionByName(fn)
+
+
+_CM_IOU_EXPR = """
+CASE WHEN (p.pw * p.ph + g.gw * g.gh
+           - greatest(0.0, least(p.px + p.pw, g.gx + g.gw) - greatest(p.px, g.gx))
+             * greatest(0.0, least(p.py + p.ph, g.gy + g.gh) - greatest(p.py, g.gy))) > 0
+     THEN (greatest(0.0, least(p.px + p.pw, g.gx + g.gw) - greatest(p.px, g.gx))
+           * greatest(0.0, least(p.py + p.ph, g.gy + g.gh) - greatest(p.py, g.gy)))
+          / (p.pw * p.ph + g.gw * g.gh
+             - greatest(0.0, least(p.px + p.pw, g.gx + g.gw) - greatest(p.px, g.gx))
+               * greatest(0.0, least(p.py + p.ph, g.gy + g.gh) - greatest(p.py, g.gy)))
+     ELSE 0.0 END
+"""
+
+DETECTION_CONFUSION_MATRIX_SQL = f"""
+WITH RECURSIVE {_GT_SQL},
+cand AS (
+  SELECT p.pred_id, g.gt_id, p.image_id, p.conf,
+         {_CM_IOU_EXPR} AS iou
+  FROM pred p JOIN gt g ON p.image_id = g.image_id
+  WHERE {_CM_IOU_EXPR} >= {IOU_THRESHOLD}
+),
+preds_seq AS (
+  SELECT image_id, pred_id,
+         row_number() OVER (PARTITION BY image_id ORDER BY conf DESC, pred_id) AS rn
+  FROM (SELECT DISTINCT image_id, pred_id, conf FROM cand)
+),
+maxrn AS (SELECT image_id, max(rn) AS n FROM preds_seq GROUP BY 1),
+walk AS (
+  SELECT image_id, 0 AS rn, CAST([] AS BIGINT[]) AS mg,
+         CAST(NULL AS BIGINT) AS matched_pred, CAST(NULL AS BIGINT) AS matched_gt
+  FROM maxrn
+  UNION ALL
+  SELECT w.image_id, w.rn + 1,
+         CASE WHEN b.gt_id IS NULL THEN w.mg ELSE list_append(w.mg, b.gt_id) END,
+         CASE WHEN b.gt_id IS NULL THEN CAST(NULL AS BIGINT) ELSE s.pred_id END,
+         b.gt_id
+  FROM walk w
+  JOIN preds_seq s ON s.image_id = w.image_id AND s.rn = w.rn + 1
+  LEFT JOIN LATERAL (
+    SELECT c.gt_id FROM cand c
+    WHERE c.image_id = w.image_id AND c.pred_id = s.pred_id
+      AND NOT list_contains(w.mg, c.gt_id)
+    ORDER BY c.iou DESC, c.gt_id
+    LIMIT 1
+  ) b ON TRUE
+),
+mpairs AS (
+  SELECT matched_pred AS pred_id, matched_gt AS gt_id
+  FROM walk WHERE matched_pred IS NOT NULL
+),
+mm AS (
+  SELECT gx.cls AS gt_cls, px.cls AS pred_cls, CAST(count(*) AS BIGINT) AS n
+  FROM mpairs m
+  JOIN pred px ON px.pred_id = m.pred_id
+  JOIN gt gx ON gx.gt_id = m.gt_id
+  GROUP BY 1, 2
+),
+fp AS (
+  SELECT CAST({_CM_BACKGROUND} AS INT) AS gt_cls, p.cls AS pred_cls,
+         CAST(count(*) AS BIGINT) AS n
+  FROM pred p
+  WHERE p.pred_id NOT IN (SELECT pred_id FROM mpairs)
+  GROUP BY 2
+),
+fn AS (
+  SELECT g.cls AS gt_cls, CAST({_CM_BACKGROUND} AS INT) AS pred_cls,
+         CAST(count(*) AS BIGINT) AS n
+  FROM gt g
+  WHERE g.gt_id NOT IN (SELECT gt_id FROM mpairs)
+  GROUP BY 1
+)
+SELECT * FROM mm UNION ALL SELECT * FROM fp UNION ALL SELECT * FROM fn
+"""
+
+
+# ---------------------------------------------------------------------------
 # detection_nms — greedy per-class non-maximum suppression
 # ---------------------------------------------------------------------------
 
@@ -1060,4 +1208,5 @@ QUERIES = {
     "detection_eval_ap": (detection_eval_ap, DETECTION_EVAL_AP_SQL),
     "detection_eval_map": (detection_eval_map, DETECTION_EVAL_MAP_SQL),
     "detection_eval_ap_coco": (detection_eval_ap_coco, DETECTION_EVAL_AP_COCO_SQL),
+    "detection_confusion_matrix": (detection_confusion_matrix, DETECTION_CONFUSION_MATRIX_SQL),
 }

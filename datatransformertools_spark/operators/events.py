@@ -2139,13 +2139,18 @@ def events_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of tie order, so the result is deterministic without
     any tiebreak column, and the frame state is bounded by an hour
     of one user's events, not their history. One shuffle on
-    user_id; Spark orders by unix seconds with rangeBetween, the
-    oracle uses the native INTERVAL RANGE frame — same semantics."""
+    user_id. Both engines order by exact integer MICROSECONDS
+    (events_ts_us / epoch_us) — an earlier unix_timestamp version
+    truncated Spark's ordering key to seconds while the oracle used
+    a full-precision INTERVAL frame, and the two disagreed on
+    events within a second of the exact 1-hour boundary (first
+    surfaced at sf0.1, where the data is dense enough to land
+    there)."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(events_ts_us(ev))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(
         "event_id",
@@ -2160,8 +2165,8 @@ SELECT event_id, user_id,
        CAST(count(*) OVER w AS BIGINT) AS n_events_1h,
        round(sum(value) OVER w + 1e-9, 4) AS value_sum_1h
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts
-             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 """
 
 

@@ -401,19 +401,25 @@ def part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kcore_sql() -> str:
+    # Every CTE is MATERIALIZED: each peel round references the
+    # previous one twice (survivor set + degree subquery), so an
+    # inlining engine re-evaluates the whole chain 2^rounds times —
+    # at sf0.1 that turned a 2.4M-edge graph into a >79 GB spill.
+    # Materialization makes the replay O(rounds · |edges|), the same
+    # complexity as the Spark loop it checks.
     ctes = [
-        "li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
-        """edges AS (
+        "li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """edges AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
   FROM li a JOIN li b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
 )""",
-        "s0 AS (SELECT DISTINCT src AS part FROM edges)",
+        "s0 AS MATERIALIZED (SELECT DISTINCT src AS part FROM edges)",
     ]
     selects = []
     for i in range(1, KCORE_ITERS + 1):
         ctes.append(
-            f"""d{i} AS (
+            f"""d{i} AS MATERIALIZED (
   SELECT s.part, CAST(count(ae.src) AS BIGINT) AS d
   FROM s{i - 1} s
   LEFT JOIN (SELECT e.src FROM edges e JOIN s{i - 1} t ON e.dst = t.part) ae
@@ -421,14 +427,16 @@ def _kcore_sql() -> str:
   GROUP BY s.part
 )"""
         )
-        ctes.append(f"s{i} AS (SELECT part FROM d{i} WHERE d >= {KCORE_K})")
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT part FROM d{i} WHERE d >= {KCORE_K})"
+        )
         selects.append(
             f"SELECT part, CAST({i} AS INT) AS peel_round, d AS degree_out,"
             f" FALSE AS in_core FROM d{i} WHERE d < {KCORE_K}"
         )
     n = KCORE_ITERS
     ctes.append(
-        f"""dF AS (
+        f"""dF AS MATERIALIZED (
   SELECT s.part, CAST(count(ae.src) AS BIGINT) AS d
   FROM s{n} s
   LEFT JOIN (SELECT e.src FROM edges e JOIN s{n} t ON e.dst = t.part) ae

@@ -125,6 +125,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "events_stream_interval_join_outer",  # new in r4 (post-window)
         "embedding_whiten_invariants",  # new in r4 (post-window)
         "embedding_whitening",  # new in r4 (post-window; rows-only)
+        "detection_confusion_matrix",  # new in r4 (post-window)
         "bpe_segment_stats",
         "dataset_datasheet",
         "partitioned_write_prune",
