@@ -1,13 +1,23 @@
-"""Quick single-operator parity check: replicate the driver's gate
-for the named queries only. Usage:
+"""Quick operator parity check: replicate the driver's gate for
+the named queries (or the whole registry). Usage:
 
     python tools/parity_one.py name1 name2 ... [--sf 0.001]
+    python tools/parity_one.py --all [--sf 0.1]
+
+The full --all sweep at sf0.1 is the scale-up gate that caught the
+trailing-1h µs-boundary and kcore oracle-inlining defects in r4 —
+run it whenever operator semantics change.
 """
 
 from __future__ import annotations
 
 import math
 import sys
+from pathlib import Path
+
+_REPO_ROOT = str(Path(__file__).resolve().parent.parent)
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 import duckdb
 
@@ -44,6 +54,8 @@ def main() -> None:
             args = [x for x in args if x != sf]
     sf_dir = f"/root/testdata/sf{sf}"
     qs, oracles = registry.queries(), registry.oracle_sql()
+    if "--all" in sys.argv[1:]:
+        args = sorted(qs)
     spark = get_spark("parity-one")
     con = duckdb.connect()
     for t in TABLE_NAMES:
