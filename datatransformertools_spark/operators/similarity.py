@@ -503,6 +503,205 @@ ANN_PQ_SQL = _pq_sql()
 
 
 # ---------------------------------------------------------------------------
+# ann_ivf_pq_topk — IVF cell pruning + PQ ADC scan (the production composite)
+# ---------------------------------------------------------------------------
+
+
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the composition production ANN indexes actually run
+    (FAISS's IVFx,PQy): IVF's coarse cells prune WHICH candidates a
+    query touches (N_PROBE/N_CELLS of the corpus), PQ's 8-byte codes
+    decide HOW each touched candidate is scored (ADC lookup-table
+    sums, never raw vectors), and only the PQ_SHORTLIST best reload
+    raw vectors for the exact cosine rerank. Either half alone
+    leaves a 100 TB cost on the table: IVF-only still scans raw
+    vectors inside probed cells; PQ-only still ADC-scans the whole
+    corpus.
+
+    Scale design: candidates partition by cell_id (the IVF
+    contract) and only probed cells' codes join the ADC stage —
+    the fan-out is |probed pairs|·PQ_M code rows, not corpus·PQ_M;
+    the codebook, per-query LUT, probe list, and shortlist are all
+    constants-bounded broadcasts; raw vectors appear only in the
+    shortlist rerank. Deterministic stand-in codebooks (same
+    convention as the IVF cells / PQ codebooks they reuse) keep the
+    whole encode→probe→ADC→rerank pipeline value-checked in DuckDB."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    cents = emb.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CELLS)
+    ).select(
+        (F.col("vec_id") - N_QUERIES).alias("cell_id"),
+        F.col("v").alias("cell_v"),
+        F.col("nrm").alias("cell_nrm"),
+    )
+    cands = emb.filter(F.col("vec_id") >= N_QUERIES)
+    cand_cells = _with_cells(cands, cents, 1, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"), "cell_id"
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    query_cells = _with_cells(queries, cents, N_PROBE, "vec_id").select(
+        F.col("vec_id").alias("query_id"), "cell_id"
+    )
+    # probe pairs: candidates in any probed cell (cells assign each
+    # candidate once, so no pair dedup is needed)
+    probe_pairs = cand_cells.join(F.broadcast(query_cells), "cell_id").select(
+        "query_id", "neighbor_id"
+    )
+    cb = _pq_sub_explode(
+        emb.filter((F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + PQ_CODES)),
+        "vec_id",
+    ).select(
+        (F.col("vec_id") - N_QUERIES).alias("code_id"),
+        "sub_id",
+        F.col("sv").alias("code_sv"),
+    )
+    d6 = F.round(_pq_l2("sv", "code_sv") + 1e-9, 6)
+    codes = (
+        _pq_sub_explode(cands, "vec_id")
+        .join(F.broadcast(cb), "sub_id")
+        .select("vec_id", "sub_id", "code_id", d6.alias("d"))
+        .groupBy("vec_id", "sub_id")
+        .agg(F.min_by("code_id", F.struct("d", "code_id")).alias("code_id"))
+        .withColumnRenamed("vec_id", "neighbor_id")
+    )
+    lut = (
+        _pq_sub_explode(
+            queries.select(F.col("vec_id").alias("query_id"), "v"), "query_id"
+        )
+        .join(F.broadcast(cb), "sub_id")
+        .select("query_id", "sub_id", "code_id", d6.alias("d"))
+    )
+    adc = (
+        probe_pairs.join(codes, "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "sub_id", "code_id"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("d") + 1e-9, 6).alias("adist"))
+    )
+    srn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("neighbor_id"))
+    )
+    short = adc.withColumn("srn", srn).filter(F.col("srn") <= PQ_SHORTLIST)
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    pairs = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
+        .join(F.broadcast(short.select("query_id", "neighbor_id")), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+    )
+    cos = F.round(cosine_prenormed(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")) + 1e-9, 6)
+    scored = pairs.select("query_id", "neighbor_id", cos.alias("cos_sim"))
+    rank = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    )
+    return (
+        scored.withColumn("rank", rank)
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
+def _ivf_pq_sql() -> str:
+    def l2(a: str, b: str) -> str:
+        return " + ".join(
+            f"({a}[{i}]-{b}[{i}])*({a}[{i}]-{b}[{i}])" for i in range(1, PQ_SUBDIM + 1)
+        )
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT vec_id - {N_QUERIES} AS cell_id, v AS cell_v
+  FROM e WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CELLS}
+),
+cand_cells AS (
+  SELECT vec_id AS neighbor_id, cell_id FROM (
+    SELECT e.vec_id, c.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS_SQL.format(a='e.v', b='c.cell_v')} DESC, c.cell_id) AS rn
+    FROM e CROSS JOIN cents c WHERE e.vec_id >= {N_QUERIES}
+  ) WHERE rn = 1
+),
+query_cells AS (
+  SELECT vec_id AS query_id, cell_id FROM (
+    SELECT e.vec_id, c.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS_SQL.format(a='e.v', b='c.cell_v')} DESC, c.cell_id) AS rn
+    FROM e CROSS JOIN cents c WHERE e.vec_id < {N_QUERIES}
+  ) WHERE rn <= {N_PROBE}
+),
+probe_pairs AS (
+  SELECT q.query_id, c.neighbor_id
+  FROM cand_cells c JOIN query_cells q USING (cell_id)
+),
+cb AS (
+  SELECT vec_id - {N_QUERIES} AS code_id, t.sub_id,
+         list_slice(v, t.sub_id*{PQ_SUBDIM}+1, t.sub_id*{PQ_SUBDIM}+{PQ_SUBDIM}) AS code_sv
+  FROM e CROSS JOIN range(0, {PQ_M}) t(sub_id)
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_CODES}
+),
+cand_sub AS (
+  SELECT vec_id, t.sub_id,
+         list_slice(v, t.sub_id*{PQ_SUBDIM}+1, t.sub_id*{PQ_SUBDIM}+{PQ_SUBDIM}) AS sv
+  FROM e CROSS JOIN range(0, {PQ_M}) t(sub_id)
+  WHERE vec_id >= {N_QUERIES}
+),
+codes AS (
+  SELECT vec_id AS neighbor_id, sub_id,
+         arg_min(code_id, printf('%012.6f|%05d', d, code_id)) AS code_id
+  FROM (
+    SELECT c.vec_id, c.sub_id, cb.code_id,
+           round({l2('c.sv', 'cb.code_sv')} + 1e-9, 6) AS d
+    FROM cand_sub c JOIN cb USING (sub_id)
+  )
+  GROUP BY 1, 2
+),
+q_sub AS (
+  SELECT vec_id AS query_id, t.sub_id,
+         list_slice(v, t.sub_id*{PQ_SUBDIM}+1, t.sub_id*{PQ_SUBDIM}+{PQ_SUBDIM}) AS sv
+  FROM e CROSS JOIN range(0, {PQ_M}) t(sub_id)
+  WHERE vec_id < {N_QUERIES}
+),
+lut AS (
+  SELECT q.query_id, q.sub_id, cb.code_id,
+         round({l2('q.sv', 'cb.code_sv')} + 1e-9, 6) AS d
+  FROM q_sub q JOIN cb USING (sub_id)
+),
+adc AS (
+  SELECT p.query_id, p.neighbor_id, round(sum(l.d) + 1e-9, 6) AS adist
+  FROM probe_pairs p
+  JOIN codes c ON c.neighbor_id = p.neighbor_id
+  JOIN lut l ON l.query_id = p.query_id AND l.sub_id = c.sub_id AND l.code_id = c.code_id
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adist ASC, neighbor_id) AS srn
+    FROM adc
+  ) WHERE srn <= {PQ_SHORTLIST}
+),
+scored AS (
+  SELECT s.query_id, s.neighbor_id,
+         {_COS_SQL.format(a='q.v', b='c.v')} AS cos_sim
+  FROM short s
+  JOIN e q ON q.vec_id = s.query_id
+  JOIN e c ON c.vec_id = s.neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+ANN_IVF_PQ_SQL = _ivf_pq_sql()
+
+
+# ---------------------------------------------------------------------------
 # label_centroids — distributed vector mean per class
 # ---------------------------------------------------------------------------
 
@@ -1843,6 +2042,7 @@ QUERIES = {
     "embedding_drift": (embedding_drift, EMBEDDING_DRIFT_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
+    "ann_ivf_pq_topk": (ann_ivf_pq_topk, ANN_IVF_PQ_SQL),
     "ann_pq_topk": (ann_pq_topk, ANN_PQ_SQL),
     "label_centroids": (label_centroids, LABEL_CENTROIDS_SQL),
     "kmeans_embeddings": (kmeans_embeddings, KMEANS_EMBEDDINGS_SQL),

@@ -130,6 +130,7 @@ _HINT_BROADCAST_ALLOWLIST = {
     "ann_lsh_topk": 1,  # fixed query side
     "ann_ivf_topk": 3,  # centroids + assignments-of-queries + query side
     "ann_pq_topk": 5,  # codebooks / LUT / query side
+    "ann_ivf_pq_topk": 8,  # cells ×2, probe list, codebook ×2, LUT, shortlist, query side
     "ann_mmr_topk": 1,  # shortlist (k·|queries| bounded)
     "ann_range_search": 1,  # fixed query side
     "ann_recall_eval": 2,  # exact + approx top-k shortlists
