@@ -327,6 +327,16 @@ SECTIONS = [
         False,
     ),
     (
+        "ann_ivf_pq_topk",
+        "The production ANN composite: every BroadcastExchange is a "
+        "constants-bounded frame (coarse cells, probe list, PQ codebook, "
+        "per-query LUT, shortlist, query side); the ADC stage joins "
+        "probed pairs to 8-byte code rows (|probed pairs|*M grain, "
+        "map-side partial sums), and raw vectors appear only under the "
+        "shortlist rerank join.",
+        True,
+    ),
+    (
         "detection_eval_ap_coco",
         "101-point COCO AP: the envelope rows fan out against the "
         "101-row recall grid as a BroadcastNestedLoopJoin (fixed-size "
