@@ -1310,8 +1310,110 @@ FROM docs d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup_overlap_chain — fragment reassembly (tail-of-A == head-of-B)
+# ---------------------------------------------------------------------------
+
+OV_K = 8  # boundary window, tokens
+OV_VARIANT_SPAN = 64  # docs per planted marker variant (see below)
+OV_MAX_DF = 50  # hot-boundary cap (same contract as MAX_SHINGLE_DF)
+_OV_MARKER = "overlap chain marker segment alpha beta gamma v"  # + variant id → OV_K tokens
+
+
+def dedup_overlap_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragment-reassembly detection: doc A's last OV_K tokens equal
+    doc B's first OV_K tokens — the split-document signature left by
+    pagination/chunked crawls, which whole-doc hashing and shingle
+    Jaccard both miss (the shared region is a sliver of each doc).
+    Emits the directional candidate edges (doc_from → doc_to) whose
+    chains a reassembly pass would stitch.
+
+    The synthetic corpus has no genuine split docs, so deterministic
+    boundary markers are planted from doc_id arithmetic in BOTH
+    engines first (the `pii_scrub` recipe): docs with doc_id%7==0
+    get variant-(doc_id div 64) appended, docs with doc_id%11==0
+    get it prepended — the detector is then value-checked against
+    text that provably contains what it must find. The variant id
+    scales with doc_id (one variant per 64-doc span), so each
+    planted boundary is shared by ~9 docs at ANY corpus size — the
+    signal neither vanishes under the hot-boundary cap at large SF
+    nor degenerates into one giant clique at small SF.
+
+    Scale design: each doc collapses map-side to two 16-byte
+    boundary hashes (text never shuffles); the edge join keys on
+    the hash; and boundary hashes shared by more than OV_MAX_DF
+    docs are dropped before the join — a hot boundary is template
+    boilerplate, not a split, and exactly the fan-out class the
+    shingle DF cap already guards (dedup.py MAX_SHINGLE_DF)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variant = F.concat(F.lit(_OV_MARKER), F.expr(f"CAST(doc_id div {OV_VARIANT_SPAN} AS STRING)"))
+    aug = F.concat(
+        F.when(F.col("doc_id") % 11 == 0, F.concat(variant, F.lit(" "))).otherwise(F.lit("")),
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.lit(" "), variant)).otherwise(F.lit("")),
+    )
+    tok = tokens(normalize_text(aug))
+    hh = docs.select(
+        "doc_id",
+        F.size(tok).alias("n_tok"),
+        F.md5(F.concat_ws(" ", F.slice(tok, 1, OV_K))).alias("head_h"),
+        F.md5(F.concat_ws(" ", F.slice(tok, -OV_K, OV_K))).alias("tail_h"),
+    ).filter(F.col("n_tok") >= OV_K)
+    head_df = F.count(F.lit(1)).over(Window.partitionBy("head_h"))
+    tail_df = F.count(F.lit(1)).over(Window.partitionBy("tail_h"))
+    hh = (
+        hh.withColumn("head_df", head_df)
+        .withColumn("tail_df", tail_df)
+        .filter((F.col("head_df") <= OV_MAX_DF) & (F.col("tail_df") <= OV_MAX_DF))
+    )
+    tails = hh.select(F.col("doc_id").alias("doc_from"), F.col("tail_h").alias("h"))
+    heads = hh.select(F.col("doc_id").alias("doc_to"), F.col("head_h").alias("h"))
+    return (
+        tails.join(heads, "h")
+        .filter(F.col("doc_from") != F.col("doc_to"))
+        .select("doc_from", "doc_to")
+    )
+
+
+DEDUP_OVERLAP_CHAIN_SQL = rf"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0
+              THEN '{_OV_MARKER}' || CAST(doc_id // {OV_VARIANT_SPAN} AS VARCHAR) || ' '
+              ELSE '' END
+         || text ||
+         CASE WHEN doc_id % 7 = 0
+              THEN ' {_OV_MARKER}' || CAST(doc_id // {OV_VARIANT_SPAN} AS VARCHAR)
+              ELSE '' END AS t
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(t), '\s+', ' ', 'g')), '\s+') AS arr
+  FROM aug
+),
+hh0 AS (
+  SELECT doc_id, len(arr) AS n_tok,
+         md5(array_to_string(list_slice(arr, 1, {OV_K}), ' ')) AS head_h,
+         md5(array_to_string(list_slice(arr, len(arr) - {OV_K} + 1, len(arr)), ' ')) AS tail_h
+  FROM tok WHERE len(arr) >= {OV_K}
+),
+hh AS (
+  SELECT * FROM (
+    SELECT *,
+           count(*) OVER (PARTITION BY head_h) AS head_df,
+           count(*) OVER (PARTITION BY tail_h) AS tail_df
+    FROM hh0
+  ) WHERE head_df <= {OV_MAX_DF} AND tail_df <= {OV_MAX_DF}
+)
+SELECT a.doc_id AS doc_from, b.doc_id AS doc_to
+FROM hh a JOIN hh b ON a.tail_h = b.head_h AND a.doc_id <> b.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_overlap_chain": (dedup_overlap_chain, DEDUP_OVERLAP_CHAIN_SQL),
     "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),

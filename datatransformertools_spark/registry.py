@@ -127,6 +127,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "embedding_whitening",  # new in r4 (post-window; rows-only)
         "detection_confusion_matrix",  # new in r4 (post-window)
         "ann_ivf_pq_topk",  # new in r4 (post-window)
+        "dedup_overlap_chain",  # new in r4 (post-window)
         "bpe_segment_stats",
         "dataset_datasheet",
         "partitioned_write_prune",

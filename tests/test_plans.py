@@ -566,3 +566,14 @@ def test_sentence_stats_shuffle_free(spark, sf_dir):
     anywhere in the plan."""
     plan = _plan(spark, sf_dir, "sentence_stats")
     assert "Exchange" not in plan, plan
+
+
+def test_overlap_chain_no_text_in_exchange(spark, sf_dir):
+    """Fragment-reassembly edges: each doc collapses map-side to two
+    16-byte boundary hashes — the raw text must never reach an
+    exchange, and the DF-cap windows + edge join are the only
+    shuffles."""
+    plan = _plan(spark, sf_dir, "dedup_overlap_chain")
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
