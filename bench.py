@@ -46,6 +46,12 @@ _ISOLATE_DEFAULT = [
     "semdedup",
     "bpe_train_merges",
     "bpe_segment_stats",
+    # the two >1s r4 in-suite movers (VERDICT r4 #5): isolated
+    # cold/warm is the noise-vs-regression verdict for both.
+    # dedup_embedding also joined the iterative family in r5 (its
+    # blocking now runs the Lloyd's loop).
+    "dedup_embedding",
+    "lineitem_orc_roundtrip",
 ]
 
 
@@ -92,7 +98,10 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
-    if len(sys.argv) > 2 and sys.argv[1] == "--isolate":
+    if len(sys.argv) > 1 and sys.argv[1] == "--isolate":
+        if len(sys.argv) < 3:
+            print("usage: bench.py --isolate QUERY [QUERY ...]", file=sys.stderr)
+            sys.exit(2)
         iso = {n: _run_one_isolated(n, sf_dir, cpus) for n in sys.argv[2:]}
         print(json.dumps({"isolated": iso, "sf": sf_val}))
         return

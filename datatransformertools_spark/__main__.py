@@ -97,13 +97,13 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = get_spark(f"dtt-cli-{args.cmd}")
         spark.sparkContext.setLogLevel("ERROR")
+        if args.cmd == "explain" and args.hints_only:
+            # pin the confs BEFORE the (only) planning pass
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         df = queries[args.query](spark, args.sf)
 
     if args.cmd == "explain":
-        if args.hints_only:
-            spark.conf.set("spark.sql.adaptive.enabled", "false")
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-            df = queries[args.query](spark, args.sf)  # re-plan under the pinned confs
         print(df._jdf.queryExecution().executedPlan().toString())
         return 0
 

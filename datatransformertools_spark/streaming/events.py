@@ -626,7 +626,13 @@ def events_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataF
     maxes = ev.groupBy("event_type").agg(F.max(ts_us).alias("m")).filter(
         F.col("event_type").isin("click", "purchase")
     )
-    wm_us = min(r["m"] for r in maxes.collect()) - _IJ_WATERMARK_US
+    side_max = {r["event_type"]: r["m"] for r in maxes.collect()}
+    missing = {"click", "purchase"} - side_max.keys()
+    if missing:
+        # min over one present side would silently advance the
+        # watermark past unseen data; fail loudly instead.
+        raise ValueError(f"events table has no rows for event_type(s): {sorted(missing)}")
+    wm_us = min(side_max.values()) - _IJ_WATERMARK_US
     safe_cut = wm_us - _IJ_INTERVAL_US - _IJ_SAFE_SLACK_US
     return (
         spark.table(name)

@@ -9,13 +9,13 @@ construction.
 
 from __future__ import annotations
 
-import math
-
 import duckdb
 import pytest
 
 from datatransformertools_spark import registry
 from datatransformertools_spark.sources.tables import TABLE_NAMES
+from tools.canon import canon_rows as _canon_rows
+from tools.canon import dtype_mismatches
 
 _QUERIES = registry.queries()
 _ORACLES = registry.oracle_sql()
@@ -30,26 +30,6 @@ def duck(sf_dir):
     con.close()
 
 
-def _canon(v):
-    if v is None:
-        return "<null>"
-    if isinstance(v, bool):
-        return str(int(v))
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        # round-trip floats through a fixed repr
-        return f"{v:.6f}".rstrip("0").rstrip(".")
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_canon(x) for x in v) + "]"
-    return str(v)
-
-
-def _canon_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted("|".join(_canon(r[i]) for i in order) for r in rows)
-
-
 @pytest.mark.parametrize("name", sorted(_ORACLES))
 def test_oracle_parity(name, spark, sf_dir, duck):
     sdf = _QUERIES[name](spark, sf_dir)
@@ -61,6 +41,11 @@ def test_oracle_parity(name, spark, sf_dir, duck):
     d_rows = rel.fetchall()
 
     assert sorted(s_cols) == sorted(d_cols), f"{name}: column mismatch {s_cols} vs {d_cols}"
+    # dtype-strict like the driver's value hash: an uncast integer
+    # sum() in the oracle (DuckDB HUGEINT) must fail HERE, not in
+    # CORRECTNESS_r{N}.json (the r2/r4 red-row class).
+    bad = dtype_mismatches(sdf.dtypes, d_cols, [str(t) for t in rel.types])
+    assert not bad, f"{name}: dtype class mismatch: {bad}"
     assert len(s_rows) == len(d_rows), f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
     s_canon = _canon_rows(s_cols, s_rows)
     d_canon = _canon_rows(d_cols, d_rows)

@@ -79,6 +79,7 @@ def test_q5_broadcasts_fixed_dims_only(spark, sf_dir):
 _HINT_BROADCAST_ALLOWLIST = {
     # 1-row scalar aggregates riding cross joins (house rule)
     "customer_rfm": 1,
+    "dedup_embedding_recall": 1,  # 1-row blocked-pair count scalar
     "doc_unigram_logprob": 1,
     "doc_bm25_topk": 1,
     "doc_tfidf_topk": 1,
@@ -188,6 +189,19 @@ def test_ann_bruteforce_broadcasts_queries(spark, sf_dir):
     # plan that dies at scale
     assert "Broadcast" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_embedding_self_join_keys_on_cluster(spark, sf_dir):
+    """The embedding-dedup self-join must be keyed on the k-means
+    cell (block size bounded, cells ∝ N), never on the raw label
+    alone — label cardinality is 10 and FIXED, so a label-keyed
+    self-join grows O((N/10)²) pairs with the corpus (the r4
+    quadratic-join defect, VERDICT r4 #3)."""
+    plan = _plan_hints_only(spark, sf_dir, "dedup_embedding")
+    join_line = next(
+        l for l in plan.splitlines() if "SortMergeJoin" in l or "ShuffledHashJoin" in l
+    )
+    assert re.search(r"\bcluster#\d", join_line), join_line
 
 
 def test_salted_join_no_skew_single_key(spark, sf_dir):

@@ -365,6 +365,18 @@ SECTIONS = [
         "that reuses the bigram-keyed exchange.",
         False,
     ),
+    (
+        "dedup_embedding",
+        "r5 re-block (VERDICT r4 #3): the self-join keys on the k-means "
+        "cell (+ label as secondary key), never the fixed-cardinality "
+        "label alone — block volume is bounded by cell size (clusters "
+        "∝ N), killing the engine's last quadratic join. Multi-probe "
+        "assignment (3 nearest cells, a codegen'd literal-centroid "
+        "projection + explode — no join, no shuffle) recovers boundary "
+        "pairs; `dedup_embedding_recall` measures the blocking at 0.95 "
+        "recall (sf0.01) with exact-cosine verification (precision 1.0).",
+        True,
+    ),
 ]
 
 # Iterative operators whose returned plan is a checkpoint scan (their

@@ -11,7 +11,6 @@ run it whenever operator semantics change.
 
 from __future__ import annotations
 
-import math
 import sys
 from pathlib import Path
 
@@ -24,25 +23,8 @@ import duckdb
 from datatransformertools_spark import registry
 from datatransformertools_spark.session import get_spark
 from datatransformertools_spark.sources.tables import TABLE_NAMES
-
-
-def _canon(v):
-    if v is None:
-        return "<null>"
-    if isinstance(v, bool):
-        return str(int(v))
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return f"{v:.6f}".rstrip("0").rstrip(".")
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_canon(x) for x in v) + "]"
-    return str(v)
-
-
-def _canon_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted("|".join(_canon(r[i]) for i in order) for r in rows)
+from tools.canon import canon_rows as _canon_rows
+from tools.canon import dtype_mismatches
 
 
 def main() -> None:
@@ -70,14 +52,21 @@ def main() -> None:
             continue
         rel = con.sql(oracles[name])
         d_cols, d_rows = list(rel.columns), rel.fetchall()
+        d_types = [str(t) for t in rel.types]
         ok_cols = sorted(s_cols) == sorted(d_cols)
+        bad_dtypes = dtype_mismatches(sdf.dtypes, d_cols, d_types)
         sc, dc = _canon_rows(s_cols, s_rows), _canon_rows(d_cols, d_rows)
         ok_rows = len(s_rows) == len(d_rows)
         ok_vals = sc == dc
-        status = "OK" if (ok_cols and ok_rows and ok_vals) else "FAIL"
+        status = "OK" if (ok_cols and ok_rows and ok_vals and not bad_dtypes) else "FAIL"
         if status == "FAIL":
             failed += 1
-        print(f"{name}: {status} rows={len(s_rows)}/{len(d_rows)} cols_match={ok_cols} vals_match={ok_vals}")
+        print(
+            f"{name}: {status} rows={len(s_rows)}/{len(d_rows)} cols_match={ok_cols}"
+            f" vals_match={ok_vals} dtypes_match={not bad_dtypes}"
+        )
+        if bad_dtypes:
+            print("  dtype mismatches:", bad_dtypes)
         if not ok_cols:
             print("  spark cols:", s_cols, "\n  duck cols:", d_cols)
         if ok_cols and not ok_vals:
