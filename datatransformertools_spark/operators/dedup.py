@@ -667,24 +667,27 @@ def _multiprobe(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
     return emb.withColumn("cluster", F.explode(probes))
 
 
-def _dedup_embedding_sql() -> str:
-    """Oracle mirror: replay the identical Lloyd's chain (shared CTE
-    builder — same init, same 6-dp quantization, same tie-breaks as
-    the Spark loop), assign each vector to its final cell, then pair
-    within (cluster, label)."""
+_EMB_COS_SQL = (
+    "CASE WHEN sqrt(list_sum(list_transform(a.v, x -> x * x)))"
+    " * sqrt(list_sum(list_transform(b.v, x -> x * x))) > 0 THEN "
+    "list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))"
+    " / (sqrt(list_sum(list_transform(a.v, x -> x * x)))"
+    " * sqrt(list_sum(list_transform(b.v, x -> x * x)))) ELSE 0.0 END"
+)
+
+
+def _emb_block_chain(max_rn: int) -> list[str]:
+    """Shared oracle CTE chain for the cluster-blocked embedding
+    family: the Lloyd's loop (same init/quantization/tie-breaks as
+    the Spark side), final-centroid multi-probe assignment keeping
+    probe rank `rn` ≤ max_rn, and the label join. Ends with
+    afx(vec_id, v, cluster, rn, label)."""
     from datatransformertools_spark.operators.similarity import (
         _KM_DIST_SQL,
         KMEANS_ITERS,
         _lloyd_cte_parts,
     )
 
-    norm_sql = "sqrt(list_sum(list_transform({v}, x -> x * x)))"
-    na, nb = norm_sql.format(v="a.v"), norm_sql.format(v="b.v")
-    cos = (
-        f"CASE WHEN {na} * {nb} > 0 THEN "
-        f"list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))"
-        f" / ({na} * {nb}) ELSE 0.0 END"
-    )
     parts = _lloyd_cte_parts()
     parts.append(
         f"""clF AS (
@@ -693,26 +696,33 @@ def _dedup_embedding_sql() -> str:
     )
     parts.append(
         f"""af AS (
-  SELECT vec_id, v, cluster FROM (
+  SELECT vec_id, v, cluster, rn FROM (
     SELECT e.vec_id, e.v, cl.cluster,
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY {_KM_DIST_SQL}, cl.cluster) AS rn
     FROM e CROSS JOIN clF cl
-  ) WHERE rn <= {EMB_PROBE}
+  ) WHERE rn <= {max_rn}
 )"""
     )
     parts.append(
         """afx AS (
-  SELECT af.vec_id, af.v, af.cluster, l.label
+  SELECT af.vec_id, af.v, af.cluster, af.rn, l.label
   FROM af JOIN (SELECT vec_id, label FROM embeddings) l ON af.vec_id = l.vec_id
 )"""
     )
+    return parts
+
+
+def _dedup_embedding_sql() -> str:
+    """Oracle mirror: replay the identical Lloyd's chain, assign
+    each vector to its EMB_PROBE nearest cells, then pair within
+    (cluster, label)."""
     return (
-        ",\n".join(parts)
+        ",\n".join(_emb_block_chain(EMB_PROBE))
         + f""",
 pairs AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         round({cos} + 1e-9, 6) AS cos_sim
+         round({_EMB_COS_SQL} + 1e-9, 6) AS cos_sim
   FROM afx a JOIN afx b
     ON a.cluster = b.cluster AND a.label = b.label AND a.vec_id < b.vec_id
 )
@@ -761,27 +771,22 @@ def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dedup_embedding_recall_sql() -> str:
-    base = _dedup_embedding_sql()
-    # reuse the full blocked-pair chain up to `pairs`, swap the
-    # final SELECT for the counts + exact ground-truth comparison
-    chain = base.rsplit("\nSELECT vec_a", 1)[0]
-    norm_sql = "sqrt(list_sum(list_transform({v}, x -> x * x)))"
-    na, nb = norm_sql.format(v="a.v"), norm_sql.format(v="b.v")
-    cos = (
-        f"CASE WHEN {na} * {nb} > 0 THEN "
-        f"list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))"
-        f" / ({na} * {nb}) ELSE 0.0 END"
-    )
-    return (
-        chain
-        + f""",
-el AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+_EMB_EXACT_CNT_SQL = f"""el AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 exact_cnt AS (
   SELECT count(*) AS n_exact_pairs
   FROM el a JOIN el b ON a.label = b.label AND a.vec_id < b.vec_id
-  WHERE round({cos} + 1e-9, 6) >= {COSINE_TAU}
-),
+  WHERE round({_EMB_COS_SQL} + 1e-9, 6) >= {COSINE_TAU}
+)"""
+
+
+def _dedup_embedding_recall_sql() -> str:
+    # reuse the full blocked-pair chain up to `pairs`, swap the
+    # final SELECT for the counts + exact ground-truth comparison
+    chain = _dedup_embedding_sql().rsplit("\nSELECT vec_a", 1)[0]
+    return (
+        chain
+        + f""",
+{_EMB_EXACT_CNT_SQL},
 blocked_cnt AS (
   SELECT count(*) AS n_blocked_pairs FROM pairs WHERE cos_sim >= {COSINE_TAU}
 )
@@ -793,6 +798,140 @@ FROM exact_cnt CROSS JOIN blocked_cnt
 
 
 DEDUP_EMBEDDING_RECALL_SQL = _dedup_embedding_recall_sql()
+
+
+# ---------------------------------------------------------------------------
+# emb_blocking_curve — probe-count tuning table for the blocked dedup
+# ---------------------------------------------------------------------------
+
+CURVE_MAX_PROBE = 4
+
+
+def emb_blocking_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-count tuning table for the cluster-blocked embedding
+    dedup — the `minhash_band_curve` analogue for the IVF-style
+    blocking: for each probe budget p = 1..CURVE_MAX_PROBE, how many
+    τ-pairs the blocking finds and the recall against the exact
+    within-label ground truth. A pair's probe level is the smallest
+    p at which BOTH sides probe a shared cell (min over shared cells
+    of max(rank_a, rank_b)), so the curve is one blocked self-join
+    at the widest budget, then cumulative counts — not one join per
+    probe level. This is the table EMB_PROBE was tuned from.
+
+    Shuffles: the (cluster, label)-keyed self-join at rank ≤ 4 plus
+    one pair-keyed aggregate; the probe grid and the level counts
+    (both ≤ CURVE_MAX_PROBE rows, constants-bounded) and the 1-row
+    exact count ride as broadcast frames (house rule)."""
+    from datatransformertools_spark.operators.similarity import (
+        KMEANS_ITERS,
+        _cent_literal,
+        _init_cents,
+        _kmeans_dist,
+        _lloyd_update,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    cents = _init_cents(emb)
+    for _ in range(KMEANS_ITERS):
+        cents = _lloyd_update(emb, cents)
+    ranked = F.array_sort(
+        F.transform(
+            _cent_literal(cents),
+            lambda c, i: F.struct(_kmeans_dist(c).alias("d"), i.alias("cluster")),
+        )
+    )
+    probed = (
+        emb.withColumn("nrm", norm(F.col("v")))
+        .select(
+            "vec_id",
+            "label",
+            "v",
+            "nrm",
+            F.posexplode(F.slice(ranked, 1, CURVE_MAX_PROBE)).alias("pos", "s"),
+        )
+        .select(
+            "vec_id", "label", "v", "nrm",
+            (F.col("pos") + 1).alias("rn"),
+            F.col("s.cluster").alias("cluster"),
+        )
+    )
+    a, b = probed.alias("a"), probed.alias("b")
+    cos = F.round(
+        cosine_prenormed(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")) + 1e-9, 6
+    )
+    pair_lvl = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.greatest(F.col("a.rn"), F.col("b.rn")).alias("lvl"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= COSINE_TAU)
+        .groupBy("vec_a", "vec_b")
+        .agg(F.min("lvl").alias("lvl"))
+    )
+    lvl_counts = pair_lvl.groupBy("lvl").agg(F.count(F.lit(1)).alias("n"))
+    grid = spark.createDataFrame([(p,) for p in range(1, CURVE_MAX_PROBE + 1)], "probe int")
+    emb2 = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    ea, eb = emb2.alias("a"), emb2.alias("b")
+    ecos = F.round(
+        cosine_prenormed(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")) + 1e-9, 6
+    )
+    exact_cnt = (
+        ea.join(
+            eb, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+        )
+        .filter(ecos >= COSINE_TAU)
+        .agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    )
+    return (
+        grid.join(F.broadcast(lvl_counts), F.col("lvl") <= F.col("probe"), "left")
+        .groupBy("probe")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_pairs"))
+        .crossJoin(F.broadcast(exact_cnt))
+        .select(
+            "probe",
+            "n_pairs",
+            F.round(F.col("n_pairs") / F.col("n_exact_pairs") + 1e-9, 6).alias("recall"),
+        )
+    )
+
+
+def _emb_blocking_curve_sql() -> str:
+    return (
+        ",\n".join(_emb_block_chain(CURVE_MAX_PROBE))
+        + f""",
+pair_lvl AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         min(greatest(a.rn, b.rn)) AS lvl
+  FROM afx a JOIN afx b
+    ON a.cluster = b.cluster AND a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round({_EMB_COS_SQL} + 1e-9, 6) >= {COSINE_TAU}
+  GROUP BY 1, 2
+),
+lvl_counts AS (SELECT lvl, count(*) AS n FROM pair_lvl GROUP BY 1),
+grid AS (SELECT CAST(unnest([{", ".join(str(p) for p in range(1, CURVE_MAX_PROBE + 1))}]) AS INTEGER) AS probe),
+{_EMB_EXACT_CNT_SQL}
+SELECT probe,
+       CAST(COALESCE(sum(n), 0) AS BIGINT) AS n_pairs,
+       round(COALESCE(sum(n), 0)::DOUBLE / n_exact_pairs + 1e-9, 6) AS recall
+FROM grid LEFT JOIN lvl_counts ON lvl <= probe CROSS JOIN exact_cnt
+GROUP BY probe, n_exact_pairs
+"""
+    )
+
+
+EMB_BLOCKING_CURVE_SQL = _emb_blocking_curve_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -1593,6 +1732,7 @@ QUERIES = {
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
     "dedup_embedding_recall": (dedup_embedding_recall, DEDUP_EMBEDDING_RECALL_SQL),
+    "emb_blocking_curve": (emb_blocking_curve, EMB_BLOCKING_CURVE_SQL),
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
     "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "dedup_lsh_quality": (dedup_lsh_quality, DEDUP_LSH_QUALITY_SQL),

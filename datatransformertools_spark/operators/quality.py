@@ -365,8 +365,95 @@ FROM (VALUES (0, 'raw'), (1, 'quality'), (2, 'exact_dedup'), (3, 'length_band'))
 """
 
 
+# ---------------------------------------------------------------------------
+# doc_perplexity_buckets — CCNet-style per-source perplexity terciles
+# ---------------------------------------------------------------------------
+
+PPL_BUCKETS = 3
+
+
+def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359 §4.3): score every document with the
+    corpus-trained unigram LM (mean −log p(token), the same signal
+    `doc_unigram_logprob` emits per doc), split each source into
+    PPL_BUCKETS quantile buckets (bucket 1 = head/most fluent …
+    PPL_BUCKETS = tail), and report per-(source, bucket) document
+    and token mass plus the score range — the table a pipeline uses
+    to keep head+middle and drop (or down-weight) the tail per
+    source, CCNet's central curation move.
+
+    Plan shape: one vocabulary-scale token-count shuffle, the corpus
+    total as a broadcast 1-row aggregate (house rule), the score
+    join on the token key (vocab is corpus-scaled — never
+    hint-broadcast), one per-doc aggregate, one |docs|-row window
+    for the per-source ntile (partition key = source), and a final
+    |sources|·PPL_BUCKETS-row aggregate. ntile ordering ties break
+    on doc_id, so bucket assignment is deterministic cross-engine."""
+    from datatransformertools_spark.functions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    tok = docs.select(
+        "doc_id", "source", F.explode(tokens(normalize_text(F.col("text")))).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("total"))
+    scored = (
+        tok.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(-F.avg(F.log(F.col("c") / F.col("total"))) + 1e-9, 6).alias("log_ppl"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy("log_ppl", "doc_id")
+    return (
+        scored.withColumn("bucket", F.ntile(PPL_BUCKETS).over(w))
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(F.avg("log_ppl") + 1e-9, 6).alias("avg_log_ppl"),
+            F.round(F.min("log_ppl") + 1e-9, 6).alias("min_log_ppl"),
+            F.round(F.max("log_ppl") + 1e-9, 6).alias("max_log_ppl"),
+        )
+    )
+
+
+DOC_PERPLEXITY_BUCKETS_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, source,
+         unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS token
+  FROM documents
+),
+vocab AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+total AS (SELECT sum(c)::DOUBLE AS total FROM vocab),
+scored AS (
+  SELECT doc_id, source,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         round(-avg(ln(c / total)) + 1e-9, 6) AS log_ppl
+  FROM tok JOIN vocab USING (token) CROSS JOIN total
+  GROUP BY doc_id, source
+),
+bucketed AS (
+  SELECT *, ntile({PPL_BUCKETS}) OVER (PARTITION BY source ORDER BY log_ppl, doc_id) AS bucket
+  FROM scored
+)
+SELECT source, CAST(bucket AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       round(avg(log_ppl) + 1e-9, 6) AS avg_log_ppl,
+       round(min(log_ppl) + 1e-9, 6) AS min_log_ppl,
+       round(max(log_ppl) + 1e-9, 6) AS max_log_ppl
+FROM bucketed
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "gopher_quality_filter": (gopher_quality_filter, GOPHER_QUALITY_FILTER_SQL),
+    "doc_perplexity_buckets": (doc_perplexity_buckets, DOC_PERPLEXITY_BUCKETS_SQL),
     "corpus_filter_funnel": (corpus_filter_funnel, CORPUS_FILTER_FUNNEL_SQL),
     "doc_length_percentile_filter": (
         doc_length_percentile_filter,

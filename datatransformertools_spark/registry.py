@@ -136,6 +136,8 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "order_line_count_histogram",
         "events_hour_dow_heatmap",
         "dedup_embedding_recall",  # new in r5: blocking-recall audit companion
+        "emb_blocking_curve",  # new in r5: probe-count tuning table
+        "doc_perplexity_buckets",  # new in r5: CCNet-style tercile table
     ]
     if len(head_r5) != 50:
         raise RuntimeError(f"gate rotation head must be exactly 50, got {len(head_r5)}")

@@ -80,7 +80,9 @@ _HINT_BROADCAST_ALLOWLIST = {
     # 1-row scalar aggregates riding cross joins (house rule)
     "customer_rfm": 1,
     "dedup_embedding_recall": 1,  # 1-row blocked-pair count scalar
+    "emb_blocking_curve": 2,  # ≤4-row level counts + 1-row exact count
     "doc_unigram_logprob": 1,
+    "doc_perplexity_buckets": 1,  # 1-row corpus-total scalar
     "doc_bm25_topk": 1,
     "doc_tfidf_topk": 1,
     "doc_length_percentile_filter": 1,
