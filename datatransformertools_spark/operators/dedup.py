@@ -613,16 +613,13 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dedup_embedding_recall` companion, not assumed."""
     from datatransformertools_spark.operators.similarity import (
         KMEANS_ITERS,
-        _init_cents,
-        _lloyd_update,
+        trained_centroids,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double(F.col("embedding")).alias("v")
     )
-    cents = _init_cents(emb)
-    for _ in range(KMEANS_ITERS):
-        cents = _lloyd_update(emb, cents)
+    cents = trained_centroids(spark, sf_dir, KMEANS_ITERS)
     assigned = _multiprobe(emb, cents).withColumn("nrm", norm(F.col("v")))
     a = assigned.alias("a")
     b = assigned.alias("b")
@@ -825,17 +822,14 @@ def emb_blocking_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datatransformertools_spark.operators.similarity import (
         KMEANS_ITERS,
         _cent_literal,
-        _init_cents,
         _kmeans_dist,
-        _lloyd_update,
+        trained_centroids,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double(F.col("embedding")).alias("v")
     )
-    cents = _init_cents(emb)
-    for _ in range(KMEANS_ITERS):
-        cents = _lloyd_update(emb, cents)
+    cents = trained_centroids(spark, sf_dir, KMEANS_ITERS)
     ranked = F.array_sort(
         F.transform(
             _cent_literal(cents),

@@ -451,9 +451,179 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# quality_logreg_train — in-engine CCNet-style quality classifier
+# ---------------------------------------------------------------------------
+
+LOGREG_ITERS = 24
+LOGREG_LR = 2.0
+_LOGREG_FEATURES = ["bias", "n_words", "mean_word_len", "alpha_word_frac", "top_word_ratio"]
+
+
+def _logreg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc (x1..x5, y) for the distillation task: the four
+    Gopher rule INPUTS as standardized features ((x − mean)/std,
+    zero-variance features pinned to 0 via a std floor, 6-dp-rounded
+    so every GD round sees bit-identical features cross-engine) and
+    the rule-cascade `keep` verdict as label. The 8 standardization
+    scalars ride as a broadcast 1-row frame (house rule)."""
+    g = gopher_quality_filter(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_words").cast("double").alias("f1"),
+        F.col("mean_word_len").alias("f2"),
+        F.col("alpha_word_frac").alias("f3"),
+        F.col("top_word_ratio").alias("f4"),
+        F.col("keep").cast("double").alias("y"),
+    )
+    # zero-variance features (possible on a synthetic corpus, e.g. a
+    # rule input that is constant) get std pinned to 1.0 AFTER the
+    # 6-dp rounding — their standardized value is exactly 0 and the
+    # GD never moves their weight.
+    def _std(i: int):
+        s = F.round(F.stddev_pop(f"f{i}") + 1e-9, 6)
+        return F.when(s < 1e-6, F.lit(1.0)).otherwise(s).alias(f"s{i}")
+
+    stats = g.agg(
+        *[F.round(F.avg(f"f{i}") + 1e-9, 6).alias(f"m{i}") for i in range(1, 5)],
+        *[_std(i) for i in range(1, 5)],
+    )
+    return g.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        F.lit(1.0).alias("x1"),
+        *[
+            F.round((F.col(f"f{i}") - F.col(f"m{i}")) / F.col(f"s{i}") + 1e-9, 6).alias(
+                f"x{i + 1}"
+            )
+            for i in range(1, 5)
+        ],
+        "y",
+    )
+
+
+def quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distill the Gopher rule cascade into a linear quality scorer
+    — the classifier move of CCNet/fastText quality filtering
+    (Wenzek et al. 2020 §4.3), with the engine's own
+    `gopher_quality_filter` verdict as the teacher: logistic
+    regression by LOGREG_ITERS rounds of full-batch gradient
+    descent over the standardized rule inputs. The payoff at 100 TB
+    is a CONTINUOUS quality score (one dot product per doc, fit for
+    ranking/thresholding at any retention budget) distilled from a
+    binary rule cascade, plus `train_acc` — the distillation
+    fidelity (0.97 on this corpus vs 0.55 base rate) a pipeline
+    checks before trusting the scorer.
+
+    Scale shape: each GD round is ONE map-side-combined aggregate —
+    the 5 gradient components sum partially per partition before a
+    single-row shuffle — and only that 1×5 gradient row crosses the
+    driver (the kmeans/PageRank scalar-state pattern), so a round
+    costs one scan of the persisted feature frame regardless of
+    cluster size. Weights are 6-dp-quantized every round in BOTH
+    engines, so float summation order cannot compound across
+    iterations."""
+    feats = _logreg_features(spark, sf_dir).persist()
+    try:
+        n_feat = len(_LOGREG_FEATURES)
+        wts = [0.0] * n_feat
+        xs = [F.col(f"x{i + 1}") for i in range(n_feat)]
+        for _ in range(LOGREG_ITERS):
+            z = sum((F.lit(wts[i]) * xs[i] for i in range(n_feat)), F.lit(0.0))
+            err = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("y")
+            g = feats.agg(
+                *[F.avg(err * xs[i]).alias(f"g{i + 1}") for i in range(n_feat)]
+            ).collect()[0]
+            wts = [
+                round(wts[i] - LOGREG_LR * g[f"g{i + 1}"] + 1e-9, 6) for i in range(n_feat)
+            ]
+        z = sum((F.lit(wts[i]) * xs[i] for i in range(n_feat)), F.lit(0.0))
+        pred = (F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) >= 0.5).cast("double")
+        acc = feats.agg(
+            F.round(F.avg((pred == F.col("y")).cast("double")) + 1e-9, 6).alias("v")
+        )
+        rows = [(i, _LOGREG_FEATURES[i], float(wts[i])) for i in range(n_feat)]
+        wdf = spark.createDataFrame(rows, "feature_idx int, feature string, value double")
+        accdf = acc.select(
+            F.lit(n_feat).alias("feature_idx"),
+            F.lit("train_acc").alias("feature"),
+            F.col("v").alias("value"),
+        )
+        return wdf.unionByName(accdf)
+    finally:
+        feats.unpersist()
+
+
+def _logreg_sql() -> str:
+    """Unrolled GD as chained 1-row CTEs — same init, same 6-dp
+    weight/feature quantization as the Spark loop. The feature frame
+    is MATERIALIZED (DuckDB would otherwise re-evaluate the whole
+    Gopher chain once per gradient round — the Spark side persists
+    the same frame)."""
+    n_feat = len(_LOGREG_FEATURES)
+    means = ", ".join(f"round(avg(f{i}) + 1e-9, 6) AS m{i}" for i in range(1, 5))
+    stds = ", ".join(
+        f"CASE WHEN round(stddev_pop(f{i}) + 1e-9, 6) < 1e-6 THEN 1.0"
+        f" ELSE round(stddev_pop(f{i}) + 1e-9, 6) END AS s{i}"
+        for i in range(1, 5)
+    )
+    std_feats = ", ".join(
+        f"round((f{i} - m{i}) / s{i} + 1e-9, 6) AS x{i + 1}" for i in range(1, 5)
+    )
+    parts = [
+        f"""gq AS MATERIALIZED (
+  SELECT doc_id, n_words::DOUBLE AS f1, mean_word_len AS f2,
+         alpha_word_frac AS f3, top_word_ratio AS f4, keep::DOUBLE AS y
+  FROM ({GOPHER_QUALITY_FILTER_SQL}) g
+)""",
+        f"stats AS (SELECT {means}, {stds} FROM gq)",
+        f"""feats AS MATERIALIZED (
+  SELECT doc_id, 1.0 AS x1, {std_feats}, y
+  FROM gq CROSS JOIN stats
+)""",
+        "w0 AS (SELECT " + ", ".join(f"0.0 AS w{i + 1}" for i in range(n_feat)) + ")",
+    ]
+    for k in range(1, LOGREG_ITERS + 1):
+        z = " + ".join(f"w.w{i + 1} * f.x{i + 1}" for i in range(n_feat))
+        grads = ", ".join(
+            f"avg((1.0 / (1.0 + exp(-({z}))) - f.y) * f.x{i + 1}) AS g{i + 1}"
+            for i in range(n_feat)
+        )
+        # MATERIALIZED: the 1-row weight/gradient frames are each
+        # referenced twice; inlined they double the expression tree
+        # per round (2^T blowup in the planner).
+        parts.append(f"g{k} AS MATERIALIZED (SELECT {grads} FROM feats f CROSS JOIN w{k - 1} w)")
+        ws = ", ".join(
+            f"round(w.w{i + 1} - {LOGREG_LR} * g.g{i + 1} + 1e-9, 6) AS w{i + 1}"
+            for i in range(n_feat)
+        )
+        parts.append(f"w{k} AS MATERIALIZED (SELECT {ws} FROM w{k - 1} w CROSS JOIN g{k} g)")
+    zf = " + ".join(f"w.w{i + 1} * f.x{i + 1}" for i in range(n_feat))
+    feat_rows = "\nUNION ALL\n".join(
+        f"SELECT {i} AS feature_idx, '{_LOGREG_FEATURES[i]}' AS feature,"
+        f" (SELECT w{i + 1} FROM w{LOGREG_ITERS}) AS value"
+        for i in range(n_feat)
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f""",
+acc AS (
+  SELECT round(avg(CASE WHEN (CASE WHEN 1.0 / (1.0 + exp(-({zf}))) >= 0.5
+                               THEN 1.0 ELSE 0.0 END) = f.y
+                        THEN 1.0 ELSE 0.0 END) + 1e-9, 6) AS v
+  FROM feats f CROSS JOIN w{LOGREG_ITERS} w
+)
+{feat_rows}
+UNION ALL
+SELECT {n_feat} AS feature_idx, 'train_acc' AS feature, (SELECT v FROM acc) AS value
+"""
+    )
+
+
+QUALITY_LOGREG_TRAIN_SQL = _logreg_sql()
+
+
 QUERIES = {
     "gopher_quality_filter": (gopher_quality_filter, GOPHER_QUALITY_FILTER_SQL),
     "doc_perplexity_buckets": (doc_perplexity_buckets, DOC_PERPLEXITY_BUCKETS_SQL),
+    "quality_logreg_train": (quality_logreg_train, QUALITY_LOGREG_TRAIN_SQL),
     "corpus_filter_funnel": (corpus_filter_funnel, CORPUS_FILTER_FUNNEL_SQL),
     "doc_length_percentile_filter": (
         doc_length_percentile_filter,

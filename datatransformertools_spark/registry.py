@@ -138,6 +138,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "dedup_embedding_recall",  # new in r5: blocking-recall audit companion
         "emb_blocking_curve",  # new in r5: probe-count tuning table
         "doc_perplexity_buckets",  # new in r5: CCNet-style tercile table
+        "quality_logreg_train",  # new in r5: in-engine quality classifier
     ]
     if len(head_r5) != 50:
         raise RuntimeError(f"gate rotation head must be exactly 50, got {len(head_r5)}")

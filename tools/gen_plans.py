@@ -424,6 +424,24 @@ PROSE_SECTIONS = [
         "in one pass).",
     ),
     (
+        "r4->r5 mover audit (VERDICT r4 #5)",
+        "The two >1 s r4 in-suite movers were re-timed in fresh JVMs "
+        "(bench --isolate, now part of the default isolated list). "
+        "lineitem_orc_roundtrip: 3.31 s isolated-warm vs 3.51 s (r3) / "
+        "5.06 s (r4) in-suite — the plan is unchanged (git diff empty for "
+        "the operator); the r4 number was IO variance on the full ORC "
+        "write, verdict: noise. dedup_embedding: 5.49 s isolated-warm vs "
+        "2.92 s (r3) / 4.24 s (r4) in-suite — NOT noise, but the r5 "
+        "re-block: the operator now runs the shared Lloyd's training loop "
+        "plus a 3-probe assignment before its (cluster, label)-keyed "
+        "self-join, i.e. it joined the iterative family and pays that "
+        "family's fixed per-round scheduling overhead at sf0.1. That is "
+        "the cost of removing the O((N/10)^2) label-blocked join volume; "
+        "the centroid fit is now memoized per session (similarity.py "
+        "trained_centroids), so the dedup_embedding family + semdedup + "
+        "kmeans_embeddings share ONE training run instead of five.",
+    ),
+    (
         "r2->r1 shared-query regression audit (VERDICT r2 #6)",
         "The two shared-60 queries flagged >1.3x in BENCH_r02 were "
         "re-measured 3x back-to-back in one warm session at sf0.1 "
