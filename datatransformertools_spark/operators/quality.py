@@ -521,35 +521,58 @@ def quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster size. Weights are 6-dp-quantized every round in BOTH
     engines, so float summation order cannot compound across
     iterations."""
-    feats = _logreg_features(spark, sf_dir).persist()
-    try:
+    wts = _trained_weights(spark, sf_dir)
+    n_feat = len(_LOGREG_FEATURES)
+    feats = _logreg_features(spark, sf_dir)
+    z = _dot(wts)
+    pred = (F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) >= 0.5).cast("double")
+    acc = feats.agg(
+        F.round(F.avg((pred == F.col("y")).cast("double")) + 1e-9, 6).alias("v")
+    )
+    rows = [(i, _LOGREG_FEATURES[i], float(wts[i])) for i in range(n_feat)]
+    wdf = spark.createDataFrame(rows, "feature_idx int, feature string, value double")
+    accdf = acc.select(
+        F.lit(n_feat).alias("feature_idx"),
+        F.lit("train_acc").alias("feature"),
+        F.col("v").alias("value"),
+    )
+    return wdf.unionByName(accdf)
+
+
+def _dot(wts: list[float]) -> F.Column:
+    return sum(
+        (F.lit(wts[i]) * F.col(f"x{i + 1}") for i in range(len(wts))), F.lit(0.0)
+    )
+
+
+# GD is deterministic (fixed init, 6-dp weight quantization per
+# round), so the trained weights are memoized per sf_dir — the
+# train and score queries share one run per session (same pattern
+# as similarity.trained_centroids).
+_W_MEMO: dict[str, list[float]] = {}
+
+
+def _trained_weights(spark: SparkSession, sf_dir: str) -> list[float]:
+    if sf_dir not in _W_MEMO:
         n_feat = len(_LOGREG_FEATURES)
-        wts = [0.0] * n_feat
-        xs = [F.col(f"x{i + 1}") for i in range(n_feat)]
-        for _ in range(LOGREG_ITERS):
-            z = sum((F.lit(wts[i]) * xs[i] for i in range(n_feat)), F.lit(0.0))
-            err = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("y")
-            g = feats.agg(
-                *[F.avg(err * xs[i]).alias(f"g{i + 1}") for i in range(n_feat)]
-            ).collect()[0]
-            wts = [
-                round(wts[i] - LOGREG_LR * g[f"g{i + 1}"] + 1e-9, 6) for i in range(n_feat)
-            ]
-        z = sum((F.lit(wts[i]) * xs[i] for i in range(n_feat)), F.lit(0.0))
-        pred = (F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) >= 0.5).cast("double")
-        acc = feats.agg(
-            F.round(F.avg((pred == F.col("y")).cast("double")) + 1e-9, 6).alias("v")
-        )
-        rows = [(i, _LOGREG_FEATURES[i], float(wts[i])) for i in range(n_feat)]
-        wdf = spark.createDataFrame(rows, "feature_idx int, feature string, value double")
-        accdf = acc.select(
-            F.lit(n_feat).alias("feature_idx"),
-            F.lit("train_acc").alias("feature"),
-            F.col("v").alias("value"),
-        )
-        return wdf.unionByName(accdf)
-    finally:
-        feats.unpersist()
+        feats = _logreg_features(spark, sf_dir).persist()
+        try:
+            wts = [0.0] * n_feat
+            xs = [F.col(f"x{i + 1}") for i in range(n_feat)]
+            for _ in range(LOGREG_ITERS):
+                z = _dot(wts)
+                err = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("y")
+                g = feats.agg(
+                    *[F.avg(err * xs[i]).alias(f"g{i + 1}") for i in range(n_feat)]
+                ).collect()[0]
+                wts = [
+                    round(wts[i] - LOGREG_LR * g[f"g{i + 1}"] + 1e-9, 6)
+                    for i in range(n_feat)
+                ]
+            _W_MEMO[sf_dir] = wts
+        finally:
+            feats.unpersist()
+    return _W_MEMO[sf_dir]
 
 
 def _logreg_sql() -> str:
@@ -620,10 +643,81 @@ SELECT {n_feat} AS feature_idx, 'train_acc' AS feature, (SELECT v FROM acc) AS v
 QUALITY_LOGREG_TRAIN_SQL = _logreg_sql()
 
 
+SCORE_DECILES = 10
+
+
+def quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the distillation loop: score every document with the
+    trained linear scorer (one dot product + sigmoid, 6-dp-rounded)
+    and report the per-source decile table — for each (source,
+    decile by score, best first) the doc count, score range, and
+    the TEACHER's keep-rate (`gopher_quality_filter`). A faithful
+    distilled scorer shows keep-rate falling monotonically across
+    deciles; this is the calibration exhibit a pipeline inspects
+    before replacing the cascade with a score threshold.
+
+    Deciles are per SOURCE (ntile over a source-partitioned window,
+    doc_id tie-breaks) — a global ntile would funnel every doc
+    through one partition at 100 TB; per-source windows shard by the
+    partition key, and the stratified view is the operationally
+    useful one anyway."""
+    wts = _trained_weights(spark, sf_dir)
+    feats = _logreg_features(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-_dot(wts))) + 1e-9, 6)
+    scored = feats.join(docs, "doc_id").select("doc_id", "source", "y", score.alias("score"))
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("decile", F.ntile(SCORE_DECILES).over(w))
+        .groupBy("source", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("score") + 1e-9, 6).alias("min_score"),
+            F.round(F.max("score") + 1e-9, 6).alias("max_score"),
+            F.round(F.avg("y") + 1e-9, 6).alias("rule_keep_rate"),
+        )
+    )
+
+
+def _logreg_score_sql() -> str:
+    n_feat = len(_LOGREG_FEATURES)
+    # reuse the training chain up to the final weights CTE, swap the
+    # accuracy tail for the score/decile aggregation
+    chain = _logreg_sql().rsplit(",\nacc AS", 1)[0]
+    zf = " + ".join(f"w.w{i + 1} * f.x{i + 1}" for i in range(n_feat))
+    return (
+        chain
+        + f""",
+sc AS (
+  SELECT f.doc_id, f.y,
+         round(1.0 / (1.0 + exp(-({zf}))) + 1e-9, 6) AS score
+  FROM feats f CROSS JOIN w{LOGREG_ITERS} w
+),
+dd AS (
+  SELECT d.source, sc.y, sc.score,
+         ntile({SCORE_DECILES}) OVER (PARTITION BY d.source
+                                      ORDER BY sc.score DESC, sc.doc_id) AS decile
+  FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+)
+SELECT source, CAST(decile AS INTEGER) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(min(score) + 1e-9, 6) AS min_score,
+       round(max(score) + 1e-9, 6) AS max_score,
+       round(avg(y) + 1e-9, 6) AS rule_keep_rate
+FROM dd
+GROUP BY 1, 2
+"""
+    )
+
+
+QUALITY_LOGREG_SCORE_SQL = _logreg_score_sql()
+
+
 QUERIES = {
     "gopher_quality_filter": (gopher_quality_filter, GOPHER_QUALITY_FILTER_SQL),
     "doc_perplexity_buckets": (doc_perplexity_buckets, DOC_PERPLEXITY_BUCKETS_SQL),
     "quality_logreg_train": (quality_logreg_train, QUALITY_LOGREG_TRAIN_SQL),
+    "quality_logreg_score": (quality_logreg_score, QUALITY_LOGREG_SCORE_SQL),
     "corpus_filter_funnel": (corpus_filter_funnel, CORPUS_FILTER_FUNNEL_SQL),
     "doc_length_percentile_filter": (
         doc_length_percentile_filter,

@@ -139,6 +139,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "emb_blocking_curve",  # new in r5: probe-count tuning table
         "doc_perplexity_buckets",  # new in r5: CCNet-style tercile table
         "quality_logreg_train",  # new in r5: in-engine quality classifier
+        "quality_logreg_score",  # new in r5: distilled-score decile table
     ]
     if len(head_r5) != 50:
         raise RuntimeError(f"gate rotation head must be exactly 50, got {len(head_r5)}")

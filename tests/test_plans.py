@@ -83,7 +83,8 @@ _HINT_BROADCAST_ALLOWLIST = {
     "emb_blocking_curve": 2,  # ≤4-row level counts + 1-row exact count
     "doc_unigram_logprob": 1,
     "doc_perplexity_buckets": 1,  # 1-row corpus-total scalar
-    "quality_logreg_train": 1,  # 1-row corpus-total scalar (feature build)
+    "quality_logreg_train": 1,  # 1-row standardization scalars (feature build)
+    "quality_logreg_score": 1,  # same 1-row standardization scalars
     "doc_bm25_topk": 1,
     "doc_tfidf_topk": 1,
     "doc_length_percentile_filter": 1,
