@@ -1076,8 +1076,83 @@ GROUP BY doc_id
 )
 
 
+# ---------------------------------------------------------------------------
+# split_leakage_audit — near-dup pairs crossing the train/val/test split
+# ---------------------------------------------------------------------------
+
+_SPLIT_SALT = "corpussplit:"
+
+
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate LEAKAGE across a hash train/val/test split —
+    the contamination mode `contamination_check` (exact n-gram
+    containment vs an eval set) does not cover: a near-dup pair
+    with one side in train and the other in val/test inflates eval
+    scores even though no text is shared verbatim (Lee et al. 2022,
+    arXiv:2107.06499 report exactly this effect). Docs are split
+    80/10/10 by salted doc_id hash (the engine's split convention);
+    candidate pairs come from the banded minhash-LSH stage table —
+    the split labels are computed IN-ROW from the pair's ids (pure
+    map-side, no extra join), so the audit costs one pass over the
+    candidate pairs. Returns per unordered split-pair: candidate
+    count, share of all candidates, and the leak flag; a healthy
+    split shows cross-split share ≈ 2·p·q of the within-split
+    rates, a hot spot means the split key correlates with content."""
+    from datatransformertools_spark.operators.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+
+    def split_of(c: str) -> F.Column:
+        b = md5_long(F.col(c).cast("string"), salt=_SPLIT_SALT) % 100
+        return F.when(b < 80, F.lit("train")).when(b < 90, F.lit("val")).otherwise(F.lit("test"))
+
+    labeled = pairs.select(
+        F.least(split_of("doc_a"), split_of("doc_b")).alias("split_lo"),
+        F.greatest(split_of("doc_a"), split_of("doc_b")).alias("split_hi"),
+    )
+    counts = labeled.groupBy("split_lo", "split_hi").agg(F.count(F.lit(1)).alias("n_pairs"))
+    total = labeled.agg(F.count(F.lit(1)).alias("n_total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "split_lo",
+        "split_hi",
+        "n_pairs",
+        F.round(F.col("n_pairs") / F.col("n_total") + 1e-9, 6).alias("pair_share"),
+        (F.col("split_lo") != F.col("split_hi")).cast("int").alias("is_leak"),
+    )
+
+
+def _split_leakage_sql() -> str:
+    from datatransformertools_spark.operators.dedup import DEDUP_MINHASH_LSH_SQL
+
+    split = (
+        "CASE WHEN ('0x' || substr(md5('" + _SPLIT_SALT + "' || {c}), 1, 15))::BIGINT % 100 < 80"
+        " THEN 'train' WHEN ('0x' || substr(md5('" + _SPLIT_SALT + "' || {c}), 1, 15))::BIGINT"
+        " % 100 < 90 THEN 'val' ELSE 'test' END"
+    )
+    sa, sb = split.format(c="doc_a"), split.format(c="doc_b")
+    return f"""
+WITH labeled AS (
+  SELECT least({sa}, {sb}) AS split_lo, greatest({sa}, {sb}) AS split_hi
+  FROM ({DEDUP_MINHASH_LSH_SQL}) pr
+),
+counts AS (
+  SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM labeled GROUP BY 1, 2
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM labeled)
+SELECT split_lo, split_hi, n_pairs,
+       round(n_pairs::DOUBLE / n_total + 1e-9, 6) AS pair_share,
+       CASE WHEN split_lo <> split_hi THEN 1 ELSE 0 END AS is_leak
+FROM counts CROSS JOIN tot
+"""
+
+
+SPLIT_LEAKAGE_AUDIT_SQL = _split_leakage_sql()
+
+
 QUERIES = {
     "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
+    "split_leakage_audit": (split_leakage_audit, SPLIT_LEAKAGE_AUDIT_SQL),
     "tokenize_to_ids": (tokenize_to_ids, TOKENIZE_TO_IDS_SQL),
     "source_quality_calibration": (
         source_quality_calibration,

@@ -140,6 +140,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "doc_perplexity_buckets",  # new in r5: CCNet-style tercile table
         "quality_logreg_train",  # new in r5: in-engine quality classifier
         "quality_logreg_score",  # new in r5: distilled-score decile table
+        "split_leakage_audit",  # new in r5: cross-split near-dup audit
     ]
     if len(head_r5) != 50:
         raise RuntimeError(f"gate rotation head must be exactly 50, got {len(head_r5)}")

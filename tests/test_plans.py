@@ -85,6 +85,7 @@ _HINT_BROADCAST_ALLOWLIST = {
     "doc_perplexity_buckets": 1,  # 1-row corpus-total scalar
     "quality_logreg_train": 1,  # 1-row standardization scalars (feature build)
     "quality_logreg_score": 1,  # same 1-row standardization scalars
+    "split_leakage_audit": 1,  # 1-row total-candidates scalar
     "doc_bm25_topk": 1,
     "doc_tfidf_topk": 1,
     "doc_length_percentile_filter": 1,
