@@ -292,8 +292,117 @@ HAVING count(*) >= 2
 """
 
 
+# ---------------------------------------------------------------------------
+# events_holt_forecast — Holt linear-trend smoothing via an array fold
+# ---------------------------------------------------------------------------
+
+HOLT_ALPHA = 0.3
+HOLT_BETA = 0.1
+HOLT_HORIZON = 6
+
+
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential (linear-trend) smoothing of the
+    hourly count series per event type, with h-step-ahead forecasts
+    for h = 1..HOLT_HORIZON (Holt 1957 — the capacity-planning
+    forecast one tier up from `events_ewma`'s level-only smoothing).
+
+    The textbook recursion (l_t, b_t from l_{t-1}, b_{t-1}) is
+    sequential by nature — but per KEY, not per engine: each type's
+    hourly series collapses map-side to |hours| rows, gathers into
+    one ordered array, and the recursion runs as a single
+    `F.aggregate` fold INSIDE the row — pure codegen'd expression,
+    no driver loop, no UDF, no window recursion. Series length is
+    bounded by the time range (a constant of the query), never by
+    event count, so the fold costs O(|hours|) per type at any
+    corpus size. Both engines execute the identical operation
+    sequence on IEEE doubles (fold order is the series order), so
+    the state is bit-stable cross-engine; outputs round at 6 dp."""
+    ev = _events_us(spark, sf_dir)
+    hourly = ev.groupBy(
+        (F.expr(f"ts_us div {HOUR_US}") * HOUR_US).alias("hour_us"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    series = hourly.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("hour_us", "x"))).alias("s")
+    ).select(
+        "event_type",
+        F.transform("s", lambda e: e["x"]).alias("vals"),
+        F.element_at("s", -1)["hour_us"].alias("last_hour_us"),
+    )
+    a, b = HOLT_ALPHA, HOLT_BETA
+    state0 = F.struct(
+        F.element_at("vals", 1).alias("l"), F.lit(0.0).alias("b")
+    )
+
+    def step(acc, x):
+        lnew = F.lit(a) * x + F.lit(1 - a) * (acc["l"] + acc["b"])
+        bnew = F.lit(b) * (lnew - acc["l"]) + F.lit(1 - b) * acc["b"]
+        return F.struct(lnew.alias("l"), bnew.alias("b"))
+
+    fitted = series.withColumn(
+        "st", F.aggregate(F.expr("slice(vals, 2, greatest(size(vals) - 1, 0))"), state0, step)
+    )
+    return fitted.select(
+        "event_type",
+        F.explode(F.array(*[F.lit(h) for h in range(1, HOLT_HORIZON + 1)])).alias("h"),
+        "last_hour_us",
+        "st",
+    ).select(
+        "event_type",
+        "h",
+        (F.col("last_hour_us") + F.col("h").cast("long") * F.lit(HOUR_US)).alias(
+            "forecast_hour_us"
+        ),
+        F.round(F.col("st.l") + 1e-9, 6).alias("level"),
+        F.round(F.col("st.b") + 1e-9, 6).alias("trend"),
+        F.round(F.col("st.l") + F.col("h") * F.col("st.b") + 1e-9, 6).alias("forecast"),
+    )
+
+
+def _holt_sql() -> str:
+    a, b = HOLT_ALPHA, HOLT_BETA
+    lnew = f"{a} * x[1] + {1 - a} * (acc[1] + acc[2])"
+    return f"""
+WITH hourly AS (
+  SELECT (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS hour_us,
+         event_type,
+         count(*)::DOUBLE AS x
+  FROM events
+  GROUP BY 1, 2
+),
+series AS (
+  SELECT event_type,
+         list(x ORDER BY hour_us) AS vals,
+         max(hour_us) AS last_hour_us
+  FROM hourly GROUP BY 1
+),
+fitted AS (
+  SELECT event_type, last_hour_us,
+         list_reduce(
+           list_prepend([vals[1], 0.0], list_transform(vals[2:], v -> [v])),
+           (acc, x) -> [
+             {lnew},
+             {b} * (({lnew}) - acc[1]) + {1 - b} * acc[2]
+           ]
+         ) AS st
+  FROM series
+),
+grid AS (SELECT CAST(unnest(range(1, {HOLT_HORIZON} + 1)) AS INTEGER) AS h)
+SELECT event_type, h,
+       CAST(last_hour_us + h * {HOUR_US} AS BIGINT) AS forecast_hour_us,
+       round(st[1] + 1e-9, 6) AS level,
+       round(st[2] + 1e-9, 6) AS trend,
+       round(st[1] + h * st[2] + 1e-9, 6) AS forecast
+FROM fitted CROSS JOIN grid
+"""
+
+
+EVENTS_HOLT_FORECAST_SQL = _holt_sql()
+
+
 QUERIES = {
     "events_autocorr": (events_autocorr, EVENTS_AUTOCORR_SQL),
+    "events_holt_forecast": (events_holt_forecast, EVENTS_HOLT_FORECAST_SQL),
     "events_cusum": (events_cusum, EVENTS_CUSUM_SQL),
     "user_value_gini": (user_value_gini, USER_VALUE_GINI_SQL),
     "events_burstiness": (events_burstiness, EVENTS_BURSTINESS_SQL),

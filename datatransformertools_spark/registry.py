@@ -141,6 +141,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "quality_logreg_train",  # new in r5: in-engine quality classifier
         "quality_logreg_score",  # new in r5: distilled-score decile table
         "split_leakage_audit",  # new in r5: cross-split near-dup audit
+        "events_holt_forecast",  # new in r5: fold-based Holt smoothing
     ]
     if len(head_r5) != 50:
         raise RuntimeError(f"gate rotation head must be exactly 50, got {len(head_r5)}")
