@@ -400,9 +400,146 @@ FROM fitted CROSS JOIN grid
 EVENTS_HOLT_FORECAST_SQL = _holt_sql()
 
 
+# ---------------------------------------------------------------------------
+# events_holt_winters — additive seasonal smoothing, same fold pattern
+# ---------------------------------------------------------------------------
+
+HW_GAMMA = 0.2
+HW_SEASON = 24  # hour-of-day additive season
+
+
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (Winters 1960): level + trend + an
+    HW_SEASON-slot hour-of-day seasonal component per event type,
+    with h-step forecasts. Same architecture as
+    `events_holt_forecast` — the sequential recursion runs as ONE
+    `F.aggregate` fold over the type's ordered hourly array inside
+    the row — with the seasonal state carried as an array in the
+    fold's struct accumulator and updated one slot per step.
+    Seasonal slots index by actual hour-of-day (carried with each
+    observation), not sequence position, so gaps in the series
+    don't shift the season. Forecast h = l + h·b + S[hod(last+h)].
+    Fold order is the series order in both engines → bit-stable."""
+    ev = _events_us(spark, sf_dir)
+    hourly = ev.groupBy(
+        (F.expr(f"ts_us div {HOUR_US}") * HOUR_US).alias("hour_us"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    series = hourly.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("hour_us", "x"))).alias("s")
+    ).select(
+        "event_type",
+        F.transform(
+            "s",
+            lambda e: F.struct(
+                e["x"].alias("x"),
+                ((e["hour_us"] / HOUR_US) % HW_SEASON).cast("int").alias("hod"),
+            ),
+        ).alias("obs"),
+        F.element_at("s", -1)["hour_us"].alias("last_hour_us"),
+    )
+    a, b, g = HOLT_ALPHA, HOLT_BETA, HW_GAMMA
+    state0 = F.struct(
+        F.element_at("obs", 1)["x"].alias("l"),
+        F.lit(0.0).alias("b"),
+        F.array_repeat(F.lit(0.0), HW_SEASON).alias("s"),
+    )
+
+    def step(acc, e):
+        x, hod = e["x"], e["hod"]
+        sold = F.element_at(acc["s"], hod + 1)
+        lnew = F.lit(a) * (x - sold) + F.lit(1 - a) * (acc["l"] + acc["b"])
+        bnew = F.lit(b) * (lnew - acc["l"]) + F.lit(1 - b) * acc["b"]
+        snew = F.lit(g) * (x - lnew) + F.lit(1 - g) * sold
+        supd = F.transform(acc["s"], lambda s, i: F.when(i == hod, snew).otherwise(s))
+        return F.struct(lnew.alias("l"), bnew.alias("b"), supd.alias("s"))
+
+    fitted = series.withColumn(
+        "st", F.aggregate(F.expr("slice(obs, 2, greatest(size(obs) - 1, 0))"), state0, step)
+    )
+    hod_f = ((F.col("last_hour_us") / HOUR_US).cast("long") + F.col("h")) % HW_SEASON
+    return fitted.select(
+        "event_type",
+        F.explode(F.array(*[F.lit(h) for h in range(1, HOLT_HORIZON + 1)])).alias("h"),
+        "last_hour_us",
+        "st",
+    ).select(
+        "event_type",
+        "h",
+        (F.col("last_hour_us") + F.col("h").cast("long") * F.lit(HOUR_US)).alias(
+            "forecast_hour_us"
+        ),
+        F.round(F.col("st.l") + 1e-9, 6).alias("level"),
+        F.round(F.col("st.b") + 1e-9, 6).alias("trend"),
+        F.round(F.element_at(F.col("st.s"), (hod_f + 1).cast("int")) + 1e-9, 6).alias("season"),
+        F.round(
+            F.col("st.l")
+            + F.col("h") * F.col("st.b")
+            + F.element_at(F.col("st.s"), (hod_f + 1).cast("int"))
+            + 1e-9,
+            6,
+        ).alias("forecast"),
+    )
+
+
+def _hw_sql() -> str:
+    a, b, g = HOLT_ALPHA, HOLT_BETA, HW_GAMMA
+    m = HW_SEASON
+    # state = [l, b, S1..Sm]; obs element = [x, hod]
+    sold = "acc[3 + CAST(x[2] AS BIGINT)]"
+    lnew = f"{a} * (x[1] - {sold}) + {1 - a} * (acc[1] + acc[2])"
+    bnew = f"{b} * (({lnew}) - acc[1]) + {1 - b} * acc[2]"
+    snew = f"{g} * (x[1] - ({lnew})) + {1 - g} * {sold}"
+    return f"""
+WITH hourly AS (
+  SELECT (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS hour_us,
+         event_type,
+         count(*)::DOUBLE AS x
+  FROM events
+  GROUP BY 1, 2
+),
+series AS (
+  SELECT event_type,
+         list([x, ((hour_us // {HOUR_US}) % {m})::DOUBLE] ORDER BY hour_us) AS obs,
+         list(x ORDER BY hour_us) AS vals,
+         max(hour_us) AS last_hour_us
+  FROM hourly GROUP BY 1
+),
+fitted AS (
+  SELECT event_type, last_hour_us,
+         list_reduce(
+           list_prepend(
+             list_concat([vals[1], 0.0],
+                         list_transform(range(1, {m} + 1), j -> 0.0)),
+             obs[2:]
+           ),
+           (acc, x) -> list_concat(
+             [{lnew}, {bnew}],
+             list_transform(range(0, {m}),
+                            j -> CASE WHEN j = CAST(x[2] AS BIGINT)
+                                      THEN {snew} ELSE acc[3 + j] END)
+           )
+         ) AS st
+  FROM series
+),
+grid AS (SELECT CAST(unnest(range(1, {HOLT_HORIZON} + 1)) AS INTEGER) AS h)
+SELECT event_type, h,
+       CAST(last_hour_us + h * {HOUR_US} AS BIGINT) AS forecast_hour_us,
+       round(st[1] + 1e-9, 6) AS level,
+       round(st[2] + 1e-9, 6) AS trend,
+       round(st[3 + ((last_hour_us // {HOUR_US}) + h) % {m}] + 1e-9, 6) AS season,
+       round(st[1] + h * st[2] + st[3 + ((last_hour_us // {HOUR_US}) + h) % {m}] + 1e-9, 6)
+         AS forecast
+FROM fitted CROSS JOIN grid
+"""
+
+
+EVENTS_HOLT_WINTERS_SQL = _hw_sql()
+
+
 QUERIES = {
     "events_autocorr": (events_autocorr, EVENTS_AUTOCORR_SQL),
     "events_holt_forecast": (events_holt_forecast, EVENTS_HOLT_FORECAST_SQL),
+    "events_holt_winters": (events_holt_winters, EVENTS_HOLT_WINTERS_SQL),
     "events_cusum": (events_cusum, EVENTS_CUSUM_SQL),
     "user_value_gini": (user_value_gini, USER_VALUE_GINI_SQL),
     "events_burstiness": (events_burstiness, EVENTS_BURSTINESS_SQL),
