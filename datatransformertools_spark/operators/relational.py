@@ -2563,8 +2563,195 @@ WINDOW wv AS (PARTITION BY o_custkey ORDER BY version)
 """
 
 
+# ---------------------------------------------------------------------------
+# customer_rfm_kmeans — Lloyd's clustering on standardized RFM space
+# ---------------------------------------------------------------------------
+
+RFM_K = 4
+RFM_ITERS = 3
+_RFM_DIM = 3
+
+
+def _rfm_feature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer standardized (recency, frequency, monetary)
+    vector: same raw metrics as `customer_rfm`, z-scored against the
+    corpus ((x − mean)/std, 6-dp-rounded; std floored to 1.0 when a
+    metric is constant) so k-means distances aren't dominated by the
+    monetary scale. The 1-row reference-date and standardization
+    aggregates ride as broadcast frames (house rule)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    ref = orders.agg(F.max("o_orderdate").alias("ref_date"))
+    per = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice") + 1e-9, 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.datediff(F.col("ref_date"), F.col("last_order"))
+            .cast("double")
+            .alias("f1"),
+            F.col("frequency").cast("double").alias("f2"),
+            F.col("monetary").alias("f3"),
+        )
+    )
+
+    def _std(i: int):
+        s = F.round(F.stddev_pop(f"f{i}") + 1e-9, 6)
+        return F.when(s < 1e-6, F.lit(1.0)).otherwise(s).alias(f"s{i}")
+
+    stats = per.agg(
+        *[F.round(F.avg(f"f{i}") + 1e-9, 6).alias(f"m{i}") for i in range(1, _RFM_DIM + 1)],
+        *[_std(i) for i in range(1, _RFM_DIM + 1)],
+    )
+    return per.crossJoin(F.broadcast(stats)).select(
+        "custkey",
+        F.array(
+            *[
+                F.round((F.col(f"f{i}") - F.col(f"m{i}")) / F.col(f"s{i}") + 1e-9, 6)
+                for i in range(1, _RFM_DIM + 1)
+            ]
+        ).alias("v"),
+    )
+
+
+def customer_rfm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioural customer segmentation: Lloyd's k-means (K=4) over
+    the standardized RFM space — the clustering companion to
+    `customer_rfm`'s quartile scoring, and the proof that the
+    engine's k-means machinery (literal-centroid codegen'd
+    assignment, K·DIM-only driver traffic, 6-dp quantization at
+    every iteration boundary, lowest-cluster argmin ties,
+    empty-cluster carry-over) generalizes beyond the embeddings
+    table to warehouse feature engineering. Deterministic seed: the
+    K lowest custkeys' vectors. Output is the exploded (cluster,
+    dim, cval, n_members) centroid matrix, the same contract as
+    `kmeans_embeddings`."""
+    from datatransformertools_spark.operators.similarity import _assign
+
+    feats = _rfm_feature_df(spark, sf_dir)
+    rows = (
+        feats.orderBy("custkey")
+        .limit(RFM_K)
+        .select(F.transform("v", lambda x: F.round(x + 1e-9, 6)).alias("v"))
+        .collect()
+    )
+    cents = [list(r["v"]) for r in rows]
+    for _ in range(RFM_ITERS - 1):
+        per_dim = (
+            _assign(feats, cents)
+            .select("cluster", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.round(F.avg("val") + 1e-9, 6).alias("cval"))
+        )
+        new = {(r["cluster"], r["dim"]): r["cval"] for r in per_dim.collect()}
+        cents = [
+            [new.get((k, d), cents[k][d]) for d in range(_RFM_DIM)] for k in range(RFM_K)
+        ]
+    final = (
+        _assign(feats, cents)
+        .select("cluster", F.posexplode("v").alias("dim", "val"))
+        .groupBy("cluster", "dim")
+        .agg(F.round(F.avg("val") + 1e-9, 6).alias("cval"), F.count(F.lit(1)).alias("n_members"))
+    )
+    prev = spark.createDataFrame(
+        [(k, d, cents[k][d]) for k in range(RFM_K) for d in range(_RFM_DIM)],
+        "cluster int, dim int, prev_cval double",
+    )
+    return prev.join(final, ["cluster", "dim"], "left").select(
+        "cluster",
+        "dim",
+        F.coalesce(F.col("cval"), F.col("prev_cval")).alias("cval"),
+        F.coalesce(F.col("n_members"), F.lit(0)).alias("n_members"),
+    )
+
+
+def _rfm_kmeans_sql() -> str:
+    dim, k = _RFM_DIM, RFM_K
+    dist = (
+        f"list_sum(list_transform(range(1, {dim} + 1),"
+        " i -> (e.v[i]-cl.c[i])*(e.v[i]-cl.c[i])))"
+    )
+    means = ", ".join(f"round(avg(f{i}) + 1e-9, 6) AS m{i}" for i in range(1, dim + 1))
+    stds = ", ".join(
+        f"CASE WHEN round(stddev_pop(f{i}) + 1e-9, 6) < 1e-6 THEN 1.0"
+        f" ELSE round(stddev_pop(f{i}) + 1e-9, 6) END AS s{i}"
+        for i in range(1, dim + 1)
+    )
+    vec = ", ".join(
+        f"round((f{i} - m{i}) / s{i} + 1e-9, 6)" for i in range(1, dim + 1)
+    )
+    parts = [
+        """raw AS (
+  SELECT o_custkey AS custkey,
+         date_diff('day', max(o_orderdate), (SELECT max(o_orderdate) FROM orders))::DOUBLE AS f1,
+         count(*)::DOUBLE AS f2,
+         round(sum(o_totalprice) + 1e-9, 2) AS f3
+  FROM orders GROUP BY 1
+)""",
+        f"stats AS (SELECT {means}, {stds} FROM raw)",
+        f"e AS (SELECT custkey, [{vec}] AS v FROM raw CROSS JOIN stats)",
+        f"""seed AS (
+  SELECT CAST(row_number() OVER (ORDER BY custkey) - 1 AS INTEGER) AS cluster, v
+  FROM (SELECT custkey, v FROM e ORDER BY custkey LIMIT {k})
+)""",
+        f"""c0 AS (
+  SELECT cluster, CAST(d AS INTEGER) AS dim, round(v[d + 1] + 1e-9, 6) AS cval
+  FROM seed CROSS JOIN range(0, {dim}) t(d)
+)""",
+    ]
+    for n in range(1, RFM_ITERS + 1):
+        prev = f"c{n - 1}"
+        parts.append(
+            f"cl{n} AS (SELECT cluster, list(cval ORDER BY dim) AS c FROM {prev} GROUP BY cluster)"
+        )
+        parts.append(
+            f"""a{n} AS (
+  SELECT custkey, v, cluster FROM (
+    SELECT e.custkey, e.v, cl.cluster,
+           row_number() OVER (PARTITION BY e.custkey
+                              ORDER BY {dist}, cl.cluster) AS rn
+    FROM e CROSS JOIN cl{n} cl
+  ) WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"""c{n}_new AS (
+  SELECT cluster, CAST(d AS INTEGER) AS dim,
+         round(avg(v[d + 1]) + 1e-9, 6) AS cval, count(*) AS n_members
+  FROM a{n} CROSS JOIN range(0, {dim}) t(d)
+  GROUP BY 1, 2
+)"""
+        )
+        parts.append(
+            f"""c{n} AS (
+  SELECT p.cluster, p.dim, COALESCE(n.cval, p.cval) AS cval
+  FROM {prev} p LEFT JOIN c{n}_new n ON p.cluster = n.cluster AND p.dim = n.dim
+)"""
+        )
+    last = RFM_ITERS
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT c.cluster, c.dim, c.cval,
+       CAST(COALESCE(n.n_members, 0) AS BIGINT) AS n_members
+FROM c{last} c
+LEFT JOIN c{last}_new n ON c.cluster = n.cluster AND c.dim = n.dim
+"""
+    )
+
+
+CUSTOMER_RFM_KMEANS_SQL = _rfm_kmeans_sql()
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "customer_rfm_kmeans": (customer_rfm_kmeans, CUSTOMER_RFM_KMEANS_SQL),
     "orders_priority_scd2": (orders_priority_scd2, ORDERS_PRIORITY_SCD2_SQL),
     "part_entity_resolution": (part_entity_resolution, PART_ENTITY_RESOLUTION_SQL),
     "orders_backlog_sweep": (orders_backlog_sweep, ORDERS_BACKLOG_SWEEP_SQL),

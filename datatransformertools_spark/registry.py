@@ -143,6 +143,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "split_leakage_audit",  # new in r5: cross-split near-dup audit
         "events_holt_forecast",  # new in r5: fold-based Holt smoothing
         "events_holt_winters",  # new in r5: + hour-of-day season
+        "customer_rfm_kmeans",  # new in r5: k-means on RFM space
     ]
     if len(head_r5) != 50:
         raise RuntimeError(f"gate rotation head must be exactly 50, got {len(head_r5)}")

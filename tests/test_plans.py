@@ -86,6 +86,10 @@ _HINT_BROADCAST_ALLOWLIST = {
     "quality_logreg_train": 1,  # 1-row standardization scalars (feature build)
     "quality_logreg_score": 1,  # same 1-row standardization scalars
     "split_leakage_audit": 1,  # 1-row total-candidates scalar
+    # 1-row ref-date scalar (appears twice: once under the feature
+    # path, once under the standardization aggregate derived from
+    # it) + the 1-row standardization scalars
+    "customer_rfm_kmeans": 3,
     "doc_bm25_topk": 1,
     "doc_tfidf_topk": 1,
     "doc_length_percentile_filter": 1,
