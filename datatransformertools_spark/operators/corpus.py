@@ -1080,31 +1080,28 @@ GROUP BY doc_id
 # split_leakage_audit — near-dup pairs crossing the train/val/test split
 # ---------------------------------------------------------------------------
 
-_SPLIT_SALT = "corpussplit:"
-
-
 def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate LEAKAGE across a hash train/val/test split —
+    """Near-duplicate LEAKAGE across the engine's train/val split —
     the contamination mode `contamination_check` (exact n-gram
     containment vs an eval set) does not cover: a near-dup pair
-    with one side in train and the other in val/test inflates eval
+    with one side in train and the other in val inflates eval
     scores even though no text is shared verbatim (Lee et al. 2022,
-    arXiv:2107.06499 report exactly this effect). Docs are split
-    80/10/10 by salted doc_id hash (the engine's split convention);
-    candidate pairs come from the banded minhash-LSH stage table —
-    the split labels are computed IN-ROW from the pair's ids (pure
-    map-side, no extra join), so the audit costs one pass over the
-    candidate pairs. Returns per unordered split-pair: candidate
-    count, share of all candidates, and the leak flag; a healthy
-    split shows cross-split share ≈ 2·p·q of the within-split
-    rates, a hot spot means the split key correlates with content."""
+    arXiv:2107.06499 report exactly this effect). Split labels use
+    the IDENTICAL assignment rule as `quality_stratified_split`
+    (same SPLIT_SALT, same VAL_PCT hash cut — the rule is a pure
+    function of doc_id, so it reproduces in-row); candidate pairs
+    come from the banded minhash-LSH stage table — no extra join,
+    the audit costs one pass over the candidate pairs. Returns per
+    unordered split-pair: candidate count, share of all candidates,
+    and the leak flag; a healthy split shows cross-split share ≈
+    2·p·q, a hot spot means the split key correlates with content."""
     from datatransformertools_spark.operators.dedup import dedup_minhash_lsh
 
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
 
     def split_of(c: str) -> F.Column:
-        b = md5_long(F.col(c).cast("string"), salt=_SPLIT_SALT) % 100
-        return F.when(b < 80, F.lit("train")).when(b < 90, F.lit("val")).otherwise(F.lit("test"))
+        b = md5_long(F.col(c).cast("string"), salt=SPLIT_SALT) % 100
+        return F.when(b < VAL_PCT, F.lit("val")).otherwise(F.lit("train"))
 
     labeled = pairs.select(
         F.least(split_of("doc_a"), split_of("doc_b")).alias("split_lo"),
@@ -1125,9 +1122,8 @@ def _split_leakage_sql() -> str:
     from datatransformertools_spark.operators.dedup import DEDUP_MINHASH_LSH_SQL
 
     split = (
-        "CASE WHEN ('0x' || substr(md5('" + _SPLIT_SALT + "' || {c}), 1, 15))::BIGINT % 100 < 80"
-        " THEN 'train' WHEN ('0x' || substr(md5('" + _SPLIT_SALT + "' || {c}), 1, 15))::BIGINT"
-        " % 100 < 90 THEN 'val' ELSE 'test' END"
+        "CASE WHEN ('0x' || substr(md5('" + SPLIT_SALT + "' || {c}), 1, 15))::BIGINT"
+        f" % 100 < {VAL_PCT} THEN 'val' ELSE 'train' END"
     )
     sa, sb = split.format(c="doc_a"), split.format(c="doc_b")
     return f"""

@@ -620,7 +620,9 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", as_double(F.col("embedding")).alias("v")
     )
     cents = trained_centroids(spark, sf_dir, KMEANS_ITERS)
-    assigned = _multiprobe(emb, cents).withColumn("nrm", norm(F.col("v")))
+    # norm BEFORE the probe explode — after it, the O(DIM) fold
+    # would evaluate EMB_PROBE times per vector
+    assigned = _multiprobe(emb.withColumn("nrm", norm(F.col("v"))), cents)
     a = assigned.alias("a")
     b = assigned.alias("b")
     cos = F.round(
@@ -647,21 +649,55 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMB_PROBE = 3
 
 
-def _multiprobe(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
-    """Explode each vector to its EMB_PROBE nearest cells (distance
-    asc, ties → lowest cluster id): a literal-centroid codegen
-    projection + explode — no join, no shuffle. array_sort on
-    struct(d, cluster) matches the oracle's ORDER BY d, cluster."""
+def _multiprobe(
+    emb: DataFrame, cents: list[list[float]], max_probe: int | None = None,
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Explode each vector to its `max_probe` (default EMB_PROBE)
+    nearest cells (distance asc, ties → lowest cluster id): a
+    literal-centroid codegen projection + explode — no join, no
+    shuffle. array_sort on struct(d, cluster) matches the oracle's
+    ORDER BY d, cluster. With keep_rank, each probe row also carries
+    its 1-based probe rank `rn` (the blocking-curve input)."""
     from datatransformertools_spark.operators.similarity import _cent_literal, _kmeans_dist
 
+    n = EMB_PROBE if max_probe is None else max_probe
     ranked = F.array_sort(
         F.transform(
             _cent_literal(cents),
             lambda c, i: F.struct(_kmeans_dist(c).alias("d"), i.alias("cluster")),
         )
     )
-    probes = F.transform(F.slice(ranked, 1, EMB_PROBE), lambda s: s["cluster"])
-    return emb.withColumn("cluster", F.explode(probes))
+    if not keep_rank:
+        probes = F.transform(F.slice(ranked, 1, n), lambda s: s["cluster"])
+        return emb.withColumn("cluster", F.explode(probes))
+    return emb.select(
+        "*", F.posexplode(F.slice(ranked, 1, n)).alias("pos", "_probe")
+    ).select(
+        *emb.columns,
+        (F.col("pos") + 1).alias("rn"),
+        F.col("_probe.cluster").alias("cluster"),
+    )
+
+
+def _exact_label_pairs_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row frame: count of exact within-label τ-pairs — the
+    ground truth both the recall companion and the blocking curve
+    compare against. Deliberately the quadratic label-blocked join
+    the production operator abandoned (offline audit only; at
+    100 TB run it on a capped stratified_sample slice)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = F.round(
+        cosine_prenormed(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")) + 1e-9, 6
+    )
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(cos >= COSINE_TAU)
+        .agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    )
 
 
 _EMB_COS_SQL = (
@@ -710,19 +746,27 @@ def _emb_block_chain(max_rn: int) -> list[str]:
     return parts
 
 
+def _emb_pairs_parts() -> list[str]:
+    """Chain + blocked-pairs CTE, shared by the dedup and recall
+    oracles (composed from parts, never by splitting rendered
+    SQL)."""
+    return _emb_block_chain(EMB_PROBE) + [
+        f"""pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round({_EMB_COS_SQL} + 1e-9, 6) AS cos_sim
+  FROM afx a JOIN afx b
+    ON a.cluster = b.cluster AND a.label = b.label AND a.vec_id < b.vec_id
+)"""
+    ]
+
+
 def _dedup_embedding_sql() -> str:
     """Oracle mirror: replay the identical Lloyd's chain, assign
     each vector to its EMB_PROBE nearest cells, then pair within
     (cluster, label)."""
     return (
-        ",\n".join(_emb_block_chain(EMB_PROBE))
-        + f""",
-pairs AS (
-  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         round({_EMB_COS_SQL} + 1e-9, 6) AS cos_sim
-  FROM afx a JOIN afx b
-    ON a.cluster = b.cluster AND a.label = b.label AND a.vec_id < b.vec_id
-)
+        ",\n".join(_emb_pairs_parts())
+        + f"""
 SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= {COSINE_TAU}
 """
     )
@@ -740,24 +784,14 @@ def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     same role `ann_recall_eval` / `dedup_lsh_quality` play for the
     ANN and LSH families.
 
-    Scale note: the ground-truth side IS the quadratic label-blocked
-    join the production operator abandoned — deliberate here, and
+    Scale note: the ground-truth side (shared helper
+    `_exact_label_pairs_cnt`) IS the quadratic label-blocked join
+    the production operator abandoned — deliberate here, and
     acceptable only because this is an offline audit run on a
     sample, not a pipeline stage (at 100 TB you run it on a capped
     stratified_sample slice; the blocked side stays linear-ish).
     Output is one row: (n_exact_pairs, n_blocked_pairs, recall)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double(F.col("embedding")).alias("v")
-    ).withColumn("nrm", norm(F.col("v")))
-    a, b = emb.alias("a"), emb.alias("b")
-    cos = F.round(
-        cosine_prenormed(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")) + 1e-9, 6
-    )
-    exact_cnt = (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .filter(cos >= COSINE_TAU)
-        .agg(F.count(F.lit(1)).alias("n_exact_pairs"))
-    )
+    exact_cnt = _exact_label_pairs_cnt(spark, sf_dir)
     blocked_cnt = dedup_embedding(spark, sf_dir).agg(
         F.count(F.lit(1)).alias("n_blocked_pairs")
     )
@@ -777,11 +811,9 @@ exact_cnt AS (
 
 
 def _dedup_embedding_recall_sql() -> str:
-    # reuse the full blocked-pair chain up to `pairs`, swap the
-    # final SELECT for the counts + exact ground-truth comparison
-    chain = _dedup_embedding_sql().rsplit("\nSELECT vec_a", 1)[0]
+    # same blocked-pair chain, counts + exact ground-truth tail
     return (
-        chain
+        ",\n".join(_emb_pairs_parts())
         + f""",
 {_EMB_EXACT_CNT_SQL},
 blocked_cnt AS (
@@ -821,36 +853,14 @@ def emb_blocking_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact count ride as broadcast frames (house rule)."""
     from datatransformertools_spark.operators.similarity import (
         KMEANS_ITERS,
-        _cent_literal,
-        _kmeans_dist,
         trained_centroids,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double(F.col("embedding")).alias("v")
-    )
+    ).withColumn("nrm", norm(F.col("v")))
     cents = trained_centroids(spark, sf_dir, KMEANS_ITERS)
-    ranked = F.array_sort(
-        F.transform(
-            _cent_literal(cents),
-            lambda c, i: F.struct(_kmeans_dist(c).alias("d"), i.alias("cluster")),
-        )
-    )
-    probed = (
-        emb.withColumn("nrm", norm(F.col("v")))
-        .select(
-            "vec_id",
-            "label",
-            "v",
-            "nrm",
-            F.posexplode(F.slice(ranked, 1, CURVE_MAX_PROBE)).alias("pos", "s"),
-        )
-        .select(
-            "vec_id", "label", "v", "nrm",
-            (F.col("pos") + 1).alias("rn"),
-            F.col("s.cluster").alias("cluster"),
-        )
-    )
+    probed = _multiprobe(emb, cents, max_probe=CURVE_MAX_PROBE, keep_rank=True)
     a, b = probed.alias("a"), probed.alias("b")
     cos = F.round(
         cosine_prenormed(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")) + 1e-9, 6
@@ -874,20 +884,7 @@ def emb_blocking_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lvl_counts = pair_lvl.groupBy("lvl").agg(F.count(F.lit(1)).alias("n"))
     grid = spark.createDataFrame([(p,) for p in range(1, CURVE_MAX_PROBE + 1)], "probe int")
-    emb2 = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double(F.col("embedding")).alias("v")
-    ).withColumn("nrm", norm(F.col("v")))
-    ea, eb = emb2.alias("a"), emb2.alias("b")
-    ecos = F.round(
-        cosine_prenormed(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")) + 1e-9, 6
-    )
-    exact_cnt = (
-        ea.join(
-            eb, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
-        )
-        .filter(ecos >= COSINE_TAU)
-        .agg(F.count(F.lit(1)).alias("n_exact_pairs"))
-    )
+    exact_cnt = _exact_label_pairs_cnt(spark, sf_dir)
     return (
         grid.join(F.broadcast(lvl_counts), F.col("lvl") <= F.col("probe"), "left")
         .groupBy("probe")

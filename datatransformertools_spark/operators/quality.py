@@ -548,7 +548,8 @@ def _dot(wts: list[float]) -> F.Column:
 # GD is deterministic (fixed init, 6-dp weight quantization per
 # round), so the trained weights are memoized per sf_dir — the
 # train and score queries share one run per session (same pattern
-# as similarity.trained_centroids).
+# and same contract as similarity.trained_centroids: sf_dir
+# contents are immutable for the process lifetime).
 _W_MEMO: dict[str, list[float]] = {}
 
 
@@ -575,12 +576,15 @@ def _trained_weights(spark: SparkSession, sf_dir: str) -> list[float]:
     return _W_MEMO[sf_dir]
 
 
-def _logreg_sql() -> str:
-    """Unrolled GD as chained 1-row CTEs — same init, same 6-dp
-    weight/feature quantization as the Spark loop. The feature frame
-    is MATERIALIZED (DuckDB would otherwise re-evaluate the whole
-    Gopher chain once per gradient round — the Spark side persists
-    the same frame)."""
+def _logreg_chain_parts() -> list[str]:
+    """Shared oracle CTE chain for the distillation family: unrolled
+    GD as chained 1-row CTEs — same init, same 6-dp weight/feature
+    quantization as the Spark loop — ending with the final weights
+    CTE w{LOGREG_ITERS}. Both the train and score oracles compose
+    from this parts list (never by splitting rendered SQL on a
+    textual marker). The feature frame is MATERIALIZED (DuckDB
+    would otherwise re-evaluate the whole Gopher chain once per
+    gradient round — the Spark side persists the same frame)."""
     n_feat = len(_LOGREG_FEATURES)
     means = ", ".join(f"round(avg(f{i}) + 1e-9, 6) AS m{i}" for i in range(1, 5))
     stds = ", ".join(
@@ -619,14 +623,24 @@ def _logreg_sql() -> str:
             for i in range(n_feat)
         )
         parts.append(f"w{k} AS MATERIALIZED (SELECT {ws} FROM w{k - 1} w CROSS JOIN g{k} g)")
-    zf = " + ".join(f"w.w{i + 1} * f.x{i + 1}" for i in range(n_feat))
+    return parts
+
+
+_LOGREG_ZF_SQL = " + ".join(
+    f"w.w{i + 1} * f.x{i + 1}" for i in range(len(_LOGREG_FEATURES))
+)
+
+
+def _logreg_sql() -> str:
+    n_feat = len(_LOGREG_FEATURES)
+    zf = _LOGREG_ZF_SQL
     feat_rows = "\nUNION ALL\n".join(
         f"SELECT {i} AS feature_idx, '{_LOGREG_FEATURES[i]}' AS feature,"
         f" (SELECT w{i + 1} FROM w{LOGREG_ITERS}) AS value"
         for i in range(n_feat)
     )
     return (
-        "WITH " + ",\n".join(parts) + f""",
+        "WITH " + ",\n".join(_logreg_chain_parts()) + f""",
 acc AS (
   SELECT round(avg(CASE WHEN (CASE WHEN 1.0 / (1.0 + exp(-({zf}))) >= 0.5
                                THEN 1.0 ELSE 0.0 END) = f.y
@@ -680,13 +694,10 @@ def quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _logreg_score_sql() -> str:
-    n_feat = len(_LOGREG_FEATURES)
-    # reuse the training chain up to the final weights CTE, swap the
-    # accuracy tail for the score/decile aggregation
-    chain = _logreg_sql().rsplit(",\nacc AS", 1)[0]
-    zf = " + ".join(f"w.w{i + 1} * f.x{i + 1}" for i in range(n_feat))
+    # same training chain, score/decile tail instead of accuracy
+    zf = _LOGREG_ZF_SQL
     return (
-        chain
+        "WITH " + ",\n".join(_logreg_chain_parts())
         + f""",
 sc AS (
   SELECT f.doc_id, f.y,

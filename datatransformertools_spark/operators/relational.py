@@ -2632,27 +2632,16 @@ def customer_rfm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     K lowest custkeys' vectors. Output is the exploded (cluster,
     dim, cval, n_members) centroid matrix, the same contract as
     `kmeans_embeddings`."""
-    from datatransformertools_spark.operators.similarity import _assign
+    from datatransformertools_spark.operators.similarity import (
+        _assign,
+        _init_cents,
+        _lloyd_update,
+    )
 
     feats = _rfm_feature_df(spark, sf_dir)
-    rows = (
-        feats.orderBy("custkey")
-        .limit(RFM_K)
-        .select(F.transform("v", lambda x: F.round(x + 1e-9, 6)).alias("v"))
-        .collect()
-    )
-    cents = [list(r["v"]) for r in rows]
+    cents = _init_cents(feats, k=RFM_K, key="custkey")
     for _ in range(RFM_ITERS - 1):
-        per_dim = (
-            _assign(feats, cents)
-            .select("cluster", F.posexplode("v").alias("dim", "val"))
-            .groupBy("cluster", "dim")
-            .agg(F.round(F.avg("val") + 1e-9, 6).alias("cval"))
-        )
-        new = {(r["cluster"], r["dim"]): r["cval"] for r in per_dim.collect()}
-        cents = [
-            [new.get((k, d), cents[k][d]) for d in range(_RFM_DIM)] for k in range(RFM_K)
-        ]
+        cents = _lloyd_update(feats, cents)
     final = (
         _assign(feats, cents)
         .select("cluster", F.posexplode("v").alias("dim", "val"))
@@ -2673,10 +2662,6 @@ def customer_rfm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _rfm_kmeans_sql() -> str:
     dim, k = _RFM_DIM, RFM_K
-    dist = (
-        f"list_sum(list_transform(range(1, {dim} + 1),"
-        " i -> (e.v[i]-cl.c[i])*(e.v[i]-cl.c[i])))"
-    )
     means = ", ".join(f"round(avg(f{i}) + 1e-9, 6) AS m{i}" for i in range(1, dim + 1))
     stds = ", ".join(
         f"CASE WHEN round(stddev_pop(f{i}) + 1e-9, 6) < 1e-6 THEN 1.0"
@@ -2686,8 +2671,10 @@ def _rfm_kmeans_sql() -> str:
     vec = ", ".join(
         f"round((f{i} - m{i}) / s{i} + 1e-9, 6)" for i in range(1, dim + 1)
     )
-    parts = [
-        """raw AS (
+    from datatransformertools_spark.operators.similarity import _lloyd_cte_parts
+
+    lead = [
+        """WITH raw AS (
   SELECT o_custkey AS custkey,
          date_diff('day', max(o_orderdate), (SELECT max(o_orderdate) FROM orders))::DOUBLE AS f1,
          count(*)::DOUBLE AS f2,
@@ -2696,47 +2683,11 @@ def _rfm_kmeans_sql() -> str:
 )""",
         f"stats AS (SELECT {means}, {stds} FROM raw)",
         f"e AS (SELECT custkey, [{vec}] AS v FROM raw CROSS JOIN stats)",
-        f"""seed AS (
-  SELECT CAST(row_number() OVER (ORDER BY custkey) - 1 AS INTEGER) AS cluster, v
-  FROM (SELECT custkey, v FROM e ORDER BY custkey LIMIT {k})
-)""",
-        f"""c0 AS (
-  SELECT cluster, CAST(d AS INTEGER) AS dim, round(v[d + 1] + 1e-9, 6) AS cval
-  FROM seed CROSS JOIN range(0, {dim}) t(d)
-)""",
     ]
-    for n in range(1, RFM_ITERS + 1):
-        prev = f"c{n - 1}"
-        parts.append(
-            f"cl{n} AS (SELECT cluster, list(cval ORDER BY dim) AS c FROM {prev} GROUP BY cluster)"
-        )
-        parts.append(
-            f"""a{n} AS (
-  SELECT custkey, v, cluster FROM (
-    SELECT e.custkey, e.v, cl.cluster,
-           row_number() OVER (PARTITION BY e.custkey
-                              ORDER BY {dist}, cl.cluster) AS rn
-    FROM e CROSS JOIN cl{n} cl
-  ) WHERE rn = 1
-)"""
-        )
-        parts.append(
-            f"""c{n}_new AS (
-  SELECT cluster, CAST(d AS INTEGER) AS dim,
-         round(avg(v[d + 1]) + 1e-9, 6) AS cval, count(*) AS n_members
-  FROM a{n} CROSS JOIN range(0, {dim}) t(d)
-  GROUP BY 1, 2
-)"""
-        )
-        parts.append(
-            f"""c{n} AS (
-  SELECT p.cluster, p.dim, COALESCE(n.cval, p.cval) AS cval
-  FROM {prev} p LEFT JOIN c{n}_new n ON p.cluster = n.cluster AND p.dim = n.dim
-)"""
-        )
+    parts = _lloyd_cte_parts(lead_parts=lead, k=k, dim=dim, key="custkey", iters=RFM_ITERS)
     last = RFM_ITERS
     return (
-        "WITH " + ",\n".join(parts)
+        ",\n".join(parts)
         + f"""
 SELECT c.cluster, c.dim, c.cval,
        CAST(COALESCE(n.n_members, 0) AS BIGINT) AS n_members

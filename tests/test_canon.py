@@ -69,6 +69,11 @@ def test_canon_float_formatting():
     assert canon([1, 2.5]) == "[1,2.5]"
 
 
+def test_canon_negative_zero_normalized():
+    # engines may disagree on the sign of a sum that cancels to zero
+    assert canon(-0.0) == canon(0.0) == "0"
+
+
 def test_canon_rows_column_order_insensitive():
     a = canon_rows(["b", "a"], [(2, 1)])
     b = canon_rows(["a", "b"], [(1, 2)])

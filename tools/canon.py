@@ -97,6 +97,8 @@ def canon(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        if v == 0:
+            v = 0.0  # IEEE -0.0 must hash like 0.0 (sign of a cancelled sum is engine noise)
         # round-trip floats through a fixed repr
         return f"{v:.6f}".rstrip("0").rstrip(".")
     if isinstance(v, (list, tuple)):

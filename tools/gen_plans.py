@@ -437,9 +437,11 @@ PROSE_SECTIONS = [
         "self-join, i.e. it joined the iterative family and pays that "
         "family's fixed per-round scheduling overhead at sf0.1. That is "
         "the cost of removing the O((N/10)^2) label-blocked join volume; "
-        "the centroid fit is now memoized per session (similarity.py "
-        "trained_centroids), so the dedup_embedding family + semdedup + "
-        "kmeans_embeddings share ONE training run instead of five.",
+        "the centroid fit is now memoized per session as a per-round "
+        "state chain (similarity.py trained_centroids) — shorter fits "
+        "are prefixes of longer ones — so the dedup_embedding family + "
+        "semdedup + kmeans_embeddings share ONE training run instead "
+        "of five.",
     ),
     (
         "r2->r1 shared-query regression audit (VERDICT r2 #6)",
