@@ -925,6 +925,61 @@ GROUP BY probe, n_exact_pairs
 EMB_BLOCKING_CURVE_SQL = _emb_blocking_curve_sql()
 
 
+def dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup endgame: turn the blocked embedding near-dup
+    PAIRS into duplicate CLUSTERS and keeper flags — every vector
+    gets the min vec_id of its near-dup cluster as `component`
+    (min-id survivor, the same convention as `dedup_exact` /
+    `dedup_components`), so downstream keeps exactly one vector per
+    semantic cluster. Reuses the shared min-label-propagation loop
+    over the τ-pair edge list (`_min_label_components` — candidate
+    graph only, scalar-only driver state) and rejoins isolated
+    vectors as their own component."""
+    edges = dedup_embedding(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    labels = _min_label_components(edges).select(
+        F.col("doc_id").alias("vec_id"), "component"
+    )
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    out = vecs.join(labels, "vec_id", "left").select(
+        "vec_id", F.coalesce(F.col("component"), F.col("vec_id")).alias("component")
+    )
+    return out.withColumn("is_keeper", (F.col("vec_id") == F.col("component")).cast("int"))
+
+
+def _dedup_embedding_components_sql() -> str:
+    parts = _emb_pairs_parts()
+    head = parts[0]
+    if not head.startswith("WITH "):
+        raise RuntimeError("embedding-pairs chain must start with WITH")
+    # the reach CTE is recursive; DuckDB wants the keyword up front
+    parts[0] = "WITH RECURSIVE " + head[len("WITH "):]
+    return (
+        ",\n".join(parts)
+        + f""",
+tau_pairs AS (SELECT vec_a, vec_b FROM pairs WHERE cos_sim >= {COSINE_TAU}),
+cedges AS (
+  SELECT vec_a AS a, vec_b AS b FROM tau_pairs
+  UNION ALL
+  SELECT vec_b AS a, vec_a AS b FROM tau_pairs
+),
+reach(node, root) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT ce.b, r.root FROM reach r JOIN cedges ce ON ce.a = r.node
+)
+SELECT node AS vec_id,
+       min(root) AS component,
+       CASE WHEN node = min(root) THEN 1 ELSE 0 END AS is_keeper
+FROM reach GROUP BY node
+"""
+    )
+
+
+DEDUP_EMBEDDING_COMPONENTS_SQL = _dedup_embedding_components_sql()
+
+
 # ---------------------------------------------------------------------------
 # dedup_components — candidate pairs → duplicate clusters → keepers
 # ---------------------------------------------------------------------------
@@ -941,33 +996,45 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Iterative min-label propagation: each round joins labels to the
     (tiny) edge list and takes the per-node min — the standard
     large-graph CC under Pregel/GraphX, expressed as DataFrame
-    joins. Converges in O(component diameter) rounds; near-dup
-    clusters are shallow, so 3-5 rounds in practice. The driver
-    only checks a scalar convergence count per round."""
+    joins (shared loop `_min_label_components`). Converges in
+    O(component diameter) rounds; near-dup clusters are shallow, so
+    3-5 rounds in practice. The driver only checks a scalar
+    convergence count per round."""
     edges = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    # Iterate ONLY over edge-touched nodes (isolated docs are their
-    # own component and rejoin at the end): the loop's working set
-    # is the candidate graph, which is orders of magnitude smaller
-    # than the corpus. 8 partitions — the frames are tiny relative
-    # to any cluster; at larger graphs AQE re-coalesces anyway.
+    labels = _min_label_components(edges)
+    # labels scales with the candidate graph (per-doc at worst) →
+    # shuffle join on doc_id, never broadcast.
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("component")
+    )
+    return out.withColumn("is_keeper", (F.col("doc_id") == F.col("component")).cast("int"))
+
+
+def _min_label_components(edges: DataFrame) -> DataFrame:
+    """Min-label connected components over an (doc_a, doc_b) edge
+    list; returns (doc_id, component) for edge-touched nodes only
+    (isolated nodes rejoin at the caller). Iterates ONLY over the
+    candidate graph — orders of magnitude smaller than the corpus.
+    8 partitions: the frames are tiny relative to any cluster; at
+    larger graphs AQE re-coalesces anyway. localCheckpoint (not
+    persist): iterative plans grow their lineage every round, so
+    analysis/AQE replanning cost compounds — checkpointing truncates
+    the plan to the materialized data. Convergence via the label-sum
+    invariant: min-propagation only ever lowers labels, so the sum
+    strictly decreases until the fixpoint — one scalar agg per round
+    instead of a compare-join."""
     edges_bi = track(
         edges.unionByName(
             edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
         ).repartition(8, "doc_a")
     )
-    # localCheckpoint (not persist): iterative plans grow their
-    # lineage every round, so analysis/AQE replanning cost compounds
-    # — checkpointing truncates the plan to the materialized data,
-    # keeping each iteration O(current data), not O(history).
     labels = (
         edges_bi.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .select("doc_id", F.col("doc_id").alias("component"))
         .localCheckpoint()
     )
-    # Convergence via the label-sum invariant: min-propagation only
-    # ever lowers labels, so the sum strictly decreases until the
-    # fixpoint — one scalar agg per round instead of a compare-join.
     prev_sum = labels.agg(F.sum("component")).first()[0]
     for _ in range(MAX_CC_ITERS):
         neigh = (
@@ -985,13 +1052,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    # labels scales with the candidate graph (per-doc at worst) →
-    # shuffle join on doc_id, never broadcast.
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    out = docs.join(labels, "doc_id", "left").select(
-        "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("component")
-    )
-    return out.withColumn("is_keeper", (F.col("doc_id") == F.col("component")).cast("int"))
+    return labels
 
 
 DEDUP_COMPONENTS_SQL = f"""
@@ -1724,6 +1785,10 @@ QUERIES = {
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
     "dedup_embedding_recall": (dedup_embedding_recall, DEDUP_EMBEDDING_RECALL_SQL),
     "emb_blocking_curve": (emb_blocking_curve, EMB_BLOCKING_CURVE_SQL),
+    "dedup_embedding_components": (
+        dedup_embedding_components,
+        DEDUP_EMBEDDING_COMPONENTS_SQL,
+    ),
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
     "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "dedup_lsh_quality": (dedup_lsh_quality, DEDUP_LSH_QUALITY_SQL),

@@ -144,6 +144,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "events_holt_forecast",  # new in r5: fold-based Holt smoothing
         "events_holt_winters",  # new in r5: + hour-of-day season
         "customer_rfm_kmeans",  # new in r5: k-means on RFM space
+        "dedup_embedding_components",  # new in r5: emb pairs → clusters
     ]
     if len(head_r5) != 50:
         raise RuntimeError(f"gate rotation head must be exactly 50, got {len(head_r5)}")
