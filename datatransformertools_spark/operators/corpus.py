@@ -999,7 +999,7 @@ TOKENIZE_VOCAB_V = 20  # < corpus vocab (31), so the OOV path is real
 TOKENIZE_UNK_ID = 0
 
 
-def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tokenize_to_ids_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tokenize-for-training step that bridges vocabulary
     induction (`vocab_topk`) and batch assembly (`pack_sequences`):
     every document becomes an ``input_ids`` int array under a
@@ -1007,6 +1007,13 @@ def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     OOV → unk id 0), plus token/OOV counts. V is set below the
     corpus vocabulary so the unk path is value-certified, not
     vacuously green.
+
+    This array-returning variant is the INTERNAL op downstream
+    consumers (`pack_sequences`-style batch assembly) compose with;
+    the REGISTERED query `tokenize_to_ids` reduces the array to
+    deterministic digest columns because the driver's pandas
+    canonicalizer cannot hash/sort list cells (the r5 red-row class
+    — see tests/test_oracle_parity.py's no-array-schema guard).
 
     Scale design: the token grain is the irreducible work. Tokens
     posexplode map-side, the id lookup is a shuffle join keyed on
@@ -1046,7 +1053,25 @@ def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TOKENIZE_TO_IDS_SQL = (
+def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-certifiable face of `tokenize_to_ids_array`: the raw
+    ``input_ids`` array collapses to scalar certification columns —
+    an md5 digest of the comma-joined ids (so the array CONTENT,
+    order included, stays fully value-gated), token/OOV counts, and
+    the first/last id. Same plan as the array variant plus one
+    codegen'd projection; no extra shuffle."""
+    ids = tokenize_to_ids_array(spark, sf_dir)
+    return ids.select(
+        "doc_id",
+        F.md5(F.concat_ws(",", F.col("input_ids").cast("array<string>"))).alias("ids_md5"),
+        "n_tokens",
+        "n_oov",
+        F.element_at("input_ids", 1).alias("first_id"),
+        F.element_at("input_ids", -1).alias("last_id"),
+    )
+
+
+TOKENIZE_TO_IDS_ARRAY_SQL = (
     r"""
 WITH split AS (
   SELECT doc_id,
@@ -1075,9 +1100,22 @@ GROUP BY doc_id
 """.replace("TOPV", str(TOKENIZE_VOCAB_V)).replace("UNKID", str(TOKENIZE_UNK_ID))
 )
 
+# digest-column mirror of the registered query (DuckDB md5 over the
+# identical comma-joined id string; list indexing is 1-based / -1 =
+# last on both engines)
+TOKENIZE_TO_IDS_SQL = f"""
+SELECT doc_id,
+       md5(array_to_string(input_ids, ',')) AS ids_md5,
+       n_tokens,
+       n_oov,
+       input_ids[1] AS first_id,
+       input_ids[-1] AS last_id
+FROM ({TOKENIZE_TO_IDS_ARRAY_SQL}) t
+"""
+
 
 # ---------------------------------------------------------------------------
-# split_leakage_audit — near-dup pairs crossing the train/val/test split
+# split_leakage_audit — near-dup pairs crossing the train/val split
 # ---------------------------------------------------------------------------
 
 def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

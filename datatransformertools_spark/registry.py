@@ -53,72 +53,16 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
             if name in merged:
                 raise ValueError(f"duplicate query name {name!r} from {mod_name}")
             merged[name] = pair
-    # r5 ZERO-OVERLAP gate rotation (VERDICT r4 #2): the driver's
-    # correctness gate records the FIRST 50 registry entries. The r5
-    # head is exactly (a) the 2 re-certifications forced this round
-    # (bpe_train_merges — red in r4 on an oracle HUGEINT dtype, now
-    # cast; dedup_embedding — re-blocked from the quadratic label
-    # key onto k-means cells, so its r2 row is stale) and (b) the
-    # next 48 never-certified operators from the ordered queue. All
-    # 48 pass the identical gate logic locally — now dtype-strict —
-    # via tests/test_oracle_parity.py.
-    head_r5 = [
-        "bpe_train_merges",  # r4 red row: oracle sum() HUGEINT → BIGINT cast
-        "dedup_embedding",  # re-blocked (VERDICT r4 #3): label → k-means cells
-        "tokenize_to_ids",  # new in r4 (post-window)
-        "corpus_filter_funnel",  # new in r4 (post-window)
-        "events_stream_interval_join_outer",  # new in r4 (post-window)
-        "embedding_whiten_invariants",  # new in r4 (post-window)
-        "embedding_whitening",  # new in r4 (post-window; rows-only)
-        "detection_confusion_matrix",  # new in r4 (post-window)
-        "ann_ivf_pq_topk",  # new in r4 (post-window)
-        "dedup_overlap_chain",  # new in r4 (post-window)
-        "bpe_segment_stats",
-        "dataset_datasheet",
-        "partitioned_write_prune",
-        "events_burstiness",
-        "part_price_elasticity",
-        "customer_survival_km",
-        "embedding_pca_project",
-        "part_kcore",
-        "dedup_substring_spans",
-        "ann_range_search",
-        "vocab_coverage_curve",
-        "source_language_profile",
-        "partition_layout_audit",
-        "events_trailing_1h",
-        "embedding_drift",
-        "part_similar_parts",
-        "video_frame_sample",
-        "events_stream_anomaly",
-        "bloom_join_prune",
-        "doc_bigram_logprob",
-        "events_forecast_backtest",
-        "source_quality_calibration",
-        "orders_priority_scd2",
-        "lineitem_orc_roundtrip",
-        "events_type_user_overlap",
-        "source_unigram_divergence",
-        "events_hll_merge_daily",
-        "detection_nms",
-        "sentence_stats",
-        "events_incremental_refresh",
-        "doc_rake_keyphrases",
-        "events_session_paths",
-        "events_value_winsorize",
-        "part_entity_resolution",
-        "orders_backlog_sweep",
-        "supplier_concentration_hhi",
-        "events_ab_test",
-        "user_ctr_wilson",
-        "events_attribution_time_decay",
-        "zone_map_skipping_audit",
-    ]
-    # The remaining never-certified operators, in r6 promotion order
-    # (r6's window closes the queue — 16 carried + any new-in-r5
-    # ops appended below them). Sits immediately after the head so
-    # next round's rotation is a pure window shift.
-    queue_r6 = [
+    # r6 gate rotation (VERDICT r5 #1): the driver's correctness
+    # gate records the FIRST 50 registry entries. The r6 head CLOSES
+    # the evidence queue — all 26 never-certified operators from the
+    # r5 queue, plus `tokenize_to_ids` whose one red r5 row came
+    # from the driver canonicalizer choking on its array column (the
+    # registered query is now a scalar digest face — see
+    # operators/corpus.py). Every row passes the identical
+    # dtype-strict gate locally via tests/test_oracle_parity.py.
+    queue_head = [
+        "tokenize_to_ids",  # r5 red row: array schema → digest face, re-enter
         "nation_trade_matrix",
         "part_abc_classification",
         "priority_returnflag_chi2",
@@ -146,14 +90,56 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "customer_rfm_kmeans",  # new in r5: k-means on RFM space
         "dedup_embedding_components",  # new in r5: emb pairs → clusters
     ]
-    if len(head_r5) != 50:
-        raise RuntimeError(f"gate rotation head must be exactly 50, got {len(head_r5)}")
-    missing = [n for n in head_r5 + queue_r6 if n not in merged]
+    # Operators NEW in r6 slot directly into the same window so they
+    # certify in the round they land (the queue is otherwise empty);
+    # names append here as each one lands with its oracle + tests.
+    new_r6: list[str] = []
+    # Remaining slots re-certify rows whose internals changed this
+    # round (the τ-pair memo + corpus-derived K under the embedding
+    # family) first, then stable high-coverage rows — harmless
+    # re-evidence, zero queue cost.
+    refill = [
+        "dedup_embedding",  # r6: shared τ-pair memo + K(n) centroids
+        "semdedup",  # r6: inherits K(n) via trained_centroids
+        "kmeans_embeddings",  # r6: inherits K(n)
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "q1_pricing_summary",
+        "q9_profit_by_nation",
+        "events_sessionize",
+        "text_stats",
+        "ann_bruteforce_topk",
+        "contamination_check",
+        "detection_eval_map",
+        "events_stream_sessionize",
+        "pack_sequences",
+        "orders_rollup",
+        "doc_tfidf_topk",
+        "events_asof_join",
+        "gopher_quality_filter",
+        "bpe_train_merges",
+        "part_pagerank",
+        "events_drift_psi",
+        "customer_rfm",
+        "lang_id",
+        "q6_forecast_revenue",
+        "orders_cohort_retention",
+        "dedup_simhash",
+        "events_funnel",
+        "stratified_sample",
+        "ngram_topk",
+        "events_tumbling_agg",
+        "yolo_normalize",
+        "detection_eval",
+    ]
+    head = queue_head + new_r6 + refill[: 50 - len(queue_head) - len(new_r6)]
+    if len(head) != 50:
+        raise RuntimeError(f"gate rotation head must be exactly 50, got {len(head)}")
+    missing = [n for n in head if n not in merged]
     if missing:
         raise RuntimeError(f"rotation names not in registry: {missing}")
-    ordered = {n: merged[n] for n in head_r5}
-    ordered.update({n: merged[n] for n in queue_r6})
-    # everything else (driver-certified in r1-r3) sits past the
+    ordered = {n: merged[n] for n in head}
+    # everything else (driver-certified in r1-r5) sits past the
     # horizon in module order
     ordered.update({n: merged[n] for n in merged if n not in ordered})
     _CACHE = ordered

@@ -53,7 +53,54 @@ def test_oracle_parity(name, spark, sf_dir, duck):
     assert s_canon == d_canon, f"{name}: value mismatch, first diffs: {mism}"
 
 
+# Registered schemas the driver gate is known to canonicalize: only
+# scalar top-level columns. An array/struct/map column makes the
+# driver's pandas sort_values throw `unhashable type: 'list'` (the
+# r5 `tokenize_to_ids` red-row class) even though the local gate
+# stringifies arrays — so the ban is enforced HERE, locally, the
+# same way test_canon.py made the HUGEINT class a local failure.
+# A query needing to certify array CONTENT registers a digest face
+# (md5 of the joined elements) and keeps the array variant internal.
+_DRIVER_SAFE_COMPLEX: set[str] = set()  # (name, col) pairs, none today
+
+
 def test_all_queries_return_rows(spark, sf_dir):
+    import re
+
+    complex_re = re.compile(r"^(array|struct|map)<")
     for name, fn in _QUERIES.items():
         df = fn(spark, sf_dir)
         assert df.columns, f"{name}: no columns"
+        bad = [
+            (col, dt)
+            for col, dt in df.dtypes
+            if complex_re.match(dt) and (name, col) not in _DRIVER_SAFE_COMPLEX
+        ]
+        assert not bad, (
+            f"{name}: registered schema exposes complex column(s) {bad} — "
+            "the driver canonicalizer cannot hash them; register a digest "
+            "face instead (see tokenize_to_ids)"
+        )
+
+
+# The steady-state rows-only set: exactly these four ops ship with
+# no SQL oracle (engine-internal sketch state / numpy eigh), and
+# each one's CONTRACT is value-gated through the named certified
+# companion. Pinning the set means a future op cannot silently ship
+# rows-only — it either gets an oracle or is added here with a
+# companion, explicitly.
+_ROWS_ONLY_COMPANIONS = {
+    "events_user_count_hll": "events_user_count_hll_error",
+    "events_value_quantiles_sketch": "events_value_quantiles_sketch_error",
+    "embedding_pca_project": "embedding_pca_invariants",
+    "embedding_whitening": "embedding_whiten_invariants",
+}
+
+
+def test_rows_only_set_pinned():
+    rows_only = set(_QUERIES) - set(_ORACLES)
+    assert rows_only == set(_ROWS_ONLY_COMPANIONS), (
+        f"rows-only registry drift: {sorted(rows_only ^ set(_ROWS_ONLY_COMPANIONS))}"
+    )
+    for op, companion in _ROWS_ONLY_COMPANIONS.items():
+        assert companion in _ORACLES, f"{op}: companion {companion} has no oracle"

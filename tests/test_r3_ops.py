@@ -1216,11 +1216,11 @@ def test_tokenize_to_ids_reconstructs_tokens(spark, sf_dir):
     from datatransformertools_spark.operators.corpus import (
         TOKENIZE_UNK_ID,
         TOKENIZE_VOCAB_V,
-        tokenize_to_ids,
+        tokenize_to_ids_array,
     )
     from datatransformertools_spark.sources.tables import load_table
 
-    out = tokenize_to_ids(spark, sf_dir)
+    out = tokenize_to_ids_array(spark, sf_dir)
     rows = out.collect()
     assert rows
     for r in rows:
@@ -1245,6 +1245,22 @@ def test_tokenize_to_ids_reconstructs_tokens(spark, sf_dir):
     ]
     got = next(r["input_ids"] for r in rows if r["doc_id"] == doc["doc_id"])
     assert got == expected
+
+    # the REGISTERED digest face must be the md5 of exactly this
+    # array (comma-joined), with matching scalar columns
+    import hashlib
+
+    from datatransformertools_spark.operators.corpus import tokenize_to_ids
+
+    reg = {r["doc_id"]: r for r in tokenize_to_ids(spark, sf_dir).collect()}
+    assert set(reg) == {r["doc_id"] for r in rows}
+    for r in rows:
+        g = reg[r["doc_id"]]
+        joined = ",".join(str(i) for i in r["input_ids"])
+        assert g["ids_md5"] == hashlib.md5(joined.encode()).hexdigest()
+        assert g["n_tokens"] == r["n_tokens"] and g["n_oov"] == r["n_oov"]
+        assert g["first_id"] == r["input_ids"][0]
+        assert g["last_id"] == r["input_ids"][-1]
 
 
 def test_corpus_filter_funnel_monotone(spark, sf_dir):
