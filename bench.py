@@ -52,6 +52,12 @@ _ISOLATE_DEFAULT = [
     # blocking now runs the Lloyd's loop).
     "dedup_embedding",
     "lineitem_orc_roundtrip",
+    # r6 (VERDICT r5 #5): 3 of the 4 slowest r5 queries, all
+    # iterative/memo-sensitive — in-suite numbers are memo-order
+    # artifacts; isolated cold/warm is the honest timing.
+    "emb_blocking_curve",
+    "dedup_embedding_components",
+    "quality_logreg_score",
 ]
 
 

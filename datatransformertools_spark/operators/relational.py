@@ -2643,7 +2643,7 @@ def customer_rfm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(RFM_ITERS - 1):
         cents = _lloyd_update(feats, cents)
     final = (
-        _assign(feats, cents)
+        _assign(feats, cents, key="custkey")
         .select("cluster", F.posexplode("v").alias("dim", "val"))
         .groupBy("cluster", "dim")
         .agg(F.round(F.avg("val") + 1e-9, 6).alias("cval"), F.count(F.lit(1)).alias("n_members"))

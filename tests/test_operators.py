@@ -393,3 +393,74 @@ class TestMultimodal:
                 assert r.n_frames == 1
             else:
                 assert r.n_frames >= 1
+
+
+class TestKScaling:
+    """Corpus-derived K (VERDICT r5 #2): the blocking family's
+    "clusters ∝ N" claim is code, and the broadcast-join assignment
+    path past the literal-centroid codegen ceiling is semantically
+    identical to the literal path."""
+
+    def test_corpus_k_floor_at_shipped_sf(self, spark, sf_dir):
+        from datatransformertools_spark.operators.similarity import (
+            K_CLUSTERS,
+            TARGET_CELL,
+            corpus_k,
+        )
+        from datatransformertools_spark.sources.tables import load_table
+
+        n = load_table(spark, sf_dir, "embeddings").count()
+        k = corpus_k(spark, sf_dir)
+        assert k == max(K_CLUSTERS, -(-n // TARGET_CELL))
+        # every shipped SF (500/500/2000 vectors) lands ON the floor,
+        # which is what keeps the unrolled K=8 oracle chain exact
+        assert k == K_CLUSTERS
+
+    def test_corpus_k_scales_past_floor(self):
+        from datatransformertools_spark.operators.similarity import (
+            K_CLUSTERS,
+            TARGET_CELL,
+        )
+
+        # the formula itself: 100× corpus → ~100× clusters
+        for n in (10_000, 1_000_000, 100_000_000):
+            k = max(K_CLUSTERS, -(-n // TARGET_CELL))
+            assert k >= n / TARGET_CELL
+            assert k * TARGET_CELL < n + TARGET_CELL
+
+    def test_assign_join_path_matches_literal(self, spark):
+        from datatransformertools_spark.operators.similarity import (
+            _assign,
+            _cells_join,
+        )
+
+        rows = [
+            (i, [float((i * 7 + d * 3) % 11) for d in range(4)]) for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "vec_id int, v array<double>")
+        cents = [[float((k + d) % 5) for d in range(4)] for k in range(6)]
+        lit = {r["vec_id"]: r["cluster"] for r in _assign(df, cents).collect()}
+        join = {
+            r["vec_id"]: r["cluster"]
+            for r in _cells_join(df, cents, 1, "vec_id").collect()
+        }
+        assert lit == join
+
+    def test_multiprobe_join_path_matches_literal(self, spark):
+        from datatransformertools_spark.operators.dedup import _multiprobe
+        from datatransformertools_spark.operators.similarity import _cells_join
+
+        rows = [
+            (i, [float((i * 5 + d * 2) % 13) for d in range(4)]) for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "vec_id int, v array<double>")
+        cents = [[float((k * 3 + d) % 7) for d in range(4)] for k in range(5)]
+        lit = {
+            (r["vec_id"], r["rn"], r["cluster"])
+            for r in _multiprobe(df, cents, max_probe=3, keep_rank=True).collect()
+        }
+        join = {
+            (r["vec_id"], r["rn"], r["cluster"])
+            for r in _cells_join(df, cents, 3, "vec_id").collect()
+        }
+        assert lit == join
