@@ -176,12 +176,19 @@ def main() -> None:
     # the slowest 25 (the ones worth reading in a summary); the full
     # map is in BENCH_DETAIL.json.
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:25])
+    # per-family rollup: always fits the driver's 2000-char stdout
+    # tail even as the per-query map outgrows it (VERDICT r5 #8)
+    fam_map = registry.families()
+    fams: dict[str, float] = {}
+    for name, sec in timings.items():
+        fams[fam_map.get(name, "?")] = fams.get(fam_map.get(name, "?"), 0.0) + sec
     out = {
         "metric": "total_runtime_all_queries",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in sorted(slowest.items())},
         "queries_note": f"25 slowest of {len(timings)}; full map in BENCH_DETAIL.json",
+        "families": {k: round(v, 1) for k, v in sorted(fams.items())},
         "sf": sf_val,
         "n_queries": len(timings),
         "cpus": int(cpus),

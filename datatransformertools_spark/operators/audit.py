@@ -698,8 +698,78 @@ FROM stats s CROSS JOIN truth t
 """
 
 
+# ---------------------------------------------------------------------------
+# table_stats_profile — ANALYZE-style column statistics across the warehouse
+# ---------------------------------------------------------------------------
+
+# (table, column) pairs profiled — one representative key + one
+# value column per table, the stats a cost-based optimizer (and a
+# data-quality baseline) actually consumes.
+_STATS_SPEC: list[tuple[str, str]] = [
+    ("region", "r_regionkey"),
+    ("nation", "n_nationkey"),
+    ("customer", "c_custkey"),
+    ("customer", "c_mktsegment"),
+    ("supplier", "s_suppkey"),
+    ("part", "p_brand"),
+    ("orders", "o_custkey"),
+    ("orders", "o_orderpriority"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_returnflag"),
+    ("events", "user_id"),
+    ("events", "event_type"),
+    ("documents", "source"),
+    ("embeddings", "label"),
+]
+
+
+def table_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE for the whole warehouse in one result: row
+    count, null count, distinct count, and distinct ratio per
+    profiled column — the statistics Catalyst's cost-based optimizer
+    joins/reorders from, and the baseline a data-quality monitor
+    diffs run-over-run (a key column whose distinct ratio drops is
+    a silent duplication incident).
+
+    Scale: one map-side-combined aggregate per profiled table (each
+    is a single pass producing ONE row; count_distinct shuffles the
+    column's value space, the unavoidable cost of an exact
+    distinct); the union is |spec| rows."""
+    frames = []
+    for tbl, col in _STATS_SPEC:
+        t = load_table(spark, sf_dir, tbl)
+        frames.append(
+            t.agg(
+                F.lit(tbl).alias("tbl"),
+                F.lit(col).alias("col"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col(col).isNull().cast("long")).alias("n_nulls"),
+                F.countDistinct(col).alias("n_distinct"),
+                F.round(
+                    F.countDistinct(col) / F.count(F.lit(1)) + 1e-9, 6
+                ).alias("distinct_ratio"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+TABLE_STATS_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{tbl}' AS tbl, '{col}' AS col,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+       round(count(DISTINCT {col})::DOUBLE / count(*) + 1e-9, 6) AS distinct_ratio
+FROM {tbl}"""
+    for tbl, col in _STATS_SPEC
+)
+
+
 QUERIES = {
     "key_skew_profile": (key_skew_profile, KEY_SKEW_PROFILE_SQL),
+    "table_stats_profile": (table_stats_profile, TABLE_STATS_PROFILE_SQL),
     "partition_layout_audit": (partition_layout_audit, PARTITION_LAYOUT_AUDIT_SQL),
     "bloom_join_prune": (bloom_join_prune, BLOOM_JOIN_PRUNE_SQL),
     "zone_map_skipping_audit": (zone_map_skipping_audit, ZONE_MAP_SKIPPING_SQL),

@@ -1184,8 +1184,209 @@ FROM counts CROSS JOIN tot
 SPLIT_LEAKAGE_AUDIT_SQL = _split_leakage_sql()
 
 
+# ---------------------------------------------------------------------------
+# shard_pack_balanced — size-balanced training-shard packing
+# ---------------------------------------------------------------------------
+
+PACK_N_SHARDS = 8  # size-balanced variant; N_SHARDS=16 is the hash-route family
+
+
+def shard_pack_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-balanced shard packing — the data-loader-facing
+    complement to `shard_assignment`'s hash routing: hash routing
+    balances COUNTS but a skewed length distribution leaves shards
+    byte-imbalanced, and training throughput follows bytes. Docs are
+    banded by log2(length) (a pure map-side bucket), round-robined
+    WITHIN each band by length rank, and the audit reports per-shard
+    doc/char totals plus each shard's deviation from the ideal 1/N
+    share — near-zero deviation because round-robin within a
+    same-magnitude band hands every shard the same length profile.
+
+    Scale: the only windows are PARTITIONED BY BAND (≤ ~40 log2
+    bands, each parallel — never a global length sort); everything
+    else is map-side projection + one |shards|-row aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    band = F.floor(F.log2(F.col("n_chars") + 1)).cast("int")
+    rn = F.row_number().over(
+        Window.partitionBy("band").orderBy(F.col("n_chars").desc(), "doc_id")
+    )
+    assigned = (
+        docs.withColumn("band", band)
+        .withColumn("shard", (rn - 1) % PACK_N_SHARDS)
+    )
+    per_shard = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+    total = per_shard.agg(F.sum("total_chars").alias("grand"))
+    return per_shard.crossJoin(F.broadcast(total)).select(
+        "shard",
+        "n_docs",
+        "total_chars",
+        F.round(F.col("total_chars") / F.col("grand") + 1e-9, 6).alias("chars_share"),
+        F.round(
+            F.col("total_chars") / F.col("grand") - 1.0 / PACK_N_SHARDS + 1e-9, 6
+        ).alias("share_dev"),
+    )
+
+
+SHARD_PACK_BALANCED_SQL = f"""
+WITH assigned AS (
+  SELECT doc_id, n_chars,
+         (row_number() OVER (PARTITION BY CAST(floor(log2(n_chars + 1)) AS INTEGER)
+                             ORDER BY n_chars DESC, doc_id) - 1) % {PACK_N_SHARDS} AS shard
+  FROM documents
+),
+per_shard AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM assigned GROUP BY 1
+),
+t AS (SELECT sum(total_chars) AS grand FROM per_shard)
+SELECT shard, n_docs, total_chars,
+       round(total_chars::DOUBLE / grand + 1e-9, 6) AS chars_share,
+       round(total_chars::DOUBLE / grand - 1.0 / {PACK_N_SHARDS} + 1e-9, 6) AS share_dev
+FROM per_shard CROSS JOIN t
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_funnel_by_source — per-source retention through the dedup ladder
+# ---------------------------------------------------------------------------
+
+
+def dedup_funnel_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source survival through the dedup ladder raw → exact →
+    near-dup — the governance table that tells you WHERE the
+    duplicate mass lives before you re-weight sources:
+    `dedup_rate_by_source` audits the exact stage only; this chains
+    the minhash-LSH connected-components stage on top (keeper = min
+    doc_id per component, the `dedup_components` convention) so a
+    crawl source full of near-identical boilerplate shows its real
+    retention, not just its verbatim-copy rate.
+
+    Scale: the exact stage shuffles (16-byte md5, doc_id) — text
+    never moves; the near stage reuses the LSH candidate graph CC
+    (iterates over candidate edges only); the funnel itself is one
+    source-keyed aggregate down to |sources| rows."""
+    from datatransformertools_spark.operators.dedup import dedup_components
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(normalize_text(F.col("text"))).alias("h")
+    )
+    keep = docs.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    near = dedup_components(spark, sf_dir).select("doc_id", "is_keeper")
+    j = (
+        docs.join(keep, "h")
+        .join(near, "doc_id")
+        .select(
+            "source",
+            (F.col("doc_id") == F.col("keep_id")).cast("int").alias("is_exact"),
+            "is_keeper",
+        )
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum("is_exact").alias("n_exact_keepers"),
+        F.sum(F.col("is_exact") * F.col("is_keeper")).alias("n_near_keepers"),
+        F.round(F.sum("is_exact") / F.count(F.lit(1)) + 1e-9, 6).alias("exact_retention"),
+        F.round(
+            F.sum(F.col("is_exact") * F.col("is_keeper")) / F.count(F.lit(1)) + 1e-9, 6
+        ).alias("near_retention"),
+    )
+
+
+def _dedup_funnel_by_source_sql() -> str:
+    from datatransformertools_spark.operators.dedup import DEDUP_COMPONENTS_SQL
+
+    return rf"""
+WITH d AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+  FROM documents
+),
+keep AS (SELECT h, min(doc_id) AS keep_id FROM d GROUP BY 1),
+cc AS (SELECT doc_id, is_keeper FROM ({DEDUP_COMPONENTS_SQL}) t),
+j AS (
+  SELECT d.source,
+         CASE WHEN d.doc_id = k.keep_id THEN 1 ELSE 0 END AS is_exact,
+         c.is_keeper
+  FROM d JOIN keep k USING (h) JOIN cc c ON c.doc_id = d.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(sum(is_exact) AS BIGINT) AS n_exact_keepers,
+       CAST(sum(is_exact * is_keeper) AS BIGINT) AS n_near_keepers,
+       round(sum(is_exact)::DOUBLE / count(*) + 1e-9, 6) AS exact_retention,
+       round(sum(is_exact * is_keeper)::DOUBLE / count(*) + 1e-9, 6) AS near_retention
+FROM j GROUP BY 1
+"""
+
+
+DEDUP_FUNNEL_BY_SOURCE_SQL = _dedup_funnel_by_source_sql()
+
+
+# ---------------------------------------------------------------------------
+# pii_rate_by_source — PII exposure rollup for source governance
+# ---------------------------------------------------------------------------
+
+
+def pii_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII exposure: the governance rollup compliance
+    reviews actually read (`pii_scrub` emits per-doc hit counts;
+    this answers "which SOURCES leak identities and at what rate" —
+    the input to a source quarantine decision). One doc_id-keyed
+    join of the scrub output to the source column, one |sources|-row
+    aggregate; the scrub itself stays the pure scan-bound regex
+    stage."""
+    scrub = pii_scrub(spark, sf_dir).select("doc_id", "n_emails", "n_phones", "n_ssns")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    has_pii = (
+        (F.col("n_emails") + F.col("n_phones") + F.col("n_ssns")) > 0
+    ).cast("int")
+    return (
+        scrub.join(src, "doc_id")
+        .withColumn("has_pii", has_pii)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("has_pii").alias("n_docs_with_pii"),
+            F.round(F.sum("has_pii") / F.count(F.lit(1)) + 1e-9, 6).alias("pii_rate"),
+            F.sum("n_emails").alias("n_emails"),
+            F.sum("n_phones").alias("n_phones"),
+            F.sum("n_ssns").alias("n_ssns"),
+        )
+    )
+
+
+def _pii_rate_by_source_sql() -> str:
+    return f"""
+WITH scrub AS (
+  SELECT doc_id, n_emails, n_phones, n_ssns FROM ({PII_SCRUB_SQL}) p
+),
+j AS (
+  SELECT d.source, s.n_emails, s.n_phones, s.n_ssns,
+         CASE WHEN s.n_emails + s.n_phones + s.n_ssns > 0 THEN 1 ELSE 0 END AS has_pii
+  FROM scrub s JOIN documents d USING (doc_id)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(has_pii) AS BIGINT) AS n_docs_with_pii,
+       round(sum(has_pii)::DOUBLE / count(*) + 1e-9, 6) AS pii_rate,
+       CAST(sum(n_emails) AS BIGINT) AS n_emails,
+       CAST(sum(n_phones) AS BIGINT) AS n_phones,
+       CAST(sum(n_ssns) AS BIGINT) AS n_ssns
+FROM j GROUP BY 1
+"""
+
+
+PII_RATE_BY_SOURCE_SQL = _pii_rate_by_source_sql()
+
+
 QUERIES = {
     "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
+    "shard_pack_balanced": (shard_pack_balanced, SHARD_PACK_BALANCED_SQL),
+    "dedup_funnel_by_source": (dedup_funnel_by_source, DEDUP_FUNNEL_BY_SOURCE_SQL),
+    "pii_rate_by_source": (pii_rate_by_source, PII_RATE_BY_SOURCE_SQL),
     "split_leakage_audit": (split_leakage_audit, SPLIT_LEAKAGE_AUDIT_SQL),
     "tokenize_to_ids": (tokenize_to_ids, TOKENIZE_TO_IDS_SQL),
     "source_quality_calibration": (

@@ -410,30 +410,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhashes. Candidates come from 12-bit band equality (pigeonhole
     guarantees recall at ≤ 6 over 4 bands is partial by design — the
     standard simhash trade-off), verified by exact xor+bit_count."""
-    simh = _simhash_df(spark, sf_dir)
-    bands = [
-        F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS).bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1)).alias(f"b{b}")
-        for b in range(SIMHASH_BITS // SIMHASH_BAND_BITS)
-    ]
-    nb = SIMHASH_BITS // SIMHASH_BAND_BITS
-    banded = simh.select("doc_id", "simhash", *bands).select(
-        "doc_id", "simhash",
-        F.explode(F.array(*[F.struct(F.lit(b).alias("band_no"), F.col(f"b{b}").alias("band_val")) for b in range(nb)])).alias("bd"),
-    ).select("doc_id", "simhash", F.col("bd.band_no").alias("band_no"), F.col("bd.band_val").alias("band_val"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(b, (F.col("a.band_no") == F.col("b.band_no"))
-               & (F.col("a.band_val") == F.col("b.band_val"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), ham.alias("hamming"))
-        .distinct()
-        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    return _simhash_candidates(spark, sf_dir).filter(
+        F.col("hamming") <= SIMHASH_MAX_HAMMING
     )
 
 
-def _simhash_sql() -> str:
+def _simhash_cte_parts() -> list[str]:
+    """Simhash oracle chain as composable CTE parts (token hashing →
+    per-bit sums → 48-bit fingerprint → band explode → candidate
+    pairs with hamming). Token CTE is named sh_toks so the chain
+    composes with the shingle CTEs (`toks`/`shingles`) in one WITH.
+    Ends with spairs(doc_a, doc_b, hamming) — UNfiltered by
+    radius; consumers apply their own cut."""
+
     def bit(j: int) -> str:
         if j < 24:
             return f"(h1 >> {j}) & 1"
@@ -449,36 +438,173 @@ def _simhash_sql() -> str:
         f"SELECT doc_id, simhash, {b} AS band_no, (simhash >> {b * SIMHASH_BAND_BITS}) & {mask} AS band_val FROM fp"
         for b in range(nb)
     )
-    return rf"""
-WITH toks AS (
+    return [
+        r"""WITH sh_toks AS (
   SELECT doc_id,
          unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS token
   FROM documents
-),
-hashed AS (
+)""",
+        """hashed AS (
   SELECT doc_id,
          ('0x' || substr(md5(token), 1, 8))::BIGINT AS h1,
          ('0x' || substr(md5(token), 9, 8))::BIGINT AS h2
-  FROM toks
-),
-sums AS (
+  FROM sh_toks
+)""",
+        f"""sums AS (
   SELECT doc_id,
     {sums}
   FROM hashed GROUP BY doc_id
-),
-fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums),
-banded AS (
+)""",
+        f"fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums)",
+        f"""banded AS (
   {band_union}
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
-FROM banded a JOIN banded b
-  ON a.band_no = b.band_no AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+)""",
+        """spairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM banded a JOIN banded b
+    ON a.band_no = b.band_no AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)""",
+    ]
+
+
+def _simhash_sql() -> str:
+    return (
+        ",\n".join(_simhash_cte_parts())
+        + f"""
+SELECT doc_a, doc_b, hamming FROM spairs WHERE hamming <= {SIMHASH_MAX_HAMMING}
 """
+    )
 
 
 DEDUP_SIMHASH_SQL = _simhash_sql()
+
+
+# ---------------------------------------------------------------------------
+# simhash_hamming_curve — radius-tuning table for the simhash family
+# ---------------------------------------------------------------------------
+
+
+def _simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded simhash candidate pairs with their hamming distance,
+    UNfiltered by radius (dedup_simhash applies the ≤ MAX_HAMMING
+    cut; the curve needs the whole candidate set)."""
+    simh = _simhash_df(spark, sf_dir)
+    bands = [
+        F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS)
+        .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+        .alias(f"b{b}")
+        for b in range(SIMHASH_BITS // SIMHASH_BAND_BITS)
+    ]
+    nb = SIMHASH_BITS // SIMHASH_BAND_BITS
+    banded = simh.select("doc_id", "simhash", *bands).select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_no"), F.col(f"b{b}").alias("band_val"))
+                    for b in range(nb)
+                ]
+            )
+        ).alias("bd"),
+    ).select(
+        "doc_id", "simhash", F.col("bd.band_no").alias("band_no"), F.col("bd.band_val").alias("band_val")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), ham.alias("hamming"))
+        .distinct()
+    )
+
+
+def simhash_hamming_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-tuning table for the simhash family — the
+    `minhash_band_curve` / `emb_blocking_curve` analogue: for each
+    observed hamming distance among banded candidates, how many
+    pairs sit there and their mean TRUE 3-gram Jaccard (via the
+    DF-capped shingle index). This is the table SIMHASH_MAX_HAMMING
+    is chosen from: the radius where mean Jaccard falls off a cliff
+    is where the cut belongs — measured, not guessed.
+
+    Scale: candidates are band-join bounded; the Jaccard
+    verification joins shingles ONLY for candidate pairs (keyed on
+    (doc, shingle) — the `dedup_minhash_verify` shape); output is
+    ≤ 49 rows."""
+    cand = track(_simhash_candidates(spark, sf_dir))
+    sh = _capped_shingle_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.select("doc_a", "doc_b")
+        .join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    szA = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    szB = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    j = (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(szA, "doc_a", "left")
+        .join(szB, "doc_b", "left")
+        .select(
+            "hamming",
+            F.coalesce("n_inter", F.lit(0)).alias("ni"),
+            F.coalesce("na", F.lit(0)).alias("na"),
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+        )
+    )
+    jac = F.col("ni") / F.nullif(F.col("na") + F.col("nb") - F.col("ni"), F.lit(0))
+    return j.groupBy("hamming").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg(jac) + 1e-9, 6).alias("avg_jaccard"),
+    )
+
+
+def _simhash_hamming_curve_sql() -> str:
+    return (
+        ",\n".join(_simhash_cte_parts())
+        + ",\n"
+        + _SHINGLE_SQL.strip()
+        + ",\n"
+        + _CAPPED_SHINGLE_SQL.strip()
+        + """,
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+  FROM spairs p
+  JOIN kept ka ON ka.doc_id = p.doc_a
+  JOIN kept kb ON kb.doc_id = p.doc_b AND kb.shingle = ka.shingle
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT p.hamming,
+         COALESCE(i.n_inter, 0) AS ni,
+         COALESCE(sa.n_sh, 0) AS na,
+         COALESCE(sb.n_sh, 0) AS nb
+  FROM spairs p
+  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+  LEFT JOIN sizes sa ON sa.doc_id = p.doc_a
+  LEFT JOIN sizes sb ON sb.doc_id = p.doc_b
+)
+SELECT hamming,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(ni::DOUBLE / nullif(na + nb - ni, 0)) + 1e-9, 6) AS avg_jaccard
+FROM j GROUP BY 1
+"""
+    )
+
+
+SIMHASH_HAMMING_CURVE_SQL = _simhash_hamming_curve_sql()
 
 # ---------------------------------------------------------------------------
 # dedup_winnowing — MOSS fingerprints (Schleimer et al., SIGMOD 2003)
@@ -1861,4 +1987,5 @@ QUERIES = {
     "dedup_cluster_sizes": (dedup_cluster_sizes, DEDUP_CLUSTER_SIZES_SQL),
     "dedup_minhash_verify": (dedup_minhash_verify, DEDUP_MINHASH_VERIFY_SQL),
     "dedup_substring_spans": (dedup_substring_spans, DEDUP_SUBSTRING_SPANS_SQL),
+    "simhash_hamming_curve": (simhash_hamming_curve, SIMHASH_HAMMING_CURVE_SQL),
 }

@@ -3267,7 +3267,319 @@ GROUP BY day
 """
 
 
+# ---------------------------------------------------------------------------
+# events_markov_anomaly — per-user sequence likelihood under the corpus chain
+# ---------------------------------------------------------------------------
+
+
+def events_markov_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-level anomaly scoring: fit the corpus's first-order
+    event-type Markov chain (the `events_transition_matrix`
+    probabilities), then score every USER by the mean log2-likelihood
+    of their observed transitions under it and z-score across users —
+    bots and broken clients follow transition patterns the corpus
+    chain assigns low probability, which per-event z-scores
+    (`events_anomaly_zscore`) cannot see.
+
+    Scale: transitions come from one per-user lead window (user-
+    partitioned — parallel, no global sort); the chain is
+    |types|² rows and rides as a broadcast into the scoring join; the
+    corpus mean/stddev is a 1-row broadcast. Ties inside a user
+    break on event_id so the chain is deterministic in both
+    engines."""
+    ev = _events_us(spark, sf_dir).select("user_id", "event_type", "ts_us", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    trans = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+    )
+    cnt = trans.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("cur").agg(F.sum("n").alias("t"))
+    probs = cnt.join(F.broadcast(tot), "cur").select(
+        "cur", "nxt", (F.col("n") / F.col("t")).alias("p")
+    )
+    per_user = (
+        trans.join(F.broadcast(probs), ["cur", "nxt"])
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_trans"), F.avg(F.log2("p")).alias("lp"))
+    )
+    stats = per_user.agg(
+        F.avg("lp").alias("mu"), F.stddev_pop("lp").alias("sd")
+    )
+    z = F.round((F.col("lp") - F.col("mu")) / F.nullif(F.col("sd"), F.lit(0.0)) + 1e-9, 4)
+    return per_user.crossJoin(F.broadcast(stats)).select(
+        "user_id",
+        "n_trans",
+        F.round(F.col("lp") + 1e-9, 6).alias("avg_logp"),
+        z.alias("z_score"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )
+
+
+EVENTS_MARKOV_ANOMALY_SQL = """
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+tr AS (
+  SELECT user_id, event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS nxt
+  FROM ev
+),
+trans AS (SELECT user_id, cur, nxt FROM tr WHERE nxt IS NOT NULL),
+cnt AS (SELECT cur, nxt, count(*) AS n FROM trans GROUP BY 1, 2),
+tot AS (SELECT cur, sum(n) AS t FROM cnt GROUP BY 1),
+probs AS (SELECT cur, nxt, n::DOUBLE / t AS p FROM cnt JOIN tot USING (cur)),
+pu AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_trans, avg(log2(p)) AS lp
+  FROM trans JOIN probs USING (cur, nxt) GROUP BY 1
+),
+st AS (SELECT avg(lp) AS mu, stddev_pop(lp) AS sd FROM pu)
+SELECT user_id, n_trans,
+       round(lp + 1e-9, 6) AS avg_logp,
+       round((lp - mu) / nullif(sd, 0) + 1e-9, 4) AS z_score,
+       abs(round((lp - mu) / nullif(sd, 0) + 1e-9, 4)) > 2.0 AS is_anomaly
+FROM pu CROSS JOIN st
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_bitmap_rollup — hour-of-day activity bitmaps per user-day
+# ---------------------------------------------------------------------------
+
+# hour masks: bits 6-11 / 18-23 of the 24-bit day bitmap
+MORNING_MASK = sum(1 << h for h in range(6, 12))
+EVENING_MASK = sum(1 << h for h in range(18, 24))
+
+
+def events_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day activity BITMAPS — the bitmap-index idiom OLAP
+    engines use for set-valued facts, here collapsing a user-day's
+    events to one int64 (bit h set ⟺ active in hour h). Membership,
+    cardinality, and daypart questions become bitwise AND + popcount
+    — no re-scan of the fact table, and bitmaps OR together
+    hierarchically (day → week → month) which is what makes the
+    representation a ROLLUP primitive rather than a display trick.
+
+    Scale: one (user, day) groupBy with map-side bit_or combine —
+    the shuffle carries 8-byte bitmaps, not event rows; every
+    derived column is a codegen'd projection. Output is |user-days|
+    rows ≤ |events| at any SF."""
+    ev = _events_us(spark, sf_dir).select(
+        F.expr(f"ts_us div {DAY_US}").alias("day"),
+        F.expr(f"(ts_us % {DAY_US}) div {HOUR_US}").alias("hour"),
+        "user_id",
+    )
+    bm = ev.groupBy("user_id", "day").agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(hour AS INT))")).alias("hour_bitmap")
+    )
+    return bm.select(
+        "user_id",
+        "day",
+        "hour_bitmap",
+        F.bit_count("hour_bitmap").alias("n_active_hours"),
+        F.bit_count(F.col("hour_bitmap").bitwiseAND(F.lit(MORNING_MASK))).alias("n_morning"),
+        F.bit_count(F.col("hour_bitmap").bitwiseAND(F.lit(EVENING_MASK))).alias("n_evening"),
+    )
+
+
+EVENTS_BITMAP_ROLLUP_SQL = f"""
+WITH ev AS (
+  SELECT user_id,
+         epoch_us(ts) // {DAY_US} AS day,
+         (epoch_us(ts) % {DAY_US}) // {HOUR_US} AS hour
+  FROM events
+),
+bm AS (
+  SELECT user_id, day, bit_or(1::BIGINT << hour::INTEGER) AS hour_bitmap
+  FROM ev GROUP BY 1, 2
+)
+SELECT user_id, day, hour_bitmap,
+       CAST(bit_count(hour_bitmap) AS INTEGER) AS n_active_hours,
+       CAST(bit_count(hour_bitmap & {MORNING_MASK}) AS INTEGER) AS n_morning,
+       CAST(bit_count(hour_bitmap & {EVENING_MASK}) AS INTEGER) AS n_evening
+FROM bm
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_dispersion_test — Poisson overdispersion screen per event type
+# ---------------------------------------------------------------------------
+
+DISPERSION_THRESHOLD = 1.5
+
+
+def events_dispersion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is each event type's arrival process Poisson-like or bursty?
+    Per type: hourly-count mean, population variance over the FULL
+    hour grid (zero hours included — dropping them is the classic
+    way to understate variance), and the dispersion index var/mean —
+    ≈1 for Poisson arrivals, ≫1 means burst/batch behavior that
+    invalidates rate-based alerting thresholds
+    (`events_anomaly_zscore` consumers check this first).
+
+    Scale: one (type, hour) map-side-combined count; the hour grid
+    explodes from a broadcast 1-row span (|types|·|hours| rows —
+    calendar-bounded); one |types|-row aggregate finishes."""
+    ev = _events_us(spark, sf_dir).select(
+        "event_type", F.expr(f"ts_us div {HOUR_US}").alias("hour")
+    )
+    counts = ev.groupBy("event_type", "hour").agg(F.count(F.lit(1)).alias("n"))
+    span = ev.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(span)).select(
+        "event_type", F.explode(F.sequence("h0", "h1")).alias("hour")
+    )
+    filled = grid.join(counts, ["event_type", "hour"], "left").select(
+        "event_type", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    mean = F.avg("n")
+    var = F.var_pop("n")
+    idx = F.round(var / F.nullif(mean, F.lit(0.0)) + 1e-9, 4)
+    return filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n").alias("n_events"),
+        F.round(mean + 1e-9, 4).alias("mean_per_hour"),
+        F.round(var + 1e-9, 4).alias("var_per_hour"),
+        idx.alias("dispersion_index"),
+        (idx > DISPERSION_THRESHOLD).alias("overdispersed"),
+    )
+
+
+EVENTS_DISPERSION_TEST_SQL = f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // {HOUR_US} AS hour FROM events
+),
+counts AS (SELECT event_type, hour, count(*) AS n FROM ev GROUP BY 1, 2),
+span AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM ev),
+grid AS (
+  SELECT t.event_type, g.h AS hour
+  FROM (SELECT DISTINCT event_type FROM ev) t
+  CROSS JOIN (SELECT unnest(range(h0, h1 + 1)) AS h FROM span) g
+),
+filled AS (
+  SELECT g.event_type, COALESCE(c.n, 0) AS n
+  FROM grid g LEFT JOIN counts c ON c.event_type = g.event_type AND c.hour = g.hour
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       round(avg(n) + 1e-9, 4) AS mean_per_hour,
+       round(var_pop(n) + 1e-9, 4) AS var_per_hour,
+       round(var_pop(n) / nullif(avg(n), 0) + 1e-9, 4) AS dispersion_index,
+       round(var_pop(n) / nullif(avg(n), 0) + 1e-9, 4) > {DISPERSION_THRESHOLD}
+         AS overdispersed
+FROM filled GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# user_hour_profile_kmeans — behavioral clustering on hour-of-day profiles
+# ---------------------------------------------------------------------------
+
+UHP_K = 4
+UHP_ITERS = 2
+UHP_DIM = 24
+
+
+def user_hour_profile_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over each user's 24-dim hour-of-day activity
+    profile (share of their events per hour) — behavioral
+    segmentation (night-owls vs office-hours vs bots) on a feature
+    space built INSIDE the engine, and the third proof (after
+    embeddings and RFM) that the shared Lloyd machinery is generic
+    over any (key, vector) frame. Same contract as
+    `kmeans_embeddings`: 6-dp quantization at every boundary,
+    lowest-cluster argmin ties, exploded (cluster, dim, cval,
+    n_members) output, K·DIM-only driver traffic.
+
+    Scale: the profile build is one (user, hour) count + a
+    24-per-user dense fill from a sequence explode (map-side); each
+    Lloyd round is the literal-centroid codegen assignment + a
+    K·24 partial agg."""
+    from datatransformertools_spark.operators.similarity import (
+        _assign,
+        _init_cents,
+        _lloyd_update,
+    )
+
+    ev = _events_us(spark, sf_dir).select(
+        "user_id", F.expr(f"(ts_us % {DAY_US}) div {HOUR_US}").alias("hour")
+    )
+    hc = ev.groupBy("user_id", "hour").agg(F.count(F.lit(1)).alias("n"))
+    tot = hc.groupBy("user_id").agg(F.sum("n").alias("t"))
+    grid = tot.select("user_id", "t", F.explode(F.sequence(F.lit(0), F.lit(UHP_DIM - 1))).alias("hour"))
+    vals = grid.join(hc, ["user_id", "hour"], "left").select(
+        "user_id",
+        "hour",
+        F.round(F.coalesce("n", F.lit(0)) / F.col("t") + 1e-9, 6).alias("val"),
+    )
+    feats = vals.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("hour", "val"))), lambda s: s["val"]
+        ).alias("v")
+    )
+    cents = _init_cents(feats, k=UHP_K, key="user_id")
+    for _ in range(UHP_ITERS - 1):
+        cents = _lloyd_update(feats, cents)
+    final = (
+        _assign(feats, cents, key="user_id")
+        .select("cluster", F.posexplode("v").alias("dim", "val"))
+        .groupBy("cluster", "dim")
+        .agg(F.round(F.avg("val") + 1e-9, 6).alias("cval"), F.count(F.lit(1)).alias("n_members"))
+    )
+    prev = spark.createDataFrame(
+        [(k, d, cents[k][d]) for k in range(UHP_K) for d in range(UHP_DIM)],
+        "cluster int, dim int, prev_cval double",
+    )
+    return prev.join(final, ["cluster", "dim"], "left").select(
+        "cluster",
+        "dim",
+        F.coalesce(F.col("cval"), F.col("prev_cval")).alias("cval"),
+        F.coalesce(F.col("n_members"), F.lit(0)).alias("n_members"),
+    )
+
+
+def _user_hour_profile_kmeans_sql() -> str:
+    from datatransformertools_spark.operators.similarity import _lloyd_cte_parts
+
+    lead = [
+        f"""WITH hc AS (
+  SELECT user_id, (epoch_us(ts) % {DAY_US}) // {HOUR_US} AS hour, count(*) AS n
+  FROM events GROUP BY 1, 2
+)""",
+        "tot AS (SELECT user_id, sum(n) AS t FROM hc GROUP BY 1)",
+        f"grid AS (SELECT tot.user_id, tot.t, r.h AS hour FROM tot CROSS JOIN range(0, {UHP_DIM}) r(h))",
+        """vals AS (
+  SELECT g.user_id, g.hour, round(COALESCE(hc.n, 0)::DOUBLE / g.t + 1e-9, 6) AS val
+  FROM grid g LEFT JOIN hc ON hc.user_id = g.user_id AND hc.hour = g.hour
+)""",
+        "e AS (SELECT user_id, list(val ORDER BY hour) AS v FROM vals GROUP BY 1)",
+    ]
+    parts = _lloyd_cte_parts(
+        lead_parts=lead, k=UHP_K, dim=UHP_DIM, key="user_id", iters=UHP_ITERS
+    )
+    last = UHP_ITERS
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT c.cluster, c.dim, c.cval,
+       CAST(COALESCE(n.n_members, 0) AS BIGINT) AS n_members
+FROM c{last} c
+LEFT JOIN c{last}_new n ON c.cluster = n.cluster AND c.dim = n.dim
+"""
+    )
+
+
+USER_HOUR_PROFILE_KMEANS_SQL = _user_hour_profile_kmeans_sql()
+
+
 QUERIES = {
+    "events_markov_anomaly": (events_markov_anomaly, EVENTS_MARKOV_ANOMALY_SQL),
+    "events_dispersion_test": (events_dispersion_test, EVENTS_DISPERSION_TEST_SQL),
+    "user_hour_profile_kmeans": (user_hour_profile_kmeans, USER_HOUR_PROFILE_KMEANS_SQL),
+    "events_bitmap_rollup": (events_bitmap_rollup, EVENTS_BITMAP_ROLLUP_SQL),
     "events_tumbling_agg": (events_tumbling_agg, EVENTS_TUMBLING_AGG_SQL),
     "events_trailing_1h": (events_trailing_1h, EVENTS_TRAILING_1H_SQL),
     "events_forecast_backtest": (events_forecast_backtest, EVENTS_FORECAST_BACKTEST_SQL),

@@ -724,8 +724,97 @@ GROUP BY 1, 2
 QUALITY_LOGREG_SCORE_SQL = _logreg_score_sql()
 
 
+# ---------------------------------------------------------------------------
+# source_length_ks — exact Kolmogorov-Smirnov drift test per source
+# ---------------------------------------------------------------------------
+
+
+def source_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic per source:
+    sup_x |CDF_source(x) − CDF_rest(x)| over the document length
+    distribution — the distribution-shape drift audit that catches
+    what `events_drift_psi`-style binned tests smooth away (a
+    source whose lengths cluster at one value moves KS to ~1 while
+    barely moving a 10-bin PSI). The same shape works for any
+    numeric doc feature; length is the canonical first screen
+    (truncated crawls, boilerplate farms, chopped documents).
+
+    Scale: both CDFs are step functions that only change at observed
+    values, so the sup is EXACT when evaluated on the distinct-value
+    grid. The grid is |sources| × |distinct lengths| rows (feature
+    cardinality, not corpus size); cumulative sums run in windows
+    PARTITIONED BY SOURCE (parallel — never a global unpartitioned
+    sort); per-(source, x) counts map-side combine before the one
+    shuffle. The small sources frame broadcasts into the grid
+    cross-join (house rule)."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    per_sx = docs.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("n_sx"))
+    per_x = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("n_x"))
+    per_s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    total = docs.agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        per_x.crossJoin(F.broadcast(per_s.select("source")))
+        .join(per_sx, ["source", "n_chars"], "left")
+        .select("source", "n_chars", "n_x", F.coalesce("n_sx", F.lit(0)).alias("n_sx"))
+    )
+    w = Window.partitionBy("source").orderBy("n_chars")
+    cum = grid.select(
+        "source",
+        "n_chars",
+        F.sum("n_sx").over(w).alias("cum_s"),
+        F.sum("n_x").over(w).alias("cum_all"),
+    )
+    diff = (
+        cum.join(F.broadcast(per_s), "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_s",
+            F.abs(
+                F.col("cum_s") / F.col("n_s")
+                - (F.col("cum_all") - F.col("cum_s"))
+                / F.nullif(F.col("n") - F.col("n_s"), F.lit(0))
+            ).alias("d"),
+        )
+    )
+    return diff.groupBy("source").agg(
+        F.first("n_s").alias("n_docs"),
+        F.round(F.max("d") + 1e-9, 6).alias("ks_stat"),
+    )
+
+
+SOURCE_LENGTH_KS_SQL = """
+WITH per_sx AS (SELECT source, n_chars, count(*) AS n_sx FROM documents GROUP BY 1, 2),
+per_x AS (SELECT n_chars, count(*) AS n_x FROM documents GROUP BY 1),
+per_s AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+grid AS (
+  SELECT s.source, x.n_chars, x.n_x, COALESCE(sx.n_sx, 0) AS n_sx
+  FROM per_x x CROSS JOIN (SELECT source FROM per_s) s
+  LEFT JOIN per_sx sx ON sx.source = s.source AND sx.n_chars = x.n_chars
+),
+cum AS (
+  SELECT source, n_chars,
+         sum(n_sx) OVER (PARTITION BY source ORDER BY n_chars) AS cum_s,
+         sum(n_x) OVER (PARTITION BY source ORDER BY n_chars) AS cum_all
+  FROM grid
+),
+diff AS (
+  SELECT c.source, p.n_s,
+         abs(c.cum_s::DOUBLE / p.n_s
+             - (c.cum_all - c.cum_s)::DOUBLE / nullif(n.n - p.n_s, 0)) AS d
+  FROM cum c JOIN per_s p USING (source) CROSS JOIN n
+)
+SELECT source,
+       CAST(any_value(n_s) AS BIGINT) AS n_docs,
+       round(max(d) + 1e-9, 6) AS ks_stat
+FROM diff GROUP BY 1
+"""
+
+
 QUERIES = {
     "gopher_quality_filter": (gopher_quality_filter, GOPHER_QUALITY_FILTER_SQL),
+    "source_length_ks": (source_length_ks, SOURCE_LENGTH_KS_SQL),
     "doc_perplexity_buckets": (doc_perplexity_buckets, DOC_PERPLEXITY_BUCKETS_SQL),
     "quality_logreg_train": (quality_logreg_train, QUALITY_LOGREG_TRAIN_SQL),
     "quality_logreg_score": (quality_logreg_score, QUALITY_LOGREG_SCORE_SQL),

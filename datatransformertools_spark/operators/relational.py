@@ -2700,8 +2700,206 @@ LEFT JOIN c{last}_new n ON c.cluster = n.cluster AND c.dim = n.dim
 CUSTOMER_RFM_KMEANS_SQL = _rfm_kmeans_sql()
 
 
+# ---------------------------------------------------------------------------
+# priority_returnflag_mutual_info — effect size for the chi2 pair
+# ---------------------------------------------------------------------------
+
+
+def priority_returnflag_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information + normalized MI + Cramér's V for the same
+    (order priority × return flag) pair `priority_returnflag_chi2`
+    tests: chi2 answers "are they dependent?", these answer "by how
+    MUCH" — the effect-size numbers a feature-selection pass ranks
+    categorical columns by (a chi2 that is significant only because
+    N is 10⁹ still carries near-zero usable information, which is
+    exactly what NMI exposes at 100 TB).
+
+    Same scale shape as the chi2 op: one orderkey-keyed join, one
+    map-side-combined aggregate down to the ≤15-cell contingency
+    table; margins ride as broadcast frames; every statistic is a
+    fold over those cells. MI in bits (log2); NMI = 2·MI/(H_r+H_c);
+    V = sqrt(chi2 / (N·min(r-1, c-1)))."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    obs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    row_t = obs.groupBy("o_orderpriority").agg(F.sum("obs").alias("rt"))
+    col_t = obs.groupBy("l_returnflag").agg(F.sum("obs").alias("ct"))
+    total = obs.agg(F.sum("obs").alias("n"))
+    cells = (
+        obs.join(F.broadcast(row_t), "o_orderpriority")
+        .join(F.broadcast(col_t), "l_returnflag")
+        .crossJoin(F.broadcast(total))
+    )
+    # marginal entropies fold over the margin TABLES (≤|priorities| /
+    # ≤|flags| rows), not the cells — no per-cell multiplicity games
+    h_row = (
+        row_t.crossJoin(F.broadcast(total))
+        .agg((-F.sum((F.col("rt") / F.col("n")) * F.log2(F.col("rt") / F.col("n")))).alias("h_row"))
+    )
+    h_col = (
+        col_t.crossJoin(F.broadcast(total))
+        .agg((-F.sum((F.col("ct") / F.col("n")) * F.log2(F.col("ct") / F.col("n")))).alias("h_col"))
+    )
+    p_xy = F.col("obs") / F.col("n")
+    mi = F.sum(p_xy * F.log2(F.col("obs") * F.col("n") / (F.col("rt") * F.col("ct"))))
+    chi2 = F.sum(
+        (F.col("obs") - F.col("rt") * F.col("ct") / F.col("n"))
+        * (F.col("obs") - F.col("rt") * F.col("ct") / F.col("n"))
+        / (F.col("rt") * F.col("ct") / F.col("n"))
+    )
+    min_dim = F.least(
+        F.countDistinct("o_orderpriority") - 1, F.countDistinct("l_returnflag") - 1
+    )
+    folded = cells.agg(
+        F.first("n").cast("long").alias("n_pairs"),
+        mi.alias("mi_raw"),
+        chi2.alias("chi2_raw"),
+        min_dim.alias("min_dim"),
+    )
+    return (
+        folded.crossJoin(F.broadcast(h_row))
+        .crossJoin(F.broadcast(h_col))
+        .select(
+            "n_pairs",
+            F.round(F.col("mi_raw") + 1e-9, 6).alias("mi_bits"),
+            F.round(2 * F.col("mi_raw") / (F.col("h_row") + F.col("h_col")) + 1e-9, 6).alias("nmi"),
+            F.round(
+                F.sqrt(F.col("chi2_raw") / (F.col("n_pairs") * F.col("min_dim"))) + 1e-9, 6
+            ).alias("cramers_v"),
+        )
+    )
+
+
+PRIORITY_RETURNFLAG_MI_SQL = """
+WITH obs AS (
+  SELECT o.o_orderpriority, l.l_returnflag, count(*) AS obs
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+rt AS (SELECT o_orderpriority, sum(obs) AS rt FROM obs GROUP BY 1),
+ct AS (SELECT l_returnflag, sum(obs) AS ct FROM obs GROUP BY 1),
+n AS (SELECT sum(obs) AS n FROM obs),
+cells AS (
+  SELECT obs.o_orderpriority, obs.l_returnflag, obs.obs, rt.rt, ct.ct, n.n
+  FROM obs JOIN rt USING (o_orderpriority) JOIN ct USING (l_returnflag) CROSS JOIN n
+),
+hr AS (
+  SELECT -sum((rt::DOUBLE / n.n) * log2(rt::DOUBLE / n.n)) AS h_row
+  FROM rt CROSS JOIN n
+),
+hc AS (
+  SELECT -sum((ct::DOUBLE / n.n) * log2(ct::DOUBLE / n.n)) AS h_col
+  FROM ct CROSS JOIN n
+),
+folded AS (
+  SELECT CAST(any_value(n) AS BIGINT) AS n_pairs,
+         sum((obs::DOUBLE / n) * log2(obs * n / (rt::DOUBLE * ct))) AS mi_raw,
+         sum((obs - rt::DOUBLE * ct / n) * (obs - rt::DOUBLE * ct / n)
+             / (rt::DOUBLE * ct / n)) AS chi2_raw,
+         least(count(DISTINCT o_orderpriority) - 1,
+               count(DISTINCT l_returnflag) - 1) AS min_dim
+  FROM cells
+)
+SELECT n_pairs,
+       round(mi_raw + 1e-9, 6) AS mi_bits,
+       round(2 * mi_raw / (h_row + h_col) + 1e-9, 6) AS nmi,
+       round(sqrt(chi2_raw / (n_pairs * min_dim)) + 1e-9, 6) AS cramers_v
+FROM folded CROSS JOIN hr CROSS JOIN hc
+"""
+
+
+# ---------------------------------------------------------------------------
+# customer_clv_forecast — heuristic customer-lifetime-value projection
+# ---------------------------------------------------------------------------
+
+CLV_HORIZON_DAYS = 365
+
+
+def customer_clv_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic CLV projection per customer — the
+    frequency/recency heuristic (a closed-form stand-in for BG/NBD,
+    Fader et al. 2005) marketing pipelines score the whole customer
+    base with: purchase rate = n_orders/(age+1) days, aliveness
+    decays exponentially in recency measured in units of the
+    customer's own mean inter-order gap, and CLV(365d) = rate · 365
+    · p_alive · avg order value.
+
+    Scale: ONE custkey groupBy (map-side combined) carries
+    everything; the global reference date rides as a 1-row broadcast;
+    the scoring itself is a pure projection — no second shuffle, no
+    window, row count = |customers| at any SF."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    ref = orders.agg(F.max("o_orderdate").alias("ref"))
+    per = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice") + 1e-9, 2).alias("avg_order_value"),
+        F.max("o_orderdate").alias("last_order"),
+        F.min("o_orderdate").alias("first_order"),
+    )
+    j = per.crossJoin(F.broadcast(ref))
+    recency = F.datediff("ref", "last_order")
+    age = F.datediff("ref", "first_order")
+    rate = F.col("n_orders") / (age + F.lit(1))
+    interorder = age / F.col("n_orders")
+    p_alive = F.exp(-recency / (interorder + F.lit(1.0)))
+    expected = rate * F.lit(CLV_HORIZON_DAYS) * p_alive
+    return j.select(
+        "o_custkey",
+        "n_orders",
+        "avg_order_value",
+        recency.alias("recency_days"),
+        age.alias("age_days"),
+        F.round(p_alive + 1e-9, 6).alias("p_alive"),
+        F.round(expected + 1e-9, 4).alias("expected_orders_365"),
+        F.round(expected * F.col("avg_order_value") + 1e-9, 2).alias("clv_365"),
+    )
+
+
+CUSTOMER_CLV_FORECAST_SQL = f"""
+WITH ref AS (SELECT max(o_orderdate) AS ref FROM orders),
+per AS (
+  SELECT o_custkey,
+         count(*) AS n_orders,
+         round(avg(o_totalprice) + 1e-9, 2) AS avg_order_value,
+         max(o_orderdate) AS last_order,
+         min(o_orderdate) AS first_order
+  FROM orders GROUP BY 1
+),
+j AS (
+  SELECT *,
+         CAST(date_diff('day', last_order, ref) AS INTEGER) AS recency_days,
+         CAST(date_diff('day', first_order, ref) AS INTEGER) AS age_days
+  FROM per CROSS JOIN ref
+)
+SELECT o_custkey,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       avg_order_value,
+       recency_days,
+       age_days,
+       round(exp(-recency_days / (age_days::DOUBLE / n_orders + 1.0)) + 1e-9, 6) AS p_alive,
+       round(n_orders::DOUBLE / (age_days + 1) * {CLV_HORIZON_DAYS}
+             * exp(-recency_days / (age_days::DOUBLE / n_orders + 1.0)) + 1e-9, 4)
+         AS expected_orders_365,
+       round(n_orders::DOUBLE / (age_days + 1) * {CLV_HORIZON_DAYS}
+             * exp(-recency_days / (age_days::DOUBLE / n_orders + 1.0))
+             * avg_order_value + 1e-9, 2) AS clv_365
+FROM j
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "priority_returnflag_mutual_info": (
+        priority_returnflag_mutual_info,
+        PRIORITY_RETURNFLAG_MI_SQL,
+    ),
+    "customer_clv_forecast": (customer_clv_forecast, CUSTOMER_CLV_FORECAST_SQL),
     "customer_rfm_kmeans": (customer_rfm_kmeans, CUSTOMER_RFM_KMEANS_SQL),
     "orders_priority_scd2": (orders_priority_scd2, ORDERS_PRIORITY_SCD2_SQL),
     "part_entity_resolution": (part_entity_resolution, PART_ENTITY_RESOLUTION_SQL),

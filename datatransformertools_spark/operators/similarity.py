@@ -215,22 +215,27 @@ N_CELLS = 8
 N_PROBE = 2
 
 
-def _with_cells(emb: DataFrame, cents: DataFrame, rank_limit: int, id_col: str) -> DataFrame:
+def _with_cells(
+    emb: DataFrame, cents: DataFrame, rank_limit: int, id_col: str, keep_rank: bool = False
+) -> DataFrame:
     """Assign each vector to its `rank_limit` nearest coarse cells
-    (1 for indexing, N_PROBE for querying)."""
+    (1 for indexing, N_PROBE for querying). With keep_rank, the
+    1-based probe rank survives as `cell_rank` (the probe-curve
+    input)."""
     sim = F.round(
         cosine_prenormed(F.col("v"), F.col("cell_v"), F.col("nrm"), F.col("cell_nrm")) + 1e-9, 6
     )
     rn = F.row_number().over(
         Window.partitionBy(id_col).orderBy(F.col("cell_sim").desc(), F.col("cell_id"))
     )
-    return (
+    out = (
         emb.crossJoin(F.broadcast(cents))
         .withColumn("cell_sim", sim)
         .withColumn("cell_rank", rn)
         .filter(F.col("cell_rank") <= rank_limit)
-        .drop("cell_v", "cell_nrm", "cell_sim", "cell_rank")
+        .drop("cell_v", "cell_nrm", "cell_sim")
     )
+    return out if keep_rank else out.drop("cell_rank")
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2157,8 +2162,226 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# ann_ivf_probe_curve — nprobe tuning table for the IVF index
+# ---------------------------------------------------------------------------
+
+IVF_CURVE_MAX_PROBE = 4
+
+
+def ann_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k as a function of the IVF probe budget — the tuning
+    table N_PROBE is chosen from (the `emb_blocking_curve` analogue
+    for the query path): for p = 1..IVF_CURVE_MAX_PROBE, run the IVF
+    top-k restricted to each query's p nearest cells and measure
+    recall against the exact brute-force top-k. "Measure, don't
+    guess" for the latency/recall knob every IVF deployment turns.
+
+    Scale: ONE candidate join at the widest budget (probe rank rides
+    along), then a probe-grid explode (×4, constants-bounded) and
+    per-(p, query) windows; ground truth is the brute-force top-k
+    (its own audited broadcast shape)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    cents = emb.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CELLS)
+    ).select(
+        (F.col("vec_id") - N_QUERIES).alias("cell_id"),
+        F.col("v").alias("cell_v"),
+        F.col("nrm").alias("cell_nrm"),
+    )
+    cands = _with_cells(emb.filter(F.col("vec_id") >= N_QUERIES), cents, 1, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"), "cell_id",
+    )
+    queries = _with_cells(
+        emb.filter(F.col("vec_id") < N_QUERIES), cents, IVF_CURVE_MAX_PROBE, "vec_id",
+        keep_rank=True,
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"), "cell_id", F.col("cell_rank").alias("lvl"),
+    )
+    cos = F.round(cosine_prenormed(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")) + 1e-9, 6)
+    scored = cands.join(F.broadcast(queries), "cell_id").select(
+        "query_id", "neighbor_id", "lvl", cos.alias("cos_sim")
+    )
+    grid = spark.createDataFrame(
+        [(p,) for p in range(1, IVF_CURVE_MAX_PROBE + 1)], "probe int"
+    )
+    per_budget = scored.join(F.broadcast(grid), F.col("lvl") <= F.col("probe"))
+    rank = F.row_number().over(
+        Window.partitionBy("probe", "query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id")
+        )
+    )
+    topk = per_budget.withColumn("rank", rank).filter(F.col("rank") <= TOP_K)
+    exact = ann_bruteforce_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    denom = float(N_QUERIES * TOP_K)
+    return (
+        topk.join(F.broadcast(exact), ["query_id", "neighbor_id"], "left")
+        .groupBy("probe")
+        .agg(
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce(F.sum("hit"), F.lit(0)) / denom + 1e-9, 6).alias("recall"),
+        )
+    )
+
+
+def _ann_ivf_probe_curve_sql() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT vec_id - {N_QUERIES} AS cell_id, v AS cell_v
+  FROM e WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CELLS}
+),
+cand_cells AS (
+  SELECT vec_id AS neighbor_id, cv, cell_id FROM (
+    SELECT e.vec_id, e.v AS cv, c.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS_SQL.format(a='e.v', b='c.cell_v')} DESC, c.cell_id) AS rn
+    FROM e CROSS JOIN cents c WHERE e.vec_id >= {N_QUERIES}
+  ) WHERE rn = 1
+),
+query_cells AS (
+  SELECT vec_id AS query_id, qv, cell_id, rn AS lvl FROM (
+    SELECT e.vec_id, e.v AS qv, c.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS_SQL.format(a='e.v', b='c.cell_v')} DESC, c.cell_id) AS rn
+    FROM e CROSS JOIN cents c WHERE e.vec_id < {N_QUERIES}
+  ) WHERE rn <= {IVF_CURVE_MAX_PROBE}
+),
+scored AS (
+  SELECT query_id, neighbor_id, lvl,
+         {_COS_SQL.format(a='qv', b='cv')} AS cos_sim
+  FROM cand_cells JOIN query_cells USING (cell_id)
+),
+grid AS (SELECT CAST(unnest([{", ".join(str(p) for p in range(1, IVF_CURVE_MAX_PROBE + 1))}]) AS INTEGER) AS probe),
+topk AS (
+  SELECT probe, query_id, neighbor_id FROM (
+    SELECT g.probe, s.query_id, s.neighbor_id,
+           row_number() OVER (PARTITION BY g.probe, s.query_id
+                              ORDER BY s.cos_sim DESC, s.neighbor_id) AS rank
+    FROM scored s JOIN grid g ON s.lvl <= g.probe
+  ) WHERE rank <= {TOP_K}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_COS_SQL.format(a='q.v', b='c.v')} DESC, c.vec_id) AS rn
+    FROM e q CROSS JOIN e c
+    WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+  ) WHERE rn <= {TOP_K}
+)
+SELECT t.probe,
+       CAST(sum(CASE WHEN x.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       round(sum(CASE WHEN x.query_id IS NOT NULL THEN 1 ELSE 0 END)
+             / {float(N_QUERIES * TOP_K)} + 1e-9, 6) AS recall
+FROM topk t LEFT JOIN exact x
+  ON t.query_id = x.query_id AND t.neighbor_id = x.neighbor_id
+GROUP BY 1
+"""
+
+
+ANN_IVF_PROBE_CURVE_SQL = _ann_ivf_probe_curve_sql()
+
+
+# ---------------------------------------------------------------------------
+# embedding_knn_graph — blocked kNN graph (the graph-ANN building block)
+# ---------------------------------------------------------------------------
+
+EMB_KNN_K = 3
+
+
+def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed kNN graph over the cluster-blocked candidate set —
+    the seed structure every graph-ANN method (NN-descent, HNSW base
+    layer) and graph-based dedup/diversity pass starts from: each
+    vector's EMB_KNN_K nearest in-block neighbors by cosine, plus
+    the reciprocal-edge flag (mutual kNN edges are the high-precision
+    subgraph clustering-by-kNN keeps).
+
+    Scale: candidates come from the SAME (k-means cell, label)
+    multi-probe blocking as `dedup_embedding` — K grows with the
+    corpus (corpus_k), so per-block fan-out is bounded and there is
+    never an all-pairs stage. One undirected blocked self-join +
+    mirror, a per-src window for the top-k (src-partitioned —
+    parallel), and a self-join of the ≤ N·K edge list for
+    reciprocity."""
+    from datatransformertools_spark.operators.dedup import _multiprobe
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    cents = trained_centroids(spark, sf_dir, KMEANS_ITERS)
+    assigned = _multiprobe(emb, cents)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = F.round(
+        cosine_prenormed(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")) + 1e-9, 6
+    )
+    und = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"), cos.alias("cos_sim")
+        )
+        .distinct()
+    )
+    directed = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "cos_sim")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), "dst")
+    )
+    knn = directed.withColumn("rank", rn).filter(F.col("rank") <= EMB_KNN_K)
+    rev = knn.select(F.col("src").alias("m_dst"), F.col("dst").alias("m_src"), F.lit(1).alias("m"))
+    return (
+        knn.join(
+            rev,
+            (F.col("src") == F.col("m_src")) & (F.col("dst") == F.col("m_dst")),
+            "left",
+        )
+        .select(
+            "src", "rank", "dst", "cos_sim", F.col("m").isNotNull().alias("is_mutual")
+        )
+    )
+
+
+def _embedding_knn_graph_sql() -> str:
+    from datatransformertools_spark.operators.dedup import _emb_pairs_parts
+
+    return (
+        ",\n".join(_emb_pairs_parts())
+        + f""",
+directed AS (
+  SELECT vec_a AS src, vec_b AS dst, cos_sim FROM pairs
+  UNION ALL
+  SELECT vec_b AS src, vec_a AS dst, cos_sim FROM pairs
+),
+knn AS (
+  SELECT src, dst, cos_sim,
+         CAST(row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst) AS INTEGER) AS rank
+  FROM directed
+  QUALIFY rank <= {EMB_KNN_K}
+)
+SELECT k.src, k.rank, k.dst, k.cos_sim,
+       (r.src IS NOT NULL) AS is_mutual
+FROM knn k LEFT JOIN knn r ON k.src = r.dst AND k.dst = r.src
+"""
+    )
+
+
 QUERIES = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
+    "embedding_knn_graph": (embedding_knn_graph, _embedding_knn_graph_sql()),
+    "ann_ivf_probe_curve": (ann_ivf_probe_curve, ANN_IVF_PROBE_CURVE_SQL),
     "ann_range_search": (ann_range_search, ANN_RANGE_SQL),
     "embedding_drift": (embedding_drift, EMBEDDING_DRIFT_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),

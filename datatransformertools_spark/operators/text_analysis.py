@@ -1886,8 +1886,70 @@ FROM with_share w JOIN ent e ON w.source = e.source
 """
 
 
+# ---------------------------------------------------------------------------
+# lang_mismatch_by_source — language-metadata trust audit
+# ---------------------------------------------------------------------------
+
+
+def lang_mismatch_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does a source's language METADATA agree with what the text
+    actually looks like? `lang_id_eval` grades the classifier
+    corpus-wide; this flips the audit around and grades each
+    SOURCE's labels against the classifier — the crawl-governance
+    check that catches mislabeled feeds (a "fr" feed full of English
+    boilerplate) before language-targeted sampling trusts the
+    column. Per source: docs, classifier abstentions (unk),
+    disagreements (pred ≠ label, excluding abstentions), and both
+    rates. One doc_id join + one |sources|-row aggregate on top of
+    the scan-bound scorer."""
+    pred = lang_id(spark, sf_dir).select("doc_id", "labeled_lang", "pred_lang")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    is_unk = (F.col("pred_lang") == "unk").cast("int")
+    is_mism = (
+        (F.col("pred_lang") != F.col("labeled_lang")) & (F.col("pred_lang") != "unk")
+    ).cast("int")
+    return (
+        pred.join(src, "doc_id")
+        .select("source", is_unk.alias("u"), is_mism.alias("m"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("u").alias("n_unk"),
+            F.sum("m").alias("n_mismatch"),
+            F.round(F.sum("u") / F.count(F.lit(1)) + 1e-9, 6).alias("unk_rate"),
+            F.round(F.sum("m") / F.count(F.lit(1)) + 1e-9, 6).alias("mismatch_rate"),
+        )
+    )
+
+
+def _lang_mismatch_by_source_sql() -> str:
+    return f"""
+WITH pred AS (
+  SELECT doc_id, labeled_lang, pred_lang FROM ({LANG_ID_SQL}) p
+),
+j AS (
+  SELECT d.source,
+         CASE WHEN p.pred_lang = 'unk' THEN 1 ELSE 0 END AS u,
+         CASE WHEN p.pred_lang <> p.labeled_lang AND p.pred_lang <> 'unk'
+              THEN 1 ELSE 0 END AS m
+  FROM pred p JOIN documents d USING (doc_id)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(u) AS BIGINT) AS n_unk,
+       CAST(sum(m) AS BIGINT) AS n_mismatch,
+       round(sum(u)::DOUBLE / count(*) + 1e-9, 6) AS unk_rate,
+       round(sum(m)::DOUBLE / count(*) + 1e-9, 6) AS mismatch_rate
+FROM j GROUP BY 1
+"""
+
+
+LANG_MISMATCH_BY_SOURCE_SQL = _lang_mismatch_by_source_sql()
+
+
 QUERIES = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
+    "lang_mismatch_by_source": (lang_mismatch_by_source, LANG_MISMATCH_BY_SOURCE_SQL),
     "vocab_coverage_curve": (vocab_coverage_curve, VOCAB_COVERAGE_CURVE_SQL),
     "source_language_profile": (source_language_profile, SOURCE_LANGUAGE_PROFILE_SQL),
     "ngram_topk": (ngram_topk, NGRAM_TOPK_SQL),

@@ -536,8 +536,91 @@ FROM fitted CROSS JOIN grid
 EVENTS_HOLT_WINTERS_SQL = _hw_sql()
 
 
+# ---------------------------------------------------------------------------
+# orders_seasonal_decompose — classical trend/seasonal/residual split
+# ---------------------------------------------------------------------------
+
+SEASONAL_MA_HALF = 6  # centered 13-month moving average
+
+
+def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of monthly order
+    revenue (the moving-average step of STL without loess): trend =
+    centered 13-month MA (null at the edges where the window is
+    partial), seasonal = month-of-year mean of the detrended series
+    re-centered to sum ~0, residual = revenue − trend − seasonal.
+    The before-modeling diagnostic every forecasting pass
+    (`events_holt_winters` here) should be read against: a residual
+    with structure means the additive model is wrong.
+
+    Scale: the fact-scale work is ONE month groupBy (map-side
+    combined); every window after that runs on the |months|-long
+    series — bounded by the calendar, not the data, so the
+    unpartitioned window is a constant-size frame at any SF.
+    The 12-row seasonal index rides as a broadcast join."""
+    from datatransformertools_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderdate")
+    monthly = orders.groupBy(
+        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month")
+    ).agg(F.round(F.sum("o_totalprice") + 1e-9, 2).alias("revenue"))
+    w = Window.orderBy("month").rowsBetween(-SEASONAL_MA_HALF, SEASONAL_MA_HALF)
+    full = 2 * SEASONAL_MA_HALF + 1
+    trend = F.when(
+        F.count(F.lit(1)).over(w) == full,
+        F.round(F.avg("revenue").over(w) + 1e-9, 4),
+    )
+    m1 = monthly.withColumn("trend", trend).withColumn("moy", F.month("month"))
+    sraw = (
+        m1.filter(F.col("trend").isNotNull())
+        .groupBy("moy")
+        .agg(F.round(F.avg(F.col("revenue") - F.col("trend")) + 1e-9, 4).alias("sraw"))
+    )
+    grand = sraw.agg(F.round(F.avg("sraw") + 1e-9, 4).alias("g"))
+    seas = sraw.crossJoin(F.broadcast(grand)).select(
+        "moy", F.round(F.col("sraw") - F.col("g") + 1e-9, 4).alias("seasonal")
+    )
+    return m1.join(F.broadcast(seas), "moy", "left").select(
+        "month",
+        "revenue",
+        "trend",
+        "seasonal",
+        F.round(F.col("revenue") - F.col("trend") - F.col("seasonal") + 1e-9, 4).alias(
+            "residual"
+        ),
+    )
+
+
+ORDERS_SEASONAL_DECOMPOSE_SQL = f"""
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         round(sum(o_totalprice) + 1e-9, 2) AS revenue
+  FROM orders GROUP BY 1
+),
+m1 AS (
+  SELECT month, revenue,
+         CASE WHEN count(*) OVER w = {2 * SEASONAL_MA_HALF + 1}
+              THEN round(avg(revenue) OVER w + 1e-9, 4) END AS trend,
+         month(month) AS moy
+  FROM monthly
+  WINDOW w AS (ORDER BY month
+               ROWS BETWEEN {SEASONAL_MA_HALF} PRECEDING AND {SEASONAL_MA_HALF} FOLLOWING)
+),
+sraw AS (
+  SELECT moy, round(avg(revenue - trend) + 1e-9, 4) AS sraw
+  FROM m1 WHERE trend IS NOT NULL GROUP BY 1
+),
+g AS (SELECT round(avg(sraw) + 1e-9, 4) AS g FROM sraw),
+seas AS (SELECT moy, round(sraw - g + 1e-9, 4) AS seasonal FROM sraw CROSS JOIN g)
+SELECT m1.month, m1.revenue, m1.trend, s.seasonal,
+       round(m1.revenue - m1.trend - s.seasonal + 1e-9, 4) AS residual
+FROM m1 LEFT JOIN seas s USING (moy)
+"""
+
+
 QUERIES = {
     "events_autocorr": (events_autocorr, EVENTS_AUTOCORR_SQL),
+    "orders_seasonal_decompose": (orders_seasonal_decompose, ORDERS_SEASONAL_DECOMPOSE_SQL),
     "events_holt_forecast": (events_holt_forecast, EVENTS_HOLT_FORECAST_SQL),
     "events_holt_winters": (events_holt_winters, EVENTS_HOLT_WINTERS_SQL),
     "events_cusum": (events_cusum, EVENTS_CUSUM_SQL),

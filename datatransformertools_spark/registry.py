@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _CACHE: dict[str, tuple[QueryFn, str | None]] | None = None
+_FAMILY: dict[str, str] = {}  # query name → operator family (module short name)
 
 
 def _load() -> dict[str, tuple[QueryFn, str | None]]:
@@ -49,10 +50,12 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
     merged: dict[str, tuple[QueryFn, str | None]] = {}
     for mod_name in modules:
         mod = importlib.import_module(mod_name)
+        family = "streaming" if ".streaming." in mod_name else mod_name.rsplit(".", 1)[-1]
         for name, pair in getattr(mod, "QUERIES", {}).items():
             if name in merged:
                 raise ValueError(f"duplicate query name {name!r} from {mod_name}")
             merged[name] = pair
+            _FAMILY[name] = family
     # r6 gate rotation (VERDICT r5 #1): the driver's correctness
     # gate records the FIRST 50 registry entries. The r6 head CLOSES
     # the evidence queue — all 26 never-certified operators from the
@@ -93,7 +96,24 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
     # Operators NEW in r6 slot directly into the same window so they
     # certify in the round they land (the queue is otherwise empty);
     # names append here as each one lands with its oracle + tests.
-    new_r6: list[str] = []
+    new_r6: list[str] = [
+        "priority_returnflag_mutual_info",  # effect size for the chi2 pair
+        "customer_clv_forecast",  # closed-form BG/NBD-style CLV scoring
+        "events_markov_anomaly",  # per-user sequence likelihood vs corpus chain
+        "events_bitmap_rollup",  # hour-bitmap OLAP rollup primitive
+        "embedding_knn_graph",  # blocked kNN graph + reciprocal edges
+        "source_length_ks",  # exact per-source KS drift statistic
+        "shard_pack_balanced",  # size-balanced training-shard packing
+        "dedup_funnel_by_source",  # raw → exact → near-dup retention ladder
+        "pii_rate_by_source",  # PII exposure rollup for governance
+        "orders_seasonal_decompose",  # classical trend/seasonal/residual
+        "simhash_hamming_curve",  # radius-tuning table for simhash
+        "ann_ivf_probe_curve",  # nprobe recall tuning table
+        "events_dispersion_test",  # Poisson overdispersion screen
+        "user_hour_profile_kmeans",  # Lloyd on 24-dim hour profiles
+        "table_stats_profile",  # ANALYZE-style warehouse column stats
+        "lang_mismatch_by_source",  # language-metadata trust audit
+    ]
     # Remaining slots re-certify rows whose internals changed this
     # round (the τ-pair memo + corpus-derived K under the embedding
     # family) first, then stable high-coverage rows — harmless
@@ -152,3 +172,9 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: sql for name, (_fn, sql) in _load().items() if sql is not None}
+
+
+def families() -> dict[str, str]:
+    """Query name → operator family (bench.py's rollup key)."""
+    _load()
+    return dict(_FAMILY)

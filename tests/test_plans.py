@@ -147,6 +147,15 @@ _HINT_BROADCAST_ALLOWLIST = {
     "knn_label_eval": 1,  # 50-row eval frame
     "embedding_quantize": 1,  # d-row codebook
     "bloom_join_prune": 4,  # M-bounded bitmap + three 1-row scalars
+    # --- new in r6, all constants-bounded ---
+    "priority_returnflag_mutual_info": 7,  # margins ×2, N scalar ×3, H_r/H_c scalars
+    "customer_clv_forecast": 1,  # 1-row reference-date scalar
+    "events_markov_anomaly": 4,  # |types|² chain (+ its |types| totals) + 1-row stats
+    "source_length_ks": 3,  # |sources| frames ×2 + 1-row total
+    "shard_pack_balanced": 1,  # 1-row grand-total scalar
+    "orders_seasonal_decompose": 2,  # 12-row seasonal index + 1-row grand mean
+    "ann_ivf_probe_curve": 6,  # codebook ×2, query side, probe grid, exact top-k (brute-force query side + shortlist)
+    "events_dispersion_test": 1,  # 1-row hour-span scalar
 }
 
 

@@ -377,6 +377,22 @@ SECTIONS = [
         "recall (sf0.01) with exact-cosine verification (precision 1.0).",
         True,
     ),
+    (
+        "events_bitmap_rollup",
+        "r6 bitmap-index primitive: ONE exchange total, and it carries "
+        "8-byte hour bitmaps (bit_or map-side combine), never event "
+        "rows; popcount/daypart-mask columns are codegen'd projections "
+        "on top. The scan reads exactly (ts, user_id).",
+        False,
+    ),
+    (
+        "embedding_knn_graph",
+        "r6 kNN-graph seed: candidates come from the corpus-proportional "
+        "(k-means cell, label) blocked self-join — no hinted broadcast, "
+        "no cartesian; the per-src top-k window partitions on src and "
+        "the reciprocity pass self-joins the bounded N·K edge list.",
+        True,
+    ),
 ]
 
 # Iterative operators whose returned plan is a checkpoint scan (their
