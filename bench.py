@@ -58,6 +58,10 @@ _ISOLATE_DEFAULT = [
     "emb_blocking_curve",
     "dedup_embedding_components",
     "quality_logreg_score",
+    # r7 (VERDICT r6 #3): the new top of the cost table — every
+    # member of the slowest-5 now has honest cold/warm numbers.
+    "simhash_hamming_curve",
+    "embedding_knn_graph",
 ]
 
 

@@ -1382,6 +1382,205 @@ FROM j GROUP BY 1
 PII_RATE_BY_SOURCE_SQL = _pii_rate_by_source_sql()
 
 
+# ---------------------------------------------------------------------------
+# curriculum_phases — quality-ordered curriculum schedule (new r7)
+# ---------------------------------------------------------------------------
+
+N_CURRICULUM_PHASES = 4
+
+
+def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning schedule: order each source's documents
+    by quality (ascending — noisy data early, clean data late, the
+    standard anti-curriculum for pretraining robustness; flip the
+    sort for easy-first) and cut them into N_CURRICULUM_PHASES
+    equal-count phases. Output is the phase plan a training run
+    consumes: per phase, its doc/token counts, mean quality, token
+    share, and the cumulative token budget through that phase.
+
+    Scale design: the quality score is per-row arithmetic; the
+    phase cut is ntile over a window PARTITIONED BY SOURCE (each
+    executor ranks only its source's slice — no global sort funnel,
+    the same partition-local-window contract as pack_sequences);
+    the rollup is one N_PHASES-row partial-agg shuffle and the
+    share/cumulative columns are windows over that 4-row frame."""
+    from datatransformertools_spark.operators.text_analysis import quality_score_expr
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", "n_chars"
+    )
+    n_tok = F.size(tokens(normalize_text(F.col("text"))))
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        quality_score_expr().alias("quality"),
+        n_tok.alias("n_tokens"),
+    ).withColumn("phase", F.ntile(N_CURRICULUM_PHASES).over(w))
+    per_phase = scored.groupBy("phase").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.avg("quality") + 1e-9, 6).alias("mean_quality"),
+    )
+    all_w = Window.partitionBy()
+    cum_w = Window.partitionBy().orderBy("phase")
+    return per_phase.select(
+        "phase",
+        "n_docs",
+        "n_tokens",
+        "mean_quality",
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(all_w) + 1e-9, 6).alias(
+            "token_share"
+        ),
+        F.sum("n_tokens").over(cum_w).cast("long").alias("cum_tokens"),
+    )
+
+
+CURRICULUM_PHASES_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         {_QUALITY_SQL_FRAG} AS quality,
+         len(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), '\\s+')) AS n_tokens
+  FROM documents
+),
+phased AS (
+  SELECT *, ntile({N_CURRICULUM_PHASES}) OVER (PARTITION BY source ORDER BY quality, doc_id) AS phase
+  FROM scored
+),
+per_phase AS (
+  SELECT phase,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         round(avg(quality) + 1e-9, 6) AS mean_quality
+  FROM phased GROUP BY 1
+)
+SELECT phase, n_docs, n_tokens, mean_quality,
+       round(n_tokens * 1.0 / sum(n_tokens) OVER () + 1e-9, 6) AS token_share,
+       CAST(sum(n_tokens) OVER (ORDER BY phase) AS BIGINT) AS cum_tokens
+FROM per_phase
+"""
+
+
+# ---------------------------------------------------------------------------
+# pack_efficiency_curve — packing waste vs context length (new r7)
+# ---------------------------------------------------------------------------
+
+# Context lengths the packing-efficiency tuning table sweeps. The
+# curve answers "what does doubling the training context cost in
+# padding and in documents split across window boundaries" — the
+# CTX_LEN (pack_sequences) decision input.
+PACK_CURVE_CTX = (128, 256, 512, 1024)
+
+
+def pack_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency tuning table: for each candidate context
+    length, the window count, padding cost (under pack_sequences'
+    per-source sequential packing only the final window of each
+    source pads), and the fraction of documents straddling a window
+    boundary (those lose cross-boundary attention). One row per
+    candidate length.
+
+    Scale design: per-doc offsets are ONE per-source cumsum window
+    (the pack_sequences shape, computed once and fanned out ×|ctx|
+    map-side via explode); per-source stream totals are a
+    |sources|-row aggregate fanned out the same way; both collapse
+    to |ctx| rows before the final join."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    n_tok = F.size(tokens(normalize_text(F.col("text"))))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        docs.withColumn("n_tokens", n_tok)
+        .withColumn("start_offset", (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long"))
+        .select("source", "n_tokens", "start_offset")
+    )
+    ctx = F.explode(F.array(*[F.lit(c) for c in PACK_CURVE_CTX])).alias("ctx_len")
+    crossing = (
+        offsets.select("*", ctx)
+        .withColumn(
+            "crosses",
+            (
+                F.floor(F.col("start_offset") / F.col("ctx_len"))
+                != F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / F.col("ctx_len"))
+            ).cast("int"),
+        )
+        .groupBy("ctx_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("crosses").cast("long").alias("n_crossing_docs"),
+        )
+    )
+    windows = (
+        offsets.groupBy("source")
+        .agg(F.sum("n_tokens").alias("stream_len"))
+        .select("*", ctx)
+        .withColumn("n_windows", F.ceil(F.col("stream_len") / F.col("ctx_len")))
+        .groupBy("ctx_len")
+        .agg(
+            F.sum("n_windows").cast("long").alias("n_windows"),
+            F.sum(F.col("n_windows") * F.col("ctx_len") - F.col("stream_len"))
+            .cast("long")
+            .alias("n_pad_tokens"),
+        )
+    )
+    return crossing.join(windows, "ctx_len").select(
+        F.col("ctx_len").cast("int").alias("ctx_len"),
+        "n_windows",
+        "total_tokens",
+        "n_pad_tokens",
+        F.round(
+            F.col("n_pad_tokens") / (F.col("n_windows") * F.col("ctx_len")) + 1e-9, 6
+        ).alias("pad_fraction"),
+        "n_crossing_docs",
+        F.round(F.col("n_crossing_docs") / F.col("n_docs") + 1e-9, 6).alias(
+            "crossing_fraction"
+        ),
+    )
+
+
+PACK_EFFICIENCY_CURVE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), '\\s+')) AS n_tokens
+  FROM documents
+),
+offs AS (
+  SELECT source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS start_offset
+  FROM toks
+),
+ctx AS (SELECT unnest([{", ".join(str(c) for c in PACK_CURVE_CTX)}]) AS ctx_len),
+crossing AS (
+  SELECT ctx_len,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(sum(CASE WHEN start_offset // ctx_len
+                       <> (start_offset + n_tokens - 1) // ctx_len
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing_docs
+  FROM offs CROSS JOIN ctx GROUP BY 1
+),
+streams AS (SELECT source, sum(n_tokens) AS stream_len FROM offs GROUP BY 1),
+wins AS (
+  SELECT ctx_len,
+         CAST(sum(CAST(ceil(stream_len * 1.0 / ctx_len) AS BIGINT)) AS BIGINT) AS n_windows,
+         CAST(sum(CAST(ceil(stream_len * 1.0 / ctx_len) AS BIGINT) * ctx_len - stream_len)
+              AS BIGINT) AS n_pad_tokens
+  FROM streams CROSS JOIN ctx GROUP BY 1
+)
+SELECT CAST(c.ctx_len AS INTEGER) AS ctx_len, w.n_windows, c.total_tokens, w.n_pad_tokens,
+       round(w.n_pad_tokens * 1.0 / (w.n_windows * c.ctx_len) + 1e-9, 6) AS pad_fraction,
+       c.n_crossing_docs,
+       round(c.n_crossing_docs * 1.0 / c.n_docs + 1e-9, 6) AS crossing_fraction
+FROM crossing c JOIN wins w USING (ctx_len)
+"""
+
+
 QUERIES = {
     "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
     "shard_pack_balanced": (shard_pack_balanced, SHARD_PACK_BALANCED_SQL),
@@ -1406,4 +1605,6 @@ QUERIES = {
     "paragraph_dedup": (paragraph_dedup, PARAGRAPH_DEDUP_SQL),
     "cross_source_overlap": (cross_source_overlap, CROSS_SOURCE_OVERLAP_SQL),
     "dataset_datasheet": (dataset_datasheet, DATASET_DATASHEET_SQL),
+    "curriculum_phases": (curriculum_phases, CURRICULUM_PHASES_SQL),
+    "pack_efficiency_curve": (pack_efficiency_curve, PACK_EFFICIENCY_CURVE_SQL),
 }

@@ -273,9 +273,13 @@ def part_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _lpa_sql() -> str:
+def _lpa_cte_parts() -> list[str]:
+    """The unrolled sync-LPA CTE chain (first element carries WITH),
+    ending in `edges` (symmetric directed pair list) and
+    l{LPA_ITERS} (part, label) — shared by the LPA oracle and the
+    modularity oracle so both replay the identical rounds."""
     ctes = [
-        "li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
         """edges AS (
   SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
   FROM li a JOIN li b
@@ -294,9 +298,12 @@ def _lpa_sql() -> str:
   ) WHERE rn = 1
 )"""
         )
+    return ctes
+
+
+def _lpa_sql() -> str:
     return (
-        "WITH "
-        + ",\n".join(ctes)
+        ",\n".join(_lpa_cte_parts())
         + f"""
 SELECT f.part, f.label AS community, s.community_size
 FROM l{LPA_ITERS} f

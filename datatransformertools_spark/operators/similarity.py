@@ -755,10 +755,10 @@ KMEANS_ITERS = 3
 # 2023): the embedding-dedup family's "clusters ∝ N, bounded cell
 # size" claim is only true if K grows with N, so K = max(K_CLUSTERS,
 # ceil(n_vectors / TARGET_CELL)). TARGET_CELL = 256 keeps per-cell
-# pair work bounded (~256²/2 comparisons) at ANY corpus size while
-# landing exactly on the K_CLUSTERS floor at every shipped SF
-# (500 / 500 / 2000 vectors → K = 8), so the unrolled K=8 oracle
-# CTEs stay a faithful mirror where the driver runs them.
+# pair work bounded (~256²/2 comparisons) at ANY corpus size. The
+# oracle CTEs derive the same K from the corpus in pure SQL
+# (`_lloyd_cte_parts(k=None)`), so Spark and DuckDB stay in lockstep
+# past the K_CLUSTERS floor (500 / 500 / 2000 shipped vectors → K=8).
 TARGET_CELL = 256
 
 # Literal-centroid codegen ships K·DIM literals into the expression
@@ -882,9 +882,11 @@ def trained_centroids(spark: SparkSession, sf_dir: str, iters: int) -> list[list
             "vec_id", as_double(F.col("embedding")).alias("v")
         )
         if not states:
-            # K derived from the corpus (clusters ∝ N) — equals the
-            # K_CLUSTERS floor at every shipped SF, so the unrolled
-            # K=8 oracle chain stays exact where the driver runs it
+            # K derived from the corpus (clusters ∝ N). The oracle
+            # mirrors this in pure SQL (`_lloyd_cte_parts(k=None)`
+            # seeds max(K_CLUSTERS, ceil(n/TARGET_CELL)) rows from
+            # `e` itself), so parity holds at any corpus size, not
+            # just the shipped SFs where K lands on the floor.
             states.append(_init_cents(emb, k=corpus_k(spark, sf_dir)))
         while len(states) <= iters:
             states.append(_lloyd_update(emb, states[-1]))
@@ -959,7 +961,7 @@ _KM_DIST_SQL = (
 
 def _lloyd_cte_parts(
     lead_parts: list[str] | None = None,
-    k: int = K_CLUSTERS,
+    k: int | None = None,
     dim: int = DIM,
     key: str = "vec_id",
     iters: int = KMEANS_ITERS,
@@ -972,7 +974,16 @@ def _lloyd_cte_parts(
     named `e` with columns ({key}, v); default is the embeddings
     table — shared by the kmeans / semdedup / embedding-dedup
     oracles, and parameterized so non-embedding feature spaces
-    (e.g. the RFM oracle) replay the IDENTICAL contract."""
+    (e.g. the RFM oracle) replay the IDENTICAL contract.
+
+    `k=None` (the embedding-family default) mirrors `corpus_k()` in
+    pure SQL — seed count = max(K_CLUSTERS, ceil(n/TARGET_CELL))
+    computed from `e` itself — so the oracle stays a faithful mirror
+    of the Spark side's corpus-derived K at ANY corpus size, not
+    just the shipped SFs where both land on the K_CLUSTERS floor
+    (ADVICE r6: a fixed literal K silently desynchronized the
+    oracle past 2048 vectors). Fixed-K feature spaces (RFM segments,
+    hour profiles) pass an explicit int."""
     dist = (
         f"list_sum(list_transform(range(1, {dim} + 1),"
         " i -> (e.v[i]-cl.c[i])*(e.v[i]-cl.c[i])))"
@@ -982,11 +993,21 @@ def _lloyd_cte_parts(
         if lead_parts is not None
         else ["WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
     )
-    parts += [
-        f"""seed AS (
+    if k is None:
+        seed = f"""seed AS (
+  SELECT CAST(rn - 1 AS INTEGER) AS cluster, v FROM (
+    SELECT v, row_number() OVER (ORDER BY {key}) AS rn,
+           count(*) OVER () AS n_total
+    FROM e
+  ) WHERE rn <= greatest({K_CLUSTERS}, CAST(ceil(n_total / {TARGET_CELL}.0) AS BIGINT))
+)"""
+    else:
+        seed = f"""seed AS (
   SELECT CAST(row_number() OVER (ORDER BY {key}) - 1 AS INTEGER) AS cluster, v
   FROM (SELECT {key}, v FROM e ORDER BY {key} LIMIT {k})
-)""",
+)"""
+    parts += [
+        seed,
         f"""c0 AS (
   SELECT cluster, CAST(d AS INTEGER) AS dim, round(v[d + 1] + 1e-9, 6) AS cval
   FROM seed CROSS JOIN range(0, {dim}) t(d)

@@ -62,16 +62,25 @@ def test_missing_duck_column_not_reported_here():
 
 
 def test_canon_float_formatting():
+    # full-precision shortest round-trip repr (r7): the truncating
+    # 6-dp canon made the local gate blind to sub-6-dp cross-engine
+    # drift — the only remaining way local-green ≠ driver-green
     assert canon(0.5) == "0.5"
-    assert canon(3.0) == "3"
+    assert canon(3.0) == "3.0"
     assert canon(None) == "<null>"
     assert canon(True) == "1"
     assert canon([1, 2.5]) == "[1,2.5]"
 
 
+def test_canon_float_full_precision():
+    # values differing past 6 dp MUST canon differently now
+    assert canon(0.1234567) != canon(0.1234568)
+    assert canon(1.0000000000000002) != canon(1.0)
+
+
 def test_canon_negative_zero_normalized():
     # engines may disagree on the sign of a sum that cancels to zero
-    assert canon(-0.0) == canon(0.0) == "0"
+    assert canon(-0.0) == canon(0.0) == "0.0"
 
 
 def test_canon_rows_column_order_insensitive():

@@ -953,10 +953,12 @@ class TestTradeMatrix:
 
         rows = nation_trade_matrix(spark, sf_dir).collect()
         assert rows
-        assert abs(sum(r["world_share"] for r in rows) - 1.0) < 1e-3
+        # ppm shares sum to 1e6 up to per-cell rounding (±0.5 ppm × cells)
+        assert abs(sum(r["world_share_ppm"] for r in rows) - 1_000_000) <= len(rows)
         for r in rows:
             assert r["domestic"] == (r["supp_nation"] == r["cust_nation"])
             assert r["n_items"] >= 1
+            assert isinstance(r["world_share_ppm"], int)
 
 
 class TestABC:

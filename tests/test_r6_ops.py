@@ -193,7 +193,10 @@ def test_ann_ivf_probe_curve_monotone(spark, sf_dir):
 
 
 def test_events_dispersion_invariants(spark, sf_dir):
-    from datatransformertools_spark.operators.events import events_dispersion_test
+    from datatransformertools_spark.operators.events import (
+        DISPERSION_THRESHOLD,
+        events_dispersion_test,
+    )
 
     rows = events_dispersion_test(spark, sf_dir).collect()
     assert rows
@@ -203,7 +206,7 @@ def test_events_dispersion_invariants(spark, sf_dir):
         assert r["var_per_hour"] >= 0
         assert r["dispersion_index"] is None or r["dispersion_index"] >= 0
         if r["dispersion_index"] is not None:
-            assert r["overdispersed"] == (r["dispersion_index"] > 1.5)
+            assert r["overdispersed"] == (r["dispersion_index"] > DISPERSION_THRESHOLD)
 
 
 def test_user_hour_profile_kmeans_contract(spark, sf_dir):

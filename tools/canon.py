@@ -99,8 +99,12 @@ def canon(v) -> str:
             return "nan"
         if v == 0:
             v = 0.0  # IEEE -0.0 must hash like 0.0 (sign of a cancelled sum is engine noise)
-        # round-trip floats through a fixed repr
-        return f"{v:.6f}".rstrip("0").rstrip(".")
+        # Full-precision shortest round-trip repr (r7, VERDICT r6 #2):
+        # the old truncating f"{v:.6f}" made the local gate blind to
+        # any cross-engine drift below 6 dp — the only remaining way
+        # local-green could differ from driver-green. repr(float) is
+        # bit-exact on doubles, matching the driver's strictness.
+        return repr(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"
     return str(v)
