@@ -1581,6 +1581,103 @@ FROM crossing c JOIN wins w USING (ctx_len)
 """
 
 
+# ---------------------------------------------------------------------------
+# source_epoch_schedule — data-constrained repetition planner (new r7)
+# ---------------------------------------------------------------------------
+
+# Token budget as a multiple of the unique corpus (the "train for 2
+# epochs' worth of data" decision) and the repetition ceiling past
+# which repeated data stops helping (the data-constrained-scaling
+# rule of thumb: value decays fast after ~4 epochs).
+EPOCH_BUDGET_MULT = 2.0
+MAX_DATA_EPOCHS = 4.0
+
+
+def source_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition planner for a data-constrained run: given a total
+    training budget of EPOCH_BUDGET_MULT × the unique corpus and the
+    α=0.5 temperature mix (`source_temperature_weights`' targets),
+    how many epochs of each source the run actually consumes once
+    the MAX_DATA_EPOCHS repetition ceiling caps the small sources —
+    plus each source's realized share after capping, so the gap
+    between the intended and achievable mix is explicit (the
+    capped sources' unmet budget is what you go buy more data with).
+
+    Scale design: one partial-agg shuffle to the |sources| grain;
+    the two normalizing totals ride back as ONE broadcast 1-row
+    aggregate (house rule); the realized-share window runs on the
+    |sources|-row frame. sqrt only (α=0.5): correctly rounded IEEE
+    in every engine, the same determinism contract as
+    source_temperature_weights."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("available_chars"),
+    )
+    totals = per_source.agg(
+        F.sum(F.sqrt(F.col("available_chars"))).alias("z"),
+        F.sum("available_chars").alias("total_chars"),
+    )
+    weight = F.sqrt(F.col("available_chars")) / F.col("z")
+    target = weight * (EPOCH_BUDGET_MULT * F.col("total_chars"))
+    epochs_raw = target / F.col("available_chars")
+    epochs = F.least(F.lit(MAX_DATA_EPOCHS), epochs_raw)
+    effective = epochs * F.col("available_chars")
+    w_all = Window.partitionBy()
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .withColumn("effective_chars", effective)
+        .select(
+            "source",
+            "n_docs",
+            "available_chars",
+            F.round(weight + 1e-9, 6).alias("mix_weight"),
+            F.round(target + 1e-9, 2).alias("target_chars"),
+            F.round(epochs + 1e-9, 6).alias("epochs_alloc"),
+            (epochs_raw > MAX_DATA_EPOCHS).alias("capped"),
+            F.round(effective + 1e-9, 2).alias("effective_chars"),
+            F.round(
+                F.col("effective_chars") / F.sum("effective_chars").over(w_all) + 1e-9, 6
+            ).alias("realized_share"),
+        )
+    )
+
+
+SOURCE_EPOCH_SCHEDULE_SQL = f"""
+WITH per_source AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS available_chars
+  FROM documents GROUP BY 1
+),
+totals AS (
+  SELECT sum(sqrt(available_chars)) AS z, sum(available_chars) AS total_chars
+  FROM per_source
+),
+sched AS (
+  SELECT source, n_docs, available_chars,
+         sqrt(available_chars) / z AS weight,
+         (sqrt(available_chars) / z) * ({EPOCH_BUDGET_MULT} * total_chars) AS target,
+         (sqrt(available_chars) / z) * ({EPOCH_BUDGET_MULT} * total_chars) / available_chars AS epochs_raw
+  FROM per_source CROSS JOIN totals
+),
+alloc AS (
+  SELECT *,
+         least({MAX_DATA_EPOCHS}, epochs_raw) AS epochs,
+         least({MAX_DATA_EPOCHS}, epochs_raw) * available_chars AS effective
+  FROM sched
+)
+SELECT source, n_docs, available_chars,
+       round(weight + 1e-9, 6) AS mix_weight,
+       round(target + 1e-9, 2) AS target_chars,
+       round(epochs + 1e-9, 6) AS epochs_alloc,
+       epochs_raw > {MAX_DATA_EPOCHS} AS capped,
+       round(effective + 1e-9, 2) AS effective_chars,
+       round(effective / sum(effective) OVER () + 1e-9, 6) AS realized_share
+FROM alloc
+"""
+
+
 QUERIES = {
     "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
     "shard_pack_balanced": (shard_pack_balanced, SHARD_PACK_BALANCED_SQL),
@@ -1607,4 +1704,5 @@ QUERIES = {
     "dataset_datasheet": (dataset_datasheet, DATASET_DATASHEET_SQL),
     "curriculum_phases": (curriculum_phases, CURRICULUM_PHASES_SQL),
     "pack_efficiency_curve": (pack_efficiency_curve, PACK_EFFICIENCY_CURVE_SQL),
+    "source_epoch_schedule": (source_epoch_schedule, SOURCE_EPOCH_SCHEDULE_SQL),
 }

@@ -2029,6 +2029,210 @@ FROM hh a JOIN hh b ON a.tail_h = b.head_h AND a.doc_id <> b.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# doc_duplication_score — per-doc memorization-risk score (new r7)
+# ---------------------------------------------------------------------------
+
+
+def doc_duplication_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplication exposure: of a document's distinct
+    3-gram shingles, what fraction appears in at least one OTHER
+    document (corpus df ≥ 2), plus the df-weighted mean — the
+    memorization-risk score a training pipeline uses to down-weight
+    or drop boilerplate-heavy documents BEFORE pair-level dedup ever
+    runs (pair ops answer "which docs collide"; this answers "how
+    exposed is each doc", including exposure spread across many
+    partners that no single pair crosses a τ).
+
+    Differs from `doc_ngram_novelty` (first-seen ownership in ingest
+    order — an ORDER-dependent saturation curve) in being symmetric:
+    a shingle's df counts every holder equally regardless of ingest
+    position.
+
+    Scale design: reuses the session-memoized shingle stage table;
+    df is one aggregate keyed on the shingle's 32-hex md5 (text
+    never shuffles), joined back on that hash, then one per-doc
+    partial agg. Docs with < 3 tokens contribute no shingles and are
+    absent in both engines."""
+    sh = _shingle_df(spark, sf_dir).select("doc_id", F.md5(F.col("shingle")).alias("h"))
+    dfs = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfs, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") >= 2).cast("long")).alias("n_shared"),
+            F.round(F.avg("df") + 1e-9, 6).alias("mean_df"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_shingles") + 1e-9, 6).alias("dup_frac"),
+            "mean_df",
+        )
+    )
+
+
+DOC_DUPLICATION_SCORE_SQL = f"""
+WITH {_SHINGLE_SQL},
+hs AS (SELECT doc_id, md5(shingle) AS h FROM shingles),
+dfs AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM hs GROUP BY 1)
+SELECT hs.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*) + 1e-9, 6) AS dup_frac,
+       round(avg(df) + 1e-9, 6) AS mean_df
+FROM hs JOIN dfs USING (h)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# template_prefix_families — shared-boilerplate-prefix census (new r7)
+# ---------------------------------------------------------------------------
+
+TPL_PREFIX_K = 8  # tokens hashed as the template head
+TPL_MIN_DOCS = 3  # smallest family worth reporting
+
+
+def template_prefix_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template census: families of documents sharing an identical
+    TPL_PREFIX_K-token head — the generated-page / form-letter /
+    scraped-navigation signature that pair-level dedup only sees as
+    O(family²) separate collisions. Per family: member count, how
+    many sources it spans (cross-source = syndication), and how many
+    DISTINCT full texts it contains (≈1 → exact-dup family, the
+    dedup_exact case; high → true template with varying bodies, the
+    case to strip headers from rather than drop documents).
+
+    Scale design: head and full-text hashes are map-side md5s; the
+    single shuffle carries (32-hex head, 32-hex text, source) per
+    doc — text never moves; output is bounded by the number of
+    template families, a vanishing fraction of any corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    tok = tokens(normalize_text(F.col("text")))
+    heads = docs.select(
+        "doc_id",
+        "source",
+        F.length("text").alias("n_chars_norm"),
+        F.md5(F.concat_ws(" ", F.slice(tok, 1, TPL_PREFIX_K))).alias("head_h"),
+        F.md5(F.concat_ws(" ", tok)).alias("text_h"),
+    ).filter(F.size(tok) >= TPL_PREFIX_K)
+    return (
+        heads.groupBy("head_h")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.countDistinct("text_h").alias("n_distinct_texts"),
+            F.sum("n_chars_norm").alias("total_chars"),
+        )
+        .filter(F.col("n_docs") >= TPL_MIN_DOCS)
+    )
+
+
+TEMPLATE_PREFIX_FAMILIES_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source, length(text) AS n_chars_norm,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS t
+  FROM documents
+),
+heads AS (
+  SELECT doc_id, source, n_chars_norm,
+         md5(array_to_string(t[1:{TPL_PREFIX_K}], ' ')) AS head_h,
+         md5(array_to_string(t, ' ')) AS text_h
+  FROM toks WHERE len(t) >= {TPL_PREFIX_K}
+)
+SELECT head_h,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(count(DISTINCT text_h) AS BIGINT) AS n_distinct_texts,
+       CAST(sum(n_chars_norm) AS BIGINT) AS total_chars
+FROM heads
+GROUP BY 1
+HAVING count(*) >= {TPL_MIN_DOCS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# emb_tau_retention_curve — dedup aggressiveness tuning table (new r7)
+# ---------------------------------------------------------------------------
+
+# τ thresholds the retention sweep evaluates. All ≥ COSINE_TAU so the
+# session-memoized τ-pair frame (built once at the loosest τ) serves
+# every level — the sweep is a filter over an existing pair table,
+# never a new corpus-scale join.
+EMB_RETENTION_TAUS = (0.3, 0.5, 0.7, 0.9)
+
+
+def emb_tau_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-vs-τ tuning table for the embedding dedup: at each
+    candidate threshold, the surviving-corpus fraction under the
+    greedy keep-first rule (drop the higher-id member of every
+    cos ≥ τ pair — the streaming-dedup semantics of
+    `dedup_incremental`). This is the table COSINE_TAU itself is
+    chosen from: the operator answers "how much corpus does each τ
+    cost" BEFORE anyone commits to a threshold.
+
+    Scale design: the ONLY corpus-scale work is the memoized blocked
+    τ-pair build (shared with dedup_embedding / recall / components
+    — already paid in any session running the family); each sweep
+    level is a filter + two ≤|pairs| aggregates. The τ grid
+    (4-row literal) and per-τ counts (≤4 rows) and the 1-row corpus
+    count ride as constants-bounded broadcasts (house rule)."""
+    pairs = _emb_tau_pairs(spark, sf_dir)
+    grid = spark.createDataFrame([(t,) for t in EMB_RETENTION_TAUS], "tau double")
+    exploded = pairs.select(
+        "cos_sim", "vec_b", F.explode(F.array(*[F.lit(t) for t in EMB_RETENTION_TAUS])).alias("tau")
+    ).filter(F.col("cos_sim") >= F.col("tau"))
+    counts = exploded.groupBy("tau").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("vec_b").alias("n_dropped"),
+    )
+    total = load_table(spark, sf_dir, "embeddings").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    return (
+        grid.join(F.broadcast(counts), "tau", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.round(F.col("tau"), 2).alias("tau"),
+            F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+            F.coalesce(F.col("n_dropped"), F.lit(0)).alias("n_dropped"),
+            "n_vectors",
+            F.round(
+                (F.col("n_vectors") - F.coalesce(F.col("n_dropped"), F.lit(0)))
+                / F.col("n_vectors")
+                + 1e-9,
+                6,
+            ).alias("retention"),
+        )
+    )
+
+
+def _emb_tau_retention_curve_sql() -> str:
+    return (
+        ",\n".join(_emb_pairs_parts())
+        + f""",
+grid AS (SELECT unnest([{", ".join(str(t) for t in EMB_RETENTION_TAUS)}]::DOUBLE[]) AS tau),
+counts AS (
+  SELECT g.tau,
+         CAST(count(p.vec_b) AS BIGINT) AS n_pairs,
+         CAST(count(DISTINCT p.vec_b) AS BIGINT) AS n_dropped
+  FROM grid g LEFT JOIN pairs p ON p.cos_sim >= g.tau
+  GROUP BY 1
+),
+total AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM embeddings)
+SELECT round(tau, 2) AS tau, n_pairs, n_dropped, n_vectors,
+       round((n_vectors - n_dropped) * 1.0 / n_vectors + 1e-9, 6) AS retention
+FROM counts CROSS JOIN total
+"""
+    )
+
+
+EMB_TAU_RETENTION_CURVE_SQL = _emb_tau_retention_curve_sql()
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_overlap_chain": (dedup_overlap_chain, DEDUP_OVERLAP_CHAIN_SQL),
@@ -2054,4 +2258,7 @@ QUERIES = {
     "dedup_minhash_verify": (dedup_minhash_verify, DEDUP_MINHASH_VERIFY_SQL),
     "dedup_substring_spans": (dedup_substring_spans, DEDUP_SUBSTRING_SPANS_SQL),
     "simhash_hamming_curve": (simhash_hamming_curve, SIMHASH_HAMMING_CURVE_SQL),
+    "doc_duplication_score": (doc_duplication_score, DOC_DUPLICATION_SCORE_SQL),
+    "emb_tau_retention_curve": (emb_tau_retention_curve, EMB_TAU_RETENTION_CURVE_SQL),
+    "template_prefix_families": (template_prefix_families, TEMPLATE_PREFIX_FAMILIES_SQL),
 }

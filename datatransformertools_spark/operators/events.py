@@ -18,6 +18,8 @@ with a window function instead of a driver loop.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -3575,8 +3577,283 @@ LEFT JOIN c{last}_new n ON c.cluster = n.cluster AND c.dim = n.dim
 USER_HOUR_PROFILE_KMEANS_SQL = _user_hour_profile_kmeans_sql()
 
 
+# ---------------------------------------------------------------------------
+# events_anomaly_fdr — multiple-testing-corrected anomaly screen (new r7)
+# ---------------------------------------------------------------------------
+
+FDR_ALPHA = 0.05
+
+
+def events_anomaly_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg-corrected daily anomaly screen: per
+    (event_type, day) cell, the z-score of that day's event count
+    against the type's own across-days distribution, a two-sided
+    normal p-value, and the BH step-up decision at α=0.05 — the fix
+    for the eyeball-every-z-score habit that fires a false alarm
+    per ~20 cells screened. Every tested cell is emitted with its
+    p-value, BH rank, critical value, and the final significance
+    flag, so the output IS the full multiple-testing table.
+
+    The normal tail is the Abramowitz–Stegun 26.2.17 polynomial
+    (|ε| < 7.5e-8) evaluated identically in both engines; all
+    statistics are rounded at 6 dp before the BH comparison so the
+    decision threshold sees the same grid on both sides.
+
+    Scale design: events collapse map-side to the |types|×|days|
+    cell grid (feature-bounded, NOT corpus-scale) in one partial-agg
+    shuffle; the per-type mean/sd, the global rank, and the step-up
+    cutoff are all windows over that bounded grid."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    cells = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n_events"))
+    w_type = Window.partitionBy("event_type")
+    sd = F.stddev_samp("n_events").over(w_type)
+    z = F.round((F.col("n_events") - F.avg("n_events").over(w_type)) / sd + 1e-9, 6)
+    tested = (
+        cells.withColumn("sd", sd)
+        .withColumn("zscore", z)
+        .filter(F.col("sd") > 0)
+        .drop("sd")
+    )
+    az = F.abs(F.col("zscore"))
+    t = 1.0 / (1.0 + 0.2316419 * az)
+    pdf = F.exp(-az * az / 2.0) / math.sqrt(2.0 * math.pi)
+    poly = t * (
+        0.319381530
+        + t * (-0.356563782 + t * (1.781477937 + t * (-1.821255978 + t * 1.330274429)))
+    )
+    p = F.round(F.least(F.lit(1.0), 2.0 * pdf * poly) + 1e-9, 6)
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy("p_value", "event_type", "day")
+    ranked = (
+        tested.withColumn("p_value", p)
+        .withColumn("p_rank", F.row_number().over(w_rank).cast("int"))
+        .withColumn("m", F.count(F.lit(1)).over(w_all))
+    )
+    crit = F.col("p_rank") * FDR_ALPHA / F.col("m")
+    k_star = F.max(
+        F.when(F.col("p_value") <= crit, F.col("p_rank"))
+    ).over(w_all)
+    return ranked.select(
+        "event_type",
+        "day",
+        "n_events",
+        "zscore",
+        "p_value",
+        "p_rank",
+        F.round(crit + 1e-9, 6).alias("bh_critical"),
+        (F.col("p_rank") <= F.coalesce(k_star, F.lit(0))).alias("is_significant"),
+    )
+
+
+EVENTS_ANOMALY_FDR_SQL = f"""
+WITH cells AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+tested AS (
+  SELECT event_type, day, n_events,
+         round((n_events - avg(n_events) OVER w) / stddev_samp(n_events) OVER w + 1e-9, 6) AS zscore
+  FROM cells
+  WINDOW w AS (PARTITION BY event_type)
+  QUALIFY stddev_samp(n_events) OVER w > 0
+),
+pvals AS (
+  SELECT event_type, day, n_events, zscore,
+         round(least(1.0,
+           2.0 * (exp(-abs(zscore) * abs(zscore) / 2.0) / sqrt(2.0 * pi()))
+               * ((1.0 / (1.0 + 0.2316419 * abs(zscore)))
+                  * (0.319381530
+                     + (1.0 / (1.0 + 0.2316419 * abs(zscore)))
+                       * (-0.356563782
+                          + (1.0 / (1.0 + 0.2316419 * abs(zscore)))
+                            * (1.781477937
+                               + (1.0 / (1.0 + 0.2316419 * abs(zscore)))
+                                 * (-1.821255978
+                                    + (1.0 / (1.0 + 0.2316419 * abs(zscore))) * 1.330274429)))))
+         ) + 1e-9, 6) AS p_value
+  FROM tested
+),
+ranked AS (
+  SELECT *,
+         CAST(row_number() OVER (ORDER BY p_value, event_type, day) AS INTEGER) AS p_rank,
+         count(*) OVER () AS m
+  FROM pvals
+)
+SELECT event_type, day, n_events, zscore, p_value, p_rank,
+       round(p_rank * {FDR_ALPHA} / m + 1e-9, 6) AS bh_critical,
+       p_rank <= coalesce(
+         max(CASE WHEN p_value <= p_rank * {FDR_ALPHA} / m THEN p_rank END) OVER (), 0
+       ) AS is_significant
+FROM ranked
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_funnel_latency — step-to-step conversion latency (new r7)
+# ---------------------------------------------------------------------------
+
+
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert companion to `events_funnel`: for each funnel
+    step pair (view→click, click→purchase), the converted-user count
+    and the mean / exact median / exact p90 latency in seconds —
+    conversion RATE says the funnel works, latency says where users
+    stall. Uses the same chained conditional-min windows as
+    events_funnel (first view, first click ≥ that view, first
+    purchase ≥ that click), so "latency" is first-touch to
+    first-qualified-touch.
+
+    Scale note: `percentile` here is the exact sort-based aggregate
+    over the per-user latency column (the `events_value_quantiles`
+    contract: exact is the audited baseline, `percentile_approx` is
+    the 100 TB default, error-bounded in tests/test_sketches.py).
+    Everything upstream is ONE per-user shuffle; the output is 2
+    rows."""
+    ev = _events_us(spark, sf_dir).select("user_id", "event_type", "ts_us")
+    w = Window.partitionBy("user_id")
+    s1 = ev.withColumn("v", F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w))
+    s2 = s1.withColumn(
+        "c",
+        F.min(
+            F.when((F.col("event_type") == "click") & (F.col("ts_us") >= F.col("v")), F.col("ts_us"))
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "p",
+        F.min(
+            F.when((F.col("event_type") == "purchase") & (F.col("ts_us") >= F.col("c")), F.col("ts_us"))
+        ).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max("v").alias("v"), F.max("c").alias("c"), F.max("p").alias("p")
+    )
+    steps = per_user.select(
+        F.lit("view_to_click").alias("step"), (F.col("c") - F.col("v")).alias("lat_us")
+    ).unionByName(
+        per_user.select(
+            F.lit("click_to_purchase").alias("step"), (F.col("p") - F.col("c")).alias("lat_us")
+        )
+    ).filter(F.col("lat_us").isNotNull())
+    return steps.groupBy("step").agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.sum("lat_us") / F.count(F.lit(1)) / 1e6 + 1e-9, 4).alias("mean_s"),
+        F.round(F.expr("percentile(lat_us, 0.5)") / 1e6 + 1e-9, 4).alias("median_s"),
+        F.round(F.expr("percentile(lat_us, 0.9)") / 1e6 + 1e-9, 4).alias("p90_s"),
+    )
+
+
+EVENTS_FUNNEL_LATENCY_SQL = """
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+s1 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+              OVER (PARTITION BY user_id) AS v
+  FROM ev
+),
+s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts_us >= v THEN ts_us END)
+              OVER (PARTITION BY user_id) AS c
+  FROM s1
+),
+s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_us >= c THEN ts_us END)
+              OVER (PARTITION BY user_id) AS p
+  FROM s2
+),
+per_user AS (
+  SELECT user_id, max(v) AS v, max(c) AS c, max(p) AS p FROM s3 GROUP BY 1
+),
+steps AS (
+  SELECT 'view_to_click' AS step, c - v AS lat_us FROM per_user WHERE c - v IS NOT NULL
+  UNION ALL
+  SELECT 'click_to_purchase' AS step, p - c AS lat_us FROM per_user WHERE p - c IS NOT NULL
+)
+SELECT step,
+       CAST(count(*) AS BIGINT) AS n_converted,
+       round(CAST(sum(lat_us) AS DOUBLE) / count(*) / 1e6 + 1e-9, 4) AS mean_s,
+       round(quantile_cont(lat_us, 0.5) / 1e6 + 1e-9, 4) AS median_s,
+       round(quantile_cont(lat_us, 0.9) / 1e6 + 1e-9, 4) AS p90_s
+FROM steps GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_entropy_rate — Markov-chain predictability summary (new r7)
+# ---------------------------------------------------------------------------
+
+
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the corpus event stream under the first-order
+    Markov model `events_markov_anomaly` scores with: H = −Σ_ij
+    (n_ij/N)·log2(n_ij/n_i·) bits per step, against the log2|A|
+    uniform ceiling — ONE number for "how predictable is user
+    behavior", the model-selection companion to the per-user
+    anomaly scorer (an entropy rate near the ceiling means the
+    chain explains nothing and anomaly scores are noise).
+
+    Scale design: the lead() window is user-partitioned; counts
+    collapse map-side to the ≤|types|² cell frame, and every
+    entropy term folds over that bounded frame — output is 1 row at
+    any corpus size."""
+    ev = _events_us(spark, sf_dir).select("user_id", "event_type", "ts_us", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    cells = seq.groupBy("event_type", "next_type").agg(F.count(F.lit(1)).alias("n_ij"))
+    w_from = Window.partitionBy("event_type")
+    w_all = Window.partitionBy()
+    terms = cells.select(
+        "next_type",
+        (
+            -(F.col("n_ij") / F.sum("n_ij").over(w_all))
+            * F.log2(F.col("n_ij") / F.sum("n_ij").over(w_from))
+        ).alias("term"),
+        F.sum("n_ij").over(w_all).alias("n_total"),
+    )
+    return terms.agg(
+        F.max("n_total").alias("n_transitions"),
+        F.countDistinct("next_type").alias("n_types"),
+        F.round(F.sum("term") + 1e-9, 6).alias("entropy_rate_bits"),
+        F.round(F.log2(F.countDistinct("next_type")) + 1e-9, 6).alias("max_bits"),
+        F.round(
+            F.sum("term") / F.log2(F.countDistinct("next_type")) + 1e-9, 6
+        ).alias("entropy_efficiency"),
+    )
+
+
+EVENTS_ENTROPY_RATE_SQL = """
+WITH seq AS (
+  SELECT event_type, lead(event_type) OVER w AS next_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+cells AS (
+  SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n_ij
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+terms AS (
+  SELECT next_type,
+         -(n_ij * 1.0 / sum(n_ij) OVER ())
+           * log2(n_ij * 1.0 / sum(n_ij) OVER (PARTITION BY event_type)) AS term,
+         sum(n_ij) OVER () AS n_total
+  FROM cells
+)
+SELECT CAST(max(n_total) AS BIGINT) AS n_transitions,
+       CAST(count(DISTINCT next_type) AS BIGINT) AS n_types,
+       round(sum(term) + 1e-9, 6) AS entropy_rate_bits,
+       round(log2(count(DISTINCT next_type)) + 1e-9, 6) AS max_bits,
+       round(sum(term) / log2(count(DISTINCT next_type)) + 1e-9, 6) AS entropy_efficiency
+FROM terms
+"""
+
+
 QUERIES = {
     "events_markov_anomaly": (events_markov_anomaly, EVENTS_MARKOV_ANOMALY_SQL),
+    "events_anomaly_fdr": (events_anomaly_fdr, EVENTS_ANOMALY_FDR_SQL),
+    "events_funnel_latency": (events_funnel_latency, EVENTS_FUNNEL_LATENCY_SQL),
+    "events_entropy_rate": (events_entropy_rate, EVENTS_ENTROPY_RATE_SQL),
     "events_dispersion_test": (events_dispersion_test, EVENTS_DISPERSION_TEST_SQL),
     "user_hour_profile_kmeans": (user_hour_profile_kmeans, USER_HOUR_PROFILE_KMEANS_SQL),
     "events_bitmap_rollup": (events_bitmap_rollup, EVENTS_BITMAP_ROLLUP_SQL),

@@ -2907,8 +2907,250 @@ FROM j
 """
 
 
+# ---------------------------------------------------------------------------
+# part_price_index — Laspeyres / Paasche / Fisher yearly price index (new r7)
+# ---------------------------------------------------------------------------
+
+
+def part_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical price-index ladder over the part catalog: per ship
+    year, the Laspeyres (base-year basket at current prices),
+    Paasche (current basket at base prices), and Fisher (geometric
+    mean) indexes relative to the first year in the data — the
+    inflation-adjustment input any revenue trend analysis needs
+    before it compares years. Unit price per (part, year) is the
+    quantity-weighted avg sum(extendedprice)/sum(quantity); only
+    parts traded in BOTH the base year and the measured year enter
+    that year's basket (the standard matched-sample rule).
+
+    Scale design: ONE lineitem partial-agg shuffle to the
+    (part, year) grain; the base-year slice is parts-scale so it
+    shuffle-joins on partkey (never broadcast); the base-year id
+    itself rides as a broadcast 1-row scalar (house rule); final
+    rollup is |years| rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.year("l_shipdate").cast("int").alias("yr"),
+        "l_extendedprice",
+        "l_quantity",
+    )
+    py = li.groupBy("l_partkey", "yr").agg(
+        (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p"),
+        F.sum("l_quantity").alias("q"),
+    )
+    y0 = py.agg(F.min("yr").alias("y0"))
+    base = (
+        py.crossJoin(F.broadcast(y0))
+        .filter(F.col("yr") == F.col("y0"))
+        .select("l_partkey", F.col("p").alias("p0"), F.col("q").alias("q0"))
+    )
+    j = py.join(base, "l_partkey")
+    agg = j.groupBy("yr").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.sum(F.col("p") * F.col("q0")).alias("pt_q0"),
+        F.sum(F.col("p0") * F.col("q0")).alias("p0_q0"),
+        F.sum(F.col("p") * F.col("q")).alias("pt_qt"),
+        F.sum(F.col("p0") * F.col("q")).alias("p0_qt"),
+    )
+    lasp = F.col("pt_q0") / F.col("p0_q0")
+    paas = F.col("pt_qt") / F.col("p0_qt")
+    return agg.select(
+        "yr",
+        "n_parts",
+        F.round(lasp + 1e-9, 6).alias("laspeyres"),
+        F.round(paas + 1e-9, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas) + 1e-9, 6).alias("fisher"),
+    )
+
+
+PART_PRICE_INDEX_SQL = """
+WITH py AS (
+  SELECT l_partkey, CAST(year(l_shipdate) AS INTEGER) AS yr,
+         sum(l_extendedprice) / sum(l_quantity) AS p,
+         sum(l_quantity) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+y0 AS (SELECT min(yr) AS y0 FROM py),
+base AS (
+  SELECT l_partkey, p AS p0, q AS q0
+  FROM py CROSS JOIN y0 WHERE yr = y0
+),
+agg AS (
+  SELECT yr,
+         CAST(count(DISTINCT py.l_partkey) AS BIGINT) AS n_parts,
+         sum(py.p * b.q0) AS pt_q0,
+         sum(b.p0 * b.q0) AS p0_q0,
+         sum(py.p * py.q) AS pt_qt,
+         sum(b.p0 * py.q) AS p0_qt
+  FROM py JOIN base b USING (l_partkey)
+  GROUP BY 1
+)
+SELECT yr, n_parts,
+       round(pt_q0 / p0_q0 + 1e-9, 6) AS laspeyres,
+       round(pt_qt / p0_qt + 1e-9, 6) AS paasche,
+       round(sqrt((pt_q0 / p0_q0) * (pt_qt / p0_qt)) + 1e-9, 6) AS fisher
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# supplier_return_rate — uncertainty-aware supplier reliability (new r7)
+# ---------------------------------------------------------------------------
+
+RETURN_Z = 1.96  # 95% Wilson bound
+
+
+def supplier_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier reliability scorecard: per supplier, the share of
+    line items returned (l_returnflag = 'R') with its Wilson lower
+    bound at z=1.96 — the uncertainty-aware ranking that stops a
+    2-line supplier with one return from looking worse than a
+    500-line supplier at 30% — plus each supplier's excess over its
+    nation's pooled return rate (is this a bad supplier or a bad
+    lane?).
+
+    Scale design: ONE lineitem partial-agg shuffle to the supplier
+    grain (two longs per supplier); the supplier dim joins on its
+    key (supplier-scale, never broadcast); the 25-row nation dim is
+    the only hinted broadcast; the nation pooled rate is a window
+    over the supplier-grain frame (|suppliers| rows, keyed on
+    nation)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_returnflag")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("n_returned"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    z2 = RETURN_Z * RETURN_Z
+    n = F.col("n_lines").cast("double")
+    p = F.col("n_returned") / n
+    lb = (p + z2 / (2 * n) - RETURN_Z * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n))) / (
+        1 + z2 / n
+    )
+    scored = (
+        per_supp.join(supp, per_supp.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name", "n_lines", "n_returned")
+    )
+    w_nat = Window.partitionBy("n_name")
+    nat_rate = F.sum("n_returned").over(w_nat) / F.sum("n_lines").over(w_nat)
+    return scored.select(
+        "s_suppkey",
+        "s_name",
+        "n_name",
+        "n_lines",
+        "n_returned",
+        F.round(p + 1e-9, 6).alias("return_rate"),
+        F.round(lb + 1e-9, 6).alias("wilson_lb"),
+        F.round(nat_rate + 1e-9, 6).alias("nation_rate"),
+        F.round(p - nat_rate + 1e-9, 6).alias("excess_rate"),
+    )
+
+
+SUPPLIER_RETURN_RATE_SQL = f"""
+WITH per_supp AS (
+  SELECT l_suppkey,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned
+  FROM lineitem GROUP BY 1
+),
+scored AS (
+  SELECT s.s_suppkey, s.s_name, n.n_name, ps.n_lines, ps.n_returned
+  FROM per_supp ps
+  JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+)
+SELECT s_suppkey, s_name, n_name, n_lines, n_returned,
+       round(n_returned * 1.0 / n_lines + 1e-9, 6) AS return_rate,
+       round((n_returned * 1.0 / n_lines + {RETURN_Z * RETURN_Z} / (2 * n_lines)
+              - {RETURN_Z} * sqrt((n_returned * 1.0 / n_lines) * (1 - n_returned * 1.0 / n_lines) / n_lines
+                                  + {RETURN_Z * RETURN_Z} / (4.0 * n_lines * n_lines)))
+             / (1 + {RETURN_Z * RETURN_Z} / n_lines) + 1e-9, 6) AS wilson_lb,
+       round(sum(n_returned) OVER (PARTITION BY n_name) * 1.0
+             / sum(n_lines) OVER (PARTITION BY n_name) + 1e-9, 6) AS nation_rate,
+       round(n_returned * 1.0 / n_lines
+             - sum(n_returned) OVER (PARTITION BY n_name) * 1.0
+               / sum(n_lines) OVER (PARTITION BY n_name) + 1e-9, 6) AS excess_rate
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# orders_priority_mix_drift — categorical mix-shift audit (new r7)
+# ---------------------------------------------------------------------------
+
+
+def orders_priority_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift audit: per order year, the PSI of the
+    o_orderpriority mix against the base (first) year — the
+    categorical sibling of `events_drift_psi`'s numeric-bin drift,
+    the check that a priority-stratified model or sampling scheme is
+    still looking at the population it was built on. PSI terms pair
+    categories present in both years (TPC-H-ish priorities are a
+    fixed 5-value alphabet present everywhere, so the matched-pair
+    rule loses nothing).
+
+    Scale design: orders collapse map-side to the |years|×|prios|
+    cell grid in one partial-agg shuffle; year totals, the base-year
+    id, and the PSI fold are all windows/joins on that bounded grid
+    — no second pass over the fact table, no broadcast hint."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("int").alias("yr"), "o_orderpriority"
+    )
+    cells = o.groupBy("yr", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    w_yr = Window.partitionBy("yr")
+    w_all = Window.partitionBy()
+    shares = cells.select(
+        "yr",
+        "o_orderpriority",
+        (F.col("n") / F.sum("n").over(w_yr)).alias("p"),
+        F.sum("n").over(w_yr).alias("n_orders"),
+        F.min("yr").over(w_all).alias("y0"),
+    )
+    base = shares.filter(F.col("yr") == F.col("y0")).select(
+        "o_orderpriority", F.col("p").alias("p0")
+    )
+    terms = shares.join(base, "o_orderpriority").withColumn(
+        "term", (F.col("p") - F.col("p0")) * F.log(F.col("p") / F.col("p0"))
+    )
+    return terms.groupBy("yr").agg(
+        F.max("n_orders").alias("n_orders"),
+        F.round(F.sum("term") + 1e-9, 6).alias("psi"),
+        F.round(F.max(F.abs(F.col("p") - F.col("p0"))) + 1e-9, 6).alias("max_abs_shift"),
+    )
+
+
+ORDERS_PRIORITY_MIX_DRIFT_SQL = """
+WITH cells AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+),
+shares AS (
+  SELECT yr, o_orderpriority,
+         n * 1.0 / sum(n) OVER (PARTITION BY yr) AS p,
+         CAST(sum(n) OVER (PARTITION BY yr) AS BIGINT) AS n_orders,
+         min(yr) OVER () AS y0
+  FROM cells
+),
+base AS (
+  SELECT o_orderpriority, p AS p0 FROM shares WHERE yr = y0
+)
+SELECT yr,
+       CAST(max(n_orders) AS BIGINT) AS n_orders,
+       round(sum((p - p0) * ln(p / p0)) + 1e-9, 6) AS psi,
+       round(max(abs(p - p0)) + 1e-9, 6) AS max_abs_shift
+FROM shares JOIN base USING (o_orderpriority)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "orders_priority_mix_drift": (orders_priority_mix_drift, ORDERS_PRIORITY_MIX_DRIFT_SQL),
     "priority_returnflag_mutual_info": (
         priority_returnflag_mutual_info,
         PRIORITY_RETURNFLAG_MI_SQL,
@@ -2961,5 +3203,7 @@ QUERIES = {
     "part_revenue_pareto": (part_revenue_pareto, PART_REVENUE_PARETO_SQL),
     "part_price_elasticity": (part_price_elasticity, PART_PRICE_ELASTICITY_SQL),
     "customer_survival_km": (customer_survival_km, CUSTOMER_SURVIVAL_KM_SQL),
+    "part_price_index": (part_price_index, PART_PRICE_INDEX_SQL),
+    "supplier_return_rate": (supplier_return_rate, SUPPLIER_RETURN_RATE_SQL),
 }
 

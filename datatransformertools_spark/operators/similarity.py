@@ -2399,6 +2399,244 @@ FROM knn k LEFT JOIN knn r ON k.src = r.dst AND k.dst = r.src
     )
 
 
+# ---------------------------------------------------------------------------
+# embedding_silhouette — clustering-quality score per label (new r7)
+# ---------------------------------------------------------------------------
+
+
+def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label: for each
+    vector, a = euclidean distance to its OWN label centroid, b =
+    distance to the NEAREST other centroid, s = (b−a)/max(a,b) — the
+    label-separation health check run before anyone trusts `label`
+    as a blocking or stratification key (medoid-free variant, the
+    form sklearn calls "simplified silhouette"; full silhouette is
+    O(N²) and pointless at corpus scale).
+
+    Scale design: centroids are |labels|·DIM rounded scalars — the
+    `trained_centroids` driver-collect class (bounded by schema, not
+    data) — inlined as codegen literals, so per-vector a/b/s is a
+    zero-join, zero-shuffle projection inside the scan; the only
+    shuffles are the |labels|·DIM centroid partial agg and the final
+    |labels|-row rollup. Centroids are rounded at 6 dp BEFORE the
+    distances so both engines measure against bit-identical
+    prototypes."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", as_double(F.col("embedding")).alias("v")
+    )
+    cent_rows = label_centroids(spark, sf_dir).select("label", "dim", "cval").collect()
+    cents: dict[int, list[float]] = {}
+    for r in cent_rows:
+        cents.setdefault(r["label"], [0.0] * DIM)[r["dim"]] = r["cval"]
+    labels = sorted(cents)
+
+    def dist_to(lab: int) -> F.Column:
+        c = F.array(*[F.lit(x) for x in cents[lab]])
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    a = None
+    for lab in labels:
+        a = F.when(F.col("label") == lab, dist_to(lab)) if a is None else a.when(
+            F.col("label") == lab, dist_to(lab)
+        )
+    b = F.least(*[F.when(F.col("label") != lab, dist_to(lab)) for lab in labels])
+    scored = emb.select(
+        "label",
+        a.alias("a"),
+        b.alias("b"),
+    ).withColumn(
+        "s", (F.col("b") - F.col("a")) / F.nullif(F.greatest("a", "b"), F.lit(0.0))
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("a") + 1e-9, 6).alias("mean_intra"),
+        F.round(F.avg("b") + 1e-9, 6).alias("mean_nearest_other"),
+        F.round(F.avg("s") + 1e-9, 6).alias("mean_silhouette"),
+    )
+
+
+EMBEDDING_SILHOUETTE_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (
+  SELECT label, i - 1 AS dim, v[i] AS val
+  FROM e CROSS JOIN range(1, {DIM} + 1) t(i)
+),
+cent AS (
+  SELECT label AS clabel, dim, round(avg(val) + 1e-9, 6) AS cval
+  FROM dims GROUP BY 1, 2
+),
+carr AS (SELECT clabel, list(cval ORDER BY dim) AS c FROM cent GROUP BY 1),
+d AS (
+  SELECT e.vec_id, e.label, carr.clabel,
+         sqrt(list_sum(list_transform(range(1, {DIM} + 1), i -> (e.v[i] - carr.c[i]) * (e.v[i] - carr.c[i])))) AS dist
+  FROM e CROSS JOIN carr
+),
+ab AS (
+  SELECT vec_id, label,
+         max(CASE WHEN clabel = label THEN dist END) AS a,
+         min(CASE WHEN clabel <> label THEN dist END) AS b
+  FROM d GROUP BY 1, 2
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       round(avg(a) + 1e-9, 6) AS mean_intra,
+       round(avg(b) + 1e-9, 6) AS mean_nearest_other,
+       round(avg((b - a) / nullif(greatest(a, b), 0.0)) + 1e-9, 6) AS mean_silhouette
+FROM ab GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding_knn_outlier — kNN-distance outlier report (new r7)
+# ---------------------------------------------------------------------------
+
+KNN_OUTLIER_TOP = 50
+
+
+def embedding_knn_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-distance outlier report: each vector's mean cosine
+    DISTANCE to its EMB_KNN_K nearest in-block neighbors (the
+    classic kNN outlier score / LOF's numerator), top
+    KNN_OUTLIER_TOP by score — the "what doesn't belong in this
+    corpus" feed a data-curation pass reviews before training.
+    Vectors the blocking isolates entirely (no in-block candidate at
+    any probe) have nothing near them by construction and surface at
+    the maximal score 1.0 with n_neighbors = 0.
+
+    Scale design: edges come from `embedding_knn_graph` (the
+    cluster-blocked candidate set — K ∝ N, no all-pairs stage); the
+    score is one src-keyed aggregate of the ≤ N·K edge list; the
+    top-N is TakeOrdered (per-partition heads, never a global sort);
+    the isolated-vector backfill is a shuffle join on vec_id."""
+    edges = embedding_knn_graph(spark, sf_dir)
+    scores = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        F.round(1.0 - F.avg("cos_sim") + 1e-9, 6).alias("knn_mean_dist"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        emb.join(scores, emb.vec_id == scores.src, "left")
+        .select(
+            "vec_id",
+            "label",
+            F.coalesce(F.col("n_neighbors"), F.lit(0)).cast("long").alias("n_neighbors"),
+            F.coalesce(F.col("knn_mean_dist"), F.lit(1.0)).alias("knn_mean_dist"),
+        )
+        .orderBy(F.col("knn_mean_dist").desc(), "vec_id")
+        .limit(KNN_OUTLIER_TOP)
+    )
+
+
+def _embedding_knn_outlier_sql() -> str:
+    from datatransformertools_spark.operators.dedup import _emb_pairs_parts
+
+    return (
+        ",\n".join(_emb_pairs_parts())
+        + f""",
+directed AS (
+  SELECT vec_a AS src, vec_b AS dst, cos_sim FROM pairs
+  UNION ALL
+  SELECT vec_b AS src, vec_a AS dst, cos_sim FROM pairs
+),
+knn AS (
+  SELECT src, dst, cos_sim,
+         CAST(row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst) AS INTEGER) AS rank
+  FROM directed
+  QUALIFY rank <= {EMB_KNN_K}
+),
+scores AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS n_neighbors,
+         round(1.0 - avg(cos_sim) + 1e-9, 6) AS knn_mean_dist
+  FROM knn GROUP BY 1
+)
+SELECT e.vec_id, e.label,
+       coalesce(s.n_neighbors, 0) AS n_neighbors,
+       coalesce(s.knn_mean_dist, 1.0) AS knn_mean_dist
+FROM embeddings e LEFT JOIN scores s ON e.vec_id = s.src
+ORDER BY knn_mean_dist DESC, e.vec_id
+LIMIT {KNN_OUTLIER_TOP}
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_intrinsic_dim — TwoNN intrinsic-dimension estimate (new r7)
+# ---------------------------------------------------------------------------
+
+
+def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017) over
+    the blocked kNN edges: per vector, μ = r2/r1 (cosine distances
+    to its 2nd and 1st nearest in-block neighbors); the MLE is
+    d̂ = n / Σ ln μ — the "are these 64 dims really 64 dims" audit
+    that sizes PQ codebooks, PCA targets, and ANN recall
+    expectations. Vectors with r1 = 0 (an exact duplicate as the
+    nearest neighbor — μ undefined) or fewer than 2 in-block
+    neighbors are excluded, and both exclusions are reported.
+
+    Scale design: edges come from `embedding_knn_graph` (corpus-
+    proportional blocking, never all-pairs); the r1/r2 pivot is one
+    src-keyed aggregate of the ≤ N·K edge list; the MLE folds to a
+    1-row output."""
+    edges = embedding_knn_graph(spark, sf_dir).select("src", "rank", "cos_sim")
+    rr = edges.groupBy("src").agg(
+        F.min(F.when(F.col("rank") == 1, 1.0 - F.col("cos_sim"))).alias("r1"),
+        F.min(F.when(F.col("rank") == 2, 1.0 - F.col("cos_sim"))).alias("r2"),
+    )
+    usable = (F.col("r1") > 0) & F.col("r2").isNotNull()
+    return rr.agg(
+        F.count(F.lit(1)).alias("n_with_neighbors"),
+        F.sum(usable.cast("long")).alias("n_used"),
+        F.round(
+            F.sum(usable.cast("long"))
+            / F.nullif(
+                F.sum(F.when(usable, F.log(F.col("r2") / F.col("r1")))), F.lit(0.0)
+            )
+            + 1e-9,
+            4,
+        ).alias("id_mle"),
+    )
+
+
+def _embedding_intrinsic_dim_sql() -> str:
+    from datatransformertools_spark.operators.dedup import _emb_pairs_parts
+
+    return (
+        ",\n".join(_emb_pairs_parts())
+        + f""",
+directed AS (
+  SELECT vec_a AS src, vec_b AS dst, cos_sim FROM pairs
+  UNION ALL
+  SELECT vec_b AS src, vec_a AS dst, cos_sim FROM pairs
+),
+knn AS (
+  SELECT src, dst, cos_sim,
+         CAST(row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst) AS INTEGER) AS rank
+  FROM directed
+  QUALIFY rank <= {EMB_KNN_K}
+),
+rr AS (
+  SELECT src,
+         min(CASE WHEN rank = 1 THEN 1.0 - cos_sim END) AS r1,
+         min(CASE WHEN rank = 2 THEN 1.0 - cos_sim END) AS r2
+  FROM knn GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_with_neighbors,
+       CAST(sum(CASE WHEN r1 > 0 AND r2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_used,
+       round(sum(CASE WHEN r1 > 0 AND r2 IS NOT NULL THEN 1 ELSE 0 END)
+             / nullif(sum(CASE WHEN r1 > 0 AND r2 IS NOT NULL THEN ln(r2 / r1) END), 0.0)
+             + 1e-9, 4) AS id_mle
+FROM rr
+"""
+    )
+
+
 QUERIES = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     "embedding_knn_graph": (embedding_knn_graph, _embedding_knn_graph_sql()),
@@ -2422,4 +2660,7 @@ QUERIES = {
     "embedding_pca_invariants": (embedding_pca_invariants, EMBEDDING_PCA_INVARIANTS_SQL),
     "embedding_whitening": (embedding_whitening, None),
     "embedding_whiten_invariants": (embedding_whiten_invariants, EMBEDDING_WHITEN_INVARIANTS_SQL),
+    "embedding_silhouette": (embedding_silhouette, EMBEDDING_SILHOUETTE_SQL),
+    "embedding_knn_outlier": (embedding_knn_outlier, _embedding_knn_outlier_sql()),
+    "embedding_intrinsic_dim": (embedding_intrinsic_dim, _embedding_intrinsic_dim_sql()),
 }

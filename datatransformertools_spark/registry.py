@@ -90,6 +90,22 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "dedup_minhash_verify",
         "contamination_check",
         "cross_source_overlap",
+        # new in r7 — certify in the round they land (house rule)
+        "curriculum_phases",
+        "pack_efficiency_curve",
+        "doc_duplication_score",
+        "emb_tau_retention_curve",
+        "embedding_silhouette",
+        "embedding_knn_outlier",
+        "part_price_index",
+        "supplier_return_rate",
+        "events_anomaly_fdr",
+        "source_epoch_schedule",
+        "events_funnel_latency",
+        "events_entropy_rate",
+        "embedding_intrinsic_dim",
+        "orders_priority_mix_drift",
+        "template_prefix_families",
     ]
     # Freshness refill: oldest certifications first (r1 rows, then
     # r2) so no row's evidence stays frozen at its first green.

@@ -156,6 +156,11 @@ _HINT_BROADCAST_ALLOWLIST = {
     "orders_seasonal_decompose": 2,  # 12-row seasonal index + 1-row grand mean
     "ann_ivf_probe_curve": 6,  # codebook ×2, query side, probe grid, exact top-k (brute-force query side + shortlist)
     "events_dispersion_test": 1,  # 1-row hour-span scalar
+    # --- new in r7, all constants-bounded ---
+    "emb_tau_retention_curve": 2,  # ≤|τ|-row per-τ counts + 1-row corpus count
+    "part_price_index": 1,  # 1-row base-year scalar
+    "supplier_return_rate": 1,  # 25-row nation dim
+    "source_epoch_schedule": 1,  # 1-row normalizing-totals scalar
 }
 
 

@@ -393,6 +393,22 @@ SECTIONS = [
         "the reciprocity pass self-joins the bounded N·K edge list.",
         True,
     ),
+    (
+        "doc_duplication_score",
+        "r7 memorization-risk score: both shuffles carry the shingle's "
+        "32-hex md5 + doc_id — text never moves; df is one hash-keyed "
+        "aggregate off the memoized shingle stage table, then one per-doc "
+        "partial agg.",
+        False,
+    ),
+    (
+        "part_price_index",
+        "r7 price-index ladder: ONE lineitem partial-agg to the "
+        "(part, year) grain; the parts-scale base-year slice shuffle-joins "
+        "on partkey (data-scale side never broadcast); the only hinted "
+        "broadcast is the 1-row base-year scalar.",
+        True,
+    ),
 ]
 
 # Iterative operators whose returned plan is a checkpoint scan (their
