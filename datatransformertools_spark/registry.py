@@ -106,6 +106,8 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "embedding_intrinsic_dim",
         "orders_priority_mix_drift",
         "template_prefix_families",
+        "events_stream_bitmap_rollup",
+        "events_stream_top_k_per_window",
     ]
     # Freshness refill: oldest certifications first (r1 rows, then
     # r2) so no row's evidence stays frozen at its first green.

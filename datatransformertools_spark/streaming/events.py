@@ -1132,6 +1132,124 @@ FROM framed
 """
 
 
+def events_stream_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hour-bitmap rollup EXECUTED AS A STREAM: per (user, day)
+    bit_or of hour bits as a streaming aggregate — bitmaps are the
+    ideal streaming-state shape (8 bytes per key, idempotent OR
+    merge across microbatches), which is exactly why bitmap indexes
+    suit incremental maintenance. Drained availableNow into a memory
+    sink; the face (bitmap + popcount daypart splits) matches the
+    batch `events_bitmap_rollup` day grain, so the gate value-checks
+    the streaming runtime against the same DuckDB oracle."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F  # noqa: F811 (self-contained)
+
+    from datatransformertools_spark.operators.events import (
+        DAY_US,
+        EVENING_MASK,
+        HOUR_US,
+        MORNING_MASK,
+    )
+
+    src_dir = tempfile.mkdtemp(prefix="dtt-stream-bm-src-")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events.parquet")
+    raw = _read_raw(spark, src_dir)
+    ev = raw.withColumn("ts_us", events_ts_us(raw)).select(
+        F.expr(f"ts_us div {DAY_US}").alias("day"),
+        F.expr(f"(ts_us % {DAY_US}) div {HOUR_US}").alias("hour"),
+        "user_id",
+    )
+    bm = ev.groupBy("user_id", "day").agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(hour AS INT))")).alias(
+            "hour_bitmap"
+        )
+    )
+    name = f"stream_bitmap_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            bm.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="dtt-stream-ckpt-"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    drained = spark.table(name)
+    return drained.select(
+        "user_id",
+        "day",
+        "hour_bitmap",
+        F.bit_count("hour_bitmap").alias("n_active_hours"),
+        F.bit_count(F.col("hour_bitmap").bitwiseAND(F.lit(MORNING_MASK))).alias("n_morning"),
+        F.bit_count(F.col("hour_bitmap").bitwiseAND(F.lit(EVENING_MASK))).alias("n_evening"),
+    )
+
+
+def _stream_bitmap_oracle() -> str:
+    from datatransformertools_spark.operators.events import EVENTS_BITMAP_ROLLUP_SQL
+
+    # the stream must produce exactly what the batch plan produces
+    return EVENTS_BITMAP_ROLLUP_SQL
+
+
+def events_stream_top_k_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k EXECUTED AS A STREAM: the per-(window, user)
+    value totals run as the streaming aggregate (that is the
+    data-scale, stateful part — state is one float per live key);
+    the top-3 rank is a bounded post-pass over the drained result,
+    the standard two-phase shape because rank-over-stream requires
+    the window to close anyway. Face matches the batch
+    `events_top_k_per_window`, so the gate value-checks the
+    streaming state math against the same oracle."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F  # noqa: F811 (self-contained)
+    from pyspark.sql.window import Window
+
+    from datatransformertools_spark.operators.events import HOUR_US, WINDOW_TOP_K
+
+    src_dir = tempfile.mkdtemp(prefix="dtt-stream-topk-src-")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events.parquet")
+    raw = _read_raw(spark, src_dir)
+    ev = raw.withColumn("ts_us", events_ts_us(raw))
+    win = (F.expr(f"ts_us div {HOUR_US}") * HOUR_US).alias("window_start_us")
+    per_user = ev.groupBy(win, "user_id").agg(
+        F.round(F.sum("value") + 1e-9, 4).alias("total_value")
+    )
+    name = f"stream_topk_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            per_user.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="dtt-stream-ckpt-"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    drained = spark.table(name)
+    rank = F.row_number().over(
+        Window.partitionBy("window_start_us").orderBy(
+            F.col("total_value").desc(), F.col("user_id")
+        )
+    )
+    return drained.withColumn("rank_in_window", rank).filter(
+        F.col("rank_in_window") <= WINDOW_TOP_K
+    )
+
+
+def _stream_topk_oracle() -> str:
+    from datatransformertools_spark.operators.events import EVENTS_TOP_K_SQL
+
+    return EVENTS_TOP_K_SQL
+
+
 QUERIES = {
     "events_stream_tumbling": (events_stream_tumbling, EVENTS_STREAM_TUMBLING_SQL),
     "events_stream_anomaly": (events_stream_anomaly, EVENTS_STREAM_ANOMALY_SQL),
@@ -1151,6 +1269,11 @@ QUERIES = {
     "events_stream_replay_dedup": (events_stream_replay_dedup, EVENTS_STREAM_REPLAY_DEDUP_SQL),
     "events_stream_daily_users": (events_stream_daily_users, EVENTS_STREAM_DAILY_USERS_SQL),
     "events_stream_ewma": (events_stream_ewma, EVENTS_STREAM_EWMA_SQL),
+    "events_stream_bitmap_rollup": (events_stream_bitmap_rollup, _stream_bitmap_oracle()),
+    "events_stream_top_k_per_window": (
+        events_stream_top_k_per_window,
+        _stream_topk_oracle(),
+    ),
 }
 
 

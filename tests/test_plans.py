@@ -31,10 +31,18 @@ def _plan_hints_only(spark, sf_dir, name: str) -> str:
     # the physical plan it was compiled with (AQE on → runtime
     # broadcast upgrades), and InMemoryTableScan would render that
     # interior into this plan, making the hints-only assertion see
-    # AQE's legitimate small-SF decisions instead of our hints.
+    # AQE's legitimate small-SF decisions instead of our hints. The
+    # cross-query _FrameMemo frames (shingle/τ-pair stage tables)
+    # live OUTSIDE release_caches() by design and freeze plans the
+    # same way — if oracle-parity tests ran first in this session,
+    # the memoized pair frame was built under normal conf and its
+    # frozen interior carries auto-broadcast joins that are NOT
+    # hints. Clear those too so the capture is conf-clean.
     from datatransformertools_spark.caching import release_caches
+    from datatransformertools_spark.operators.dedup import clear_dedup_memos
 
     release_caches()
+    clear_dedup_memos()
     old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -289,3 +289,28 @@ def test_stream_outer_interval_join_emits_null_rows(spark, sf_dir):
     ).count()
     assert tot["m"] == matched_pairs
     assert tot["u"] == unmatched_clicks
+
+
+def test_stream_bitmap_rollup_matches_batch(spark, sf_dir):
+    """The streaming bit_or rollup must reproduce the batch bitmap
+    table exactly — idempotent OR merge across microbatches is the
+    whole argument for bitmaps as streaming state."""
+    from datatransformertools_spark.operators.events import events_bitmap_rollup
+    from datatransformertools_spark.streaming.events import events_stream_bitmap_rollup
+
+    batch = {tuple(r) for r in events_bitmap_rollup(spark, sf_dir).collect()}
+    stream = {tuple(r) for r in events_stream_bitmap_rollup(spark, sf_dir).collect()}
+    assert stream == batch
+
+
+def test_stream_top_k_matches_batch(spark, sf_dir):
+    """Streaming per-(window, user) totals + bounded post-rank must
+    equal the batch windowed top-k."""
+    from datatransformertools_spark.operators.events import events_top_k_per_window
+    from datatransformertools_spark.streaming.events import (
+        events_stream_top_k_per_window,
+    )
+
+    batch = {tuple(r) for r in events_top_k_per_window(spark, sf_dir).collect()}
+    stream = {tuple(r) for r in events_stream_top_k_per_window(spark, sf_dir).collect()}
+    assert stream == batch
