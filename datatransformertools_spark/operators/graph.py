@@ -587,8 +587,156 @@ FROM ranked WHERE rank <= {SIM_TOP_K}
 PART_SIMILAR_PARTS_SQL = _similar_parts_sql()
 
 
+# ---------------------------------------------------------------------------
+# part_bfs_hops — BFS hop distance from a seed node (new r7)
+# ---------------------------------------------------------------------------
+
+BFS_ITERS = 3
+
+
+def part_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous BFS over the part co-purchase graph: hop distance
+    from a deterministic seed (the smallest partkey with an edge) for
+    every node reached within BFS_ITERS rounds — the SSSP/frontier
+    primitive under neighborhood features, reachability audits, and
+    "how far is X from the seed catalog" queries. Unreached nodes are
+    absent (both engines), so the output doubles as the seed's
+    BFS_ITERS-hop reachability set.
+
+    Scale design: the same Pregel shape as the PageRank/LPA loops —
+    per round ONE (part)-keyed shuffle of (part, hop) pairs after an
+    edges⋈frontier join, with min-hop as the combiner (map-side
+    partial min); localCheckpoint truncates lineage between rounds;
+    driver state is only the loop index. The seed is a 1-row
+    aggregate that seeds the frontier frame — never collected."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("parts"))
+    edges = (
+        baskets.select(F.explode("parts").alias("src"), "parts")
+        .select("src", F.explode("parts").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    levels = edges.agg(F.min("src").alias("part")).select(
+        "part", F.lit(0).alias("hop")
+    ).localCheckpoint()
+    for i in range(1, BFS_ITERS + 1):
+        expanded = levels.unionByName(
+            edges.join(levels, edges.src == levels.part)
+            .select(F.col("dst").alias("part"), F.lit(i).alias("hop"))
+        )
+        levels = (
+            expanded.groupBy("part").agg(F.min("hop").alias("hop")).localCheckpoint()
+        )
+    edges.unpersist()
+    return levels.select("part", F.col("hop").cast("int").alias("hops"))
+
+
+def _bfs_sql() -> str:
+    ctes = [
+        "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+)""",
+        "r0 AS (SELECT min(src) AS part, 0 AS hop FROM edges)",
+    ]
+    for i in range(1, BFS_ITERS + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT part, min(hop) AS hop FROM (
+    SELECT part, hop FROM r{i - 1}
+    UNION ALL
+    SELECT e.dst AS part, {i} AS hop
+    FROM edges e JOIN r{i - 1} r ON e.src = r.part
+  ) GROUP BY part
+)"""
+        )
+    return (
+        ",\n".join(ctes)
+        + f"""
+SELECT part, CAST(hop AS INTEGER) AS hops FROM r{BFS_ITERS}
+"""
+    )
+
+
+PART_BFS_HOPS_SQL = _bfs_sql()
+
+
+# ---------------------------------------------------------------------------
+# part_degree_distribution — graph-health histogram (new r7)
+# ---------------------------------------------------------------------------
+
+
+def part_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph in log2 buckets —
+    the first thing to look at before ANY graph algorithm runs at
+    scale: a heavy-tailed distribution means hub nodes that will
+    skew every dst-keyed shuffle (the salting decision input), a
+    truncated one means the basket cap is binding. Per bucket:
+    node count, min/max degree, and the bucket's share of all edge
+    endpoints (hubs' share of shuffle traffic).
+
+    Scale design: degrees are one (src)-keyed count of the edge
+    list; the histogram collapses map-side to ≤64 log2 buckets; the
+    endpoint-share window runs on that bounded frame."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("parts"))
+    edges = (
+        baskets.select(F.explode("parts").alias("src"), "parts")
+        .select("src", F.explode("parts").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    buckets = deg.groupBy(
+        F.floor(F.log2("degree")).cast("int").alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("degree").alias("min_degree"),
+        F.max("degree").alias("max_degree"),
+        F.sum("degree").alias("endpoints"),
+    )
+    w_all = Window.partitionBy()
+    return buckets.select(
+        "log2_bucket",
+        "n_nodes",
+        "min_degree",
+        "max_degree",
+        F.round(F.col("endpoints") / F.sum("endpoints").over(w_all) + 1e-9, 6).alias(
+            "endpoint_share"
+        ),
+    )
+
+
+PART_DEGREE_DISTRIBUTION_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree FROM edges GROUP BY 1),
+buckets AS (
+  SELECT CAST(floor(log2(degree)) AS INTEGER) AS log2_bucket,
+         CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(min(degree) AS BIGINT) AS min_degree,
+         CAST(max(degree) AS BIGINT) AS max_degree,
+         CAST(sum(degree) AS BIGINT) AS endpoints
+  FROM deg GROUP BY 1
+)
+SELECT log2_bucket, n_nodes, min_degree, max_degree,
+       round(endpoints * 1.0 / sum(endpoints) OVER () + 1e-9, 6) AS endpoint_share
+FROM buckets
+"""
+
+
 QUERIES = {
     "part_pagerank": (part_pagerank, PART_PAGERANK_SQL),
+    "part_bfs_hops": (part_bfs_hops, PART_BFS_HOPS_SQL),
+    "part_degree_distribution": (part_degree_distribution, PART_DEGREE_DISTRIBUTION_SQL),
     "part_similar_parts": (part_similar_parts, PART_SIMILAR_PARTS_SQL),
     "part_triangles": (part_triangles, PART_TRIANGLES_SQL),
     "part_label_propagation": (part_label_propagation, PART_LABEL_PROPAGATION_SQL),

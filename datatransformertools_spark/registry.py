@@ -108,6 +108,8 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "template_prefix_families",
         "events_stream_bitmap_rollup",
         "events_stream_top_k_per_window",
+        "part_bfs_hops",
+        "part_degree_distribution",
     ]
     # Freshness refill: oldest certifications first (r1 rows, then
     # r2) so no row's evidence stays frozen at its first green.

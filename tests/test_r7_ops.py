@@ -342,3 +342,29 @@ class TestR7Batch2Ops:
             assert 1 <= r["n_sources"] <= r["n_docs"]
             assert 1 <= r["n_distinct_texts"] <= r["n_docs"]
             assert len(r["head_h"]) == 32  # md5 hex — text never shuffles
+
+
+class TestR7GraphOps:
+    def test_bfs_hops_contract(self, spark, sf_dir):
+        from datatransformertools_spark.operators.graph import BFS_ITERS, part_bfs_hops
+
+        rows = part_bfs_hops(spark, sf_dir).collect()
+        assert rows
+        hops = {r["part"]: r["hops"] for r in rows}
+        seed = min(hops)  # seed is the smallest partkey with an edge
+        assert hops[seed] == 0
+        assert sum(1 for h in hops.values() if h == 0) == 1  # exactly one seed
+        assert all(0 <= h <= BFS_ITERS for h in hops.values())
+
+    def test_degree_distribution_consistent(self, spark, sf_dir):
+        from datatransformertools_spark.operators.graph import part_degree_distribution
+
+        rows = part_degree_distribution(spark, sf_dir).collect()
+        assert rows
+        assert abs(sum(r["endpoint_share"] for r in rows) - 1.0) < 1e-4
+        for r in rows:
+            assert r["min_degree"] <= r["max_degree"]
+            # bucket bounds honor the log2 cut
+            assert (1 << r["log2_bucket"]) <= r["min_degree"]
+            assert r["max_degree"] < (1 << (r["log2_bucket"] + 1))
+            assert r["n_nodes"] > 0
