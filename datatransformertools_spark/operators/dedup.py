@@ -120,12 +120,15 @@ _EMB_PAIRS_MEMO = _FrameMemo()
 
 def clear_dedup_memos(unpersist: bool = True) -> int:
     """Drop every cross-query memoized frame (shingle index, capped
-    index, τ-pairs); returns how many were evicted. The companion to
-    `caching.release_caches()`, which deliberately does NOT own
-    these. `unpersist=False` when the owning session is stopped."""
+    index, τ-pairs, kNN edges); returns how many were evicted. The
+    companion to `caching.release_caches()`, which deliberately does
+    NOT own these. `unpersist=False` when the owning session is
+    stopped."""
+    from datatransformertools_spark.operators.similarity import _KNN_EDGES_MEMO
+
     return sum(
         m.clear(unpersist)
-        for m in (_SHINGLE_MEMO, _CAPPED_SHINGLE_MEMO, _EMB_PAIRS_MEMO)
+        for m in (_SHINGLE_MEMO, _CAPPED_SHINGLE_MEMO, _EMB_PAIRS_MEMO, _KNN_EDGES_MEMO)
     )
 
 
@@ -2106,6 +2109,11 @@ def template_prefix_families(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_exact case; high → true template with varying bodies, the
     case to strip headers from rather than drop documents).
 
+    Size columns (`n_chars_raw` / `total_chars_raw`) measure RAW
+    text length — case-preserving, whitespace runs included — i.e.
+    storage mass, not the normalized-token mass the head/text hashes
+    are computed over. Both engines measure the same raw length.
+
     Scale design: head and full-text hashes are map-side md5s; the
     single shuffle carries (32-hex head, 32-hex text, source) per
     doc — text never moves; output is bounded by the number of
@@ -2115,7 +2123,7 @@ def template_prefix_families(spark: SparkSession, sf_dir: str) -> DataFrame:
     heads = docs.select(
         "doc_id",
         "source",
-        F.length("text").alias("n_chars_norm"),
+        F.length("text").alias("n_chars_raw"),
         F.md5(F.concat_ws(" ", F.slice(tok, 1, TPL_PREFIX_K))).alias("head_h"),
         F.md5(F.concat_ws(" ", tok)).alias("text_h"),
     ).filter(F.size(tok) >= TPL_PREFIX_K)
@@ -2125,7 +2133,7 @@ def template_prefix_families(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.countDistinct("source").alias("n_sources"),
             F.countDistinct("text_h").alias("n_distinct_texts"),
-            F.sum("n_chars_norm").alias("total_chars"),
+            F.sum("n_chars_raw").alias("total_chars_raw"),
         )
         .filter(F.col("n_docs") >= TPL_MIN_DOCS)
     )
@@ -2133,12 +2141,12 @@ def template_prefix_families(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEMPLATE_PREFIX_FAMILIES_SQL = rf"""
 WITH toks AS (
-  SELECT doc_id, source, length(text) AS n_chars_norm,
+  SELECT doc_id, source, length(text) AS n_chars_raw,
          regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS t
   FROM documents
 ),
 heads AS (
-  SELECT doc_id, source, n_chars_norm,
+  SELECT doc_id, source, n_chars_raw,
          md5(array_to_string(t[1:{TPL_PREFIX_K}], ' ')) AS head_h,
          md5(array_to_string(t, ' ')) AS text_h
   FROM toks WHERE len(t) >= {TPL_PREFIX_K}
@@ -2147,7 +2155,7 @@ SELECT head_h,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
        CAST(count(DISTINCT text_h) AS BIGINT) AS n_distinct_texts,
-       CAST(sum(n_chars_norm) AS BIGINT) AS total_chars
+       CAST(sum(n_chars_raw) AS BIGINT) AS total_chars_raw
 FROM heads
 GROUP BY 1
 HAVING count(*) >= {TPL_MIN_DOCS}
@@ -2168,11 +2176,18 @@ EMB_RETENTION_TAUS = (0.3, 0.5, 0.7, 0.9)
 def emb_tau_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention-vs-τ tuning table for the embedding dedup: at each
     candidate threshold, the surviving-corpus fraction under the
-    greedy keep-first rule (drop the higher-id member of every
-    cos ≥ τ pair — the streaming-dedup semantics of
-    `dedup_incremental`). This is the table COSINE_TAU itself is
-    chosen from: the operator answers "how much corpus does each τ
-    cost" BEFORE anyone commits to a threshold.
+    rule "drop every vector that has ANY qualifying lower-id
+    partner" (count distinct higher-id members across cos ≥ τ
+    pairs). Because cosine similarity is not transitive, this is a
+    deliberately CONSERVATIVE bound: in a chain A~B, B~C with A≁C, a
+    true sequential keep-first pass would retain C (its only partner
+    B was itself dropped), while this table counts C as dropped — so
+    `retention` is a LOWER bound on what greedy `dedup_incremental`
+    retains, never an overestimate. That is the right direction for
+    a budget table: τ chosen here costs AT MOST the shown fraction.
+    This is the table COSINE_TAU itself is chosen from: the operator
+    answers "how much corpus does each τ cost" BEFORE anyone commits
+    to a threshold.
 
     Scale design: the ONLY corpus-scale work is the memoized blocked
     τ-pair build (shared with dedup_embedding / recall / components

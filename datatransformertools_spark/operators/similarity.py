@@ -2316,6 +2316,70 @@ ANN_IVF_PROBE_CURVE_SQL = _ann_ivf_probe_curve_sql()
 
 EMB_KNN_K = 3
 
+# Cross-query memo for the ranked kNN edge list (src, rank, dst,
+# cos_sim): three registered queries (`embedding_knn_graph`,
+# `embedding_knn_outlier`, `embedding_intrinsic_dim`) consume the
+# SAME blocked self-join + per-src top-k, so it is built once per
+# (applicationId, sf_dir) under the dedup._FrameMemo contract and
+# released through `clear_dedup_memos()` with the other stage
+# tables. At cluster scale the same role is a materialized edge
+# table written once per corpus snapshot.
+from datatransformertools_spark.operators.dedup import _FrameMemo  # noqa: E402
+
+_KNN_EDGES_MEMO = _FrameMemo()
+
+
+def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked directed kNN edges (src, rank, dst, cos_sim) over the
+    cluster-blocked candidate set, memoized per (session, sf_dir).
+
+    Scale: candidates come from the SAME (k-means cell, label)
+    multi-probe blocking as `dedup_embedding` — K grows with the
+    corpus (corpus_k), so per-block fan-out is bounded and there is
+    never an all-pairs stage. One undirected blocked self-join +
+    mirror, then a per-src window for the top-k (src-partitioned —
+    parallel)."""
+
+    def build() -> DataFrame:
+        from datatransformertools_spark.operators.dedup import _multiprobe
+
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", as_double(F.col("embedding")).alias("v")
+        ).withColumn("nrm", norm(F.col("v")))
+        cents = trained_centroids(spark, sf_dir, KMEANS_ITERS)
+        assigned = _multiprobe(emb, cents)
+        a, b = assigned.alias("a"), assigned.alias("b")
+        cos = F.round(
+            cosine_prenormed(
+                F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
+            )
+            + 1e-9,
+            6,
+        )
+        und = (
+            a.join(
+                b,
+                (F.col("a.cluster") == F.col("b.cluster"))
+                & (F.col("a.label") == F.col("b.label"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("src"),
+                F.col("b.vec_id").alias("dst"),
+                cos.alias("cos_sim"),
+            )
+            .distinct()
+        )
+        directed = und.unionByName(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "cos_sim")
+        )
+        rn = F.row_number().over(
+            Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), "dst")
+        )
+        return directed.withColumn("rank", rn).filter(F.col("rank") <= EMB_KNN_K)
+
+    return _KNN_EDGES_MEMO.get_or_build(spark, sf_dir, build)
+
 
 def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed kNN graph over the cluster-blocked candidate set —
@@ -2325,43 +2389,12 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reciprocal-edge flag (mutual kNN edges are the high-precision
     subgraph clustering-by-kNN keeps).
 
-    Scale: candidates come from the SAME (k-means cell, label)
-    multi-probe blocking as `dedup_embedding` — K grows with the
-    corpus (corpus_k), so per-block fan-out is bounded and there is
-    never an all-pairs stage. One undirected blocked self-join +
-    mirror, a per-src window for the top-k (src-partitioned —
-    parallel), and a self-join of the ≤ N·K edge list for
-    reciprocity."""
-    from datatransformertools_spark.operators.dedup import _multiprobe
-
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double(F.col("embedding")).alias("v")
-    ).withColumn("nrm", norm(F.col("v")))
-    cents = trained_centroids(spark, sf_dir, KMEANS_ITERS)
-    assigned = _multiprobe(emb, cents)
-    a, b = assigned.alias("a"), assigned.alias("b")
-    cos = F.round(
-        cosine_prenormed(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")) + 1e-9, 6
-    )
-    und = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"), cos.alias("cos_sim")
-        )
-        .distinct()
-    )
-    directed = und.unionByName(
-        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "cos_sim")
-    )
-    rn = F.row_number().over(
-        Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), "dst")
-    )
-    knn = directed.withColumn("rank", rn).filter(F.col("rank") <= EMB_KNN_K)
+    Scale: the ranked edge list comes from the memoized `_knn_edges`
+    stage (cluster-blocked candidates — K ∝ N, never all-pairs;
+    built once per session/corpus, shared with
+    `embedding_knn_outlier` / `embedding_intrinsic_dim`); this query
+    adds only the ≤ N·K self-join for reciprocity."""
+    knn = _knn_edges(spark, sf_dir)
     rev = knn.select(F.col("src").alias("m_dst"), F.col("dst").alias("m_src"), F.lit(1).alias("m"))
     return (
         knn.join(
@@ -2445,7 +2478,13 @@ def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         a = F.when(F.col("label") == lab, dist_to(lab)) if a is None else a.when(
             F.col("label") == lab, dist_to(lab)
         )
-    b = F.least(*[F.when(F.col("label") != lab, dist_to(lab)) for lab in labels])
+    # append a typed NULL so least() stays arity-valid when the table
+    # holds a single label (least skips nulls; b then degrades to
+    # NULL exactly like the DuckDB twin's min over an empty set)
+    b = F.least(
+        *[F.when(F.col("label") != lab, dist_to(lab)) for lab in labels],
+        F.lit(None).cast("double"),
+    )
     scored = emb.select(
         "label",
         a.alias("a"),
@@ -2509,12 +2548,13 @@ def embedding_knn_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     any probe) have nothing near them by construction and surface at
     the maximal score 1.0 with n_neighbors = 0.
 
-    Scale design: edges come from `embedding_knn_graph` (the
-    cluster-blocked candidate set — K ∝ N, no all-pairs stage); the
-    score is one src-keyed aggregate of the ≤ N·K edge list; the
+    Scale design: edges come from the memoized `_knn_edges` stage
+    (the cluster-blocked candidate set — K ∝ N, no all-pairs stage;
+    built once per session/corpus, shared across the kNN family);
+    the score is one src-keyed aggregate of the ≤ N·K edge list; the
     top-N is TakeOrdered (per-partition heads, never a global sort);
     the isolated-vector backfill is a shuffle join on vec_id."""
-    edges = embedding_knn_graph(spark, sf_dir)
+    edges = _knn_edges(spark, sf_dir)
     scores = edges.groupBy("src").agg(
         F.count(F.lit(1)).alias("n_neighbors"),
         F.round(1.0 - F.avg("cos_sim") + 1e-9, 6).alias("knn_mean_dist"),
@@ -2580,11 +2620,12 @@ def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest neighbor — μ undefined) or fewer than 2 in-block
     neighbors are excluded, and both exclusions are reported.
 
-    Scale design: edges come from `embedding_knn_graph` (corpus-
-    proportional blocking, never all-pairs); the r1/r2 pivot is one
-    src-keyed aggregate of the ≤ N·K edge list; the MLE folds to a
-    1-row output."""
-    edges = embedding_knn_graph(spark, sf_dir).select("src", "rank", "cos_sim")
+    Scale design: edges come from the memoized `_knn_edges` stage
+    (corpus-proportional blocking, never all-pairs; built once per
+    session/corpus, shared across the kNN family); the r1/r2 pivot
+    is one src-keyed aggregate of the ≤ N·K edge list; the MLE folds
+    to a 1-row output."""
+    edges = _knn_edges(spark, sf_dir).select("src", "rank", "cos_sim")
     rr = edges.groupBy("src").agg(
         F.min(F.when(F.col("rank") == 1, 1.0 - F.col("cos_sim"))).alias("r1"),
         F.min(F.when(F.col("rank") == 2, 1.0 - F.col("cos_sim"))).alias("r2"),
