@@ -3849,11 +3849,295 @@ FROM terms
 """
 
 
+# ---------------------------------------------------------------------------
+# events_session_gap_audit — the measurement SESSION_GAP_US comes from (r8)
+# ---------------------------------------------------------------------------
+
+GAP_BUCKETS = (
+    (60_000_000, "0_under_1m"),
+    (300_000_000, "1_under_5m"),
+    (1_800_000_000, "2_under_30m"),
+    (7_200_000_000, "3_under_2h"),
+    (86_400_000_000, "4_under_1d"),
+)
+GAP_OVERFLOW = "5_over_1d"
+
+
+def events_session_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where the 30-minute `SESSION_GAP_US` constant comes from: the
+    histogram of per-user inter-event gaps. A candidate gap τ keeps
+    every consecutive-event pair with gap < τ inside one session and
+    starts a new one otherwise, so each bucket's CUMULATIVE share is
+    exactly "what fraction of event adjacencies does τ keep
+    in-session" and its complement counts the session boundaries τ
+    would create — the same measured-constant pattern as
+    `events_watermark_audit` for watermarks: every sessionization in
+    this engine (batch `events_sessionize`, the streaming
+    session_window twin, the timeout-evicted custom kernel) uses a
+    constant someone chose, and this audit is where it comes from.
+
+    Scale design: the lag() is a per-user window (one shuffle on
+    user_id, sorts partition-local); the histogram collapses to ~6
+    bucket rows map-side, and the cumulative share runs on that
+    bounded frame — output is ≤ 6 rows at any corpus size."""
+    ev = _events_us(spark, sf_dir).select("user_id", "event_id", "ts_us")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = ev.select(
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    bucket = F.when(F.col("gap_us") < GAP_BUCKETS[0][0], GAP_BUCKETS[0][1])
+    for bound, label in GAP_BUCKETS[1:]:
+        bucket = bucket.when(F.col("gap_us") < bound, label)
+    bucket = bucket.otherwise(GAP_OVERFLOW)
+    hist = gaps.groupBy(bucket.alias("gap_bucket")).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
+    total = Window.partitionBy()
+    cum = Window.partitionBy().orderBy("gap_bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hist.select(
+        "gap_bucket",
+        "n_gaps",
+        "max_gap_us",
+        F.round(F.col("n_gaps") / F.sum("n_gaps").over(total) + 1e-9, 6).alias("share"),
+        F.round(
+            F.sum("n_gaps").over(cum) / F.sum("n_gaps").over(total) + 1e-9, 6
+        ).alias("cum_share"),
+    )
+
+
+def _session_gap_oracle() -> str:
+    cases = f"WHEN gap_us < {GAP_BUCKETS[0][0]} THEN '{GAP_BUCKETS[0][1]}'"
+    for bound, label in GAP_BUCKETS[1:]:
+        cases += f"\n           WHEN gap_us < {bound} THEN '{label}'"
+    return f"""
+WITH gaps AS (
+  SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+  FROM events
+),
+hist AS (
+  SELECT CASE {cases} ELSE '{GAP_OVERFLOW}' END AS gap_bucket,
+         CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(max(gap_us) AS BIGINT) AS max_gap_us
+  FROM gaps WHERE gap_us IS NOT NULL
+  GROUP BY 1
+)
+SELECT gap_bucket, n_gaps, max_gap_us,
+       round(n_gaps * 1.0 / sum(n_gaps) OVER () + 1e-9, 6) AS share,
+       round(sum(n_gaps) OVER (ORDER BY gap_bucket
+                               ROWS UNBOUNDED PRECEDING) * 1.0
+             / sum(n_gaps) OVER () + 1e-9, 6) AS cum_share
+FROM hist
+"""
+
+
+EVENTS_SESSION_GAP_AUDIT_SQL = _session_gap_oracle()
+
+
+# ---------------------------------------------------------------------------
+# events_session_stats — what the 30-minute gap constant produces (r8)
+# ---------------------------------------------------------------------------
+
+SESSION_DUR_BUCKETS = (
+    (300_000_000, "1_under_5m"),
+    (1_800_000_000, "2_under_30m"),
+    (7_200_000_000, "3_under_2h"),
+)
+SESSION_DUR_OVERFLOW = "4_over_2h"
+SESSION_SINGLE_BUCKET = "0_single_event"
+
+
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The downstream face of the session-gap choice: the population
+    of sessions the 30-minute `SESSION_GAP_US` rule actually
+    produces, as a bounded duration histogram (single-event sessions
+    split out — duration 0 says nothing about engagement length)
+    with per-bucket session counts, shares, mean events-per-session
+    and mean/max duration. `events_session_gap_audit` is the input
+    side (which adjacencies does τ cut); this is the output side
+    (what the cut yields) — together they close the loop on the one
+    constant every sessionization in the engine shares. A fat
+    over-2h tail or a single-event majority is the classic signal
+    the gap is mis-sized for the traffic.
+
+    Scale design: identical session assembly to `events_sessionize`
+    (per-user windows — one shuffle on user_id, sorts
+    partition-local; the (user, session) aggregate reuses the same
+    key prefix); the histogram then collapses map-side to ≤ 5
+    bucket rows, and shares run on that bounded frame."""
+    ev = _events_us(spark, sf_dir).select("user_id", "event_id", "ts_us")
+    order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("ts_us").over(order)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(prev.isNull() | (F.col("ts_us") - prev > SESSION_GAP_US), 1).otherwise(0),
+    )
+    running = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = (
+        flagged.withColumn("session_idx", F.sum("new_session").over(running))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    bucket = F.when(F.col("n_events") == 1, SESSION_SINGLE_BUCKET)
+    for bound, label in SESSION_DUR_BUCKETS:
+        bucket = bucket.when(F.col("duration_us") < bound, label)
+    bucket = bucket.otherwise(SESSION_DUR_OVERFLOW)
+    hist = sessions.groupBy(bucket.alias("dur_bucket")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg("n_events") + 1e-9, 4).alias("avg_events"),
+        F.round(F.avg("duration_us") + 1e-9, 4).alias("avg_duration_us"),
+        F.max("duration_us").alias("max_duration_us"),
+    )
+    total = Window.partitionBy()
+    return hist.select(
+        "dur_bucket",
+        "n_sessions",
+        F.round(F.col("n_sessions") / F.sum("n_sessions").over(total) + 1e-9, 6).alias(
+            "share"
+        ),
+        "avg_events",
+        "avg_duration_us",
+        "max_duration_us",
+    )
+
+
+def _session_stats_oracle() -> str:
+    cases = f"WHEN n_events = 1 THEN '{SESSION_SINGLE_BUCKET}'"
+    for bound, label in SESSION_DUR_BUCKETS:
+        cases += f"\n           WHEN duration_us < {bound} THEN '{label}'"
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+),
+flagged AS (
+  SELECT *,
+    CASE WHEN lag(ts_us) OVER w IS NULL
+              OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_US}
+         THEN 1 ELSE 0 END AS new_session
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sessions AS (
+  SELECT user_id,
+    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx,
+    ts_us
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_idx,
+         max(ts_us) - min(ts_us) AS duration_us,
+         count(*) AS n_events
+  FROM sessions GROUP BY 1, 2
+),
+hist AS (
+  SELECT CASE {cases} ELSE '{SESSION_DUR_OVERFLOW}' END AS dur_bucket,
+         CAST(count(*) AS BIGINT) AS n_sessions,
+         round(avg(n_events) + 1e-9, 4) AS avg_events,
+         round(avg(duration_us) + 1e-9, 4) AS avg_duration_us,
+         CAST(max(duration_us) AS BIGINT) AS max_duration_us
+  FROM per_session
+  GROUP BY 1
+)
+SELECT dur_bucket, n_sessions,
+       round(n_sessions * 1.0 / sum(n_sessions) OVER () + 1e-9, 6) AS share,
+       avg_events, avg_duration_us, max_duration_us
+FROM hist
+"""
+
+
+EVENTS_SESSION_STATS_SQL = _session_stats_oracle()
+
+
+# ---------------------------------------------------------------------------
+# events_dau_mau_stickiness — DAU / trailing-28-day MAU per day (r8)
+# ---------------------------------------------------------------------------
+
+MAU_WINDOW_DAYS = 28
+
+
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day DAU, trailing-28-day MAU, and the DAU/MAU stickiness
+    ratio — the engagement-health number product analytics reads
+    first. Exact distinct-users over a SLIDING window is not
+    window-aggregatable (distinct does not decompose), so the scale
+    shape is the standard contribution fan-out: collapse the feed to
+    distinct (user, day) pairs first (the only data-scale shuffle —
+    at 100 TB this is the |users|×|days| frame, orders of magnitude
+    smaller than events), then explode each user-day into the ≤ 28
+    later grid days it contributes to (map-side sequence fan-out)
+    and countDistinct per grid day. Days before the feed's 28th have
+    a partial trailing window — reported as-is (warm-up rows),
+    exactly like the oracle.
+
+    Scale design: fan-out happens AFTER the distinct collapse
+    (28 × |user-days| rows, not 28 × |events|); the final aggregate
+    carries (grid_day, user_id) pairs; output is |days| rows."""
+    ev = _events_us(spark, sf_dir).select(
+        F.expr(f"ts_us div {DAY_US}").alias("day"), "user_id"
+    )
+    user_days = ev.distinct()
+    dau = user_days.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    contrib = user_days.select(
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + F.lit(MAU_WINDOW_DAYS - 1))
+        ).alias("grid_day"),
+        "user_id",
+        "day",
+    )
+    # a user-day only contributes to grid days that actually have
+    # traffic (the day grid), so join the fan-out back to real days
+    mau = (
+        contrib.join(dau.select(F.col("day").alias("grid_day")), "grid_day")
+        .groupBy("grid_day")
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    return (
+        dau.join(mau, dau.day == mau.grid_day)
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.round(F.col("dau") / F.col("mau") + 1e-9, 6).alias("stickiness"),
+        )
+    )
+
+
+EVENTS_DAU_MAU_SQL = f"""
+WITH ev AS (
+  SELECT DISTINCT epoch_us(ts) // {DAY_US} AS day, user_id FROM events
+),
+dau AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau FROM ev GROUP BY 1
+),
+mau AS (
+  SELECT d.day AS grid_day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS mau
+  FROM dau d
+  JOIN ev e ON e.day BETWEEN d.day - {MAU_WINDOW_DAYS - 1} AND d.day
+  GROUP BY 1
+)
+SELECT dau.day AS day, dau.dau AS dau, mau.mau AS mau,
+       round(dau.dau * 1.0 / mau.mau + 1e-9, 6) AS stickiness
+FROM dau JOIN mau ON dau.day = mau.grid_day
+"""
+
+
 QUERIES = {
     "events_markov_anomaly": (events_markov_anomaly, EVENTS_MARKOV_ANOMALY_SQL),
     "events_anomaly_fdr": (events_anomaly_fdr, EVENTS_ANOMALY_FDR_SQL),
     "events_funnel_latency": (events_funnel_latency, EVENTS_FUNNEL_LATENCY_SQL),
     "events_entropy_rate": (events_entropy_rate, EVENTS_ENTROPY_RATE_SQL),
+    "events_session_gap_audit": (events_session_gap_audit, EVENTS_SESSION_GAP_AUDIT_SQL),
+    "events_session_stats": (events_session_stats, EVENTS_SESSION_STATS_SQL),
+    "events_dau_mau_stickiness": (events_dau_mau_stickiness, EVENTS_DAU_MAU_SQL),
     "events_dispersion_test": (events_dispersion_test, EVENTS_DISPERSION_TEST_SQL),
     "user_hour_profile_kmeans": (user_hour_profile_kmeans, USER_HOUR_PROFILE_KMEANS_SQL),
     "events_bitmap_rollup": (events_bitmap_rollup, EVENTS_BITMAP_ROLLUP_SQL),

@@ -366,6 +366,134 @@ FROM (VALUES (0, 'raw'), (1, 'quality'), (2, 'exact_dedup'), (3, 'length_band'))
 
 
 # ---------------------------------------------------------------------------
+# corpus_filter_ablation — independent-filter overlap grid (r8)
+# ---------------------------------------------------------------------------
+
+
+def corpus_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-ablation grid: the 2³ cross-tabulation of the three
+    corpus filters applied INDEPENDENTLY (quality score ≥ 0.5, exact
+    first-keeper dedup, length inside the raw [P5, P95] band), with
+    doc/token mass per cell. `corpus_filter_funnel` shows the
+    sequential survivor counts but hides attribution — a doc dropped
+    at the quality stage never reaches the dedup stage, so the
+    funnel cannot say whether relaxing one filter would recover
+    anything (the overlap question every pipeline-tuning session
+    asks: "is this filter doing unique work, or re-rejecting what
+    another filter already catches?"). Each grid cell here is a
+    disjoint population; cells with exactly one False column are the
+    docs ONLY that filter rejects — its unique contribution — and
+    the all-False cell is the triply-rejected core. Same
+    score/hash/percentile definitions as the funnel, so the two
+    tables reconcile.
+
+    Unlike the funnel's conditional dedup flag (first-keeper among
+    quality survivors), the dedup flag here is first-keeper over the
+    WHOLE corpus — the independence the ablation needs.
+
+    Scale design: one scan computes every per-doc flag (score,
+    hash, tokens fused in one projection); the percentile bounds
+    ride as a broadcast 1-row frame; the dedup-keeper window on the
+    text hash is the single data-scale shuffle; the grid collapses
+    map-side into ≤ 8 rows."""
+    from datatransformertools_spark.functions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    norm = normalize_text(F.col("text"))
+    tok = tokens(norm)
+    n_tokens = F.size(tok)
+    uniq_ratio = F.when(n_tokens > 0, F.size(F.array_distinct(tok)) / n_tokens).otherwise(
+        F.lit(0.0)
+    )
+    score = F.round(
+        0.5 * uniq_ratio + 0.5 * F.least(F.col("n_chars") / F.lit(400.0), F.lit(1.0)) + 1e-9, 6
+    )
+    base = docs.select(
+        "doc_id",
+        "n_chars",
+        F.md5(norm).alias("h"),
+        n_tokens.alias("n_tok"),
+        score.alias("q"),
+    )
+    bounds = docs.agg(
+        F.round(F.expr(f"percentile(n_chars, {P_LO})") + 1e-9, 6).alias("p_lo"),
+        F.round(F.expr(f"percentile(n_chars, {P_HI})") + 1e-9, 6).alias("p_hi"),
+    )
+    rn = F.row_number().over(Window.partitionBy("h").orderBy("doc_id"))
+    flags = (
+        base.withColumn("rn", rn)
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            (F.col("q") >= FUNNEL_QUALITY_MIN).cast("int").alias("pass_quality"),
+            (F.col("rn") == 1).cast("int").alias("pass_dedup"),
+            (
+                (F.col("n_chars") >= F.col("p_lo")) & (F.col("n_chars") <= F.col("p_hi"))
+            ).cast("int").alias("pass_length"),
+            "n_tok",
+        )
+    )
+    totals = Window.partitionBy()
+    return (
+        flags.groupBy("pass_quality", "pass_dedup", "pass_length")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tok").cast("long")).alias("n_tokens"),
+        )
+        .select(
+            "pass_quality",
+            "pass_dedup",
+            "pass_length",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_docs") / F.sum("n_docs").over(totals) + 1e-9, 6).alias(
+                "doc_share"
+            ),
+            F.round(F.col("n_tokens") / F.sum("n_tokens").over(totals) + 1e-9, 6).alias(
+                "token_share"
+            ),
+        )
+    )
+
+
+CORPUS_FILTER_ABLATION_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, n_chars,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
+         len(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), '\s+')) AS n_tok,
+         round(
+           0.5 * (CASE WHEN len(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), '\s+')) > 0
+                       THEN len(list_distinct(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), '\s+')))::DOUBLE
+                            / len(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), '\s+'))
+                       ELSE 0.0 END)
+           + 0.5 * least(n_chars / 400.0, 1.0) + 1e-9, 6) AS q
+  FROM documents
+),
+bounds AS (
+  SELECT round(quantile_cont(n_chars, {P_LO}) + 1e-9, 6) AS p_lo,
+         round(quantile_cont(n_chars, {P_HI}) + 1e-9, 6) AS p_hi
+  FROM documents
+),
+keyed AS (
+  SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM base
+),
+flags AS (
+  SELECT CAST(q >= {FUNNEL_QUALITY_MIN} AS INT) AS pass_quality,
+         CAST(rn = 1 AS INT)                    AS pass_dedup,
+         CAST(n_chars >= p_lo AND n_chars <= p_hi AS INT) AS pass_length,
+         n_tok
+  FROM keyed, bounds
+)
+SELECT pass_quality, pass_dedup, pass_length,
+       CAST(count(*) AS BIGINT)    AS n_docs,
+       CAST(sum(n_tok) AS BIGINT)  AS n_tokens,
+       round(count(*) * 1.0 / sum(count(*)) OVER () + 1e-9, 6)      AS doc_share,
+       round(sum(n_tok) * 1.0 / sum(sum(n_tok)) OVER () + 1e-9, 6)  AS token_share
+FROM flags
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # doc_perplexity_buckets — CCNet-style per-source perplexity terciles
 # ---------------------------------------------------------------------------
 
@@ -819,6 +947,7 @@ QUERIES = {
     "quality_logreg_train": (quality_logreg_train, QUALITY_LOGREG_TRAIN_SQL),
     "quality_logreg_score": (quality_logreg_score, QUALITY_LOGREG_SCORE_SQL),
     "corpus_filter_funnel": (corpus_filter_funnel, CORPUS_FILTER_FUNNEL_SQL),
+    "corpus_filter_ablation": (corpus_filter_ablation, CORPUS_FILTER_ABLATION_SQL),
     "doc_length_percentile_filter": (
         doc_length_percentile_filter,
         DOC_LENGTH_PERCENTILE_FILTER_SQL,

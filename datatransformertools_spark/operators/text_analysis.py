@@ -1947,7 +1947,88 @@ FROM j GROUP BY 1
 LANG_MISMATCH_BY_SOURCE_SQL = _lang_mismatch_by_source_sql()
 
 
+# ---------------------------------------------------------------------------
+# doc_encoding_audit — mojibake / control-char encoding health (r8)
+# ---------------------------------------------------------------------------
+
+# Java regex (Spark rlike) and RE2 (DuckDB regexp_matches) spell the
+# same character classes differently; both sides below denote the
+# IDENTICAL code-point sets. Control = C0 minus \t\n\r.
+_CTRL_JAVA = "[\\u0000-\\u0008\\u000B\\u000C\\u000E-\\u001F]"
+_CTRL_RE2 = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+_ZW_JAVA = "[\\u200B-\\u200D\\uFEFF]"
+_ZW_RE2 = r"[\x{200B}-\x{200D}\x{FEFF}]"
+_REPL_JAVA = "\\uFFFD"
+_REPL_RE2 = r"\x{FFFD}"
+_NONASCII_JAVA = "[^\\u0000-\\u007F]"
+_NONASCII_RE2 = r"[^\x00-\x7F]"
+
+
+def doc_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-health audit per source — the crawl-hygiene gate a
+    100 TB ingest runs before any tokenizer sees the bytes: docs
+    containing U+FFFD replacement characters (the smoking gun of a
+    botched charset transcode — mojibake), raw C0 control characters
+    (binary contamination / terminal escapes; \\t \\n \\r exempt),
+    and zero-width characters (U+200B–U+200D, U+FEFF — invisible
+    token-splitters and stray BOMs), plus the corpus-level non-ASCII
+    character ratio per source (a step change between crawl
+    snapshots of the same source is the classic double-encoding
+    regression signal).
+
+    Scale design: every flag is a JVM-side rlike / regexp projection
+    inside the scan (zero Python, whole-stage codegen); the only
+    shuffle is the final |sources|-row aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    n_chars = F.length("text")
+    n_non_ascii = n_chars - F.length(F.regexp_replace("text", _NONASCII_JAVA, ""))
+    flagged = docs.select(
+        "source",
+        F.col("text").rlike(_REPL_JAVA).cast("int").alias("has_repl"),
+        F.col("text").rlike(_CTRL_JAVA).cast("int").alias("has_ctrl"),
+        F.col("text").rlike(_ZW_JAVA).cast("int").alias("has_zw"),
+        n_chars.alias("n_chars"),
+        n_non_ascii.alias("n_non_ascii"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("has_repl").alias("n_replacement_docs"),
+        F.sum("has_ctrl").alias("n_control_docs"),
+        F.sum("has_zw").alias("n_zero_width_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("n_non_ascii").alias("n_non_ascii"),
+        F.round(F.sum("n_non_ascii") / F.sum("n_chars") + 1e-9, 6).alias(
+            "non_ascii_ratio"
+        ),
+    )
+
+
+DOC_ENCODING_AUDIT_SQL = f"""
+WITH flagged AS (
+  SELECT source,
+         CASE WHEN regexp_matches(text, '{_REPL_RE2}') THEN 1 ELSE 0 END AS has_repl,
+         CASE WHEN regexp_matches(text, '{_CTRL_RE2}') THEN 1 ELSE 0 END AS has_ctrl,
+         CASE WHEN regexp_matches(text, '{_ZW_RE2}') THEN 1 ELSE 0 END AS has_zw,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '{_NONASCII_RE2}', '', 'g'))
+           AS n_non_ascii
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT)        AS n_docs,
+       CAST(sum(has_repl) AS BIGINT)   AS n_replacement_docs,
+       CAST(sum(has_ctrl) AS BIGINT)   AS n_control_docs,
+       CAST(sum(has_zw) AS BIGINT)     AS n_zero_width_docs,
+       CAST(sum(n_chars) AS BIGINT)    AS n_chars,
+       CAST(sum(n_non_ascii) AS BIGINT) AS n_non_ascii,
+       round(sum(n_non_ascii) * 1.0 / sum(n_chars) + 1e-9, 6) AS non_ascii_ratio
+FROM flagged
+GROUP BY 1
+"""
+
+
 QUERIES = {
+    "doc_encoding_audit": (doc_encoding_audit, DOC_ENCODING_AUDIT_SQL),
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "lang_mismatch_by_source": (lang_mismatch_by_source, LANG_MISMATCH_BY_SOURCE_SQL),
     "vocab_coverage_curve": (vocab_coverage_curve, VOCAB_COVERAGE_CURVE_SQL),
