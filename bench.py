@@ -36,6 +36,42 @@ _REPO_ROOT = str(Path(__file__).resolve().parent)
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
+# Fixed-workload calibration (VERDICT r7 #6): a constant synthetic
+# scan→hash→shuffle→agg with NO data dependence, timed alongside the
+# registry so round-over-round container drift is measured directly
+# instead of adjudicated post-hoc from plan-unchanged queries.
+# CAL_REF_SEC pins the r8 steady-state median on the reference
+# container; `drift` = median / CAL_REF_SEC, and the normalized
+# totals in BENCH_DETAIL.json divide ambient drift back out so
+# per-query diffs read net-of-container.
+CAL_ROWS = 64_000_000
+CAL_REF_SEC = 2.0
+
+
+def _run_calibration(spark) -> list[float]:
+    """Four back-to-back runs of the fixed workload; the first pays
+    its own codegen (reported but excluded from the median)."""
+    from pyspark.sql import functions as F
+
+    runs: list[float] = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, CAL_ROWS, 1, 32)
+            .select(
+                (F.col("id") % 4096).alias("k"),
+                (F.xxhash64("id") % 1_000_003).alias("h"),
+            )
+            .groupBy("k")
+            .agg(F.sum("h").alias("s"), F.count(F.lit(1)).alias("n"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        runs.append(round(time.perf_counter() - t0, 3))
+    return runs
+
+
 # the iterative family: multi-round jobs whose in-suite timings are
 # dominated by shared-JVM codegen/GC, re-timed isolated each run
 _ISOLATE_DEFAULT = [
@@ -135,6 +171,13 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # calibration BEFORE the suite (post-warm-up): ambient container
+    # speed this run, on a workload that can never change with the
+    # registry
+    cal_runs = _run_calibration(spark)
+    cal_median = sorted(cal_runs[1:])[1]
+    drift = round(cal_median / CAL_REF_SEC, 3)
+
     from datatransformertools_spark.caching import release_caches
 
     timings: dict[str, float] = {}
@@ -170,7 +213,20 @@ def main() -> None:
     # Full per-query detail: one JSON line for automation reading the
     # whole log, AND rewritten to a repo artifact (driver stdout is
     # truncated to ~2000 chars; the file survives for round diffs).
-    detail = {"detail": timings, "isolated": isolated, "sf": sf_val, "cpus": int(cpus)}
+    calibration = {
+        "runs": cal_runs,
+        "median": cal_median,
+        "ref_sec": CAL_REF_SEC,
+        "drift": drift,
+        "normalized_total_sec": round(sum(timings.values()) / max(drift, 1e-9), 1),
+    }
+    detail = {
+        "detail": timings,
+        "isolated": isolated,
+        "calibration": calibration,
+        "sf": sf_val,
+        "cpus": int(cpus),
+    }
     print(json.dumps(detail))
     (Path(_REPO_ROOT) / "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=1, sort_keys=True))
     # …then the headline LAST and COMPACT: the driver records only the
@@ -193,6 +249,7 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in sorted(slowest.items())},
         "queries_note": f"25 slowest of {len(timings)}; full map in BENCH_DETAIL.json",
         "families": {k: round(v, 1) for k, v in sorted(fams.items())},
+        "calibration": {"median": cal_median, "drift": drift},
         "sf": sf_val,
         "n_queries": len(timings),
         "cpus": int(cpus),
