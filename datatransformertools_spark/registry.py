@@ -56,79 +56,52 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
                 raise ValueError(f"duplicate query name {name!r} from {mod_name}")
             merged[name] = pair
             _FAMILY[name] = family
-    # r7 gate rotation (VERDICT r6 #1/#6): the driver's correctness
-    # gate records the FIRST 50 registry entries. The queue has been
-    # empty since r6 (every operator driver-certified at least once,
-    # except the one red row), so the r7 head is: (1) the hardened
-    # `nation_trade_matrix` face — the only oracled query without a
-    # green driver row, now quantized (int64 ppm share +
-    # 2-dp-rounded-double revenue) against the driver-canonicalizer
-    # artifact class; (2) every row whose oracle SQL or Spark
-    # internals changed this round (the corpus-derived Lloyd seed and
-    # the _FrameMemo shingle/τ-pair refactor); (3) freshness refill —
-    # the oldest (r1/r2) certifications, per the steady-state
-    # rotation contract. Every row passes the identical dtype-strict
-    # gate locally via tests/test_oracle_parity.py, now under
-    # full-precision float canon (tools/canon.py).
+    # r8 gate rotation (VERDICT r7 #1/#2/#3/#4): the driver's
+    # correctness gate records the FIRST 50 registry entries. The r8
+    # head is every row whose face or Spark internals changed this
+    # round: (1) the FIVE watermark-bound streaming twins (complete
+    # mode → update/append with state eviction — the r7 scale-killer
+    # fix, extended to tumbling/hopping so ZERO complete-mode
+    # queries remain in the registry); (2) `template_prefix_families`
+    # with the honest n_chars_raw/total_chars_raw column names (face
+    # change, both engines); (3) `embedding_silhouette` with the
+    # single-label least() guard; (4) the three kNN-family consumers
+    # now sharing the memoized `_knn_edges` stage table; (5) the six
+    # new r8 operators (house rule: certify in the round they land).
+    # Then freshness refill — ALL 17 remaining r1-certified rows plus
+    # the 17 oldest r2-certified rows (23 r2 rows remain for the r9
+    # window; 58 stale rows did not fit one 50-slot window alongside
+    # the changed-row and new-op certifications). Every row passes
+    # the identical dtype-strict gate locally via
+    # tests/test_oracle_parity.py.
     queue_head = [
-        "nation_trade_matrix",  # r6 red row, face quantized — head of window
-        # oracle seed now corpus-derived in SQL (_lloyd_cte_parts(k=None))
-        "kmeans_embeddings",
-        "semdedup",
-        "dedup_embedding",
-        "dedup_embedding_recall",
-        "dedup_embedding_components",
-        "emb_blocking_curve",
-        "embedding_knn_graph",
-        # Spark internals moved to the cross-query _FrameMemo
-        # (shingle index / capped index / τ-pairs)
-        "dedup_ngram_jaccard",
-        "dedup_containment",
-        "simhash_hamming_curve",
-        "doc_ngram_novelty",
-        "dedup_minhash_lsh",
-        "dedup_minhash_verify",
-        "contamination_check",
-        "cross_source_overlap",
-        # new in r7 — certify in the round they land (house rule)
-        "curriculum_phases",
-        "pack_efficiency_curve",
-        "doc_duplication_score",
-        "emb_tau_retention_curve",
-        "embedding_silhouette",
-        "embedding_knn_outlier",
-        "part_price_index",
-        "supplier_return_rate",
-        "events_anomaly_fdr",
-        "source_epoch_schedule",
-        "events_funnel_latency",
-        "events_entropy_rate",
-        "embedding_intrinsic_dim",
-        "orders_priority_mix_drift",
-        "template_prefix_families",
+        # watermark-bound streaming twins — changed implementations
         "events_stream_bitmap_rollup",
         "events_stream_top_k_per_window",
-        "part_bfs_hops",
-        "part_degree_distribution",
+        "events_stream_sessionize",
+        "events_stream_tumbling",
+        "events_stream_hopping",
+        # face rename (n_chars_raw / total_chars_raw, both engines)
+        "template_prefix_families",
+        # single-label guard in least()
+        "embedding_silhouette",
+        # Spark internals moved to the shared _KNN_EDGES_MEMO stage
+        "embedding_knn_graph",
+        "embedding_knn_outlier",
+        "embedding_intrinsic_dim",
+        # new in r8 — certify in the round they land (house rule)
+        "events_stream_session_timeout",
+        "events_session_gap_audit",
+        "events_session_stats",
+        "events_dau_mau_stickiness",
+        "doc_encoding_audit",
+        "corpus_filter_ablation",
     ]
-    # Freshness refill: oldest certifications first (r1 rows, then
-    # r2) so no row's evidence stays frozen at its first green.
+    # Freshness refill: oldest certifications first (every r1 row,
+    # then the oldest r2 rows) so no row's evidence stays frozen at
+    # its first green.
     refill = [
-        "q2_min_cost_supplier",
-        "q6_forecast_revenue",
-        "q14_promo_revenue",
-        "q15_top_supplier",
-        "q19_discounted_revenue",
-        "order_priority_exists",
-        "orders_rollup",
-        "part_brand_pivot",
-        "top_customers_window",
-        "revenue_yoy_growth",
-        "class_map",
-        "train_val_split",
-        "yolo_normalize",
-        "yolo_denormalize",
-        "bbox_iou_pairs",
+        # --- all remaining r1-certified rows (17) ---
         "detection_eval",
         "detection_eval_macro",
         "detection_eval_per_class",
@@ -146,8 +119,28 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "text_quality",
         "text_stats",
         "token_count_bpe",
-        "events_sessionize",  # r2
-        "events_asof_join",  # r2
+        # --- oldest r2-certified rows (22 of 40) ---
+        "q3_top_unshipped",
+        "q5_region_revenue",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q10_returned_items",
+        "q12_priority_shipmode",
+        "q13_customer_distribution",
+        "q17_small_qty_revenue",
+        "q18_large_orders",
+        "q21_waiting_suppliers",
+        "q22_global_sales_opportunity",
+        "events_tumbling_agg",
+        "events_sessionize",
+        "events_asof_join",
+        "events_funnel",
+        "events_json_extract",
+        "events_top_k_per_window",
+        "events_multi_rollup",
+        "events_range_join_binned",
+        "events_user_mad",
+        "events_value_quantiles",
     ]
     head = queue_head + refill[: 50 - len(queue_head)]
     if len(head) != 50:

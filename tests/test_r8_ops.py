@@ -1,0 +1,272 @@
+"""Round-8 tests: the timeout-evicted custom session kernel (state
+actually leaves the store), the encoding audit's nonzero detection
+paths (the corpus is clean, so the gate alone never exercises them),
+the session-gap audit's histogram invariants, and the shared kNN
+edge memo (one build per session/corpus across its three consumers).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+
+class TestStreamSessionTimeout:
+    def test_timeout_evicts_state(self, spark, sf_dir):
+        """Two-batch drain (real file, then the far-future sentinel):
+        after the sentinel advances the watermark, every real user's
+        open session must TIME OUT — emitted via hasTimedOut and
+        removed via state.remove() — leaving at most the sentinel's
+        own key in the store. Asserted from the query's state-store
+        metrics, not just from correct values."""
+        import uuid
+
+        from datatransformertools_spark.sources.tables import (
+            events_event_time,
+            events_ts_us,
+        )
+        from datatransformertools_spark.streaming.events import (
+            SENTINEL_USER,
+            _read_raw,
+            _state_partitions,
+            _write_watermark_sentinel,
+            stream_session_timeout,
+        )
+
+        tmp = Path(tempfile.mkdtemp(prefix="dtt-sto-evict-"))
+        src = tmp / "events"
+        src.mkdir()
+        shutil.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
+        _write_watermark_sentinel(str(src), sf_dir)
+        raw = _read_raw(spark, str(src), maxFilesPerTrigger=1)
+        ev = (
+            raw.withColumn("ts_us", events_ts_us(raw))
+            .withColumn("event_time", events_event_time(raw))
+            .withWatermark("event_time", "60 minutes")
+        )
+        name = f"sto_{uuid.uuid4().hex[:8]}"
+        with _state_partitions(spark):
+            q = (
+                stream_session_timeout(ev)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            progresses = list(q.recentProgress)
+
+        emitted = spark.table(name).filter(F.col("user_id") != SENTINEL_USER)
+        n_users = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        # every real user's FINAL session can only arrive via the
+        # timeout path (nothing follows it in the feed)
+        assert emitted.groupBy("user_id").count().count() == n_users
+        # the store ends (at most) with the sentinel's never-closed key
+        finals = [
+            op.get("numRowsTotal")
+            for p in reversed(progresses)
+            for op in (p.get("stateOperators") or [])
+            if op.get("numRowsTotal") is not None
+        ]
+        assert finals and finals[0] <= 1, f"state not evicted: {finals[:3]}"
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def test_matches_builtin_session_window(self, spark, sf_dir):
+        """The custom timeout kernel and the built-in session_window
+        twin must produce the identical session table — same
+        decomposition, same (start, end, n, total) faces."""
+        from datatransformertools_spark.streaming.events import (
+            events_stream_session_timeout,
+            events_stream_sessionize,
+        )
+
+        custom = {tuple(r) for r in events_stream_session_timeout(spark, sf_dir).collect()}
+        builtin = {tuple(r) for r in events_stream_sessionize(spark, sf_dir).collect()}
+        assert custom == builtin
+        assert len(custom) > 0
+
+
+class TestDocEncodingAudit:
+    def test_detects_injected_mojibake(self, spark):
+        """The corpus is clean, so the gate row certifies zeros; this
+        exercises every nonzero path on constructed rows."""
+        from datatransformertools_spark.operators.text_analysis import (
+            _CTRL_JAVA,
+            _NONASCII_JAVA,
+            _REPL_JAVA,
+            _ZW_JAVA,
+        )
+
+        rows = [
+            ("a", "clean ascii text"),
+            ("a", "bad transcode � here"),
+            ("a", "binary junk \x07 bell"),
+            ("b", "zero​width and bom ﻿"),
+            ("b", "café naïve résumé"),  # non-ascii, no flags
+            ("b", "tabs\tand\nnewlines\rare fine"),
+        ]
+        df = spark.createDataFrame(rows, "source string, text string")
+        got = {
+            r["source"]: r
+            for r in df.select(
+                "source",
+                F.col("text").rlike(_REPL_JAVA).cast("int").alias("repl"),
+                F.col("text").rlike(_CTRL_JAVA).cast("int").alias("ctrl"),
+                F.col("text").rlike(_ZW_JAVA).cast("int").alias("zw"),
+                (
+                    F.length("text")
+                    - F.length(F.regexp_replace("text", _NONASCII_JAVA, ""))
+                ).alias("non_ascii"),
+            )
+            .groupBy("source")
+            .agg(
+                F.sum("repl").alias("repl"),
+                F.sum("ctrl").alias("ctrl"),
+                F.sum("zw").alias("zw"),
+                F.sum("non_ascii").alias("non_ascii"),
+            )
+            .collect()
+        }
+        assert got["a"]["repl"] == 1 and got["a"]["ctrl"] == 1 and got["a"]["zw"] == 0
+        # U+FFFD is non-ascii too; \x07 is ascii
+        assert got["a"]["non_ascii"] == 1
+        assert got["b"]["repl"] == 0 and got["b"]["ctrl"] == 0 and got["b"]["zw"] == 1
+        # b: U+200B + U+FEFF + é, ï, é, é  (tab/newline/CR exempt)
+        assert got["b"]["non_ascii"] == 6
+
+    def test_face_is_clean_on_corpus(self, spark, sf_dir):
+        from datatransformertools_spark.operators.text_analysis import doc_encoding_audit
+
+        face = doc_encoding_audit(spark, sf_dir)
+        rows = face.collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert r["n_replacement_docs"] == 0
+            assert r["n_control_docs"] == 0
+            assert 0.0 <= r["non_ascii_ratio"] <= 1.0
+
+
+class TestSessionGapAudit:
+    def test_histogram_invariants(self, spark, sf_dir):
+        """Shares sum to 1, cum_share is monotone and ends at 1, and
+        the gap population equals events minus users (one lag-null
+        per user)."""
+        from datatransformertools_spark.operators.events import events_session_gap_audit
+
+        rows = sorted(
+            events_session_gap_audit(spark, sf_dir).collect(),
+            key=lambda r: r["gap_bucket"],
+        )
+        assert rows
+        total_share = sum(r["share"] for r in rows)
+        assert abs(total_share - 1.0) < 1e-4
+        cums = [r["cum_share"] for r in rows]
+        assert cums == sorted(cums)
+        assert abs(cums[-1] - 1.0) < 1e-6
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        n_events = ev.count()
+        n_users = ev.select("user_id").distinct().count()
+        assert sum(r["n_gaps"] for r in rows) == n_events - n_users
+
+
+class TestKnnEdgeMemo:
+    def test_one_build_shared_across_consumers(self, spark, sf_dir):
+        """VERDICT r7 #4: the ranked kNN edge list must be built once
+        per (session, sf_dir) and shared by knn_graph / knn_outlier /
+        intrinsic_dim — asserted by identity of the memoized frame
+        across calls, and by the memo registering exactly one entry."""
+        import datatransformertools_spark.operators.dedup as dd
+        import datatransformertools_spark.operators.similarity as sim
+
+        dd.clear_dedup_memos()
+        e1 = sim._knn_edges(spark, sf_dir)
+        e2 = sim._knn_edges(spark, sf_dir)
+        assert e1 is e2
+        assert len(sim._KNN_EDGES_MEMO._frames) == 1
+        # consumers agree with the shared frame
+        n_edges = e1.count()
+        assert n_edges > 0
+        graph_edges = sim.embedding_knn_graph(spark, sf_dir).count()
+        assert graph_edges == n_edges
+        assert dd.clear_dedup_memos() >= 1
+
+
+class TestSessionStats:
+    def test_reconciles_with_sessionize(self, spark, sf_dir):
+        """The histogram must partition exactly the session population
+        `events_sessionize` emits: bucket counts sum to the session
+        count, shares sum to 1, and the single-event bucket matches
+        the n_events == 1 sessions."""
+        from datatransformertools_spark.operators.events import (
+            events_session_stats,
+            events_sessionize,
+        )
+
+        rows = events_session_stats(spark, sf_dir).collect()
+        sessions = events_sessionize(spark, sf_dir)
+        n_sessions = sessions.count()
+        n_single = sessions.filter(F.col("n_events") == 1).count()
+        assert sum(r["n_sessions"] for r in rows) == n_sessions
+        assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+        single = {r["dur_bucket"]: r["n_sessions"] for r in rows}.get("0_single_event", 0)
+        assert single == n_single
+        for r in rows:
+            if r["dur_bucket"] == "0_single_event":
+                assert r["avg_duration_us"] < 1e-6
+            assert r["avg_duration_us"] <= r["max_duration_us"] + 1e-6
+
+
+class TestDauMauStickiness:
+    def test_invariants(self, spark, sf_dir):
+        """MAU dominates DAU on every day (the trailing window
+        contains the day itself), so stickiness ∈ (0, 1]; the first
+        feed day's trailing window holds only itself, so its
+        stickiness is exactly 1."""
+        from datatransformertools_spark.operators.events import (
+            events_dau_mau_stickiness,
+        )
+
+        rows = events_dau_mau_stickiness(spark, sf_dir).collect()
+        assert rows
+        by_day = {r["day"]: r for r in rows}
+        first = by_day[min(by_day)]
+        assert first["dau"] == first["mau"]
+        for r in rows:
+            assert 0 < r["dau"] <= r["mau"]
+            assert 0.0 < r["stickiness"] <= 1.0 + 1e-9
+
+
+class TestFilterAblation:
+    def test_grid_partitions_corpus_and_reconciles_with_funnel(self, spark, sf_dir):
+        """The 2^3 grid must partition the corpus exactly (docs and
+        tokens sum to the raw totals, shares to 1), and collapsing
+        the grid along each axis must reproduce the single-filter
+        pass counts the funnel's first stage family implies."""
+        from datatransformertools_spark.operators.quality import (
+            corpus_filter_ablation,
+            corpus_filter_funnel,
+        )
+
+        grid = corpus_filter_ablation(spark, sf_dir).collect()
+        funnel = {r["stage"]: r for r in corpus_filter_funnel(spark, sf_dir).collect()}
+        raw_docs = funnel["raw"]["n_docs"]
+        raw_toks = funnel["raw"]["n_tokens"]
+        assert sum(r["n_docs"] for r in grid) == raw_docs
+        assert sum(r["n_tokens"] for r in grid) == raw_toks
+        assert abs(sum(r["doc_share"] for r in grid) - 1.0) < 1e-4
+        # independent quality-pass margin == funnel's quality stage
+        q_docs = sum(r["n_docs"] for r in grid if r["pass_quality"] == 1)
+        assert q_docs == funnel["quality"]["n_docs"]
+        # every cell key is distinct (disjoint populations)
+        keys = [(r["pass_quality"], r["pass_dedup"], r["pass_length"]) for r in grid]
+        assert len(keys) == len(set(keys))
