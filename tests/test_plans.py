@@ -102,6 +102,7 @@ _HINT_BROADCAST_ALLOWLIST = {
     "doc_tfidf_topk": 1,
     "doc_length_percentile_filter": 1,
     "corpus_filter_funnel": 1,  # 1-row P5/P95 bounds scalar
+    "corpus_filter_ablation": 1,  # 1-row P5/P95 bounds scalar (same frame)
     "orders_association_rules": 1,
     "events_value_winsorize": 1,
     "events_type_anova": 1,
