@@ -1667,6 +1667,206 @@ FROM (SELECT unnest(range(1, 20)) AS i)
 
 
 # ---------------------------------------------------------------------------
+# minhash_perm_error_curve — measured estimator error vs signature length
+# ---------------------------------------------------------------------------
+
+MINHASH_ERR_PREFIXES = (2, 4, 8)  # candidate NUM_PERM values (8 = shipped)
+
+
+def minhash_perm_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MEASURED companion to `minhash_band_curve`'s theoretical
+    S-curve: on this corpus's actual LSH candidate pairs, how far is
+    the h-permutation Jaccard estimate (matching fraction of the
+    first h signature slots) from the TRUE shingle-set Jaccard, for
+    each candidate signature length h ∈ {2, 4, 8}? The band curve
+    says where the candidate cliff sits in theory; this table says
+    what estimator error a given NUM_PERM actually buys before
+    anyone doubles the signature width (and the shuffle bytes of
+    every minhash stage) on a 100 TB run. Variance of the
+    h-permutation estimator is s(1−s)/h, so mean_abs_err should
+    roughly halve per 4× h — a measured check that the permutation
+    family is behaving.
+
+    Scale design: signatures come off the memoized shingle stage
+    (one shuffle of 8 longs per doc); candidate pairs are the
+    banded-LSH fan-out, bounded regardless of corpus size; the true
+    Jaccard runs ONLY on candidate members (leftsemi prune before
+    the shingle self-join — the `dedup_minhash_verify` discipline);
+    the final grid collapses to |prefixes| rows."""
+    sig = track(_signature_df(spark, sf_dir))
+    keys = lsh_band_keys(
+        F.array(*[F.col(f"sig{i}") for i in range(NUM_PERM)]), BANDS, ROWS_PER_BAND
+    )
+    banded = sig.select("doc_id", F.explode(keys).alias("band_key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = track(
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # true Jaccard over the SAME (uncapped) shingle sets the
+    # signatures hash — candidates only, text never moves
+    sh = _shingle_df(spark, sf_dir).join(cand_ids, "doc_id", "leftsemi")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        sa.join(
+            sb,
+            (F.col("sa.shingle") == F.col("sb.shingle"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .groupBy(F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na, nb = sizes.alias("na"), sizes.alias("nb")
+    true_j = (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.coalesce(F.col("inter"), F.lit(0))
+                / (F.col("na.n") + F.col("nb.n") - F.coalesce(F.col("inter"), F.lit(0)))
+            ).alias("true_j"),
+        )
+    )
+    ga, gb = sig.alias("ga"), sig.alias("gb")
+    matches = [
+        F.when(F.col(f"ga.sig{i}") == F.col(f"gb.sig{i}"), 1).otherwise(0)
+        for i in range(NUM_PERM)
+    ]
+    per_pair = (
+        true_j.join(ga, F.col("doc_a") == F.col("ga.doc_id"))
+        .join(gb, F.col("doc_b") == F.col("gb.doc_id"))
+        .select(
+            "true_j",
+            *[
+                (sum(matches[:h]) / F.lit(float(h))).alias(f"est_{h}")
+                for h in MINHASH_ERR_PREFIXES
+            ],
+        )
+    )
+    stacked = per_pair.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(h).cast("int").alias("n_perms"),
+                        F.abs(F.col(f"est_{h}") - F.col("true_j")).alias("abs_err"),
+                    )
+                    for h in MINHASH_ERR_PREFIXES
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    return stacked.groupBy("n_perms").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("abs_err") + 1e-9, 6).alias("mean_abs_err"),
+        F.round(F.max("abs_err") + 1e-9, 6).alias("max_abs_err"),
+        F.round(F.sqrt(F.avg(F.col("abs_err") * F.col("abs_err"))) + 1e-9, 6).alias(
+            "rmse"
+        ),
+    )
+
+
+def _minhash_perm_error_sql() -> str:
+    sig_aggs = ",\n    ".join(
+        f"min(('0x' || substr(md5('{i}:' || shingle), 1, 15))::BIGINT) AS sig{i}"
+        for i in range(NUM_PERM)
+    )
+    band_exprs = ",\n    ".join(
+        "md5('%d:' || %s) AS band%d"
+        % (
+            b,
+            " || ".join(
+                f"CAST(sig{b * ROWS_PER_BAND + r} AS VARCHAR) || ','" for r in range(ROWS_PER_BAND)
+            ),
+            b,
+        )
+        for b in range(BANDS)
+    )
+    band_union = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, band{b} AS band_key FROM banded" for b in range(BANDS)
+    )
+    est_cols = ",\n       ".join(
+        "("
+        + " + ".join(f"(CASE WHEN ga.sig{i} = gb.sig{i} THEN 1 ELSE 0 END)" for i in range(h))
+        + f") / {float(h)} AS est_{h}"
+        for h in MINHASH_ERR_PREFIXES
+    )
+    err_union = "\n  UNION ALL\n  ".join(
+        f"SELECT {h} AS n_perms, abs(est_{h} - true_j) AS abs_err FROM per_pair"
+        for h in MINHASH_ERR_PREFIXES
+    )
+    return f"""
+WITH {_SHINGLE_SQL},
+sig AS (
+  SELECT doc_id,
+    {sig_aggs}
+  FROM shingles GROUP BY doc_id
+),
+banded AS (
+  SELECT *,
+    {band_exprs}
+  FROM sig
+),
+exploded AS (
+  {band_union}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM exploded a JOIN exploded b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS inter
+  FROM shingles sa JOIN shingles sb
+    ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT p.doc_a, p.doc_b,
+         coalesce(i.inter, 0)::DOUBLE / (na.n + nb.n - coalesce(i.inter, 0)) AS true_j
+  FROM pairs p
+  LEFT JOIN inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
+  JOIN sizes na ON p.doc_a = na.doc_id
+  JOIN sizes nb ON p.doc_b = nb.doc_id
+),
+per_pair AS (
+  SELECT true_j,
+       {est_cols}
+  FROM truth t
+  JOIN sig ga ON t.doc_a = ga.doc_id
+  JOIN sig gb ON t.doc_b = gb.doc_id
+),
+errs AS (
+  {err_union}
+)
+SELECT n_perms, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(abs_err) + 1e-9, 6) AS mean_abs_err,
+       round(max(abs_err) + 1e-9, 6) AS max_abs_err,
+       round(sqrt(avg(abs_err * abs_err)) + 1e-9, 6) AS rmse
+FROM errs
+GROUP BY 1
+"""
+
+
+MINHASH_PERM_ERROR_SQL = _minhash_perm_error_sql()
+
+
+# ---------------------------------------------------------------------------
 # dedup_minhash_verify — candidate → exact-verify two-stage dedup
 # ---------------------------------------------------------------------------
 
@@ -2269,6 +2469,7 @@ QUERIES = {
     "doc_ngram_novelty": (doc_ngram_novelty, DOC_NGRAM_NOVELTY_SQL),
     "dedup_containment": (dedup_containment, DEDUP_CONTAINMENT_SQL),
     "minhash_band_curve": (minhash_band_curve, MINHASH_BAND_CURVE_SQL),
+    "minhash_perm_error_curve": (minhash_perm_error_curve, MINHASH_PERM_ERROR_SQL),
     "dedup_cluster_sizes": (dedup_cluster_sizes, DEDUP_CLUSTER_SIZES_SQL),
     "dedup_minhash_verify": (dedup_minhash_verify, DEDUP_MINHASH_VERIFY_SQL),
     "dedup_substring_spans": (dedup_substring_spans, DEDUP_SUBSTRING_SPANS_SQL),

@@ -66,12 +66,13 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
     # with the honest n_chars_raw/total_chars_raw column names (face
     # change, both engines); (3) `embedding_silhouette` with the
     # single-label least() guard; (4) the three kNN-family consumers
-    # now sharing the memoized `_knn_edges` stage table; (5) the six
-    # new r8 operators (house rule: certify in the round they land).
-    # Then freshness refill — ALL 17 remaining r1-certified rows plus
-    # the 17 oldest r2-certified rows (23 r2 rows remain for the r9
-    # window; 58 stale rows did not fit one 50-slot window alongside
-    # the changed-row and new-op certifications). Every row passes
+    # now sharing the memoized `_knn_edges` stage table; (5) the
+    # seven new r8 operators (house rule: certify in the round they
+    # land). Then freshness refill — ALL 17 remaining r1-certified
+    # rows plus the 16 oldest r2-certified rows (24 r2 rows remain
+    # for the r9 window; 58 stale rows did not fit one 50-slot
+    # window alongside the changed-row and new-op certifications).
+    # Every row passes
     # the identical dtype-strict gate locally via
     # tests/test_oracle_parity.py.
     queue_head = [
@@ -96,6 +97,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "events_dau_mau_stickiness",
         "doc_encoding_audit",
         "corpus_filter_ablation",
+        "minhash_perm_error_curve",
     ]
     # Freshness refill: oldest certifications first (every r1 row,
     # then the oldest r2 rows) so no row's evidence stays frozen at

@@ -270,3 +270,26 @@ class TestFilterAblation:
         # every cell key is distinct (disjoint populations)
         keys = [(r["pass_quality"], r["pass_dedup"], r["pass_length"]) for r in grid]
         assert len(keys) == len(set(keys))
+
+
+class TestMinhashPermErrorCurve:
+    def test_error_shrinks_with_signature_length(self, spark, sf_dir):
+        """Every prefix length scores the SAME candidate pairs, and
+        the h-permutation estimator's error must not grow as h grows
+        (variance s(1-s)/h): RMSE strictly improves from h=2 to the
+        shipped h=8."""
+        from datatransformertools_spark.operators.dedup import (
+            minhash_perm_error_curve,
+        )
+
+        rows = {r["n_perms"]: r for r in minhash_perm_error_curve(spark, sf_dir).collect()}
+        assert set(rows) == {2, 4, 8}
+        n_pairs = {r["n_pairs"] for r in rows.values()}
+        assert len(n_pairs) == 1 and n_pairs.pop() > 0
+        # RMSE is the variance-backed monotone metric; mean-abs can
+        # invert on tiny samples (a coarse estimator outputs exact 0
+        # on near-zero-truth pairs, so its MAE can undercut a finer
+        # one's small-but-nonzero errors)
+        assert rows[8]["rmse"] < rows[2]["rmse"]
+        for r in rows.values():
+            assert 0.0 <= r["mean_abs_err"] <= r["max_abs_err"] <= 1.0 + 1e-9
