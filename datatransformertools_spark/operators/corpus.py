@@ -627,6 +627,79 @@ GROUP BY 1
 """
 
 
+def shard_source_mix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is every exported shard a fair draw of the source mix?
+    `shard_assignment` balances shard SIZES; this audits shard
+    COMPOSITION — per shard, the χ² statistic of its source counts
+    against the corpus-wide mix plus the worst single-source share
+    deviation. A data loader that streams shards sequentially sees
+    each shard as a mini-epoch, so a shard whose mix drifts from
+    the global mix injects source-correlated gradient bias; hashing
+    on doc_id SHOULD make every shard an unbiased sample, and this
+    table measures (not assumes) that, with df = |sources|−1 sizing
+    the expected χ² under the null.
+
+    Scale design: one map-side shard-key projection (doc_id only —
+    text never hashes) into a (shard, source)-keyed partial-agg
+    shuffle (N_SHARDS·|sources| groups out at any corpus size);
+    the global mix is a |sources|-row aggregate off those same
+    groups; the zero-cell-complete grid and the χ² fold run on the
+    N_SHARDS×|sources| frame. No data-scale joins or windows."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    shard = (md5_long(F.col("doc_id").cast("string"), salt=SHARD_SALT) % N_SHARDS).alias(
+        "shard"
+    )
+    cells = docs.groupBy(shard, "source").agg(F.count(F.lit(1)).alias("n"))
+    shards = cells.groupBy("shard").agg(F.sum("n").alias("n_shard"))
+    srcs = cells.groupBy("source").agg(F.sum("n").alias("n_src"))
+    total = F.sum("n_src").over(Window.partitionBy())  # |sources|-row frame
+    srcs = srcs.withColumn("share", F.col("n_src") / total).drop("n_src")
+    grid = (
+        shards.crossJoin(F.broadcast(srcs))  # |sources|-row frame (feature-bounded)
+        .join(cells, ["shard", "source"], "left")
+        .select(
+            "shard",
+            "n_shard",
+            "share",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )
+    exp = F.col("n_shard") * F.col("share")
+    chi = (F.col("n") - exp) * (F.col("n") - exp) / exp
+    dev = F.abs(F.col("n") / F.col("n_shard") - F.col("share"))
+    return grid.groupBy("shard").agg(
+        F.max("n_shard").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("int").alias("n_sources"),
+        F.round(F.sum(chi) + 1e-9, 6).alias("chi2"),
+        F.round(F.max(dev) + 1e-9, 6).alias("max_share_dev"),
+    )
+
+
+SHARD_SOURCE_MIX_AUDIT_SQL = f"""
+WITH cells AS (
+  SELECT ('0x' || substr(md5('{SHARD_SALT}' || doc_id), 1, 15))::BIGINT % {N_SHARDS} AS shard,
+         source, count(*) AS n
+  FROM documents GROUP BY 1, 2
+),
+shards AS (SELECT shard, sum(n) AS n_shard FROM cells GROUP BY 1),
+srcs AS (
+  SELECT source, sum(n) * 1.0 / (SELECT sum(n) FROM cells) AS share
+  FROM cells GROUP BY 1
+),
+grid AS (
+  SELECT s.shard, s.n_shard, r.share, COALESCE(c.n, 0) AS n
+  FROM shards s CROSS JOIN srcs r
+  LEFT JOIN cells c ON c.shard = s.shard AND c.source = r.source
+)
+SELECT shard,
+       CAST(max(n_shard) AS BIGINT) AS n_docs,
+       CAST(count(*) AS INT) AS n_sources,
+       round(sum((n - n_shard * share) * (n - n_shard * share) / (n_shard * share)) + 1e-9, 6) AS chi2,
+       round(max(abs(n * 1.0 / n_shard - share)) + 1e-9, 6) AS max_share_dev
+FROM grid GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # paragraph_dedup — corpus-wide exact paragraph removal (Gopher-style)
 # ---------------------------------------------------------------------------
@@ -1698,6 +1771,7 @@ QUERIES = {
     "source_temperature_weights": (source_temperature_weights, SOURCE_TEMPERATURE_SQL),
     "cap_per_source": (cap_per_source, CAP_PER_SOURCE_SQL),
     "shard_assignment": (shard_assignment, SHARD_ASSIGNMENT_SQL),
+    "shard_source_mix_audit": (shard_source_mix_audit, SHARD_SOURCE_MIX_AUDIT_SQL),
     "quality_stratified_split": (quality_stratified_split, QUALITY_STRATIFIED_SPLIT_SQL),
     "paragraph_dedup": (paragraph_dedup, PARAGRAPH_DEDUP_SQL),
     "cross_source_overlap": (cross_source_overlap, CROSS_SOURCE_OVERLAP_SQL),

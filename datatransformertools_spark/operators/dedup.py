@@ -687,6 +687,70 @@ FROM j GROUP BY 1
 SIMHASH_HAMMING_CURVE_SQL = _simhash_hamming_curve_sql()
 
 # ---------------------------------------------------------------------------
+# simhash_bit_balance_audit — per-bit balance of the fingerprint family
+# ---------------------------------------------------------------------------
+
+
+def simhash_bit_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Health check of the simhash bit planes: for each of the 48
+    fingerprint bits, the fraction of documents with that bit set
+    and its absolute bias from the ideal 0.5. Charikar's rounding
+    argument (STOC 2002 §3) assumes each hyperplane splits the
+    corpus evenly; a bit that is systematically skewed carries
+    less than one bit of discrimination, which widens hamming-band
+    collision rates corpus-wide. A pipeline reads this table before
+    trusting `dedup_simhash`'s band thresholds on a new corpus —
+    skewed planes (md5 slices correlated with corpus-dominant
+    tokens) mean the measured `simhash_hamming_curve`, not the
+    uniform-bit theory, must pick the radius.
+
+    Scale design: reuses the simhash stage (one shuffle carrying 48
+    partially-aggregated longs per doc — text never moves); the
+    48-way bit fan-out is map-side over the |docs|-row fingerprint
+    frame and partially aggregates to ≤48 rows per partition before
+    the final 48-row face. No windows, no joins."""
+    sig = _simhash_df(spark, sf_dir)
+    stacked = sig.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("bit_no"),
+                        F.shiftright(F.col("simhash"), j)
+                        .bitwiseAND(F.lit(1))
+                        .cast("int")
+                        .alias("bit"),
+                    )
+                    for j in range(SIMHASH_BITS)
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    return stacked.groupBy("bit_no").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("bit").cast("long").alias("n_ones"),
+        F.round(F.avg("bit") + 1e-9, 6).alias("frac_ones"),
+        F.round(F.abs(F.avg("bit") - 0.5) + 1e-9, 6).alias("abs_bias"),
+    )
+
+
+SIMHASH_BIT_BALANCE_AUDIT_SQL = (
+    ",\n".join(_simhash_cte_parts()[:4])
+    + f""",
+bits AS (
+  SELECT t.j::INT AS bit_no, ((simhash >> t.j) & 1)::INT AS bit
+  FROM fp CROSS JOIN range(0, {SIMHASH_BITS}) t(j)
+)
+SELECT bit_no,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(bit) AS BIGINT) AS n_ones,
+       round(avg(bit) + 1e-9, 6) AS frac_ones,
+       round(abs(avg(bit) - 0.5) + 1e-9, 6) AS abs_bias
+FROM bits GROUP BY 1
+"""
+)
+
+# ---------------------------------------------------------------------------
 # dedup_winnowing — MOSS fingerprints (Schleimer et al., SIGMOD 2003)
 # ---------------------------------------------------------------------------
 
@@ -2474,6 +2538,7 @@ QUERIES = {
     "dedup_minhash_verify": (dedup_minhash_verify, DEDUP_MINHASH_VERIFY_SQL),
     "dedup_substring_spans": (dedup_substring_spans, DEDUP_SUBSTRING_SPANS_SQL),
     "simhash_hamming_curve": (simhash_hamming_curve, SIMHASH_HAMMING_CURVE_SQL),
+    "simhash_bit_balance_audit": (simhash_bit_balance_audit, SIMHASH_BIT_BALANCE_AUDIT_SQL),
     "doc_duplication_score": (doc_duplication_score, DOC_DUPLICATION_SCORE_SQL),
     "emb_tau_retention_curve": (emb_tau_retention_curve, EMB_TAU_RETENTION_CURVE_SQL),
     "template_prefix_families": (template_prefix_families, TEMPLATE_PREFIX_FAMILIES_SQL),

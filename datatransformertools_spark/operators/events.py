@@ -1923,6 +1923,111 @@ LIMIT {CMS_TOP_K}
 
 
 # ---------------------------------------------------------------------------
+# cms_width_error_curve — measured CMS overcount vs sketch width
+# ---------------------------------------------------------------------------
+
+CMS_ERR_WIDTHS = (128, 512, 2048)  # candidate widths (512 = shipped CMS_WIDTH)
+
+
+def cms_width_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MEASURED companion to `events_heavy_hitters_cms`'s width
+    choice: for each candidate sketch width w, build the full
+    depth-4 Count-Min sketch and report the overcount
+    error across EVERY key (not just the top-k face) — mean/max
+    absolute overcount and the mean relative inflation. Cormode &
+    Muthukrishnan (2005, §4.1) bound overcount by e·N/w with
+    probability 1−e^−depth; this table shows what the corpus's
+    actual key skew buys at each width, so a pipeline sizes the
+    2048-counter-per-executor state cost from measurement before
+    shipping a width to a 100 TB stream. Error should shrink ~4×
+    per 4× width — a measured check that bucket collisions, not
+    hash bias, dominate.
+
+    Scale design: ONE events scan fans each row map-side to its
+    (width, row, bucket) triples for all three widths at once
+    (depth·|widths| = 12 structs); every sketch partially
+    aggregates to Σ depth·w (≤ ~11k) counter groups at any corpus
+    size; probes join the counter frame on its bounded key and the
+    per-key min collapses keyed (user, width). Face is |widths|
+    rows."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    u = F.col("user_id").cast("string")
+
+    def rb_structs() -> list[F.Column]:
+        out = []
+        for w in CMS_ERR_WIDTHS:
+            for i in range(CMS_DEPTH):
+                out.append(
+                    F.struct(
+                        F.lit(w).cast("int").alias("width"),
+                        F.lit(i).cast("int").alias("row"),
+                        (md5_long(u, salt=f"cms{i}:") % w).alias("bucket"),
+                    )
+                )
+        return out
+
+    sketch = (
+        ev.select(F.explode(F.array(*rb_structs())).alias("rb"))
+        .select("rb.*")
+        .groupBy("width", "row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    probes = truth.select(
+        "user_id", "true_count", F.explode(F.array(*rb_structs())).alias("rb")
+    ).select("user_id", "true_count", "rb.*")
+    est = (
+        probes.join(sketch, ["width", "row", "bucket"])
+        .groupBy("user_id", "width", "true_count")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    over = F.col("est_count") - F.col("true_count")
+    return est.groupBy("width").agg(
+        F.lit(CMS_DEPTH).cast("int").alias("depth"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.round(F.avg(over) + 1e-9, 6).alias("mean_overcount"),
+        F.max(over).cast("long").alias("max_overcount"),
+        F.round(F.avg(over / F.col("true_count")) + 1e-9, 6).alias("mean_rel_overcount"),
+    )
+
+
+def _cms_width_error_sql() -> str:
+    def bucket(i: int, w: int) -> str:
+        return f"('0x' || substr(md5('cms{i}:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % {w}"
+
+    rb = " UNION ALL ".join(
+        f"SELECT user_id, {w} AS width, {i} AS row, {bucket(i, w)} AS bucket FROM events"
+        for w in CMS_ERR_WIDTHS
+        for i in range(CMS_DEPTH)
+    )
+    return f"""
+WITH rb AS ({rb}),
+sketch AS (SELECT width, row, bucket, count(*) AS cnt FROM rb GROUP BY 1, 2, 3),
+truth AS (SELECT user_id, count(*) AS true_count FROM events GROUP BY 1),
+probes AS (
+  SELECT DISTINCT t.user_id, t.true_count, rb.width, rb.row, rb.bucket
+  FROM truth t JOIN rb USING (user_id)
+),
+est AS (
+  SELECT p.user_id, p.width, p.true_count, min(s.cnt) AS est_count
+  FROM probes p
+  JOIN sketch s ON p.width = s.width AND p.row = s.row AND p.bucket = s.bucket
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(width AS INT) AS width,
+       CAST({CMS_DEPTH} AS INT) AS depth,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       round(avg(est_count - true_count) + 1e-9, 6) AS mean_overcount,
+       CAST(max(est_count - true_count) AS BIGINT) AS max_overcount,
+       round(avg((est_count - true_count) * 1.0 / true_count) + 1e-9, 6) AS mean_rel_overcount
+FROM est GROUP BY 1
+"""
+
+
+CMS_WIDTH_ERROR_CURVE_SQL = _cms_width_error_sql()
+
+
+# ---------------------------------------------------------------------------
 # events_user_count_hll_manual — hand-rolled HyperLogLog, fully value-gated
 # ---------------------------------------------------------------------------
 
@@ -4197,5 +4302,6 @@ QUERIES = {
     "user_event_features": (user_event_features, USER_EVENT_FEATURES_SQL),
     "events_attribution": (events_attribution, EVENTS_ATTRIBUTION_SQL),
     "events_heavy_hitters_cms": (events_heavy_hitters_cms, EVENTS_HEAVY_HITTERS_CMS_SQL),
+    "cms_width_error_curve": (cms_width_error_curve, CMS_WIDTH_ERROR_CURVE_SQL),
     "events_user_count_hll_manual": (events_user_count_hll_manual, EVENTS_HLL_MANUAL_SQL),
 }

@@ -940,6 +940,81 @@ FROM diff GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# dup_quality_interaction — duplication exposure × rule-cascade keep rate
+# ---------------------------------------------------------------------------
+
+DUP_BANDS = 4  # quarter-width dup_frac bands; -1 = no shingles (<3 tokens)
+
+
+def dup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do duplicated documents fail quality anyway? Cross the
+    per-doc duplication exposure (`doc_duplication_score`'s
+    dup_frac — the fraction of a doc's shingles shared with any
+    other doc) with the Gopher rule-cascade verdict, banded into
+    quarter-width dup_frac bands (band -1 = docs too short to
+    shingle). Per band: doc count, keep rate, mean dup_frac, and
+    mean word count. Lee et al. (2022, arXiv:2107.06499 §5) observe
+    dedup and quality filters remove substantially overlapping
+    mass; this table measures that overlap on THIS corpus, so a
+    pipeline knows whether running the expensive pair-level dedup
+    before or after the cheap rule cascade changes the surviving
+    token mass (high keep-rate in the top band ⇒ dedup removes
+    docs quality would have kept ⇒ order matters).
+
+    Scale design: both inputs are per-doc aggregate frames keyed on
+    doc_id (duplication exposure off the memoized shingle stage;
+    the rule cascade one token-census shuffle); one doc_id-keyed
+    left join, then a map-side banding and a ≤5-row aggregate. The
+    band boundary reads the 6-dp-rounded dup_frac both engines
+    already agree on, so banding is deterministic cross-engine."""
+    from datatransformertools_spark.operators.dedup import doc_duplication_score
+
+    gq = gopher_quality_filter(spark, sf_dir).select("doc_id", "n_words", "keep")
+    dup = doc_duplication_score(spark, sf_dir).select("doc_id", "dup_frac")
+    j = gq.join(dup, "doc_id", "left")
+    band = (
+        F.when(F.col("dup_frac").isNull(), F.lit(-1))
+        .otherwise(F.least(F.floor(F.col("dup_frac") * DUP_BANDS), F.lit(DUP_BANDS - 1)))
+        .cast("int")
+    )
+    return (
+        j.withColumn("dup_band", band)
+        .groupBy("dup_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("keep") + 1e-9, 6).alias("keep_rate"),
+            F.round(F.avg("dup_frac") + 1e-9, 6).alias("mean_dup_frac"),
+            F.round(F.avg("n_words") + 1e-9, 6).alias("mean_n_words"),
+        )
+    )
+
+
+def _dup_quality_interaction_sql() -> str:
+    from datatransformertools_spark.operators.dedup import DOC_DUPLICATION_SCORE_SQL
+
+    return f"""
+WITH dup AS ({DOC_DUPLICATION_SCORE_SQL}),
+gq AS ({GOPHER_QUALITY_FILTER_SQL}),
+j AS (
+  SELECT gq.doc_id, gq.n_words, gq.keep, dup.dup_frac,
+         CASE WHEN dup.doc_id IS NULL THEN CAST(-1 AS INT)
+              ELSE CAST(least(floor(dup.dup_frac * {DUP_BANDS}), {DUP_BANDS - 1}) AS INT)
+         END AS dup_band
+  FROM gq LEFT JOIN dup ON gq.doc_id = dup.doc_id
+)
+SELECT dup_band,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(keep) + 1e-9, 6) AS keep_rate,
+       round(avg(dup_frac) + 1e-9, 6) AS mean_dup_frac,
+       round(avg(n_words) + 1e-9, 6) AS mean_n_words
+FROM j GROUP BY 1
+"""
+
+
+DUP_QUALITY_INTERACTION_SQL = _dup_quality_interaction_sql()
+
+
 QUERIES = {
     "gopher_quality_filter": (gopher_quality_filter, GOPHER_QUALITY_FILTER_SQL),
     "source_length_ks": (source_length_ks, SOURCE_LENGTH_KS_SQL),
@@ -953,4 +1028,5 @@ QUERIES = {
         DOC_LENGTH_PERCENTILE_FILTER_SQL,
     ),
     "word_zipf_slope": (word_zipf_slope, WORD_ZIPF_SLOPE_SQL),
+    "dup_quality_interaction": (dup_quality_interaction, DUP_QUALITY_INTERACTION_SQL),
 }

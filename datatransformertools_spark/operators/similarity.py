@@ -506,6 +506,171 @@ SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= {TOP_K}
 
 ANN_PQ_SQL = _pq_sql()
 
+# ---------------------------------------------------------------------------
+# embedding_pq_distortion — measured reconstruction error vs subspace count
+# ---------------------------------------------------------------------------
+
+PQ_DISTORTION_MS = (2, 4, 8)  # candidate subspace counts (8 = shipped PQ_M)
+
+
+def _pq_ms_pairs() -> list[tuple[int, int, int, int]]:
+    """(m, sub_id, slice_lo, slice_hi) for every subspace of every
+    candidate m — the shared fan-out grid both engines enumerate."""
+    out = []
+    for m in PQ_DISTORTION_MS:
+        sd = DIM // m
+        for s in range(m):
+            out.append((m, s, s * sd + 1, (s + 1) * sd))
+    return out
+
+
+def embedding_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MEASURED companion to `ann_pq_topk`'s compression choice:
+    for each candidate subspace count m ∈ {2, 4, 8}, encode EVERY
+    corpus vector against the same deterministic codebooks the PQ
+    index ships (subvectors of the PQ_CODES reserved vectors) and
+    report the reconstruction error an m-subspace code actually
+    pays — mean/max squared-L2 distortion and the norm-relative
+    mean (Jégou et al., TPAMI 2011 §III: quantization MSE is the
+    quantity ADC recall degrades with). `ann_ivf_probe_curve`
+    prices the IVF side's recall/fan-out trade; this table prices
+    the PQ side's bytes/distortion trade BEFORE anyone doubles the
+    code length (and every index shard's memory) on a 100 TB
+    corpus. PQ reconstruction concatenates each subspace's nearest
+    code, so per-vector squared-L2 error = Σ_sub min-code d² — no
+    reconstructed vectors ever materialize.
+
+    Scale design: ONE embeddings scan fans each vector map-side to
+    its (m, sub_id) subvectors for all three m at once (14 slices);
+    the codebook grid (PQ_CODES·Σm rows, constants-bounded) rides
+    as the single broadcast; encode is one min-combined aggregate
+    keyed (vec_id, m, sub_id); per-vector errors collapse keyed
+    (vec_id, m); the face is |PQ_DISTORTION_MS| rows."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    pairs = _pq_ms_pairs()
+
+    def sub_fan(df: DataFrame, id_col: str, sv_name: str) -> DataFrame:
+        entries = [
+            F.struct(
+                F.lit(m).cast("int").alias("m"),
+                F.lit(s).cast("int").alias("sub_id"),
+                F.slice("v", lo, hi - lo + 1).alias(sv_name),
+            )
+            for (m, s, lo, hi) in pairs
+        ]
+        return df.select(id_col, F.explode(F.array(*entries)).alias("s")).select(
+            id_col, "s.*"
+        )
+
+    cb = sub_fan(
+        emb.filter(
+            (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + PQ_CODES)
+        ),
+        "vec_id",
+        "code_sv",
+    ).drop("vec_id")
+
+    def l2_m(m: int) -> F.Column:
+        out = F.lit(0.0)
+        for i in range(1, DIM // m + 1):
+            d = F.element_at(F.col("sv"), i) - F.element_at(F.col("code_sv"), i)
+            out = out + d * d
+        return out
+
+    d_expr = F.when(F.col("m") == 2, l2_m(2)).when(F.col("m") == 4, l2_m(4)).otherwise(
+        l2_m(8)
+    )
+    d6 = F.round(d_expr + 1e-9, 6)
+    per_vec = (
+        sub_fan(emb, "vec_id", "sv")
+        .join(F.broadcast(cb), ["m", "sub_id"])
+        .select("vec_id", "m", "sub_id", d6.alias("d"))
+        .groupBy("vec_id", "m", "sub_id")
+        .agg(F.min("d").alias("min_d"))
+        .groupBy("vec_id", "m")
+        .agg(F.round(F.sum("min_d") + 1e-9, 6).alias("l2_err"))
+    )
+    nrm2 = F.lit(0.0)
+    for i in range(1, DIM + 1):
+        nrm2 = nrm2 + F.element_at(F.col("v"), i) * F.element_at(F.col("v"), i)
+    norms = emb.select("vec_id", F.round(nrm2 + 1e-9, 6).alias("nrm2"))
+    return (
+        per_vec.join(norms, "vec_id")
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("l2_err") + 1e-9, 6).alias("mean_l2_err"),
+            F.round(F.max("l2_err") + 1e-9, 6).alias("max_l2_err"),
+            F.round(F.avg(F.col("l2_err") / F.col("nrm2")) + 1e-9, 6).alias(
+                "mean_rel_err"
+            ),
+        )
+        .select(
+            "m",
+            (F.lit(DIM) / F.col("m")).cast("int").alias("subdim"),
+            (F.col("m") * 4).cast("int").alias("code_bits"),
+            "n_vecs",
+            "mean_l2_err",
+            "max_l2_err",
+            "mean_rel_err",
+        )
+    )
+
+
+def _pq_distortion_sql() -> str:
+    pair_rows = ", ".join(f"({m}, {s}, {lo}, {hi})" for (m, s, lo, hi) in _pq_ms_pairs())
+
+    def l2(m: int) -> str:
+        return " + ".join(
+            f"(sv[{i}]-code_sv[{i}])*(sv[{i}]-code_sv[{i}])" for i in range(1, DIM // m + 1)
+        )
+
+    nrm2 = " + ".join(f"v[{i}]*v[{i}]" for i in range(1, DIM + 1))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+grid AS (SELECT m::INT AS m, sub_id::INT AS sub_id, lo, hi
+         FROM (VALUES {pair_rows}) t(m, sub_id, lo, hi)),
+cb AS (
+  SELECT g.m, g.sub_id, list_slice(v, g.lo, g.hi) AS code_sv
+  FROM e CROSS JOIN grid g
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_CODES}
+),
+subs AS (
+  SELECT e.vec_id, g.m, g.sub_id, list_slice(v, g.lo, g.hi) AS sv
+  FROM e CROSS JOIN grid g
+),
+encoded AS (
+  SELECT vec_id, m, sub_id, min(d) AS min_d
+  FROM (
+    SELECT s.vec_id, s.m, s.sub_id,
+           round(CASE WHEN s.m = 2 THEN {l2(2)}
+                      WHEN s.m = 4 THEN {l2(4)}
+                      ELSE {l2(8)} END + 1e-9, 6) AS d
+    FROM subs s JOIN cb ON cb.m = s.m AND cb.sub_id = s.sub_id
+  )
+  GROUP BY 1, 2, 3
+),
+per_vec AS (
+  SELECT vec_id, m, round(sum(min_d) + 1e-9, 6) AS l2_err
+  FROM encoded GROUP BY 1, 2
+),
+norms AS (SELECT vec_id, round({nrm2} + 1e-9, 6) AS nrm2 FROM e)
+SELECT p.m,
+       CAST({DIM} / p.m AS INT) AS subdim,
+       CAST(p.m * 4 AS INT) AS code_bits,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(l2_err) + 1e-9, 6) AS mean_l2_err,
+       round(max(l2_err) + 1e-9, 6) AS max_l2_err,
+       round(avg(l2_err / nrm2) + 1e-9, 6) AS mean_rel_err
+FROM per_vec p JOIN norms n USING (vec_id)
+GROUP BY 1
+"""
+
+
+EMBEDDING_PQ_DISTORTION_SQL = _pq_distortion_sql()
+
 
 # ---------------------------------------------------------------------------
 # ann_ivf_pq_topk — IVF cell pruning + PQ ADC scan (the production composite)
@@ -2688,6 +2853,7 @@ QUERIES = {
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "ann_ivf_pq_topk": (ann_ivf_pq_topk, ANN_IVF_PQ_SQL),
     "ann_pq_topk": (ann_pq_topk, ANN_PQ_SQL),
+    "embedding_pq_distortion": (embedding_pq_distortion, EMBEDDING_PQ_DISTORTION_SQL),
     "label_centroids": (label_centroids, LABEL_CENTROIDS_SQL),
     "kmeans_embeddings": (kmeans_embeddings, KMEANS_EMBEDDINGS_SQL),
     "semdedup": (semdedup, SEMDEDUP_SQL),

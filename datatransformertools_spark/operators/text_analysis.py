@@ -1833,6 +1833,138 @@ GROUP BY ks.k, t.total_tokens
 )
 
 # ---------------------------------------------------------------------------
+# vocab_heaps_law — vocabulary growth exponent over ingest-order prefixes
+# ---------------------------------------------------------------------------
+
+HEAPS_CHECKPOINTS = 16  # ingest-order prefix fractions measured
+
+
+def vocab_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth law fit: distinct-type count V versus
+    cumulative token count N over ingest-order corpus prefixes,
+    with the fitted Heaps exponent β from ln V = ln k + β·ln N
+    (Heaps 1978; natural corpora sit near β ≈ 0.4–0.6). The
+    companion to `vocab_coverage_curve`: coverage prices a vocab
+    size on TODAY'S corpus, while β forecasts how fast the type
+    inventory keeps growing as the crawl scales 10–100×, which is
+    what actually sizes a tokenizer (and OOV budgets, see
+    `oov_rate_by_source`) for a 100 TB ingest. A β far above ~0.6
+    flags an unbounded-identifier corpus (serial numbers, hashes)
+    where a frequency vocab will never saturate.
+
+    Scale design: prefixes are measured at HEAPS_CHECKPOINTS fixed
+    doc_id thresholds, NOT with a cumulative window — the per-doc
+    token counts (|docs| rows) and the token first-occurrence frame
+    (|vocab| rows, one min-combined shuffle) each fan out ×16
+    map-side against the broadcast 1-row max(doc_id) scalar and
+    partially aggregate to ≤16 rows per partition, so no
+    single-partition pass ever sees corpus-scale rows. The OLS fit
+    runs on the 16-point frame (regr_slope/regr_r2, the
+    `word_zipf_slope` pattern) and rides back as a broadcast 1-row
+    frame."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(tokens(normalize_text(F.col("text")))).alias("token"))
+    per_doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    first_occ = tok.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    maxid = docs.agg(F.max("doc_id").alias("max_id"))
+
+    def fan(frame: DataFrame, at_col: str, contrib: F.Column) -> DataFrame:
+        thr = lambda i: F.floor(F.col("max_id") * i / HEAPS_CHECKPOINTS)  # noqa: E731
+        stacked = frame.crossJoin(F.broadcast(maxid)).select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).cast("int").alias("ckpt"),
+                            thr(i).cast("long").alias("thr_doc_id"),
+                            F.when(F.col(at_col) <= thr(i), contrib)
+                            .otherwise(F.lit(0))
+                            .cast("long")
+                            .alias("contrib"),
+                        )
+                        for i in range(1, HEAPS_CHECKPOINTS + 1)
+                    ]
+                )
+            ).alias("r")
+        ).select("r.*")
+        return stacked.groupBy("ckpt").agg(
+            F.max("thr_doc_id").alias("thr_doc_id"),
+            F.sum("contrib").alias("contrib"),
+        )
+
+    toks16 = fan(per_doc, "doc_id", F.col("n_tok")).withColumnRenamed("contrib", "n_tokens")
+    voc16 = (
+        fan(first_occ, "first_doc", F.lit(1))
+        .withColumnRenamed("contrib", "n_vocab")
+        .drop("thr_doc_id")
+    )
+    pts = toks16.join(voc16, "ckpt")
+    # Degenerate guard: a closed vocabulary (n_vocab constant across
+    # every checkpoint) zeroes var(y), where regr_r2 is 0/0 and the
+    # engines disagree (Spark 1.0, DuckDB ~0). The constant model IS
+    # a perfect fit, so pin r² := 1.0 on an EXACT integer test
+    # (min == max of the BIGINT counts), never a float-variance one.
+    fit = pts.filter((F.col("n_tokens") > 0) & (F.col("n_vocab") > 0)).agg(
+        F.round(F.expr("regr_slope(ln(n_vocab), ln(n_tokens))") + 1e-9, 6).alias("heaps_beta"),
+        F.when(F.min("n_vocab") == F.max("n_vocab"), F.lit(1.0))
+        .otherwise(F.round(F.expr("regr_r2(ln(n_vocab), ln(n_tokens))") + 1e-9, 6))
+        .alias("heaps_r2"),
+    )
+    return pts.crossJoin(F.broadcast(fit)).select(
+        "ckpt",
+        "thr_doc_id",
+        "n_tokens",
+        "n_vocab",
+        F.round(F.col("n_vocab") / F.col("n_tokens") + 1e-9, 6).alias("type_token_ratio"),
+        "heaps_beta",
+        "heaps_r2",
+    )
+
+
+VOCAB_HEAPS_LAW_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS token
+  FROM documents
+),
+per_doc AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY 1),
+first_occ AS (SELECT token, min(doc_id) AS first_doc FROM tok GROUP BY 1),
+maxid AS (SELECT max(doc_id) AS max_id FROM documents),
+cks AS (
+  SELECT t.i::INT AS ckpt,
+         CAST(floor(m.max_id * t.i / {HEAPS_CHECKPOINTS}) AS BIGINT) AS thr_doc_id
+  FROM range(1, {HEAPS_CHECKPOINTS + 1}) t(i) CROSS JOIN maxid m
+),
+toks16 AS (
+  SELECT c.ckpt, c.thr_doc_id,
+         CAST(sum(CASE WHEN d.doc_id <= c.thr_doc_id THEN d.n_tok ELSE 0 END) AS BIGINT) AS n_tokens
+  FROM cks c CROSS JOIN per_doc d
+  GROUP BY 1, 2
+),
+voc16 AS (
+  SELECT c.ckpt,
+         CAST(sum(CASE WHEN f.first_doc <= c.thr_doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_vocab
+  FROM cks c CROSS JOIN first_occ f
+  GROUP BY 1
+),
+pts AS (
+  SELECT t.ckpt, t.thr_doc_id, t.n_tokens, v.n_vocab
+  FROM toks16 t JOIN voc16 v USING (ckpt)
+),
+fit AS (
+  SELECT round(regr_slope(ln(n_vocab), ln(n_tokens)) + 1e-9, 6) AS heaps_beta,
+         CASE WHEN min(n_vocab) = max(n_vocab) THEN 1.0
+              ELSE round(regr_r2(ln(n_vocab), ln(n_tokens)) + 1e-9, 6)
+         END AS heaps_r2
+  FROM pts WHERE n_tokens > 0 AND n_vocab > 0
+)
+SELECT ckpt, thr_doc_id, n_tokens, n_vocab,
+       round(n_vocab * 1.0 / n_tokens + 1e-9, 6) AS type_token_ratio,
+       f.heaps_beta, f.heaps_r2
+FROM pts CROSS JOIN fit f
+"""
+
+# ---------------------------------------------------------------------------
 # source_language_profile — lang mix + entropy per source
 # ---------------------------------------------------------------------------
 
@@ -2032,6 +2164,7 @@ QUERIES = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "lang_mismatch_by_source": (lang_mismatch_by_source, LANG_MISMATCH_BY_SOURCE_SQL),
     "vocab_coverage_curve": (vocab_coverage_curve, VOCAB_COVERAGE_CURVE_SQL),
+    "vocab_heaps_law": (vocab_heaps_law, VOCAB_HEAPS_LAW_SQL),
     "source_language_profile": (source_language_profile, SOURCE_LANGUAGE_PROFILE_SQL),
     "ngram_topk": (ngram_topk, NGRAM_TOPK_SQL),
     "doc_tfidf_topk": (doc_tfidf_topk, DOC_TFIDF_SQL),

@@ -67,11 +67,12 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
     # change, both engines); (3) `embedding_silhouette` with the
     # single-label least() guard; (4) the three kNN-family consumers
     # now sharing the memoized `_knn_edges` stage table; (5) the
-    # seven new r8 operators (house rule: certify in the round they
-    # land). Then freshness refill — ALL 17 remaining r1-certified
-    # rows plus the 16 oldest r2-certified rows (24 r2 rows remain
-    # for the r9 window; 58 stale rows did not fit one 50-slot
-    # window alongside the changed-row and new-op certifications).
+    # thirteen new r8 operators (house rule: certify in the round
+    # they land). Then freshness refill — ALL 17 remaining
+    # r1-certified rows plus the 10 oldest r2-certified rows (30 r2
+    # rows remain for the r9 window; 58 stale rows did not fit one
+    # 50-slot window alongside the changed-row and new-op
+    # certifications).
     # Every row passes
     # the identical dtype-strict gate locally via
     # tests/test_oracle_parity.py.
@@ -98,6 +99,12 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "doc_encoding_audit",
         "corpus_filter_ablation",
         "minhash_perm_error_curve",
+        "simhash_bit_balance_audit",
+        "dup_quality_interaction",
+        "vocab_heaps_law",
+        "embedding_pq_distortion",
+        "shard_source_mix_audit",
+        "cms_width_error_curve",
     ]
     # Freshness refill: oldest certifications first (every r1 row,
     # then the oldest r2 rows) so no row's evidence stays frozen at

@@ -103,6 +103,15 @@ _HINT_BROADCAST_ALLOWLIST = {
     "doc_length_percentile_filter": 1,
     "corpus_filter_funnel": 1,  # 1-row P5/P95 bounds scalar
     "corpus_filter_ablation": 1,  # 1-row P5/P95 bounds scalar (same frame)
+    # 1-row max(doc_id) scalar under both 16-way fans, repeated
+    # inside the 1-row OLS-fit subtree (one occurrence reused), +
+    # the broadcast fit frame itself — every frame 1-row-bounded
+    "vocab_heaps_law": 4,
+    # PQ_CODES·Σm-row codebook grid (constants-bounded)
+    "embedding_pq_distortion": 1,
+    # |sources|-row global-mix frame (feature-bounded, nation-dim
+    # precedent) riding the zero-cell grid cross join
+    "shard_source_mix_audit": 1,
     "orders_association_rules": 1,
     "events_value_winsorize": 1,
     "events_type_anova": 1,

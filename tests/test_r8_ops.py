@@ -293,3 +293,156 @@ class TestMinhashPermErrorCurve:
         assert rows[8]["rmse"] < rows[2]["rmse"]
         for r in rows.values():
             assert 0.0 <= r["mean_abs_err"] <= r["max_abs_err"] <= 1.0 + 1e-9
+
+
+class TestSimhashBitBalanceAudit:
+    def test_all_bits_present_and_bounded(self, spark, sf_dir):
+        """48 rows (one per fingerprint bit), every doc counted in
+        every row, frac/bias consistent and within [0, 0.5]."""
+        from datatransformertools_spark.operators.dedup import (
+            simhash_bit_balance_audit,
+        )
+
+        rows = {r["bit_no"]: r for r in simhash_bit_balance_audit(spark, sf_dir).collect()}
+        assert set(rows) == set(range(48))
+        n_docs = {r["n_docs"] for r in rows.values()}
+        assert len(n_docs) == 1 and n_docs.pop() > 0
+        for r in rows.values():
+            assert 0 <= r["n_ones"] <= r["n_docs"]
+            assert abs(r["frac_ones"] - r["n_ones"] / r["n_docs"]) < 1e-5
+            assert 0.0 <= r["abs_bias"] <= 0.5 + 1e-9
+            assert abs(r["abs_bias"] - abs(r["frac_ones"] - 0.5)) < 1e-5
+
+    def test_bias_spread_is_informative(self, spark, sf_dir):
+        """The audit's whole point is that bias is a CORPUS property
+        (the synthetic fixture has a closed ~31-token vocabulary, so
+        its planes are legitimately skewed — exactly what the table
+        should surface). Pin only corpus-agnostic structure: biases
+        vary across planes (md5 slices aren't all locked to one
+        side) and at least one plane is strictly informative."""
+        from datatransformertools_spark.operators.dedup import (
+            simhash_bit_balance_audit,
+        )
+
+        biases = [r["abs_bias"] for r in simhash_bit_balance_audit(spark, sf_dir).collect()]
+        assert len(set(biases)) > 1
+        assert min(biases) < 0.5
+
+
+class TestDupQualityInteraction:
+    def test_bands_partition_the_corpus(self, spark, sf_dir):
+        """Band doc counts sum to |documents|; every keep_rate is a
+        valid rate; the no-shingle band (-1) carries a NULL mean
+        dup_frac and only bands in {-1, 0..3} appear."""
+        from datatransformertools_spark.operators.quality import (
+            dup_quality_interaction,
+        )
+        from datatransformertools_spark.sources.tables import load_table
+
+        rows = {r["dup_band"]: r for r in dup_quality_interaction(spark, sf_dir).collect()}
+        assert set(rows) <= {-1, 0, 1, 2, 3}
+        n_total = load_table(spark, sf_dir, "documents").count()
+        assert sum(r["n_docs"] for r in rows.values()) == n_total
+        for band, r in rows.items():
+            assert 0.0 <= r["keep_rate"] <= 1.0 + 1e-9
+            if band == -1:
+                assert r["mean_dup_frac"] is None
+            else:
+                assert 0.0 <= r["mean_dup_frac"] <= 1.0 + 1e-9
+                assert band / 4 - 1e-6 <= r["mean_dup_frac"] <= (band + 1) / 4 + 1e-6
+
+
+class TestVocabHeapsLaw:
+    def test_prefix_curve_is_monotone_and_fit_sane(self, spark, sf_dir):
+        """Cumulative token and vocab counts are non-decreasing in
+        the checkpoint index, the last checkpoint covers the whole
+        corpus (thr = max doc_id), the fitted exponent lands in
+        (0, 1) for natural text, and every row repeats the same
+        1-row fit."""
+        from datatransformertools_spark.operators.text_analysis import (
+            vocab_heaps_law,
+        )
+
+        rows = sorted(vocab_heaps_law(spark, sf_dir).collect(), key=lambda r: r["ckpt"])
+        assert [r["ckpt"] for r in rows] == list(range(1, 17))
+        for a, b in zip(rows, rows[1:]):
+            assert a["n_tokens"] <= b["n_tokens"]
+            assert a["n_vocab"] <= b["n_vocab"]
+            assert a["thr_doc_id"] <= b["thr_doc_id"]
+        last = rows[-1]
+        assert last["n_tokens"] > 0 and last["n_vocab"] > 0
+        # sublinear growth: β < 1 always; β = 0 is the legitimate
+        # closed-vocabulary reading (the sf0.001 fixture saturates
+        # its ~31-token vocabulary at the first checkpoint)
+        assert 0.0 <= last["heaps_beta"] < 1.0
+        assert 0.0 <= last["heaps_r2"] <= 1.0 + 1e-9
+        assert len({r["heaps_beta"] for r in rows}) == 1
+        for r in rows:
+            if r["n_tokens"] > 0:
+                assert abs(r["type_token_ratio"] - r["n_vocab"] / r["n_tokens"]) < 1e-5
+
+
+class TestEmbeddingPqDistortion:
+    def test_distortion_shrinks_with_more_subspaces(self, spark, sf_dir):
+        """More subspaces = finer quantization grid: mean L2
+        reconstruction error must not grow from m=2 to the shipped
+        m=8 (each doubling of m refines every subspace's codebook
+        resolution over a shorter subvector). Face structure: one
+        row per candidate m, every vector encoded in every row."""
+        from datatransformertools_spark.operators.similarity import (
+            embedding_pq_distortion,
+        )
+
+        rows = {r["m"]: r for r in embedding_pq_distortion(spark, sf_dir).collect()}
+        assert set(rows) == {2, 4, 8}
+        n_vecs = {r["n_vecs"] for r in rows.values()}
+        assert len(n_vecs) == 1 and n_vecs.pop() > 0
+        for r in rows.values():
+            assert r["subdim"] * r["m"] == 64
+            assert r["code_bits"] == r["m"] * 4
+            assert 0.0 <= r["mean_l2_err"] <= r["max_l2_err"]
+            assert r["mean_rel_err"] >= 0.0
+        assert rows[8]["mean_l2_err"] <= rows[2]["mean_l2_err"]
+        assert rows[8]["mean_rel_err"] <= rows[2]["mean_rel_err"]
+
+
+class TestShardSourceMixAudit:
+    def test_shards_cover_corpus_and_chi2_sane(self, spark, sf_dir):
+        """Shard doc counts sum to |documents|, every shard sees the
+        full source column space, max_share_dev is a valid share
+        deviation, and chi2 is non-negative."""
+        from datatransformertools_spark.operators.corpus import (
+            N_SHARDS,
+            shard_source_mix_audit,
+        )
+        from datatransformertools_spark.sources.tables import load_table
+
+        rows = shard_source_mix_audit(spark, sf_dir).collect()
+        assert len(rows) <= N_SHARDS
+        docs = load_table(spark, sf_dir, "documents")
+        assert sum(r["n_docs"] for r in rows) == docs.count()
+        n_src = docs.select("source").distinct().count()
+        for r in rows:
+            assert r["n_sources"] == n_src
+            assert r["chi2"] >= 0.0
+            assert 0.0 <= r["max_share_dev"] <= 1.0
+
+
+class TestCmsWidthErrorCurve:
+    def test_error_shrinks_with_width(self, spark, sf_dir):
+        """CMS overcount is one-sided (est >= true, so every error
+        stat is >= 0) and collision error must not grow as the
+        sketch widens: mean overcount at the widest candidate <=
+        the narrowest."""
+        from datatransformertools_spark.operators.events import cms_width_error_curve
+
+        rows = {r["width"]: r for r in cms_width_error_curve(spark, sf_dir).collect()}
+        assert set(rows) == {128, 512, 2048}
+        n_keys = {r["n_keys"] for r in rows.values()}
+        assert len(n_keys) == 1 and n_keys.pop() > 0
+        for r in rows.values():
+            assert r["depth"] == 4
+            assert r["mean_overcount"] >= 0.0
+            assert r["max_overcount"] >= 0
+            assert r["mean_rel_overcount"] >= 0.0
+        assert rows[2048]["mean_overcount"] <= rows[128]["mean_overcount"]

@@ -429,6 +429,68 @@ SECTIONS = [
         "No broadcast of any data-scale frame.",
         True,
     ),
+    (
+        "simhash_bit_balance_audit",
+        "r8 per-bit-plane balance: the simhash stage's one shuffle "
+        "(48 partially-aggregated longs per doc) feeds a map-side x48 "
+        "bit fan-out that partially aggregates to <=48 rows per "
+        "partition before the 48-row face. No joins, no windows, no "
+        "broadcasts.",
+        True,
+    ),
+    (
+        "dup_quality_interaction",
+        "r8 duplication-exposure x quality-verdict grid: two per-doc "
+        "aggregate frames (shingle-df exposure, Gopher rule census) "
+        "join once on doc_id, then a map-side banding collapses to a "
+        "<=5-row face. Text never crosses an exchange; no hinted "
+        "broadcasts.",
+        True,
+    ),
+    (
+        "vocab_heaps_law",
+        "r8 Heaps-law fit: per-doc token counts (|docs| rows) and the "
+        "token first-occurrence frame (|vocab| rows, one min-combined "
+        "shuffle) each fan x16 map-side against the broadcast 1-row "
+        "max(doc_id) scalar and partially aggregate to <=16 rows per "
+        "partition — no cumulative window ever sees corpus-scale "
+        "rows; the OLS fit runs on the 16-point frame and rides back "
+        "as a broadcast 1-row frame.",
+        True,
+    ),
+    (
+        "embedding_pq_distortion",
+        "r8 PQ bytes/distortion tuning table: ONE embeddings scan "
+        "fans each vector map-side to its (m, sub) subvectors for "
+        "all three candidate m at once; the constants-bounded "
+        "codebook grid is the single broadcast; encode is a "
+        "min-combined aggregate keyed (vec_id, m, sub_id) and the "
+        "face is 3 rows. Reconstructed vectors never materialize "
+        "(recon L2^2 = sum of per-subspace min code distances).",
+        True,
+    ),
+    (
+        "shard_source_mix_audit",
+        "r8 shard-composition fairness: the shard key is computed "
+        "map-side from doc_id alone, ONE (shard, source)-keyed "
+        "partial-agg shuffle bounds the exchange at "
+        "N_SHARDS*|sources| groups at any corpus size, and the "
+        "chi-square fold runs on that grid; the |sources|-row "
+        "global-mix frame is the only (hinted, feature-bounded) "
+        "broadcast.",
+        True,
+    ),
+    (
+        "cms_width_error_curve",
+        "r8 CMS width tuning table: one events scan fans map-side "
+        "to depth x |widths| = 12 (width, row, bucket) triples; "
+        "every sketch partially aggregates to <= ~11k counter "
+        "groups regardless of corpus size; probes join the bounded "
+        "counter frame and the per-key min collapses keyed "
+        "(user, width) into a 3-row face. No broadcasts, no "
+        "windows.",
+        True,
+    ),
 ]
 
 # Iterative operators whose returned plan is a checkpoint scan (their
