@@ -324,6 +324,104 @@ SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= {TOP_K}
 
 
 # ---------------------------------------------------------------------------
+# ann_ivf_cell_balance — index-side cell population and tightness audit
+# ---------------------------------------------------------------------------
+
+
+def ann_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-side health of the IVF partition: per coarse cell, the
+    member count, corpus share, imbalance factor (share ×
+    N_CELLS — the multiplier on worst-probe latency when cell_id is
+    the partition key at 100 TB), and the mean/min member-to-
+    centroid cosine (cell tightness — a loose cell is where ADC/
+    rerank recall leaks first). `ann_ivf_probe_curve` prices the
+    QUERY side (recall vs probes); this prices the INDEX side: a
+    max imbalance ≫ 1 says re-train the coarse codebook or split
+    the hot cell before sizing probe counts, the same diagnostic
+    FAISS's imbalance_factor() exposes.
+
+    Scale design: one embeddings scan against the broadcast
+    N_CELLS-row codebook; the nearest-cell argmax is a per-vector
+    window over N_CELLS rows (partition key = vec_id — never
+    global); members collapse to N_CELLS groups map-side; the
+    corpus total rides a partition-less window on the N_CELLS-row
+    aggregate (feature-bounded)."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") >= N_QUERIES)
+        .select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .withColumn("nrm", norm(F.col("v")))
+    )
+    cents = emb.filter(F.col("vec_id") < N_QUERIES + N_CELLS).select(
+        (F.col("vec_id") - N_QUERIES).alias("cell_id"),
+        F.col("v").alias("cell_v"),
+        F.col("nrm").alias("cell_nrm"),
+    )
+    sim = F.round(
+        cosine_prenormed(F.col("v"), F.col("cell_v"), F.col("nrm"), F.col("cell_nrm"))
+        + 1e-9,
+        6,
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(F.col("cell_sim").desc(), F.col("cell_id"))
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("cell_sim", sim)
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+    )
+    cells = assigned.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("cell_sim") + 1e-9, 6).alias("mean_cos"),
+        F.round(F.min("cell_sim") + 1e-9, 6).alias("min_cos"),
+    )
+    total = F.sum("n_vecs").over(Window.partitionBy())  # N_CELLS-row frame
+    return cells.select(
+        F.col("cell_id").cast("int").alias("cell_id"),
+        "n_vecs",
+        F.round(F.col("n_vecs") / total + 1e-9, 6).alias("share"),
+        F.round(F.col("n_vecs") * N_CELLS / total + 1e-9, 6).alias("imbalance"),
+        "mean_cos",
+        "min_cos",
+    )
+
+
+ANN_IVF_CELL_BALANCE_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id >= {N_QUERIES}),
+cents AS (
+  SELECT vec_id - {N_QUERIES} AS cell_id, v AS cell_v
+  FROM e WHERE vec_id < {N_QUERIES + N_CELLS}
+),
+assigned AS (
+  SELECT vec_id, cell_id, cell_sim FROM (
+    SELECT e.vec_id, c.cell_id,
+           {_COS_SQL.format(a='e.v', b='c.cell_v')} AS cell_sim,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_SQL.format(a='e.v', b='c.cell_v')} DESC, c.cell_id) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+cells AS (
+  SELECT cell_id,
+         CAST(count(*) AS BIGINT) AS n_vecs,
+         round(avg(cell_sim) + 1e-9, 6) AS mean_cos,
+         round(min(cell_sim) + 1e-9, 6) AS min_cos
+  FROM assigned GROUP BY 1
+)
+SELECT CAST(cell_id AS INT) AS cell_id,
+       n_vecs,
+       round(n_vecs * 1.0 / (SELECT sum(n_vecs) FROM cells) + 1e-9, 6) AS share,
+       round(n_vecs * {N_CELLS}.0 / (SELECT sum(n_vecs) FROM cells) + 1e-9, 6) AS imbalance,
+       mean_cos,
+       min_cos
+FROM cells
+"""
+
+
+# ---------------------------------------------------------------------------
 # ann_pq_topk — product quantization with ADC shortlist + exact rerank
 # ---------------------------------------------------------------------------
 
@@ -2853,6 +2951,7 @@ QUERIES = {
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "ann_ivf_pq_topk": (ann_ivf_pq_topk, ANN_IVF_PQ_SQL),
     "ann_pq_topk": (ann_pq_topk, ANN_PQ_SQL),
+    "ann_ivf_cell_balance": (ann_ivf_cell_balance, ANN_IVF_CELL_BALANCE_SQL),
     "embedding_pq_distortion": (embedding_pq_distortion, EMBEDDING_PQ_DISTORTION_SQL),
     "label_centroids": (label_centroids, LABEL_CENTROIDS_SQL),
     "kmeans_embeddings": (kmeans_embeddings, KMEANS_EMBEDDINGS_SQL),

@@ -112,6 +112,8 @@ _HINT_BROADCAST_ALLOWLIST = {
     # |sources|-row global-mix frame (feature-bounded, nation-dim
     # precedent) riding the zero-cell grid cross join
     "shard_source_mix_audit": 1,
+    # N_CELLS-row coarse codebook (constants-bounded)
+    "ann_ivf_cell_balance": 1,
     "orders_association_rules": 1,
     "events_value_winsorize": 1,
     "events_type_anova": 1,

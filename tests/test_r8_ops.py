@@ -446,3 +446,30 @@ class TestCmsWidthErrorCurve:
             assert r["max_overcount"] >= 0
             assert r["mean_rel_overcount"] >= 0.0
         assert rows[2048]["mean_overcount"] <= rows[128]["mean_overcount"]
+
+
+class TestAnnIvfCellBalance:
+    def test_partition_of_index_and_tightness_bounds(self, spark, sf_dir):
+        """Cells partition the index vectors (shares sum to 1, the
+        imbalance factors average to 1 across cells weighted by
+        count), and tightness stats are valid cosines with
+        mean >= min."""
+        from datatransformertools_spark.operators.similarity import (
+            N_CELLS,
+            N_QUERIES,
+            ann_ivf_cell_balance,
+        )
+        from datatransformertools_spark.sources.tables import load_table
+
+        rows = ann_ivf_cell_balance(spark, sf_dir).collect()
+        assert 0 < len(rows) <= N_CELLS
+        n_index = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") >= N_QUERIES)
+            .count()
+        )
+        assert sum(r["n_vecs"] for r in rows) == n_index
+        assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+        for r in rows:
+            assert abs(r["imbalance"] - r["share"] * N_CELLS) < 1e-5
+            assert -1.0 - 1e-9 <= r["min_cos"] <= r["mean_cos"] <= 1.0 + 1e-9

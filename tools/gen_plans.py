@@ -491,6 +491,16 @@ SECTIONS = [
         "windows.",
         True,
     ),
+    (
+        "ann_ivf_cell_balance",
+        "r8 IVF index-side skew audit: one embeddings scan against "
+        "the broadcast N_CELLS-row codebook; the argmax is a "
+        "per-vector window over N_CELLS rows (partition key = "
+        "vec_id, never global); members collapse to N_CELLS groups "
+        "map-side and the total rides a partition-less window on "
+        "the N_CELLS-row aggregate.",
+        True,
+    ),
 ]
 
 # Iterative operators whose returned plan is a checkpoint scan (their
