@@ -751,6 +751,170 @@ FROM bits GROUP BY 1
 )
 
 # ---------------------------------------------------------------------------
+# neardup_detector_overlap — minhash-LSH vs simhash pair-set Venn audit
+# ---------------------------------------------------------------------------
+
+
+def neardup_detector_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which near-dup detector catches what: the Venn decomposition
+    of the two shipped lexical detectors' pair sets — banded
+    minhash-LSH candidates vs simhash pairs at hamming ≤
+    SIMHASH_MAX_HAMMING — with each region's TRUE 3-gram Jaccard
+    profile. The detectors sample different structure (minhash:
+    set-resemblance of shingles; simhash: weighted token profile),
+    so `minhash_only` mass is typically mid-Jaccard pairs whose
+    token profiles diverged, `simhash_only` mass is profile-similar
+    pairs below the shingle cliff (including docs too short to
+    shingle at all — counted in n_unscoreable), and a thin `both`
+    region says running ONE detector forfeits real recall. This is
+    the table that decides whether the 100 TB pipeline pays for
+    both passes or drops one.
+
+    Scale design: both pair sets are band-bucketed self-joins on
+    16-byte keys (the existing detectors' exact shapes); the Venn
+    join keys on (doc_a, doc_b); true Jaccard runs only on members
+    of flagged pairs (leftsemi prune — the `dedup_minhash_verify`
+    discipline), with left joins so shingle-less (< 3-token) docs
+    stay counted; the face is ≤ 3 rows."""
+    mh = dedup_minhash_lsh(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_mh")
+    )
+    sh = dedup_simhash(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_sh")
+    )
+    u = mh.join(sh, ["doc_a", "doc_b"], "full")
+    region = (
+        F.when(F.col("in_mh").isNotNull() & F.col("in_sh").isNotNull(), "both")
+        .when(F.col("in_mh").isNotNull(), "minhash_only")
+        .otherwise("simhash_only")
+    )
+    pairs = track(u.select("doc_a", "doc_b", region.alias("region")))
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    shg = _shingle_df(spark, sf_dir).join(cand_ids, "doc_id", "leftsemi")
+    sizes = shg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa, sb = shg.alias("sa"), shg.alias("sb")
+    inter = (
+        sa.join(
+            sb,
+            (F.col("sa.shingle") == F.col("sb.shingle"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .groupBy(F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na, nb = sizes.alias("na"), sizes.alias("nb")
+    denom = (
+        F.coalesce(F.col("na.n"), F.lit(0))
+        + F.coalesce(F.col("nb.n"), F.lit(0))
+        - F.coalesce(F.col("inter"), F.lit(0))
+    )
+    true_j = F.when(
+        denom > 0, F.coalesce(F.col("inter"), F.lit(0)) / denom
+    )  # else null: at least one side has no shingles
+    scored = (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(na, F.col("doc_a") == F.col("na.doc_id"), "left")
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"), "left")
+        .select("region", true_j.alias("true_j"))
+    )
+    return scored.groupBy("region").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("true_j").isNull().cast("long")).alias("n_unscoreable"),
+        F.round(F.avg("true_j") + 1e-9, 6).alias("mean_true_jaccard"),
+        F.round(F.max("true_j") + 1e-9, 6).alias("max_true_jaccard"),
+    )
+
+
+def _neardup_overlap_sql() -> str:
+    sig_aggs = ",\n    ".join(
+        f"min(('0x' || substr(md5('{i}:' || shingle), 1, 15))::BIGINT) AS sig{i}"
+        for i in range(NUM_PERM)
+    )
+    band_exprs = ",\n    ".join(
+        "md5('%d:' || %s) AS band%d"
+        % (
+            b,
+            " || ".join(
+                f"CAST(sig{b * ROWS_PER_BAND + r} AS VARCHAR) || ','" for r in range(ROWS_PER_BAND)
+            ),
+            b,
+        )
+        for b in range(BANDS)
+    )
+    band_union = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, band{b} AS band_key FROM mbanded" for b in range(BANDS)
+    )
+    return (
+        ",\n".join(_simhash_cte_parts())
+        + ",\n"
+        + _SHINGLE_SQL.strip()
+        + f""",
+msig AS (
+  SELECT doc_id,
+    {sig_aggs}
+  FROM shingles GROUP BY doc_id
+),
+mbanded AS (
+  SELECT *,
+    {band_exprs}
+  FROM msig
+),
+mexploded AS (
+  {band_union}
+),
+mpairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM mexploded a JOIN mexploded b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+shpairs AS (
+  SELECT doc_a, doc_b FROM spairs WHERE hamming <= {SIMHASH_MAX_HAMMING}
+),
+venn AS (
+  SELECT COALESCE(m.doc_a, s.doc_a) AS doc_a,
+         COALESCE(m.doc_b, s.doc_b) AS doc_b,
+         CASE WHEN m.doc_a IS NOT NULL AND s.doc_a IS NOT NULL THEN 'both'
+              WHEN m.doc_a IS NOT NULL THEN 'minhash_only'
+              ELSE 'simhash_only' END AS region
+  FROM mpairs m FULL OUTER JOIN shpairs s
+    ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS inter
+  FROM shingles sa JOIN shingles sb
+    ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT v.region,
+         CASE WHEN COALESCE(na.n, 0) + COALESCE(nb.n, 0) - COALESCE(i.inter, 0) > 0
+              THEN COALESCE(i.inter, 0)::DOUBLE
+                   / (COALESCE(na.n, 0) + COALESCE(nb.n, 0) - COALESCE(i.inter, 0))
+         END AS true_j
+  FROM venn v
+  LEFT JOIN inter i ON v.doc_a = i.doc_a AND v.doc_b = i.doc_b
+  LEFT JOIN sizes na ON v.doc_a = na.doc_id
+  LEFT JOIN sizes nb ON v.doc_b = nb.doc_id
+)
+SELECT region,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN true_j IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unscoreable,
+       round(avg(true_j) + 1e-9, 6) AS mean_true_jaccard,
+       round(max(true_j) + 1e-9, 6) AS max_true_jaccard
+FROM scored GROUP BY 1
+"""
+    )
+
+
+NEARDUP_DETECTOR_OVERLAP_SQL = _neardup_overlap_sql()
+
+
+# ---------------------------------------------------------------------------
 # dedup_winnowing — MOSS fingerprints (Schleimer et al., SIGMOD 2003)
 # ---------------------------------------------------------------------------
 
@@ -2539,6 +2703,7 @@ QUERIES = {
     "dedup_substring_spans": (dedup_substring_spans, DEDUP_SUBSTRING_SPANS_SQL),
     "simhash_hamming_curve": (simhash_hamming_curve, SIMHASH_HAMMING_CURVE_SQL),
     "simhash_bit_balance_audit": (simhash_bit_balance_audit, SIMHASH_BIT_BALANCE_AUDIT_SQL),
+    "neardup_detector_overlap": (neardup_detector_overlap, NEARDUP_DETECTOR_OVERLAP_SQL),
     "doc_duplication_score": (doc_duplication_score, DOC_DUPLICATION_SCORE_SQL),
     "emb_tau_retention_curve": (emb_tau_retention_curve, EMB_TAU_RETENTION_CURVE_SQL),
     "template_prefix_families": (template_prefix_families, TEMPLATE_PREFIX_FAMILIES_SQL),

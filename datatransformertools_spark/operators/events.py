@@ -4163,6 +4163,109 @@ EVENTS_SESSION_STATS_SQL = _session_stats_oracle()
 
 
 # ---------------------------------------------------------------------------
+# session_gap_threshold_curve — session yield per candidate gap constant
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_CANDIDATES_MIN = (5, 15, 30, 60, 120)  # 30 = shipped constant
+
+
+def session_gap_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third leg of the session-gap tuning tripod: for each
+    candidate gap τ, the session population it would yield —
+    session count, mean events per session, and mean in-session
+    duration. `events_session_gap_audit` shows the gap HISTOGRAM
+    (what adjacencies exist), `events_session_stats` shows the
+    shipped 30-minute cut's output; this sweeps the CONSTANT so the
+    elbow is read directly off one table (halving τ from 30 to 15
+    minutes costs X% more sessions and Y% shorter ones) before
+    anyone re-runs every sessionization at 100 TB to find out.
+    Sessions(τ) = users + boundaries(τ) needs no per-τ re-assembly:
+    a boundary is exactly a gap > τ, and in-session time is exactly
+    the gaps ≤ τ, so the whole sweep folds over the one lag frame.
+
+    Scale design: ONE per-user lag window (the same single user_id
+    shuffle every session op pays), a map-side ×|candidates| fan
+    that partially aggregates to |candidates| rows per partition,
+    and the 1-row (n_users, n_events) totals riding as the only
+    broadcast. Face is |candidates| rows."""
+    ev = _events_us(spark, sf_dir).select("user_id", "event_id", "ts_us")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = ev.select(
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    entries = []
+    for m in SESSION_GAP_CANDIDATES_MIN:
+        tau = m * 60_000_000
+        entries.append(
+            F.struct(
+                F.lit(m).cast("int").alias("gap_min"),
+                (F.col("gap_us") > tau).cast("long").alias("boundary"),
+                F.when(F.col("gap_us") <= tau, F.col("gap_us"))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("in_session_us"),
+            )
+        )
+    fanned = (
+        gaps.select(F.explode(F.array(*entries)).alias("r"))
+        .select("r.*")
+        .groupBy("gap_min")
+        .agg(
+            F.sum("boundary").alias("n_boundaries"),
+            F.sum("in_session_us").alias("sum_in_session_us"),
+        )
+    )
+    totals = ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    n_sessions = F.col("n_users") + F.col("n_boundaries")
+    return fanned.crossJoin(F.broadcast(totals)).select(
+        "gap_min",
+        n_sessions.alias("n_sessions"),
+        F.round(F.col("n_events") / n_sessions + 1e-9, 6).alias("mean_events_per_session"),
+        F.round(
+            F.col("sum_in_session_us") / n_sessions / 1e6 + 1e-9, 6
+        ).alias("mean_session_duration_s"),
+    )
+
+
+def _session_threshold_sql() -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT {m} AS gap_min, "
+        f"CASE WHEN gap_us > {m * 60_000_000} THEN 1 ELSE 0 END AS boundary, "
+        f"CASE WHEN gap_us <= {m * 60_000_000} THEN gap_us ELSE 0 END AS in_session_us "
+        "FROM gaps"
+        for m in SESSION_GAP_CANDIDATES_MIN
+    )
+    return f"""
+WITH gaps AS (
+  SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+  FROM events
+  QUALIFY gap_us IS NOT NULL
+),
+fanned AS (
+  SELECT gap_min, CAST(sum(boundary) AS BIGINT) AS n_boundaries,
+         CAST(sum(in_session_us) AS BIGINT) AS sum_in_session_us
+  FROM ({arms}) GROUP BY 1
+),
+totals AS (
+  SELECT count(DISTINCT user_id) AS n_users, count(*) AS n_events FROM events
+)
+SELECT gap_min,
+       CAST(n_users + n_boundaries AS BIGINT) AS n_sessions,
+       round(n_events * 1.0 / (n_users + n_boundaries) + 1e-9, 6) AS mean_events_per_session,
+       round(sum_in_session_us * 1.0 / (n_users + n_boundaries) / 1e6 + 1e-9, 6)
+         AS mean_session_duration_s
+FROM fanned CROSS JOIN totals
+"""
+
+
+SESSION_GAP_THRESHOLD_CURVE_SQL = _session_threshold_sql()
+
+
+# ---------------------------------------------------------------------------
 # events_dau_mau_stickiness — DAU / trailing-28-day MAU per day (r8)
 # ---------------------------------------------------------------------------
 
@@ -4303,5 +4406,9 @@ QUERIES = {
     "events_attribution": (events_attribution, EVENTS_ATTRIBUTION_SQL),
     "events_heavy_hitters_cms": (events_heavy_hitters_cms, EVENTS_HEAVY_HITTERS_CMS_SQL),
     "cms_width_error_curve": (cms_width_error_curve, CMS_WIDTH_ERROR_CURVE_SQL),
+    "session_gap_threshold_curve": (
+        session_gap_threshold_curve,
+        SESSION_GAP_THRESHOLD_CURVE_SQL,
+    ),
     "events_user_count_hll_manual": (events_user_count_hll_manual, EVENTS_HLL_MANUAL_SQL),
 }

@@ -67,9 +67,9 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
     # change, both engines); (3) `embedding_silhouette` with the
     # single-label least() guard; (4) the three kNN-family consumers
     # now sharing the memoized `_knn_edges` stage table; (5) the
-    # fourteen new r8 operators (house rule: certify in the round
+    # sixteen new r8 operators (house rule: certify in the round
     # they land). Then freshness refill — ALL 17 remaining
-    # r1-certified rows plus the 9 oldest r2-certified rows (31 r2
+    # r1-certified rows plus the 7 oldest r2-certified rows (33 r2
     # rows remain for the r9 window; 58 stale rows did not fit one
     # 50-slot window alongside the changed-row and new-op
     # certifications).
@@ -106,6 +106,8 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "shard_source_mix_audit",
         "cms_width_error_curve",
         "ann_ivf_cell_balance",
+        "session_gap_threshold_curve",
+        "neardup_detector_overlap",
     ]
     # Freshness refill: oldest certifications first (every r1 row,
     # then the oldest r2 rows) so no row's evidence stays frozen at

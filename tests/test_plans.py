@@ -114,6 +114,8 @@ _HINT_BROADCAST_ALLOWLIST = {
     "shard_source_mix_audit": 1,
     # N_CELLS-row coarse codebook (constants-bounded)
     "ann_ivf_cell_balance": 1,
+    # 1-row (n_users, n_events) totals scalar
+    "session_gap_threshold_curve": 1,
     "orders_association_rules": 1,
     "events_value_winsorize": 1,
     "events_type_anova": 1,

@@ -473,3 +473,55 @@ class TestAnnIvfCellBalance:
         for r in rows:
             assert abs(r["imbalance"] - r["share"] * N_CELLS) < 1e-5
             assert -1.0 - 1e-9 <= r["min_cos"] <= r["mean_cos"] <= 1.0 + 1e-9
+
+
+class TestSessionGapThresholdCurve:
+    def test_monotone_in_threshold_and_consistent_at_shipped(self, spark, sf_dir):
+        """Larger gaps merge sessions: n_sessions is non-increasing
+        and mean duration/events non-decreasing in the threshold;
+        the 30-minute row must equal the engine's actual
+        sessionization (events_sessionize session count)."""
+        from datatransformertools_spark.operators.events import (
+            events_sessionize,
+            session_gap_threshold_curve,
+        )
+
+        rows = sorted(
+            session_gap_threshold_curve(spark, sf_dir).collect(),
+            key=lambda r: r["gap_min"],
+        )
+        assert [r["gap_min"] for r in rows] == [5, 15, 30, 60, 120]
+        for a, b in zip(rows, rows[1:]):
+            assert a["n_sessions"] >= b["n_sessions"]
+            assert a["mean_events_per_session"] <= b["mean_events_per_session"]
+            assert a["mean_session_duration_s"] <= b["mean_session_duration_s"]
+        shipped = next(r for r in rows if r["gap_min"] == 30)
+        n_sessions_actual = (
+            events_sessionize(spark, sf_dir)
+            .select("user_id", "session_idx")
+            .distinct()
+            .count()
+        )
+        assert shipped["n_sessions"] == n_sessions_actual
+
+
+class TestNeardupDetectorOverlap:
+    def test_venn_partitions_the_union(self, spark, sf_dir):
+        """Region counts must reproduce each detector's own pair
+        count (mh = both + minhash_only, sh = both + simhash_only),
+        and every scoreable Jaccard stat is a valid similarity."""
+        from datatransformertools_spark.operators.dedup import (
+            dedup_minhash_lsh,
+            dedup_simhash,
+            neardup_detector_overlap,
+        )
+
+        rows = {r["region"]: r for r in neardup_detector_overlap(spark, sf_dir).collect()}
+        assert set(rows) <= {"both", "minhash_only", "simhash_only"}
+        n = lambda k: rows[k]["n_pairs"] if k in rows else 0  # noqa: E731
+        assert n("both") + n("minhash_only") == dedup_minhash_lsh(spark, sf_dir).count()
+        assert n("both") + n("simhash_only") == dedup_simhash(spark, sf_dir).count()
+        for r in rows.values():
+            assert 0 <= r["n_unscoreable"] <= r["n_pairs"]
+            if r["mean_true_jaccard"] is not None:
+                assert 0.0 <= r["mean_true_jaccard"] <= r["max_true_jaccard"] <= 1.0 + 1e-9

@@ -501,6 +501,26 @@ SECTIONS = [
         "the N_CELLS-row aggregate.",
         True,
     ),
+    (
+        "session_gap_threshold_curve",
+        "r8 session-constant sweep: ONE per-user lag window (the "
+        "same single user_id shuffle every session op pays), a "
+        "map-side x5 candidate fan that partially aggregates to 5 "
+        "rows per partition, and the 1-row (n_users, n_events) "
+        "totals as the only broadcast — sessions(tau) = users + "
+        "boundaries(tau), so no per-tau session re-assembly ever "
+        "runs.",
+        True,
+    ),
+    (
+        "neardup_detector_overlap",
+        "r8 detector Venn audit: both pair sets are the shipped "
+        "band-bucketed self-joins on 16-byte keys; the Venn joins "
+        "on (doc_a, doc_b); true Jaccard runs only on members of "
+        "flagged pairs (leftsemi prune) with left joins so "
+        "shingle-less docs stay counted; face <= 3 rows.",
+        True,
+    ),
 ]
 
 # Iterative operators whose returned plan is a checkpoint scan (their
