@@ -628,7 +628,12 @@ PROSE_SECTIONS = [
         "normalized-total swing (425 -> 568) is the calibration divisor "
         "flipping from a loaded (1.164) to an idle (0.914) container "
         "around a nearly-flat raw total; per-plan evidence is the "
-        "isolated table, not the in-suite line items.",
+        "isolated table, not the in-suite line items. CONFIRMED by the "
+        "round-closing run (306 queries, drift 0.892): the graph family "
+        "returned to its r7 in-suite levels with zero code change "
+        "(part_kcore 6.12, part_pagerank 4.66, part_similar_parts 5.69 "
+        "s) and the raw suite total landed at 392.6 s — the best "
+        "recorded — carrying 16 more queries than r7.",
     ),
     (
         "r2->r1 shared-query regression audit (VERDICT r2 #6)",
