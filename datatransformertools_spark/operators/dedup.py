@@ -1017,6 +1017,114 @@ HAVING count(*) >= {MIN_SHARED_FP}
 """
 
 # ---------------------------------------------------------------------------
+# winnowing_density_audit — measured fingerprint density vs the 2/(G+1) theory
+# ---------------------------------------------------------------------------
+
+
+def winnowing_density_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measured companion for the winnowing family (each dedup
+    family ships one: minhash→`minhash_perm_error_curve`,
+    simhash→`simhash_bit_balance_audit`, embedding→
+    `emb_tau_retention_curve`): per source, the DISTINCT-fingerprint
+    density the winnow actually selects against Schleimer et al.'s
+    expected 2/(G+1) window density (SIGMOD 2003 §4 — the number
+    that sizes the fingerprint index at 14× below full-shingle
+    volume). Repetitive/templated text re-selects the same minimum
+    hash across windows, so its DISTINCT density lands well under
+    theory; a ratio near or above 1.0 flags high-entropy content
+    (or a broken gram hash). This is the table that predicts the
+    winnowing index bytes-per-document before a 100 TB ingest
+    commits to K_GRAM/WINNOW_G.
+
+    Scale design: identical gram/winnow pipeline to
+    `dedup_winnowing` (gram hashing and the min-window run
+    partition-local per doc after one doc_id repartition); the
+    per-doc (windows, distinct fps) profile collapses map-side and
+    the face is |sources| rows. The pair self-join never runs —
+    this audits the index stage only."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    tok = tokens(normalize_text(F.col("text")))
+    base = docs.select("doc_id", "source", tok.alias("tok"), F.size(tok).alias("n"))
+    pos = F.explode(F.sequence(F.lit(0), F.col("n") - K_GRAM)).alias("pos")
+    grams = base.filter(F.col("n") >= K_GRAM + WINNOW_G - 1).select(
+        "doc_id", "source", "tok", (F.col("n") - K_GRAM).alias("max_pos"), pos
+    ).select(
+        "doc_id",
+        "source",
+        "pos",
+        "max_pos",
+        F.substring(
+            F.md5(F.concat_ws(" ", F.slice(F.col("tok"), F.col("pos") + 1, K_GRAM))), 1, 16
+        ).alias("h"),
+    )
+    w_winnow = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_G - 1)
+    windows = grams.withColumn("fp", F.min("h").over(w_winnow)).filter(
+        F.col("pos") <= F.col("max_pos") - (WINNOW_G - 1)
+    )
+    per_doc = windows.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.countDistinct("fp").alias("n_fps"),
+    )
+    theory = 2.0 / (WINNOW_G + 1)
+    density = F.col("total_fps") / F.col("total_windows")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_windows").alias("total_windows"),
+            F.sum("n_fps").alias("total_fps"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_windows",
+            "total_fps",
+            F.round(density + 1e-9, 6).alias("density"),
+            F.round(F.lit(theory) + 1e-9, 6).alias("theory_density"),
+            F.round(density / F.lit(theory) + 1e-9, 6).alias("density_ratio"),
+        )
+    )
+
+
+WINNOWING_DENSITY_AUDIT_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS tok
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source, i AS pos,
+         substr(md5(array_to_string(tok[i + 1 : i + {K_GRAM}], ' ')), 1, 16) AS h,
+         len(tok) - {K_GRAM} AS max_pos
+  FROM base, unnest(range(0, greatest(len(tok) - {K_GRAM} + 1, 0))) AS u(i)
+  WHERE len(tok) >= {K_GRAM + WINNOW_G - 1}
+),
+w0 AS (
+  SELECT doc_id, source, pos, max_pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_G - 1} FOLLOWING) AS fp
+  FROM grams
+),
+per_doc AS (
+  SELECT doc_id, source,
+         count(*) AS n_windows,
+         count(DISTINCT fp) AS n_fps
+  FROM w0 WHERE pos <= max_pos - {WINNOW_G - 1}
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_windows) AS BIGINT) AS total_windows,
+       CAST(sum(n_fps) AS BIGINT) AS total_fps,
+       round(sum(n_fps) * 1.0 / sum(n_windows) + 1e-9, 6) AS density,
+       round({2.0 / (WINNOW_G + 1)} + 1e-9, 6) AS theory_density,
+       round(sum(n_fps) * 1.0 / sum(n_windows) / {2.0 / (WINNOW_G + 1)} + 1e-9, 6)
+         AS density_ratio
+FROM per_doc GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
 # dedup_embedding — exact cosine within a blocking key
 # ---------------------------------------------------------------------------
 
@@ -2704,6 +2812,7 @@ QUERIES = {
     "simhash_hamming_curve": (simhash_hamming_curve, SIMHASH_HAMMING_CURVE_SQL),
     "simhash_bit_balance_audit": (simhash_bit_balance_audit, SIMHASH_BIT_BALANCE_AUDIT_SQL),
     "neardup_detector_overlap": (neardup_detector_overlap, NEARDUP_DETECTOR_OVERLAP_SQL),
+    "winnowing_density_audit": (winnowing_density_audit, WINNOWING_DENSITY_AUDIT_SQL),
     "doc_duplication_score": (doc_duplication_score, DOC_DUPLICATION_SCORE_SQL),
     "emb_tau_retention_curve": (emb_tau_retention_curve, EMB_TAU_RETENTION_CURVE_SQL),
     "template_prefix_families": (template_prefix_families, TEMPLATE_PREFIX_FAMILIES_SQL),

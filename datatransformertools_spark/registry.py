@@ -67,9 +67,9 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
     # change, both engines); (3) `embedding_silhouette` with the
     # single-label least() guard; (4) the three kNN-family consumers
     # now sharing the memoized `_knn_edges` stage table; (5) the
-    # sixteen new r8 operators (house rule: certify in the round
+    # seventeen new r8 operators (house rule: certify in the round
     # they land). Then freshness refill — ALL 17 remaining
-    # r1-certified rows plus the 7 oldest r2-certified rows (33 r2
+    # r1-certified rows plus the 6 oldest r2-certified rows (34 r2
     # rows remain for the r9 window; 58 stale rows did not fit one
     # 50-slot window alongside the changed-row and new-op
     # certifications).
@@ -108,6 +108,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "ann_ivf_cell_balance",
         "session_gap_threshold_curve",
         "neardup_detector_overlap",
+        "winnowing_density_audit",
     ]
     # Freshness refill: oldest certifications first (every r1 row,
     # then the oldest r2 rows) so no row's evidence stays frozen at

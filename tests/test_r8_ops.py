@@ -525,3 +525,25 @@ class TestNeardupDetectorOverlap:
             assert 0 <= r["n_unscoreable"] <= r["n_pairs"]
             if r["mean_true_jaccard"] is not None:
                 assert 0.0 <= r["mean_true_jaccard"] <= r["max_true_jaccard"] <= 1.0 + 1e-9
+
+
+class TestWinnowingDensityAudit:
+    def test_density_within_winnow_bounds(self, spark, sf_dir):
+        """Winnowing guarantees at least one fingerprint per window
+        run and at most one NEW selection per window: distinct
+        density must sit in (0, 1] and cannot exceed the window
+        count; the theory column is the 2/(G+1) constant."""
+        from datatransformertools_spark.operators.dedup import (
+            WINNOW_G,
+            winnowing_density_audit,
+        )
+
+        rows = winnowing_density_audit(spark, sf_dir).collect()
+        assert rows
+        theory = 2.0 / (WINNOW_G + 1)
+        for r in rows:
+            assert r["n_docs"] > 0
+            assert 0 < r["total_fps"] <= r["total_windows"]
+            assert 0.0 < r["density"] <= 1.0 + 1e-9
+            assert abs(r["theory_density"] - theory) < 1e-6
+            assert abs(r["density_ratio"] - r["density"] / theory) < 1e-4

@@ -521,6 +521,15 @@ SECTIONS = [
         "shingle-less docs stay counted; face <= 3 rows.",
         True,
     ),
+    (
+        "winnowing_density_audit",
+        "r8 winnow-index sizing table: gram hashing and the "
+        "min-window run are partition-local per doc after one "
+        "doc_id repartition (the dedup_winnowing stage exactly); "
+        "per-doc (windows, distinct fps) collapses map-side and the "
+        "face is |sources| rows. The pair self-join never runs.",
+        True,
+    ),
 ]
 
 # Iterative operators whose returned plan is a checkpoint scan (their
