@@ -549,6 +549,52 @@ def test_minhash_verify_prunes_before_text_join(spark, sf_dir):
             assert "text#" not in line, line
 
 
+def test_truth_jaccard_joins_are_pair_driven(spark, sf_dir):
+    """VERDICT r8 #1 discipline, pinned: every TRUE-Jaccard tuning
+    companion must drive the shingle intersection FROM the candidate
+    pair list — join keyed on doc_a, then on (doc_b, shingle) — so
+    shingle work is Σ_pairs |shingles|. An open shingle=shingle
+    self-join (single-key join on the shingle) fans out
+    quadratically on one hot shingle among candidate members; it is
+    allowed only under the DF-capped index (dedup_ngram_jaccard /
+    dedup_containment), never in the truth family, whose whole point
+    is UNCAPPED shingle sets."""
+    open_self_join = re.compile(r"Join \[shingle#\d+\], \[shingle#\d+\]")
+    for name in (
+        "simhash_hamming_curve",
+        "minhash_perm_error_curve",
+        "neardup_detector_overlap",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert not open_self_join.search(plan), f"{name}: open shingle self-join\n{plan}"
+
+
+def test_minhash_family_shares_memoized_pair_frame(spark, sf_dir):
+    """The five minhash consumers must all read the ONE persisted
+    candidate-pair stage table (`_minhash_pairs_df`) instead of each
+    rebuilding signature + band explode + self-join: after any one
+    of them plans, the others' executed plans carry an
+    InMemoryTableScan and no band_key join of their own."""
+    from datatransformertools_spark.operators.dedup import (
+        _MINHASH_PAIRS_MEMO,
+        clear_dedup_memos,
+    )
+
+    clear_dedup_memos()
+    _plan(spark, sf_dir, "dedup_minhash_lsh")  # builds the memo entry
+    assert len(_MINHASH_PAIRS_MEMO._frames) == 1
+    for name in ("dedup_minhash_verify", "dedup_lsh_quality", "minhash_perm_error_curve"):
+        plan = _plan(spark, sf_dir, name)
+        # the scan node proves the consumer reads the persisted stage
+        # table (the InMemoryRelation legitimately RENDERS its stored
+        # band-join build plan inside the scan subtree — that is the
+        # one build, not a rebuild)
+        assert "InMemoryTableScan" in plan, f"{name} not reading the memo:\n{plan}"
+    # one (session, sf_dir) entry serves all consumers — nobody
+    # built a second keyed copy
+    assert len(_MINHASH_PAIRS_MEMO._frames) == 1
+
+
 def test_knn_eval_broadcasts_fixed_query_frame(spark, sf_dir):
     # the 50-row eval frame is fixed-size → it must broadcast by
     # explicit hint (corpus side streams, never exchanges for the
