@@ -1375,6 +1375,99 @@ EVENTS_WATERMARK_AUDIT_SQL = _watermark_oracle()
 
 
 # ---------------------------------------------------------------------------
+# watermark_delay_curve — the CDF that sizes every withWatermark constant
+# ---------------------------------------------------------------------------
+
+# candidate withWatermark delays (µs) — the LATENESS_BUCKETS bounds,
+# so the curve aligns point-for-point with the audit's histogram
+WATERMARK_DELAY_GRID_US = tuple(b for b, _ in LATENESS_BUCKETS) + (86_400_000_000,)
+
+
+def watermark_delay_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MEASURED companion to `events_watermark_audit` (VERDICT r8
+    #8): for each candidate `withWatermark` delay d on the grid, the
+    exact fraction of events a d-delay watermark ADMITS (lateness ≤
+    d, same per-key arrival-order lateness definition as the audit)
+    and the count it would drop as too-late. The audit's histogram
+    shows where lateness mass sits; this is the direct decision
+    table — read the smallest d whose keep_share clears the SLO
+    (e.g. 99.9%) and that is the constant every `withWatermark` in
+    streaming/events.py should carry, priced against its state cost
+    (state horizon grows linearly in d). Measured, not guessed.
+
+    Scale design: one per-user window shuffle computes lateness
+    (identical to the audit — at cluster scale the two share the
+    stage), then ONE global aggregate with map-side partials folds
+    |events| rows into a single row of |grid| counters; the grid
+    fan-out to the |grid|-row face happens on that 1-row frame.
+    Output is 6 rows at any corpus size."""
+    ev = _events_us(spark, sf_dir).select("user_id", "event_id", "ts_us")
+    seen = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    late = ev.select(
+        (F.max("ts_us").over(seen) - F.col("ts_us")).alias("lateness_us")
+    )
+    one = late.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        *[
+            F.sum((F.col("lateness_us") <= d).cast("long")).alias(f"k_{d}")
+            for d in WATERMARK_DELAY_GRID_US
+        ],
+    )
+    stacked = one.select(
+        "n_total",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("long").alias("delay_us"),
+                        F.col(f"k_{d}").alias("n_kept"),
+                    )
+                    for d in WATERMARK_DELAY_GRID_US
+                ]
+            )
+        ).alias("r"),
+    )
+    return stacked.select(
+        F.col("r.delay_us").alias("delay_us"),
+        F.col("r.n_kept").alias("n_kept"),
+        (F.col("n_total") - F.col("r.n_kept")).alias("n_dropped"),
+        F.round(F.col("r.n_kept") / F.col("n_total") + 1e-9, 6).alias("keep_share"),
+    )
+
+
+def _watermark_delay_curve_oracle() -> str:
+    sums = ",\n         ".join(
+        f"CAST(sum(CASE WHEN lateness_us <= {d} THEN 1 ELSE 0 END) AS BIGINT) AS k_{d}"
+        for d in WATERMARK_DELAY_GRID_US
+    )
+    rows = "\n  UNION ALL\n  ".join(
+        f"SELECT CAST({d} AS BIGINT) AS delay_us, k_{d} AS n_kept, "
+        f"n_total - k_{d} AS n_dropped, "
+        f"round(k_{d} * 1.0 / n_total + 1e-9, 6) AS keep_share FROM agg"
+        for d in WATERMARK_DELAY_GRID_US
+    )
+    return f"""
+WITH late AS (
+  SELECT max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS UNBOUNDED PRECEDING) - epoch_us(ts)
+           AS lateness_us
+  FROM events
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total,
+         {sums}
+  FROM late
+)
+{rows}
+"""
+
+
+WATERMARK_DELAY_CURVE_SQL = _watermark_delay_curve_oracle()
+
+
+# ---------------------------------------------------------------------------
 # events_drift_psi — distribution drift between time halves (PSI)
 # ---------------------------------------------------------------------------
 
@@ -3970,12 +4063,16 @@ GAP_OVERFLOW = "5_over_1d"
 
 def events_session_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Where the 30-minute `SESSION_GAP_US` constant comes from: the
-    histogram of per-user inter-event gaps. A candidate gap τ keeps
-    every consecutive-event pair with gap < τ inside one session and
-    starts a new one otherwise, so each bucket's CUMULATIVE share is
-    exactly "what fraction of event adjacencies does τ keep
-    in-session" and its complement counts the session boundaries τ
-    would create — the same measured-constant pattern as
+    histogram of per-user inter-event gaps. The shipped sessionize
+    rule keeps a pair in-session when gap ≤ τ (a boundary only when
+    strictly greater — `events_sessionize` and
+    `session_gap_threshold_curve` share the convention), so buckets
+    close with gap_us <= bound (ADVICE r8: a gap exactly equal to a
+    candidate τ must land in the kept side). Each bucket's
+    CUMULATIVE share is then exactly "what fraction of event
+    adjacencies does τ keep in-session" and its complement counts
+    the session boundaries τ would create — the same
+    measured-constant pattern as
     `events_watermark_audit` for watermarks: every sessionization in
     this engine (batch `events_sessionize`, the streaming
     session_window twin, the timeout-evicted custom kernel) uses a
@@ -3990,9 +4087,9 @@ def events_session_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps = ev.select(
         (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us")
     ).filter(F.col("gap_us").isNotNull())
-    bucket = F.when(F.col("gap_us") < GAP_BUCKETS[0][0], GAP_BUCKETS[0][1])
+    bucket = F.when(F.col("gap_us") <= GAP_BUCKETS[0][0], GAP_BUCKETS[0][1])
     for bound, label in GAP_BUCKETS[1:]:
-        bucket = bucket.when(F.col("gap_us") < bound, label)
+        bucket = bucket.when(F.col("gap_us") <= bound, label)
     bucket = bucket.otherwise(GAP_OVERFLOW)
     hist = gaps.groupBy(bucket.alias("gap_bucket")).agg(
         F.count(F.lit(1)).alias("n_gaps"),
@@ -4014,9 +4111,9 @@ def events_session_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _session_gap_oracle() -> str:
-    cases = f"WHEN gap_us < {GAP_BUCKETS[0][0]} THEN '{GAP_BUCKETS[0][1]}'"
+    cases = f"WHEN gap_us <= {GAP_BUCKETS[0][0]} THEN '{GAP_BUCKETS[0][1]}'"
     for bound, label in GAP_BUCKETS[1:]:
-        cases += f"\n           WHEN gap_us < {bound} THEN '{label}'"
+        cases += f"\n           WHEN gap_us <= {bound} THEN '{label}'"
     return f"""
 WITH gaps AS (
   SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
@@ -4395,6 +4492,7 @@ QUERIES = {
     "events_anomaly_zscore": (events_anomaly_zscore, EVENTS_ANOMALY_ZSCORE_SQL),
     "events_column_profile": (events_column_profile, EVENTS_COLUMN_PROFILE_SQL),
     "events_watermark_audit": (events_watermark_audit, EVENTS_WATERMARK_AUDIT_SQL),
+    "watermark_delay_curve": (watermark_delay_curve, WATERMARK_DELAY_CURVE_SQL),
     "events_drift_psi": (events_drift_psi, EVENTS_DRIFT_PSI_SQL),
     "events_scd_join": (events_scd_join, EVENTS_SCD_JOIN_SQL),
     "events_active_users": (events_active_users, EVENTS_ACTIVE_USERS_SQL),

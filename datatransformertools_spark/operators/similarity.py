@@ -624,8 +624,11 @@ def _pq_ms_pairs() -> list[tuple[int, int, int, int]]:
 
 def embedding_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MEASURED companion to `ann_pq_topk`'s compression choice:
-    for each candidate subspace count m ∈ {2, 4, 8}, encode EVERY
-    corpus vector against the same deterministic codebooks the PQ
+    for each candidate subspace count m ∈ {2, 4, 8}, encode every
+    INDEX vector (vec_id ≥ N_QUERIES — the population `ann_pq_topk`
+    actually PQ-encodes; query vectors are never code-compressed, so
+    including them would pollute the index-side distortion table —
+    ADVICE r8) against the same deterministic codebooks the PQ
     index ships (subvectors of the PQ_CODES reserved vectors) and
     report the reconstruction error an m-subspace code actually
     pays — mean/max squared-L2 distortion and the norm-relative
@@ -682,7 +685,7 @@ def embedding_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d6 = F.round(d_expr + 1e-9, 6)
     per_vec = (
-        sub_fan(emb, "vec_id", "sv")
+        sub_fan(emb.filter(F.col("vec_id") >= N_QUERIES), "vec_id", "sv")
         .join(F.broadcast(cb), ["m", "sub_id"])
         .select("vec_id", "m", "sub_id", d6.alias("d"))
         .groupBy("vec_id", "m", "sub_id")
@@ -738,6 +741,7 @@ cb AS (
 subs AS (
   SELECT e.vec_id, g.m, g.sub_id, list_slice(v, g.lo, g.hi) AS sv
   FROM e CROSS JOIN grid g
+  WHERE e.vec_id >= {N_QUERIES}
 ),
 encoded AS (
   SELECT vec_id, m, sub_id, min(d) AS min_d

@@ -56,104 +56,94 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
                 raise ValueError(f"duplicate query name {name!r} from {mod_name}")
             merged[name] = pair
             _FAMILY[name] = family
-    # r8 gate rotation (VERDICT r7 #1/#2/#3/#4): the driver's
-    # correctness gate records the FIRST 50 registry entries. The r8
-    # head is every row whose face or Spark internals changed this
-    # round: (1) the FIVE watermark-bound streaming twins (complete
-    # mode → update/append with state eviction — the r7 scale-killer
-    # fix, extended to tumbling/hopping so ZERO complete-mode
-    # queries remain in the registry); (2) `template_prefix_families`
-    # with the honest n_chars_raw/total_chars_raw column names (face
-    # change, both engines); (3) `embedding_silhouette` with the
-    # single-label least() guard; (4) the three kNN-family consumers
-    # now sharing the memoized `_knn_edges` stage table; (5) the
-    # seventeen new r8 operators (house rule: certify in the round
-    # they land). Then freshness refill — ALL 17 remaining
-    # r1-certified rows plus the 6 oldest r2-certified rows (34 r2
-    # rows remain for the r9 window; 58 stale rows did not fit one
-    # 50-slot window alongside the changed-row and new-op
-    # certifications).
-    # Every row passes
-    # the identical dtype-strict gate locally via
+    # r9 gate rotation (VERDICT r8 #1/#2/#3/#5 + ADVICE): the
+    # driver's correctness gate records the FIRST 50 registry
+    # entries. The r9 head is every row whose face or Spark
+    # internals changed this round: (1) the FIVE minhash-family
+    # consumers now sharing the memoized `_minhash_pairs_df` stage
+    # table, two of them ALSO switched to the pair-driven
+    # truth-Jaccard join (the r8 scale-killer fix); (2) the DAU
+    # stream migrated complete → watermark-bound append (the last
+    # undocumented complete-mode sink); (3) `pdf_to_pages` with the
+    # PyMuPDF import-probe kernel (stub face unchanged, internals
+    # changed — and it was an r2-stale row anyway); (4)
+    # `embedding_pq_distortion` scoped to the index population
+    # (vec_id >= N_QUERIES, face change, both engines — ADVICE);
+    # (5) `events_session_gap_audit` bucketing with gap <= bound to
+    # match the shipped sessionize convention (face change, both
+    # engines — ADVICE); (6) the new `watermark_delay_curve`
+    # (house rule: certify in the round it lands). Then freshness
+    # refill: ALL 33 remaining r2-certified rows + the 7
+    # alphabetically-first r3 rows — after this window no row's
+    # latest driver certification is older than r3 (exactly 10 + 33
+    # + 7 = 50; list counts verified by
+    # tests/test_oracle_parity.py::test_gate_rotation_head_is_exact).
+    # Every row passes the identical dtype-strict gate locally via
     # tests/test_oracle_parity.py.
     queue_head = [
-        # watermark-bound streaming twins — changed implementations
-        "events_stream_bitmap_rollup",
-        "events_stream_top_k_per_window",
-        "events_stream_sessionize",
-        "events_stream_tumbling",
-        "events_stream_hopping",
-        # face rename (n_chars_raw / total_chars_raw, both engines)
-        "template_prefix_families",
-        # single-label guard in least()
-        "embedding_silhouette",
-        # Spark internals moved to the shared _KNN_EDGES_MEMO stage
-        "embedding_knn_graph",
-        "embedding_knn_outlier",
-        "embedding_intrinsic_dim",
-        # new in r8 — certify in the round they land (house rule)
-        "events_stream_session_timeout",
-        "events_session_gap_audit",
-        "events_session_stats",
-        "events_dau_mau_stickiness",
-        "doc_encoding_audit",
-        "corpus_filter_ablation",
+        # minhash family on the shared memoized pair frame; the two
+        # truth audits also pair-driven now
+        "dedup_minhash_lsh",
+        "dedup_minhash_verify",
+        "dedup_lsh_quality",
         "minhash_perm_error_curve",
-        "simhash_bit_balance_audit",
-        "dup_quality_interaction",
-        "vocab_heaps_law",
-        "embedding_pq_distortion",
-        "shard_source_mix_audit",
-        "cms_width_error_curve",
-        "ann_ivf_cell_balance",
-        "session_gap_threshold_curve",
         "neardup_detector_overlap",
-        "winnowing_density_audit",
+        # complete → watermark-bound append (dedup → windowed agg)
+        "events_stream_daily_users",
+        # PyMuPDF import-probe kernel (also clears an r2-stale row)
+        "pdf_to_pages",
+        # index-population scope fix (ADVICE r8)
+        "embedding_pq_distortion",
+        # gap <= bound bucket convention (ADVICE r8)
+        "events_session_gap_audit",
+        # new in r9 — certify in the round it lands (house rule)
+        "watermark_delay_curve",
     ]
-    # Freshness refill: oldest certifications first (every r1 row,
-    # then the oldest r2 rows) so no row's evidence stays frozen at
-    # its first green.
+    # Freshness refill: every remaining r2-certified row (33), then
+    # the alphabetically-first r3 rows (7) to fill the window.
     refill = [
-        # --- all remaining r1-certified rows (17) ---
-        "detection_eval",
-        "detection_eval_macro",
-        "detection_eval_per_class",
-        "detection_eval_sweep",
-        "batch_inference",
-        "multimodal_manifest",
-        "ann_bruteforce_topk",
-        "ann_ivf_topk",
-        "ann_lsh_topk",
-        "corpus_prep_pipeline",
-        "doc_fingerprint",
-        "doc_tfidf_topk",
-        "lang_id",
-        "ngram_topk",
-        "text_quality",
-        "text_stats",
-        "token_count_bpe",
-        # --- oldest r2-certified rows (22 of 40) ---
-        "q3_top_unshipped",
-        "q5_region_revenue",
-        "q7_volume_shipping",
-        "q8_market_share",
-        "q10_returned_items",
-        "q12_priority_shipmode",
+        # --- all remaining r2-certified rows (33) ---
+        "corpus_mix_summary",
+        "dataset_stats",
+        "dedup_components",
+        "dedup_simhash",
+        "detection_eval_greedy",
+        "doc_chunk_windows",
+        "embedding_quantize",
+        "events_asof_join",
+        "events_funnel",
+        "events_hopping_agg",
+        "events_json_extract",
+        "events_multi_rollup",
+        "events_range_join_binned",
+        "events_sessionize",
+        "events_skew_join_salted",
+        "events_stream_dedup",
+        "events_top_k_per_window",
+        "events_tumbling_agg",
+        "events_user_count_hll",
+        "events_user_mad",
+        "events_value_quantiles",
+        "label_centroids",
+        "orders_cohort_retention",
+        "pack_sequences",
+        "pii_scrub",
         "q13_customer_distribution",
         "q17_small_qty_revenue",
         "q18_large_orders",
         "q21_waiting_suppliers",
         "q22_global_sales_opportunity",
-        "events_tumbling_agg",
-        "events_sessionize",
-        "events_asof_join",
-        "events_funnel",
-        "events_json_extract",
-        "events_top_k_per_window",
-        "events_multi_rollup",
-        "events_range_join_binned",
-        "events_user_mad",
-        "events_value_quantiles",
+        "repetition_stats",
+        "stratified_sample",
+        "token_length_histogram",
+        # --- oldest (alphabetically-first) r3-certified rows (7) ---
+        "ann_mmr_topk",
+        "ann_pq_topk",
+        "ann_recall_eval",
+        "bucketed_join_revenue",
+        "cap_per_source",
+        "competition_json_roundtrip",
+        "dedup_incremental",
     ]
     head = queue_head + refill[: 50 - len(queue_head)]
     if len(head) != 50:

@@ -794,7 +794,19 @@ def events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     state is kept, and the downstream complete-mode agg holds only
     |types| rows of state. The historical mean is quantized to 4 dp
     in BOTH engines before the comparison so the flag is
-    float-order-stable."""
+    float-order-stable.
+
+    DOCUMENTED complete-mode exemption (VERDICT r8 #5, the only one
+    left in the registry): the aggregation key is `event_type` — a
+    CATALOG-bounded dimension (5 values here; never data-scale), not
+    an event-time axis, so there is no window to close and nothing
+    for a watermark to bound. State AND output are |types| rows per
+    micro-batch forever; re-emitting ≤|types| rows is the natural
+    contract for a running scoreboard sink (same class as the batch
+    Pareto/dimension exemptions in SURVEY §4). Every event-time-keyed
+    streaming query in this file is watermark-bound append/update.
+    Pinned by tests/test_streaming.py::
+    test_enrich_exemption_is_catalog_bounded."""
     import os
     import tempfile
     import uuid
@@ -930,15 +942,28 @@ GROUP BY event_type
 
 def events_stream_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT daily active users computed AS A STREAM: per-day dedup
-    state (dropDuplicates on (user_id, day)) feeds a day-keyed
-    count — the two-stateful-operator chain (dedup → agg) that
-    gives exact streaming distincts, where a single windowed
+    state (dropDuplicates on (user_id, day)) feeds a day-windowed
+    count — the two-stateful-operator chain (dedup → windowed agg)
+    that gives exact streaming distincts, where a single windowed
     `count_distinct` is unsupported and `approx_count_distinct`
-    would drift from the batch truth. Dedup state is one row per
-    (user, day) inside the watermark horizon, so it is bounded on an
-    unbounded feed; the count state is |days| rows. Value-checked
-    against the batch DAU oracle — the stream and the batch
-    `events_active_users` agree exactly."""
+    would drift from the batch truth.
+
+    Watermark-bound APPEND mode (VERDICT r8 #5, retiring the last
+    undocumented complete-mode sink): each day's row emits exactly
+    once — when the watermark passes the day window's end — and both
+    operators' state evicts at that moment, so on an unbounded feed
+    live state is one (user, day) row per active user inside the
+    watermark horizon plus the still-open day windows, and output is
+    one row per day instead of the whole history re-emitted every
+    micro-batch. The far-future sentinel closes the final real day
+    on the bounded drain and can never reach the face itself: its
+    window's end (sentinel day + 1 day) always exceeds the watermark
+    (sentinel day − delay), so the sentinel's day stays open and
+    unemitted. (It must NOT be filtered out pre-aggregation — a
+    deterministic filter gets pushed below the EventTimeWatermark
+    node, and the sentinel would then never advance the watermark.)
+    Value-checked against the batch DAU oracle — the stream and the
+    batch `events_active_users` agree exactly."""
     import os
     import tempfile
     import uuid
@@ -948,6 +973,7 @@ def events_stream_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     day_us = 86_400_000_000
     src_dir = tempfile.mkdtemp(prefix="dtt-stream-dau-src-")
     os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events.parquet")
+    _write_watermark_sentinel(src_dir, sf_dir)
     raw = _read_raw(spark, src_dir)
     ev = (
         raw.withColumn("ts_us", events_ts_us(raw))
@@ -956,23 +982,22 @@ def events_stream_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     dau = (
         ev.withWatermark("day_start", "1 day")
         .dropDuplicates(["user_id", "day_start"])
-        .groupBy("day_start")
+        .groupBy(F.window("day_start", "1 day").alias("w"))
         .agg(F.count(F.lit(1)).alias("dau"))
+        .select(F.unix_micros(F.col("w.start")).alias("day_start_us"), "dau")
     )
     name = f"stream_dau_{uuid.uuid4().hex[:8]}"
     with _state_partitions(spark):
         q = (
             dau.writeStream.format("memory")
             .queryName(name)
-            .outputMode("complete")
+            .outputMode("append")
             .option("checkpointLocation", tempfile.mkdtemp(prefix="dtt-stream-dau-ckpt-"))
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination(300)
-    return spark.table(name).select(
-        F.unix_micros(F.col("day_start")).alias("day_start_us"), "dau"
-    )
+    return spark.table(name)
 
 
 EVENTS_STREAM_DAILY_USERS_SQL = """

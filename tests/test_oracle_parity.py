@@ -104,3 +104,28 @@ def test_rows_only_set_pinned():
     )
     for op, companion in _ROWS_ONLY_COMPANIONS.items():
         assert companion in _ORACLES, f"{op}: companion {companion} has no oracle"
+
+
+def test_gate_rotation_head_is_exact():
+    """The driver certifies only the FIRST 50 registry entries, so
+    the rotation math must be exact and self-consistent with the
+    comments in registry.py (ADVICE r8: a miscounted refill comment
+    mis-plans the next window): the window is 50 unique names, the
+    r9 head leads it, and every changed/new r9 row sits inside it."""
+    window = list(_QUERIES)[:50]
+    assert len(set(window)) == 50
+    r9_changed = [
+        "dedup_minhash_lsh",
+        "dedup_minhash_verify",
+        "dedup_lsh_quality",
+        "minhash_perm_error_curve",
+        "neardup_detector_overlap",
+        "events_stream_daily_users",
+        "pdf_to_pages",
+        "embedding_pq_distortion",
+        "events_session_gap_audit",
+        "watermark_delay_curve",
+    ]
+    assert window[: len(r9_changed)] == r9_changed
+    # refill = 33 r2 rows + 7 r3 rows, disjoint from the head
+    assert len(window) - len(r9_changed) == 40

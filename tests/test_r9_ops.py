@@ -1,0 +1,210 @@
+"""Round-9 additions: multimodal import-probe upgrades (PyMuPDF in
+pdf_to_pages, RGB-normalized PIL thumbnails) and the minhash
+pair-frame memo behavior."""
+
+from __future__ import annotations
+
+import sys
+
+
+class _FakePixmap:
+    def __init__(self, w, h):
+        self.width, self.height = w, h
+
+    def tobytes(self, fmt):
+        assert fmt == "png"
+        return f"png:{self.width}x{self.height}".encode()
+
+
+class _FakePage:
+    def __init__(self, w, h):
+        self._w, self._h = w, h
+
+    def get_pixmap(self):
+        return _FakePixmap(self._w, self._h)
+
+
+class _FakeFitzDoc:
+    def __init__(self, pages):
+        self._pages = pages
+        self.closed = False
+
+    def __iter__(self):
+        return iter(self._pages)
+
+    def close(self):
+        self.closed = True
+
+
+class TestPdfRenderProbe:
+    def test_no_fitz_falls_back_to_stub(self):
+        # the container genuinely lacks PyMuPDF — the probe must
+        # memoize the failed import and return None (stub path)
+        from datatransformertools_spark.operators.multimodal import (
+            _make_pdf_render_probe,
+        )
+
+        assert "fitz" not in sys.modules
+        probe = _make_pdf_render_probe()
+        assert probe(b"%PDF-1.4 whatever") is None
+        assert probe(b"plain text") is None
+
+    def test_fake_fitz_upgrades_to_real_pages(self, monkeypatch):
+        """When fitz imports AND the payload opens, the probe returns
+        real per-page (width, height, png_bytes) — the upgrade path
+        the day real PDFs arrive."""
+        from datatransformertools_spark.operators.multimodal import (
+            _make_pdf_render_probe,
+        )
+
+        doc = _FakeFitzDoc([_FakePage(612, 792), _FakePage(400, 300)])
+
+        class _FakeFitz:
+            @staticmethod
+            def open(stream, filetype):
+                assert filetype == "pdf"
+                if not stream.startswith(b"%PDF"):
+                    raise ValueError("not a pdf")
+                return doc
+
+        monkeypatch.setitem(sys.modules, "fitz", _FakeFitz)
+        probe = _make_pdf_render_probe()
+        pages = probe(b"%PDF-1.4 payload")
+        assert pages == [
+            (612, 792, b"png:612x792"),
+            (400, 300, b"png:400x300"),
+        ]
+        assert doc.closed  # handle released even on success
+        # a non-PDF payload under a working fitz still stubs
+        assert probe(b"plain text") is None
+
+    def test_fake_fitz_empty_doc_stubs(self, monkeypatch):
+        from datatransformertools_spark.operators.multimodal import (
+            _make_pdf_render_probe,
+        )
+
+        class _FakeFitz:
+            @staticmethod
+            def open(stream, filetype):
+                return _FakeFitzDoc([])
+
+        monkeypatch.setitem(sys.modules, "fitz", _FakeFitz)
+        probe = _make_pdf_render_probe()
+        assert probe(b"%PDF-1.4") is None  # zero pages → stub fan-out
+
+
+class TestThumbProbe:
+    def test_no_pil_returns_none(self):
+        from datatransformertools_spark.operators.multimodal import _make_thumb_probe
+
+        assert "PIL" not in sys.modules
+        probe = _make_thumb_probe(8)
+        assert probe(b"anything") is None
+
+    def test_fake_pil_converts_to_rgb_before_resize(self, monkeypatch):
+        """ADVICE r8: the real-PIL path must `.convert('RGB')` BEFORE
+        resize (the reference's open→convert→use pattern) so tobytes
+        is mode-independent, and an EMPTY pixel buffer must count as
+        a successful decode (`is not None`, not truthiness)."""
+        from datatransformertools_spark.operators.multimodal import _make_thumb_probe
+
+        calls = []
+
+        class _FakeImage:
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+            def convert(self, mode):
+                calls.append(("convert", mode))
+                return self
+
+            def resize(self, size):
+                calls.append(("resize", size))
+                return self
+
+            def tobytes(self):
+                return b""  # empty-but-valid buffer
+
+        class _FakeImageModule:
+            @staticmethod
+            def open(buf):
+                return _FakeImage()
+
+        class _FakePIL:
+            Image = _FakeImageModule
+
+        monkeypatch.setitem(sys.modules, "PIL", _FakePIL)
+        probe = _make_thumb_probe(16)
+        out = probe(b"fake-image-bytes")
+        assert out == b""  # empty result is SUCCESS, not fallback
+        assert calls == [("convert", "RGB"), ("resize", (16, 16))]
+
+
+class TestResizeEmptyThumbIsNotFallback:
+    def test_resize_media_keeps_empty_real_thumb(self, monkeypatch):
+        """The batch loop must test `is not None`: with a fake PIL
+        yielding empty buffers, the emitted thumb is b'' — not the
+        truncated-payload stub."""
+        import datatransformertools_spark.operators.multimodal as mm
+
+        monkeypatch.setattr(mm, "_make_thumb_probe", lambda target: (lambda p: b""))
+        import pandas as pd
+
+        captured = {}
+
+        class _FakeDF:
+            def mapInPandas(self, fn, schema):
+                pdf = pd.DataFrame(
+                    {
+                        "doc_id": [1],
+                        "media_kind": ["image"],
+                        "payload": [b"0123456789"],
+                    }
+                )
+                captured["out"] = list(fn(iter([pdf])))
+                return self
+
+        mm.resize_media(_FakeDF(), target=4)
+        out = captured["out"][0]
+        assert list(out["thumb"]) == [b""]
+
+
+class TestWatermarkDelayCurve:
+    def test_monotone_and_aligned_with_audit(self, spark, sf_dir):
+        """keep_share must be a CDF (non-decreasing in delay, total
+        n constant), and each grid point must equal the audit
+        histogram's cumulative share at the same bound — the two
+        faces describe one distribution."""
+        from datatransformertools_spark.operators.events import (
+            WATERMARK_DELAY_GRID_US,
+            events_watermark_audit,
+            watermark_delay_curve,
+        )
+
+        rows = sorted(
+            watermark_delay_curve(spark, sf_dir).collect(), key=lambda r: r["delay_us"]
+        )
+        assert [r["delay_us"] for r in rows] == sorted(WATERMARK_DELAY_GRID_US)
+        shares = [r["keep_share"] for r in rows]
+        assert shares == sorted(shares)  # CDF
+        totals = {r["n_kept"] + r["n_dropped"] for r in rows}
+        assert len(totals) == 1  # same population at every delay
+        kept = {r["delay_us"]: r["n_kept"] for r in rows}
+        assert kept[max(kept)] == totals.pop()  # 1-day delay keeps all (audit: max lateness < 1d here)
+
+        hist = {
+            r["lateness_bucket"]: r["n_events"]
+            for r in events_watermark_audit(spark, sf_dir).collect()
+        }
+        # audit buckets close at the same bounds (<=), so the running
+        # bucket sum must reproduce n_kept at each grid point
+        order = sorted(hist)
+        cum, by_bound = 0, {}
+        for label, bound in zip(order, WATERMARK_DELAY_GRID_US):
+            cum += hist.get(label, 0)
+            by_bound[bound] = cum
+        for bound, n in by_bound.items():
+            assert kept[bound] == n, (bound, kept[bound], n)
