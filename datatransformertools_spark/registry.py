@@ -72,11 +72,15 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
     # (5) `events_session_gap_audit` bucketing with gap <= bound to
     # match the shipped sessionize convention (face change, both
     # engines — ADVICE); (6) the new `watermark_delay_curve`
-    # (house rule: certify in the round it lands). Then freshness
-    # refill: ALL 33 remaining r2-certified rows + the 7
-    # alphabetically-first r3 rows — after this window no row's
-    # latest driver certification is older than r3 (exactly 10 + 33
-    # + 7 = 50; list counts verified by
+    # (house rule: certify in the round it lands); (7) the simhash
+    # family on the memoized fingerprint + candidate-pair stage
+    # tables (`_SIMHASH_FP_MEMO`/`_SIMHASH_PAIRS_MEMO` — the same
+    # reuse fix as the minhash head rows; `dedup_simhash` is already
+    # below via the r2 refill, `neardup_detector_overlap` above).
+    # Then freshness refill: ALL 33 remaining r2-certified rows +
+    # the 5 alphabetically-first r3 rows — after this window no
+    # row's latest driver certification is older than r3 (exactly
+    # 12 + 33 + 5 = 50; list counts verified by
     # tests/test_oracle_parity.py::test_gate_rotation_head_is_exact).
     # Every row passes the identical dtype-strict gate locally via
     # tests/test_oracle_parity.py.
@@ -98,6 +102,9 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "events_session_gap_audit",
         # new in r9 — certify in the round it lands (house rule)
         "watermark_delay_curve",
+        # simhash family on the memoized fp/pair stage tables
+        "simhash_hamming_curve",
+        "simhash_bit_balance_audit",
     ]
     # Freshness refill: every remaining r2-certified row (33), then
     # the alphabetically-first r3 rows (7) to fill the window.
@@ -136,14 +143,12 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "repetition_stats",
         "stratified_sample",
         "token_length_histogram",
-        # --- oldest (alphabetically-first) r3-certified rows (7) ---
+        # --- oldest (alphabetically-first) r3-certified rows (5) ---
         "ann_mmr_topk",
         "ann_pq_topk",
         "ann_recall_eval",
         "bucketed_join_revenue",
         "cap_per_source",
-        "competition_json_roundtrip",
-        "dedup_incremental",
     ]
     head = queue_head + refill[: 50 - len(queue_head)]
     if len(head) != 50:

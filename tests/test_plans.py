@@ -595,6 +595,29 @@ def test_minhash_family_shares_memoized_pair_frame(spark, sf_dir):
     assert len(_MINHASH_PAIRS_MEMO._frames) == 1
 
 
+def test_simhash_family_shares_memoized_pair_frame(spark, sf_dir):
+    """Same contract as the minhash memo, simhash side: after one
+    consumer plans, the other candidate consumers read the persisted
+    (doc_a, doc_b, hamming) stage table, and `simhash_bit_balance_audit`
+    reads the persisted fingerprint table — one build each per
+    (session, sf_dir)."""
+    from datatransformertools_spark.operators.dedup import (
+        _SIMHASH_FP_MEMO,
+        _SIMHASH_PAIRS_MEMO,
+        clear_dedup_memos,
+    )
+
+    clear_dedup_memos()
+    _plan(spark, sf_dir, "dedup_simhash")  # builds fp + pair memo entries
+    assert len(_SIMHASH_PAIRS_MEMO._frames) == 1
+    assert len(_SIMHASH_FP_MEMO._frames) == 1
+    for name in ("simhash_hamming_curve", "simhash_bit_balance_audit"):
+        plan = _plan(spark, sf_dir, name)
+        assert "InMemoryTableScan" in plan, f"{name} not reading the memo:\n{plan}"
+    assert len(_SIMHASH_PAIRS_MEMO._frames) == 1
+    assert len(_SIMHASH_FP_MEMO._frames) == 1
+
+
 def test_knn_eval_broadcasts_fixed_query_frame(spark, sf_dir):
     # the 50-row eval frame is fixed-size → it must broadcast by
     # explicit hint (corpus side streams, never exchanges for the
