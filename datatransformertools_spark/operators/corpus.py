@@ -1751,7 +1751,171 @@ FROM alloc
 """
 
 
+# ---------------------------------------------------------------------------
+# token_budget_sample — distributed take-while to a per-source token budget
+# ---------------------------------------------------------------------------
+
+TB_SALT = "tbs-v1"
+TB_BUCKETS = 64
+TB_BUDGET_TOKENS = 1_000  # per-source token budget
+
+
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source TOKEN-budget sampling — the "give me
+    exactly N tokens of src_i, reproducibly" primitive of corpus
+    assembly. Docs are consumed in the hash order
+    (md5(salt‖doc_id) % B, md5, doc_id); a doc is kept iff the
+    running token total THROUGH it stays ≤ the budget, so the kept
+    set is a prefix of the ordered stream — a pure function of
+    (salt, doc_id, budget) that re-runs, engines, and cluster sizes
+    all reproduce. The audit emits, per source, what survived and
+    how much of the budget was actually used.
+
+    Scale design: a naive per-source ordered prefix-sum is ONE task
+    per source (a 30 %-of-corpus source = one straggler). Instead
+    the take-while runs at two grains: (1) map-side per-doc token
+    counts collapse into per-(source, hash-bucket) subtotals — a
+    partial-agg shuffle with |sources|·B groups out; (2) the bucket
+    cumsum runs on that TINY frame, fully keeping every bucket that
+    fits and isolating the single BOUNDARY bucket where the budget
+    crosses; (3) only boundary-bucket docs (~N/B of a source) get
+    the doc-level ordered cumsum, seeded with the bucket-frame
+    offset. The 100 TB source never serializes through one window —
+    the per-doc ordering work is 1/B of it, and the boundary frame
+    (≤1 row per source) rides as a broadcast. The DuckDB oracle
+    runs the naive single-window form; both orders are
+    (h % B, h, doc_id), so the answers agree exactly."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    h = md5_long(F.col("doc_id").cast("string"), salt=TB_SALT)
+    n_tokens = F.size(tokens(normalize_text(F.col("text")))).cast("long")
+    base = docs.select(
+        "source",
+        "doc_id",
+        h.alias("h"),
+        (h % TB_BUCKETS).alias("bucket"),
+        n_tokens.alias("n_tokens"),
+    )
+    # (2) bucket grain: cumulative token mass per source in bucket
+    # order. Persisted (|sources|·B rows) — three consumers (totals,
+    # full-bucket keep, boundary isolation) read it, and without the
+    # pin each would re-scan and RE-TOKENIZE the full corpus.
+    from datatransformertools_spark.caching import track
+
+    bstats = track(
+        base.groupBy("source", "bucket").agg(
+            F.sum("n_tokens").alias("btok"), F.count(F.lit(1)).alias("bdocs")
+        )
+    )
+    # per-source totals fold out of the SAME tiny bucket frame — the
+    # full corpus is scanned+tokenized once for the bucket grain, not
+    # a second time for totals
+    totals = bstats.groupBy("source").agg(
+        F.sum("bdocs").cast("long").alias("docs_total"),
+        F.sum("btok").cast("long").alias("tokens_total"),
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bcum = bstats.withColumn("cum_incl", F.sum("btok").over(w_cum)).withColumn(
+        "cum_before", F.col("cum_incl") - F.col("btok")
+    )
+    full = bcum.filter(F.col("cum_incl") <= TB_BUDGET_TOKENS)
+    full_kept = full.groupBy("source").agg(
+        F.sum("bdocs").alias("full_docs"), F.sum("btok").alias("full_tok")
+    )
+    # the one bucket per source where the budget crosses (absent when
+    # the whole source fits)
+    boundary = (
+        bcum.filter(
+            (F.col("cum_before") <= F.lit(TB_BUDGET_TOKENS))
+            & (F.col("cum_incl") > F.lit(TB_BUDGET_TOKENS))
+        )
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("source").orderBy("bucket"))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("source").alias("bsource"),
+            F.col("bucket").alias("bbucket"),
+            F.col("cum_before").alias("offset"),
+        )
+    )
+    # (3) doc grain, boundary bucket only: ~N/B docs per source. The
+    # second pass over the docs scan joins on (source, bucket) —
+    # both pure doc_id functions — BEFORE tokenizing, so only the
+    # 1/B boundary slice pays the tokenizer twice, never the corpus.
+    w_doc = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bdocs = (
+        docs.select(
+            "source", "doc_id", "text", h.alias("h"), (h % TB_BUCKETS).alias("bucket")
+        )
+        .join(
+            F.broadcast(boundary),
+            (F.col("source") == F.col("bsource")) & (F.col("bucket") == F.col("bbucket")),
+        )
+        .select("source", "h", "doc_id", n_tokens.alias("n_tokens"), "offset")
+        .withColumn("doc_cum", F.sum("n_tokens").over(w_doc) + F.col("offset"))
+    )
+    bnd_kept = (
+        bdocs.filter(F.col("doc_cum") <= TB_BUDGET_TOKENS)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("bnd_docs"), F.sum("n_tokens").alias("bnd_tok"))
+    )
+    kept_docs = F.coalesce(F.col("full_docs"), F.lit(0)) + F.coalesce(F.col("bnd_docs"), F.lit(0))
+    kept_tok = F.coalesce(F.col("full_tok"), F.lit(0)) + F.coalesce(F.col("bnd_tok"), F.lit(0))
+    return (
+        totals.join(full_kept, "source", "left")
+        .join(bnd_kept, "source", "left")
+        .select(
+            "source",
+            "docs_total",
+            "tokens_total",
+            kept_docs.cast("long").alias("docs_kept"),
+            kept_tok.cast("long").alias("tokens_kept"),
+            F.round(kept_tok / F.lit(TB_BUDGET_TOKENS) + 1e-9, 6).alias("budget_utilization"),
+            F.round(kept_tok / F.col("tokens_total") + 1e-9, 6).alias("token_retention"),
+        )
+    )
+
+
+# naive single-window form of the same rule: keep iff the inclusive
+# running total in (h % B, h, doc_id) order stays <= budget
+TOKEN_BUDGET_SAMPLE_SQL = rf"""
+WITH base AS (
+  SELECT source, doc_id,
+         ('0x' || substr(md5('{TB_SALT}' || doc_id), 1, 15))::BIGINT AS h,
+         CAST(len(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+ordered AS (
+  SELECT *,
+         sum(n_tokens) OVER (PARTITION BY source
+                             ORDER BY h % {TB_BUCKETS}, h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_incl
+  FROM base
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS docs_total,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+       CAST(coalesce(count(*) FILTER (cum_incl <= {TB_BUDGET_TOKENS}), 0) AS BIGINT) AS docs_kept,
+       CAST(coalesce(sum(n_tokens) FILTER (cum_incl <= {TB_BUDGET_TOKENS}), 0) AS BIGINT) AS tokens_kept,
+       round(coalesce(sum(n_tokens) FILTER (cum_incl <= {TB_BUDGET_TOKENS}), 0)
+             * 1.0 / {TB_BUDGET_TOKENS} + 1e-9, 6) AS budget_utilization,
+       round(coalesce(sum(n_tokens) FILTER (cum_incl <= {TB_BUDGET_TOKENS}), 0)
+             * 1.0 / sum(n_tokens) + 1e-9, 6) AS token_retention
+FROM ordered
+GROUP BY source
+"""
+
+
 QUERIES = {
+    "token_budget_sample": (token_budget_sample, TOKEN_BUDGET_SAMPLE_SQL),
     "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
     "shard_pack_balanced": (shard_pack_balanced, SHARD_PACK_BALANCED_SQL),
     "dedup_funnel_by_source": (dedup_funnel_by_source, DEDUP_FUNNEL_BY_SOURCE_SQL),

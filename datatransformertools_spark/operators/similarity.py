@@ -18,6 +18,8 @@ bit-for-bit — even the approximate path is value-checked.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1778,6 +1780,99 @@ GROUP BY t.query_id
 
 
 # ---------------------------------------------------------------------------
+# ann_ndcg_eval — rank-aware index quality (NDCG@k + MRR vs brute force)
+# ---------------------------------------------------------------------------
+
+# 1/log2(rank+1) discounts and the ideal DCG, precomputed once in
+# Python and inlined as LITERALS in both engines — NDCG's only
+# transcendental, so neither engine ever calls log2 at query time
+# (same idiom as the PLANES sign matrix above).
+_NDCG_DISCOUNTS = [1.0 / math.log2(r + 1) for r in range(1, TOP_K + 1)]
+_IDCG = sum((TOP_K + 1 - r) * d for r, d in zip(range(1, TOP_K + 1), _NDCG_DISCOUNTS))
+
+
+def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@k and MRR of the LSH index against the brute-force
+    ground truth — the rank-AWARE companion to `ann_recall_eval`
+    (recall says "did the true neighbors appear"; NDCG says "did
+    they appear in the right ORDER", with graded relevance
+    k+1−truth_rank, and MRR says "how deep is the true nearest
+    neighbor"). Two indexes with identical recall can differ badly
+    here, which is why ranking evals report both.
+
+    Scale design: identical to `ann_recall_eval` — both inputs
+    reuse the existing gated plans unchanged, the comparison join
+    is (query_id, neighbor_id) over k·|queries| rows, and the
+    discount/IDCG constants ride as literals, so the only new work
+    is a k-row-per-query aggregate. Per-query NDCG on a sample is
+    the production shape (truth is expensive, so it's measured on
+    the query panel, never the full corpus)."""
+    truth = ann_bruteforce_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("truth_rank")
+    )
+    approx = ann_lsh_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("approx_rank")
+    )
+    discount = F.element_at(
+        F.array(*[F.lit(d) for d in _NDCG_DISCOUNTS]), F.col("approx_rank")
+    )
+    rel = F.coalesce(F.lit(TOP_K + 1) - F.col("truth_rank"), F.lit(0)).cast("double")
+    per_query = (
+        approx.join(truth, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.round(F.sum(rel * discount) / F.lit(_IDCG) + 1e-9, 6).alias("ndcg_at_k"),
+            F.round(
+                F.coalesce(
+                    F.max(F.when(F.col("truth_rank") == 1, F.lit(1.0) / F.col("approx_rank"))),
+                    F.lit(0.0),
+                )
+                + 1e-9,
+                6,
+            ).alias("mrr"),
+        )
+    )
+    # drive the output from the truth's query panel so a query whose
+    # LSH shortlist came back empty still reports ndcg/mrr = 0
+    panel = truth.select("query_id").distinct()
+    return panel.join(per_query, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("ndcg_at_k"), F.round(F.lit(0.0) + 1e-9, 6)).alias("ndcg_at_k"),
+        F.coalesce(F.col("mrr"), F.round(F.lit(0.0) + 1e-9, 6)).alias("mrr"),
+    )
+
+
+# the oracle composes the two gated oracles verbatim; discounts and
+# IDCG are the same Python-computed literals the Spark plan embeds
+ANN_NDCG_EVAL_SQL = f"""
+WITH t AS ({ANN_BRUTEFORCE_SQL}),
+a AS ({ANN_LSH_SQL}),
+joined AS (
+  SELECT a.query_id,
+         a.rank AS approx_rank,
+         t.rank AS truth_rank,
+         COALESCE({TOP_K + 1} - t.rank, 0)::DOUBLE AS rel
+  FROM a LEFT JOIN t
+    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+),
+per_query AS (
+  SELECT query_id,
+         round(sum(rel * ([{", ".join(repr(d) for d in _NDCG_DISCOUNTS)}]::DOUBLE[])[approx_rank])
+               / {_IDCG!r} + 1e-9, 6) AS ndcg_at_k,
+         round(COALESCE(max(CASE WHEN truth_rank = 1 THEN 1.0 / approx_rank END), 0.0)
+               + 1e-9, 6) AS mrr
+  FROM joined
+  GROUP BY query_id
+)
+SELECT p.query_id,
+       COALESCE(q.ndcg_at_k, round(0.0 + 1e-9, 6)) AS ndcg_at_k,
+       COALESCE(q.mrr, round(0.0 + 1e-9, 6)) AS mrr
+FROM (SELECT DISTINCT query_id FROM t) p
+LEFT JOIN per_query q USING (query_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # embedding_covariance — upper-triangle covariance of the embedding space
 # ---------------------------------------------------------------------------
 
@@ -2963,6 +3058,7 @@ QUERIES = {
     "embedding_quantize": (embedding_quantize, EMBEDDING_QUANTIZE_SQL),
     "embedding_norm_audit": (embedding_norm_audit, EMBEDDING_NORM_AUDIT_SQL),
     "ann_recall_eval": (ann_recall_eval, ANN_RECALL_EVAL_SQL),
+    "ann_ndcg_eval": (ann_ndcg_eval, ANN_NDCG_EVAL_SQL),
     "ann_mmr_topk": (ann_mmr_topk, ANN_MMR_SQL),
     "embedding_covariance": (embedding_covariance, EMBEDDING_COVARIANCE_SQL),
     "knn_label_eval": (knn_label_eval, KNN_LABEL_EVAL_SQL),

@@ -71,16 +71,18 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
     # (vec_id >= N_QUERIES, face change, both engines — ADVICE);
     # (5) `events_session_gap_audit` bucketing with gap <= bound to
     # match the shipped sessionize convention (face change, both
-    # engines — ADVICE); (6) the new `watermark_delay_curve`
-    # (house rule: certify in the round it lands); (7) the simhash
+    # engines — ADVICE); (6) the three NEW r9 ops
+    # `watermark_delay_curve` / `ann_ndcg_eval` /
+    # `token_budget_sample` (house rule: certify in the round they
+    # land); (7) the simhash
     # family on the memoized fingerprint + candidate-pair stage
     # tables (`_SIMHASH_FP_MEMO`/`_SIMHASH_PAIRS_MEMO` — the same
     # reuse fix as the minhash head rows; `dedup_simhash` is already
     # below via the r2 refill, `neardup_detector_overlap` above).
     # Then freshness refill: ALL 33 remaining r2-certified rows +
-    # the 5 alphabetically-first r3 rows — after this window no
-    # row's latest driver certification is older than r3 (exactly
-    # 12 + 33 + 5 = 50; list counts verified by
+    # the alphabetically-first r3 rows that fit — after this window
+    # no row's latest driver certification is older than r3 (exactly
+    # 14 + 33 + 3 = 50; list counts verified by
     # tests/test_oracle_parity.py::test_gate_rotation_head_is_exact).
     # Every row passes the identical dtype-strict gate locally via
     # tests/test_oracle_parity.py.
@@ -102,12 +104,17 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "events_session_gap_audit",
         # new in r9 — certify in the round it lands (house rule)
         "watermark_delay_curve",
+        "ann_ndcg_eval",
+        "token_budget_sample",
         # simhash family on the memoized fp/pair stage tables
         "simhash_hamming_curve",
         "simhash_bit_balance_audit",
     ]
     # Freshness refill: every remaining r2-certified row (33), then
-    # the alphabetically-first r3 rows (7) to fill the window.
+    # the alphabetically-first r3 rows (3 fit after the 14-row head:
+    # 14 + 33 + 3 = 50; counts pinned by
+    # tests/test_oracle_parity.py::test_gate_rotation_head_is_exact;
+    # the 2 listed-but-trimmed r3 rows are pre-staged for r10).
     refill = [
         # --- all remaining r2-certified rows (33) ---
         "corpus_mix_summary",
@@ -143,7 +150,8 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "repetition_stats",
         "stratified_sample",
         "token_length_histogram",
-        # --- oldest (alphabetically-first) r3-certified rows (5) ---
+        # --- oldest (alphabetically-first) r3-certified rows; the
+        # first 3 fit the window, the rest pre-stage the r10 refill ---
         "ann_mmr_topk",
         "ann_pq_topk",
         "ann_recall_eval",

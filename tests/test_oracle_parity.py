@@ -125,9 +125,11 @@ def test_gate_rotation_head_is_exact():
         "embedding_pq_distortion",
         "events_session_gap_audit",
         "watermark_delay_curve",
+        "ann_ndcg_eval",
+        "token_budget_sample",
         "simhash_hamming_curve",
         "simhash_bit_balance_audit",
     ]
     assert window[: len(r9_changed)] == r9_changed
-    # refill = 33 r2 rows + 5 r3 rows, disjoint from the head
-    assert len(window) - len(r9_changed) == 38
+    # refill = 33 r2 rows + 3 r3 rows, disjoint from the head
+    assert len(window) - len(r9_changed) == 36

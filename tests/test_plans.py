@@ -183,6 +183,9 @@ _HINT_BROADCAST_ALLOWLIST = {
     "part_price_index": 1,  # 1-row base-year scalar
     "supplier_return_rate": 1,  # 25-row nation dim
     "source_epoch_schedule": 1,  # 1-row normalizing-totals scalar
+    # --- new in r9, all constants-bounded ---
+    "ann_ndcg_eval": 2,  # exact + approx top-k shortlists (query sides)
+    "token_budget_sample": 1,  # ≤1-row-per-source boundary-bucket frame
 }
 
 

@@ -208,3 +208,120 @@ class TestWatermarkDelayCurve:
             by_bound[bound] = cum
         for bound, n in by_bound.items():
             assert kept[bound] == n, (bound, kept[bound], n)
+
+
+class TestAnnNdcgEval:
+    def test_matches_hand_computed_ndcg(self, spark, sf_dir):
+        """Recompute NDCG@k / MRR naively in Python from the two
+        top-k frames and require the distributed op to agree exactly
+        (same discount literals, same rounding convention)."""
+        from datatransformertools_spark.operators.similarity import (
+            _IDCG,
+            _NDCG_DISCOUNTS,
+            TOP_K,
+            ann_bruteforce_topk,
+            ann_lsh_topk,
+            ann_ndcg_eval,
+        )
+
+        truth = {
+            (r["query_id"], r["neighbor_id"]): r["rank"]
+            for r in ann_bruteforce_topk(spark, sf_dir).collect()
+        }
+        approx: dict[int, list[tuple[int, int]]] = {}
+        for r in ann_lsh_topk(spark, sf_dir).collect():
+            approx.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+        out = {r["query_id"]: r for r in ann_ndcg_eval(spark, sf_dir).collect()}
+        qids = {q for q, _ in truth}
+        assert set(out) == qids  # every truth query reports, even LSH-empty ones
+        for q in qids:
+            dcg, mrr = 0.0, 0.0
+            for rank, nb in approx.get(q, []):
+                tr = truth.get((q, nb))
+                rel = float(TOP_K + 1 - tr) if tr is not None else 0.0
+                dcg += rel * _NDCG_DISCOUNTS[rank - 1]
+                if tr == 1:
+                    mrr = 1.0 / rank
+            assert out[q]["ndcg_at_k"] == round(dcg / _IDCG + 1e-9, 6), q
+            assert out[q]["mrr"] == round(mrr + 1e-9, 6), q
+            assert 0.0 <= out[q]["ndcg_at_k"] <= 1.0
+            assert 0.0 <= out[q]["mrr"] <= 1.0
+
+    def test_rank_awareness_vs_recall(self, spark, sf_dir):
+        """NDCG must never exceed what recall allows: ndcg == 1
+        requires every true neighbor present (recall == 1), and
+        zero hits forces ndcg == 0."""
+        from datatransformertools_spark.operators.similarity import (
+            ann_ndcg_eval,
+            ann_recall_eval,
+        )
+
+        recall = {r["query_id"]: r["recall_at_k"] for r in ann_recall_eval(spark, sf_dir).collect()}
+        for r in ann_ndcg_eval(spark, sf_dir).collect():
+            if r["ndcg_at_k"] >= 1.0:
+                assert recall[r["query_id"]] >= 1.0, r
+            if recall[r["query_id"]] == 0.0:
+                assert r["ndcg_at_k"] == 0.0, r
+
+
+class TestTokenBudgetSample:
+    def test_matches_naive_prefix_rule(self, spark, sf_dir):
+        """The two-grain bucketed take-while must reproduce the naive
+        per-source ordered prefix rule exactly (this is the test that
+        the bucket decomposition — full buckets + boundary-bucket
+        doc-level pass — loses and double-counts nothing)."""
+        from pyspark.sql import functions as F
+
+        from datatransformertools_spark.functions.hashing import md5_long
+        from datatransformertools_spark.functions.text import normalize_text, tokens
+        from datatransformertools_spark.operators.corpus import (
+            TB_BUCKETS,
+            TB_BUDGET_TOKENS,
+            TB_SALT,
+            token_budget_sample,
+        )
+        from datatransformertools_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+        h = md5_long(F.col("doc_id").cast("string"), salt=TB_SALT)
+        base = docs.select(
+            "source",
+            "doc_id",
+            h.alias("h"),
+            F.size(tokens(normalize_text(F.col("text")))).cast("long").alias("n"),
+        ).collect()
+        per: dict[str, list[tuple[int, int, int, int]]] = {}
+        for r in base:
+            per.setdefault(r["source"], []).append(
+                (r["h"] % TB_BUCKETS, r["h"], r["doc_id"], r["n"])
+            )
+        expected = {}
+        for src, lst in per.items():
+            lst.sort()
+            cum = dk = tk = 0
+            for _, _, _, n in lst:
+                cum += n
+                if cum <= TB_BUDGET_TOKENS:
+                    dk += 1
+                    tk += n
+            expected[src] = (len(lst), sum(x[3] for x in lst), dk, tk)
+
+        out = {r["source"]: r for r in token_budget_sample(spark, sf_dir).collect()}
+        assert set(out) == set(expected)
+        any_cut = False
+        for src, (dt, tt, dk, tk) in expected.items():
+            r = out[src]
+            got = (r["docs_total"], r["tokens_total"], r["docs_kept"], r["tokens_kept"])
+            assert got == (dt, tt, dk, tk), (src, got, (dt, tt, dk, tk))
+            assert r["tokens_kept"] <= TB_BUDGET_TOKENS
+            any_cut = any_cut or dk < dt
+        # the budget must actually bite somewhere, or the boundary
+        # path (the interesting half of the op) never executed
+        assert any_cut
+
+    def test_deterministic_across_runs(self, spark, sf_dir):
+        from datatransformertools_spark.operators.corpus import token_budget_sample
+
+        a = sorted(map(tuple, token_budget_sample(spark, sf_dir).collect()))
+        b = sorted(map(tuple, token_budget_sample(spark, sf_dir).collect()))
+        assert a == b
