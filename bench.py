@@ -178,13 +178,22 @@ def main() -> None:
     # speed this run, on a workload that can never change with the
     # registry
     cal_runs = _run_calibration(spark)
-    cal_median = sorted(cal_runs[1:])[1]
-    drift = round(cal_median / CAL_REF_SEC, 3)
 
     from datatransformertools_spark.caching import release_caches
 
     timings: dict[str, float] = {}
-    for i, name in enumerate(sorted(queries)):
+    names = sorted(queries)
+    mid = len(names) // 2
+    for i, name in enumerate(names):
+        # interleave a mid-suite calibration sample: a one-shot
+        # start-of-run sample misses bursty shared-host contention
+        # that only the 8-minute suite integrates (r9 measured
+        # drift 0.88 on a run whose SAME-CODE control was 1.65×
+        # slower than the round-start window — the ambience moved
+        # AFTER the calibration ran). Start + middle + end samples
+        # make `drift` an integral over the suite's actual window.
+        if i == mid:
+            cal_runs += _run_calibration(spark)
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -199,6 +208,14 @@ def main() -> None:
         # the query costs in a fresh session.
         if i % 8 == 7:
             spark._jvm.System.gc()
+
+    # end-of-suite calibration sample, then the drift statistic:
+    # median over every steady-state run (each 4-run block's first
+    # run pays codegen/arrival effects and is excluded)
+    cal_runs += _run_calibration(spark)
+    steady = [r for b in range(0, len(cal_runs), 4) for r in cal_runs[b + 1 : b + 4]]
+    cal_median = sorted(steady)[len(steady) // 2]
+    drift = round(cal_median / CAL_REF_SEC, 3)
 
     # isolated re-timings for the iterative family (fresh JVM each;
     # see module docstring). Skippable for quick local loops.
