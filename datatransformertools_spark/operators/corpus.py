@@ -1884,6 +1884,181 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# token_budget_curve — the budget decision table for token_budget_sample
+# ---------------------------------------------------------------------------
+
+TB_BUDGET_GRID = [250, 500, 1_000, 2_000, 4_000, 8_000]
+
+
+def token_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measured decision table behind `token_budget_sample`'s
+    budget constant: for each candidate per-source budget, what the
+    whole corpus would yield — docs/tokens kept, global token
+    retention, how many sources SATURATE (their budget binds), and
+    how much of the total allotted budget (budget × |sources|) is
+    actually usable. Read across the rows: a budget where most
+    sources saturate is a real cap; one where utilization falls
+    well under 1 is sized past the corpus and only pretends to
+    balance the mix.
+
+    Scale design: the sampler's two-grain take-while, generalized
+    to a grid. The corpus is scanned+tokenized ONCE into the pinned
+    per-(source, hash-bucket) frame; every budget's fully-kept
+    buckets and boundary bucket are decided on that tiny frame
+    crossed with the broadcast |grid|; and ALL budgets share ONE
+    doc-level pass — the union of boundary buckets is ≤ |grid| per
+    source, each doc's global cumulative position is
+    budget-INDEPENDENT (bucket offset + within-bucket cumsum), so
+    the per-doc window runs once over ≤ |grid|·N/B docs and each
+    budget just reads its own threshold. The DuckDB oracle runs the
+    naive ordered-cumsum × grid form; identical order ⇒ identical
+    counts."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    h = md5_long(F.col("doc_id").cast("string"), salt=TB_SALT)
+    n_tokens = F.size(tokens(normalize_text(F.col("text")))).cast("long")
+    from datatransformertools_spark.caching import track
+
+    bstats = track(
+        docs.select(
+            "source",
+            (h % TB_BUCKETS).alias("bucket"),
+            n_tokens.alias("n_tokens"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.sum("n_tokens").alias("btok"), F.count(F.lit(1)).alias("bdocs"))
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bcum = bstats.withColumn("cum_incl", F.sum("btok").over(w_cum)).withColumn(
+        "cum_before", F.col("cum_incl") - F.col("btok")
+    )
+    grid = spark.createDataFrame([(g,) for g in TB_BUDGET_GRID], "budget long")
+    crossed = bcum.crossJoin(F.broadcast(grid))
+    fullb = (
+        crossed.filter(F.col("cum_incl") <= F.col("budget"))
+        .groupBy("budget")
+        .agg(F.sum("bdocs").alias("full_docs"), F.sum("btok").alias("full_tok"))
+    )
+    # each budget's boundary bucket per source; the distinct union
+    # across budgets drives the single doc-level pass
+    bnd = crossed.filter(
+        (F.col("cum_before") <= F.col("budget")) & (F.col("cum_incl") > F.col("budget"))
+    ).select(
+        F.col("source").alias("bsource"),
+        F.col("bucket").alias("bbucket"),
+        F.col("cum_before").alias("offset"),
+        "budget",
+    )
+    cand = bnd.select("bsource", "bbucket", "offset").distinct()
+    w_doc = (
+        Window.partitionBy("source", "bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    doc_cum = (
+        docs.select("source", "doc_id", "text", h.alias("h"), (h % TB_BUCKETS).alias("bucket"))
+        .join(
+            F.broadcast(cand),
+            (F.col("source") == F.col("bsource")) & (F.col("bucket") == F.col("bbucket")),
+        )
+        .select(
+            "source",
+            "bucket",
+            "h",
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            (F.lit(0) + F.col("offset")).alias("offset"),
+        )
+        .withColumn("doc_cum", F.sum("n_tokens").over(w_doc) + F.col("offset"))
+        .select("source", "bucket", "n_tokens", "doc_cum")
+    )
+    bnd_kept = (
+        doc_cum.join(
+            F.broadcast(bnd.select("bsource", "bbucket", "budget")),
+            (F.col("source") == F.col("bsource")) & (F.col("bucket") == F.col("bbucket")),
+        )
+        .filter(F.col("doc_cum") <= F.col("budget"))
+        .groupBy("budget")
+        .agg(F.count(F.lit(1)).alias("bnd_docs"), F.sum("n_tokens").alias("bnd_tok"))
+    )
+    src_tot = bstats.groupBy("source").agg(F.sum("btok").alias("src_tokens"))
+    saturated = (
+        src_tot.crossJoin(F.broadcast(grid))
+        .filter(F.col("src_tokens") > F.col("budget"))
+        .groupBy("budget")
+        .agg(F.count(F.lit(1)).alias("sources_saturated"))
+    )
+    totals = bstats.agg(
+        F.sum("btok").alias("total_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    kept_docs = F.coalesce(F.col("full_docs"), F.lit(0)) + F.coalesce(F.col("bnd_docs"), F.lit(0))
+    kept_tok = F.coalesce(F.col("full_tok"), F.lit(0)) + F.coalesce(F.col("bnd_tok"), F.lit(0))
+    return (
+        grid.join(fullb, "budget", "left")
+        .join(bnd_kept, "budget", "left")
+        .join(saturated, "budget", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "budget",
+            kept_docs.cast("long").alias("docs_kept"),
+            kept_tok.cast("long").alias("tokens_kept"),
+            F.round(kept_tok / F.col("total_tokens") + 1e-9, 6).alias("token_retention"),
+            F.coalesce(F.col("sources_saturated"), F.lit(0)).cast("long").alias(
+                "sources_saturated"
+            ),
+            F.round(
+                kept_tok / (F.col("budget") * F.col("n_sources")) + 1e-9, 6
+            ).alias("budget_utilization"),
+        )
+    )
+
+
+_TB_GRID_SQL = ", ".join(str(g) for g in TB_BUDGET_GRID)
+
+TOKEN_BUDGET_CURVE_SQL = rf"""
+WITH base AS (
+  SELECT source, doc_id,
+         ('0x' || substr(md5('{TB_SALT}' || doc_id), 1, 15))::BIGINT AS h,
+         CAST(len(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+ordered AS (
+  SELECT *,
+         sum(n_tokens) OVER (PARTITION BY source
+                             ORDER BY h % {TB_BUCKETS}, h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_incl
+  FROM base
+),
+grid AS (SELECT CAST(unnest([{_TB_GRID_SQL}]) AS BIGINT) AS budget),
+src_tot AS (SELECT source, sum(n_tokens) AS src_tokens FROM base GROUP BY 1),
+tot AS (SELECT sum(n_tokens) AS total_tokens, count(DISTINCT source) AS n_sources FROM base),
+kept AS (
+  SELECT g.budget,
+         CAST(coalesce(count(*) FILTER (o.cum_incl <= g.budget), 0) AS BIGINT) AS docs_kept,
+         CAST(coalesce(sum(o.n_tokens) FILTER (o.cum_incl <= g.budget), 0) AS BIGINT) AS tokens_kept
+  FROM grid g CROSS JOIN ordered o
+  GROUP BY g.budget
+),
+sat AS (
+  SELECT g.budget, CAST(count(s.source) AS BIGINT) AS sources_saturated
+  FROM grid g LEFT JOIN src_tot s ON s.src_tokens > g.budget
+  GROUP BY g.budget
+)
+SELECT k.budget,
+       k.docs_kept,
+       k.tokens_kept,
+       round(k.tokens_kept * 1.0 / t.total_tokens + 1e-9, 6) AS token_retention,
+       s.sources_saturated,
+       round(k.tokens_kept * 1.0 / (k.budget * t.n_sources) + 1e-9, 6) AS budget_utilization
+FROM kept k JOIN sat s USING (budget) CROSS JOIN tot t
+"""
+
+
 # naive single-window form of the same rule: keep iff the inclusive
 # running total in (h % B, h, doc_id) order stays <= budget
 TOKEN_BUDGET_SAMPLE_SQL = rf"""
@@ -1916,6 +2091,7 @@ GROUP BY source
 
 QUERIES = {
     "token_budget_sample": (token_budget_sample, TOKEN_BUDGET_SAMPLE_SQL),
+    "token_budget_curve": (token_budget_curve, TOKEN_BUDGET_CURVE_SQL),
     "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
     "shard_pack_balanced": (shard_pack_balanced, SHARD_PACK_BALANCED_SQL),
     "dedup_funnel_by_source": (dedup_funnel_by_source, DEDUP_FUNNEL_BY_SOURCE_SQL),

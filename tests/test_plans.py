@@ -186,6 +186,7 @@ _HINT_BROADCAST_ALLOWLIST = {
     # --- new in r9, all constants-bounded ---
     "ann_ndcg_eval": 2,  # exact + approx top-k shortlists (query sides)
     "token_budget_sample": 1,  # ≤1-row-per-source boundary-bucket frame
+    "token_budget_curve": 7,  # |grid| frame ×3, |sources|·|grid| boundary ×2, 1-row totals, cand union
 }
 
 

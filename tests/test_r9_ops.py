@@ -325,3 +325,77 @@ class TestTokenBudgetSample:
         a = sorted(map(tuple, token_budget_sample(spark, sf_dir).collect()))
         b = sorted(map(tuple, token_budget_sample(spark, sf_dir).collect()))
         assert a == b
+
+
+class TestTokenBudgetCurve:
+    def test_grid_row_matches_sampler_and_naive(self, spark, sf_dir):
+        """Two independent checks: (1) the curve's budget-1000 row
+        must equal the sampler's per-source outputs summed (the two
+        ops share TB_SALT/TB_BUCKETS and the prefix rule); (2) every
+        grid row must match a naive Python recompute from the raw
+        ordered stream."""
+        from pyspark.sql import functions as F
+
+        from datatransformertools_spark.functions.hashing import md5_long
+        from datatransformertools_spark.functions.text import normalize_text, tokens
+        from datatransformertools_spark.operators.corpus import (
+            TB_BUCKETS,
+            TB_BUDGET_GRID,
+            TB_BUDGET_TOKENS,
+            TB_SALT,
+            token_budget_curve,
+            token_budget_sample,
+        )
+        from datatransformertools_spark.sources.tables import load_table
+
+        curve = {r["budget"]: r for r in token_budget_curve(spark, sf_dir).collect()}
+        assert sorted(curve) == sorted(TB_BUDGET_GRID)
+
+        sampler = token_budget_sample(spark, sf_dir).collect()
+        assert TB_BUDGET_TOKENS in curve
+        row = curve[TB_BUDGET_TOKENS]
+        assert row["docs_kept"] == sum(r["docs_kept"] for r in sampler)
+        assert row["tokens_kept"] == sum(r["tokens_kept"] for r in sampler)
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+        h = md5_long(F.col("doc_id").cast("string"), salt=TB_SALT)
+        base = docs.select(
+            "source",
+            h.alias("h"),
+            F.col("doc_id"),
+            F.size(tokens(normalize_text(F.col("text")))).cast("long").alias("n"),
+        ).collect()
+        per: dict[str, list[tuple[int, int, int, int]]] = {}
+        for r in base:
+            per.setdefault(r["source"], []).append(
+                (r["h"] % TB_BUCKETS, r["h"], r["doc_id"], r["n"])
+            )
+        total_tokens = sum(r["n"] for r in base)
+        for g in TB_BUDGET_GRID:
+            dk = tk = sat = 0
+            for src, lst in per.items():
+                lst_sorted = sorted(lst)
+                cum = 0
+                for _, _, _, n in lst_sorted:
+                    cum += n
+                    if cum <= g:
+                        dk += 1
+                        tk += n
+                if sum(x[3] for x in lst) > g:
+                    sat += 1
+            r = curve[g]
+            assert (r["docs_kept"], r["tokens_kept"], r["sources_saturated"]) == (dk, tk, sat), g
+            assert r["tokens_kept"] <= g * len(per)
+            assert abs(r["token_retention"] - (tk / total_tokens)) < 2e-6
+
+    def test_curve_is_monotone(self, spark, sf_dir):
+        """Bigger budgets keep weakly more and saturate weakly fewer
+        sources; retention is a CDF in the budget."""
+        from datatransformertools_spark.operators.corpus import token_budget_curve
+
+        rows = sorted(token_budget_curve(spark, sf_dir).collect(), key=lambda r: r["budget"])
+        for a, b in zip(rows, rows[1:]):
+            assert a["docs_kept"] <= b["docs_kept"]
+            assert a["tokens_kept"] <= b["tokens_kept"]
+            assert a["sources_saturated"] >= b["sources_saturated"]
+            assert a["token_retention"] <= b["token_retention"]
