@@ -1780,6 +1780,134 @@ GROUP BY t.query_id
 
 
 # ---------------------------------------------------------------------------
+# lsh_tables_recall_curve — recall@k vs the number of LSH hash tables
+# ---------------------------------------------------------------------------
+
+
+def lsh_tables_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k as a function of how many hash tables the LSH index
+    uses — the tuning table N_TABLES is chosen from, completing the
+    measured-companion set across the index families (IVF has the
+    probe curve, PQ the distortion table, minhash the band/perm
+    curves, simhash the hamming curve). Each extra table costs a
+    full extra index copy (memory + one more bucket join at query
+    time), so this curve IS the price list: read the smallest t
+    whose recall clears the SLO.
+
+    Scale design: ONE bucket join at the widest budget — each
+    (query, candidate) pair keeps the FIRST table that found it
+    (min table index), so the per-table fan is a constants-bounded
+    (×N_TABLES) broadcast-grid filter over the deduped pair set,
+    never a re-join. Ground truth is the audited brute-force top-k;
+    the comparison join is k·|queries| rows."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    buckets = F.array(*[_bucket_col(F.col("v"), t) for t in range(N_TABLES)])
+    bucketed = emb.select(
+        "vec_id", "v", "nrm", F.posexplode(buckets).alias("tbl", "bucket")
+    )
+    queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"), "tbl", "bucket",
+    )
+    cands = bucketed.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"), "tbl", "bucket",
+    )
+    cos = F.round(cosine_prenormed(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")) + 1e-9, 6)
+    # score at the pair-occurrence grain, then collapse to one row
+    # per pair carrying the first table that found it (cos is
+    # identical across occurrences; min() is the deterministic pick)
+    pairs = (
+        cands.join(F.broadcast(queries), ["tbl", "bucket"])
+        .select("query_id", "neighbor_id", (F.col("tbl") + 1).alias("lvl"), cos.alias("cos_sim"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.min("lvl").alias("lvl"), F.min("cos_sim").alias("cos_sim"))
+    )
+    grid = spark.createDataFrame([(t,) for t in range(1, N_TABLES + 1)], "tables int")
+    per_budget = pairs.join(F.broadcast(grid), F.col("lvl") <= F.col("tables"))
+    rank = F.row_number().over(
+        Window.partitionBy("tables", "query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id")
+        )
+    )
+    topk = per_budget.withColumn("rank", rank).filter(F.col("rank") <= TOP_K)
+    exact = ann_bruteforce_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    denom = float(N_QUERIES * TOP_K)
+    return (
+        topk.join(F.broadcast(exact), ["query_id", "neighbor_id"], "left")
+        .groupBy("tables")
+        .agg(
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce(F.sum("hit"), F.lit(0)) / denom + 1e-9, 6).alias("recall"),
+        )
+    )
+
+
+def _lsh_tables_curve_sql() -> str:
+    bucket_cols = []
+    for t in range(N_TABLES):
+        plane_terms = []
+        for p in range(NBITS):
+            lit = "[" + ", ".join(str(s) for s in PLANES[t][p]) + "]"
+            dot = f"list_sum(list_transform(range(1, {DIM} + 1), i -> v[i] * ({lit}::DOUBLE[])[i]))"
+            plane_terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+        bucket_cols.append(f"{' + '.join(plane_terms)} AS bucket{t}")
+    bucket_select = ",\n    ".join(bucket_cols)
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, v, {t + 1} AS lvl, bucket{t} AS bucket FROM with_buckets"
+        for t in range(N_TABLES)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+with_buckets AS (
+  SELECT vec_id, v,
+    {bucket_select}
+  FROM e
+),
+bucketed AS (
+  {union}
+),
+q AS (SELECT vec_id AS query_id, v AS qv, lvl, bucket FROM bucketed WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, v AS cv, lvl, bucket FROM bucketed WHERE vec_id >= {N_QUERIES}),
+pairs AS (
+  SELECT query_id, neighbor_id, min(q.lvl) AS lvl,
+         min(round(
+           CASE WHEN sqrt(list_sum(list_transform(qv, x -> x * x)))
+                     * sqrt(list_sum(list_transform(cv, x -> x * x))) > 0
+                THEN list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i]))
+                     / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                        * sqrt(list_sum(list_transform(cv, x -> x * x))))
+                ELSE 0.0 END + 1e-9, 6)) AS cos_sim
+  FROM q JOIN c ON q.lvl = c.lvl AND q.bucket = c.bucket
+  GROUP BY query_id, neighbor_id
+),
+grid AS (SELECT CAST(unnest([{", ".join(str(t) for t in range(1, N_TABLES + 1))}]) AS INT) AS tables),
+ranked AS (
+  SELECT g.tables, p.query_id, p.neighbor_id,
+         row_number() OVER (PARTITION BY g.tables, p.query_id
+                            ORDER BY p.cos_sim DESC, p.neighbor_id) AS rank
+  FROM grid g JOIN pairs p ON p.lvl <= g.tables
+),
+topk AS (SELECT * FROM ranked WHERE rank <= {TOP_K}),
+exact AS ({ANN_BRUTEFORCE_SQL})
+SELECT t.tables,
+       CAST(coalesce(count(x.neighbor_id), 0) AS BIGINT) AS n_hits,
+       round(coalesce(count(x.neighbor_id), 0) * 1.0 / {N_QUERIES * TOP_K} + 1e-9, 6) AS recall
+FROM topk t
+LEFT JOIN exact x
+  ON t.query_id = x.query_id AND t.neighbor_id = x.neighbor_id
+GROUP BY t.tables
+"""
+
+
+LSH_TABLES_RECALL_CURVE_SQL = _lsh_tables_curve_sql()
+
+
+# ---------------------------------------------------------------------------
 # ann_ndcg_eval — rank-aware index quality (NDCG@k + MRR vs brute force)
 # ---------------------------------------------------------------------------
 
@@ -3059,6 +3187,7 @@ QUERIES = {
     "embedding_norm_audit": (embedding_norm_audit, EMBEDDING_NORM_AUDIT_SQL),
     "ann_recall_eval": (ann_recall_eval, ANN_RECALL_EVAL_SQL),
     "ann_ndcg_eval": (ann_ndcg_eval, ANN_NDCG_EVAL_SQL),
+    "lsh_tables_recall_curve": (lsh_tables_recall_curve, LSH_TABLES_RECALL_CURVE_SQL),
     "ann_mmr_topk": (ann_mmr_topk, ANN_MMR_SQL),
     "embedding_covariance": (embedding_covariance, EMBEDDING_COVARIANCE_SQL),
     "knn_label_eval": (knn_label_eval, KNN_LABEL_EVAL_SQL),

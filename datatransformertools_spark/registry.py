@@ -71,9 +71,10 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
     # (vec_id >= N_QUERIES, face change, both engines — ADVICE);
     # (5) `events_session_gap_audit` bucketing with gap <= bound to
     # match the shipped sessionize convention (face change, both
-    # engines — ADVICE); (6) the four NEW r9 ops
+    # engines — ADVICE); (6) the five NEW r9 ops
     # `watermark_delay_curve` / `ann_ndcg_eval` /
-    # `token_budget_sample` / `token_budget_curve` (house rule:
+    # `token_budget_sample` / `token_budget_curve` /
+    # `lsh_tables_recall_curve` (house rule:
     # certify in the round they land); (7) the simhash
     # family on the memoized fingerprint + candidate-pair stage
     # tables (`_SIMHASH_FP_MEMO`/`_SIMHASH_PAIRS_MEMO` — the same
@@ -82,7 +83,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
     # Then freshness refill: ALL 33 remaining r2-certified rows +
     # the alphabetically-first r3 rows that fit — after this window
     # no row's latest driver certification is older than r3 (exactly
-    # 15 + 33 + 2 = 50; list counts verified by
+    # 16 + 33 + 1 = 50; list counts verified by
     # tests/test_oracle_parity.py::test_gate_rotation_head_is_exact).
     # Every row passes the identical dtype-strict gate locally via
     # tests/test_oracle_parity.py.
@@ -107,15 +108,16 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "ann_ndcg_eval",
         "token_budget_sample",
         "token_budget_curve",
+        "lsh_tables_recall_curve",
         # simhash family on the memoized fp/pair stage tables
         "simhash_hamming_curve",
         "simhash_bit_balance_audit",
     ]
     # Freshness refill: every remaining r2-certified row (33), then
-    # the alphabetically-first r3 rows (2 fit after the 15-row head:
-    # 15 + 33 + 2 = 50; counts pinned by
+    # the alphabetically-first r3 rows (1 fits after the 16-row head:
+    # 16 + 33 + 1 = 50; counts pinned by
     # tests/test_oracle_parity.py::test_gate_rotation_head_is_exact;
-    # the 3 listed-but-trimmed r3 rows are pre-staged for r10).
+    # the 4 listed-but-trimmed r3 rows are pre-staged for r10).
     refill = [
         # --- all remaining r2-certified rows (33) ---
         "corpus_mix_summary",
@@ -152,7 +154,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "stratified_sample",
         "token_length_histogram",
         # --- oldest (alphabetically-first) r3-certified rows; the
-        # first 2 fit the window, the rest pre-stage the r10 refill ---
+        # first 1 fits the window, the rest pre-stage the r10 refill ---
         "ann_mmr_topk",
         "ann_pq_topk",
         "ann_recall_eval",

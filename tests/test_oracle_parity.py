@@ -128,9 +128,10 @@ def test_gate_rotation_head_is_exact():
         "ann_ndcg_eval",
         "token_budget_sample",
         "token_budget_curve",
+        "lsh_tables_recall_curve",
         "simhash_hamming_curve",
         "simhash_bit_balance_audit",
     ]
     assert window[: len(r9_changed)] == r9_changed
-    # refill = 33 r2 rows + 2 r3 rows, disjoint from the head
-    assert len(window) - len(r9_changed) == 35
+    # refill = 33 r2 rows + 1 r3 row, disjoint from the head
+    assert len(window) - len(r9_changed) == 34

@@ -187,6 +187,7 @@ _HINT_BROADCAST_ALLOWLIST = {
     "ann_ndcg_eval": 2,  # exact + approx top-k shortlists (query sides)
     "token_budget_sample": 1,  # ≤1-row-per-source boundary-bucket frame
     "token_budget_curve": 7,  # |grid| frame ×3, |sources|·|grid| boundary ×2, 1-row totals, cand union
+    "lsh_tables_recall_curve": 4,  # query side, |tables| grid, exact top-k, bf query side
 }
 
 

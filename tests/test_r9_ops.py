@@ -399,3 +399,32 @@ class TestTokenBudgetCurve:
             assert a["tokens_kept"] <= b["tokens_kept"]
             assert a["sources_saturated"] >= b["sources_saturated"]
             assert a["token_retention"] <= b["token_retention"]
+
+
+class TestLshTablesRecallCurve:
+    def test_monotone_and_anchored_to_fixed_index(self, spark, sf_dir):
+        """More tables can only add candidates, so recall is
+        non-decreasing in t; and the t = N_TABLES row must equal
+        ann_recall_eval's aggregate (same index at full width)."""
+        from datatransformertools_spark.operators.similarity import (
+            N_TABLES,
+            TOP_K,
+            N_QUERIES,
+            ann_recall_eval,
+            lsh_tables_recall_curve,
+        )
+
+        rows = sorted(
+            lsh_tables_recall_curve(spark, sf_dir).collect(), key=lambda r: r["tables"]
+        )
+        assert [r["tables"] for r in rows] == list(range(1, N_TABLES + 1))
+        hits = [r["n_hits"] for r in rows]
+        assert hits == sorted(hits)  # monotone in the table budget
+        for r in rows:
+            assert 0.0 <= r["recall"] <= 1.0
+            assert abs(r["recall"] - r["n_hits"] / (N_QUERIES * TOP_K)) < 2e-6
+
+        full_width_hits = sum(
+            r["n_hits"] for r in ann_recall_eval(spark, sf_dir).collect()
+        )
+        assert rows[-1]["n_hits"] == full_width_hits
