@@ -1759,6 +1759,33 @@ TB_SALT = "tbs-v1"
 TB_BUCKETS = 64
 TB_BUDGET_TOKENS = 1_000  # per-source token budget
 
+# the per-(source, hash-bucket) doc/token subtotal frame is the
+# expensive stage (full corpus scan + tokenize) and BOTH budget ops
+# start from it — memoized per (session, sf_dir) exactly like the
+# dedup shingle/pair stage tables (one materialization serves the
+# family; release path is clear_dedup_memos())
+from datatransformertools_spark.operators.dedup import _FrameMemo  # noqa: E402
+
+_TB_BSTATS_MEMO = _FrameMemo()
+
+
+def _tb_bstats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+        h = md5_long(F.col("doc_id").cast("string"), salt=TB_SALT)
+        n_tokens = F.size(tokens(normalize_text(F.col("text")))).cast("long")
+        return (
+            docs.select(
+                "source",
+                (h % TB_BUCKETS).alias("bucket"),
+                n_tokens.alias("n_tokens"),
+            )
+            .groupBy("source", "bucket")
+            .agg(F.sum("n_tokens").alias("btok"), F.count(F.lit(1)).alias("bdocs"))
+        )
+
+    return _TB_BSTATS_MEMO.get_or_build(spark, sf_dir, build)
+
 
 def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-source TOKEN-budget sampling — the "give me
@@ -1788,24 +1815,11 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
     h = md5_long(F.col("doc_id").cast("string"), salt=TB_SALT)
     n_tokens = F.size(tokens(normalize_text(F.col("text")))).cast("long")
-    base = docs.select(
-        "source",
-        "doc_id",
-        h.alias("h"),
-        (h % TB_BUCKETS).alias("bucket"),
-        n_tokens.alias("n_tokens"),
-    )
     # (2) bucket grain: cumulative token mass per source in bucket
-    # order. Persisted (|sources|·B rows) — three consumers (totals,
-    # full-bucket keep, boundary isolation) read it, and without the
-    # pin each would re-scan and RE-TOKENIZE the full corpus.
-    from datatransformertools_spark.caching import track
-
-    bstats = track(
-        base.groupBy("source", "bucket").agg(
-            F.sum("n_tokens").alias("btok"), F.count(F.lit(1)).alias("bdocs")
-        )
-    )
+    # order. The memoized frame (|sources|·B rows) serves the three
+    # consumers here AND token_budget_curve — without the pin each
+    # would re-scan and RE-TOKENIZE the full corpus.
+    bstats = _tb_bstats_df(spark, sf_dir)
     # per-source totals fold out of the SAME tiny bucket frame — the
     # full corpus is scanned+tokenized once for the bucket grain, not
     # a second time for totals
@@ -1826,21 +1840,16 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bdocs").alias("full_docs"), F.sum("btok").alias("full_tok")
     )
     # the one bucket per source where the budget crosses (absent when
-    # the whole source fits)
-    boundary = (
-        bcum.filter(
-            (F.col("cum_before") <= F.lit(TB_BUDGET_TOKENS))
-            & (F.col("cum_incl") > F.lit(TB_BUDGET_TOKENS))
-        )
-        .withColumn(
-            "rn", F.row_number().over(Window.partitionBy("source").orderBy("bucket"))
-        )
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col("source").alias("bsource"),
-            F.col("bucket").alias("bbucket"),
-            F.col("cum_before").alias("offset"),
-        )
+    # the whole source fits): cum_incl is non-decreasing in bucket
+    # order, so the crossing condition selects AT MOST one bucket
+    # per source by construction — no dedup step needed
+    boundary = bcum.filter(
+        (F.col("cum_before") <= F.lit(TB_BUDGET_TOKENS))
+        & (F.col("cum_incl") > F.lit(TB_BUDGET_TOKENS))
+    ).select(
+        F.col("source").alias("bsource"),
+        F.col("bucket").alias("bbucket"),
+        F.col("cum_before").alias("offset"),
     )
     # (3) doc grain, boundary bucket only: ~N/B docs per source. The
     # second pass over the docs scan joins on (source, bucket) —
@@ -1917,17 +1926,7 @@ def token_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
     h = md5_long(F.col("doc_id").cast("string"), salt=TB_SALT)
     n_tokens = F.size(tokens(normalize_text(F.col("text")))).cast("long")
-    from datatransformertools_spark.caching import track
-
-    bstats = track(
-        docs.select(
-            "source",
-            (h % TB_BUCKETS).alias("bucket"),
-            n_tokens.alias("n_tokens"),
-        )
-        .groupBy("source", "bucket")
-        .agg(F.sum("n_tokens").alias("btok"), F.count(F.lit(1)).alias("bdocs"))
-    )
+    bstats = _tb_bstats_df(spark, sf_dir)
     w_cum = (
         Window.partitionBy("source")
         .orderBy("bucket")
@@ -1971,7 +1970,7 @@ def token_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "h",
             "doc_id",
             n_tokens.alias("n_tokens"),
-            (F.lit(0) + F.col("offset")).alias("offset"),
+            "offset",
         )
         .withColumn("doc_cum", F.sum("n_tokens").over(w_doc) + F.col("offset"))
         .select("source", "bucket", "n_tokens", "doc_cum")

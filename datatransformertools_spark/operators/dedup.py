@@ -123,10 +123,12 @@ _SIMHASH_PAIRS_MEMO = _FrameMemo()
 
 def clear_dedup_memos(unpersist: bool = True) -> int:
     """Drop every cross-query memoized frame (shingle index, capped
-    index, τ-pairs, kNN edges); returns how many were evicted. The
+    index, τ-pairs, kNN edges, token-bucket subtotals); returns how
+    many were evicted. The
     companion to `caching.release_caches()`, which deliberately does
     NOT own these. `unpersist=False` when the owning session is
     stopped."""
+    from datatransformertools_spark.operators.corpus import _TB_BSTATS_MEMO
     from datatransformertools_spark.operators.similarity import _KNN_EDGES_MEMO
 
     return sum(
@@ -139,6 +141,7 @@ def clear_dedup_memos(unpersist: bool = True) -> int:
             _SIMHASH_FP_MEMO,
             _SIMHASH_PAIRS_MEMO,
             _KNN_EDGES_MEMO,
+            _TB_BSTATS_MEMO,
         )
     )
 
@@ -186,6 +189,44 @@ def _capped_shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         return sh.withColumn("df", df_w).filter(F.col("df") <= MAX_SHINGLE_DF).drop("df")
 
     return _CAPPED_SHINGLE_MEMO.get_or_build(spark, sf_dir, build)
+
+
+def _pair_shingle_intersection(pairs: DataFrame, sh: DataFrame, out: str) -> DataFrame:
+    """Pair-driven TRUE-intersection counts: |shingles(a) ∩
+    shingles(b)| per candidate (doc_a, doc_b), with the join driven
+    FROM the pair list — ``pairs.join(sh_a, "doc_a").join(sh_b,
+    ["doc_b", "shingle"])`` — so shingle work is Σ_pairs |shingles|,
+    never an open co-shingle self-join over candidate members
+    (VERDICT r8 #1; the `dedup_minhash_verify` discipline). This is
+    THE truth-family intersection: every consumer goes through here,
+    and tests/test_plans.py::test_truth_jaccard_joins_are_pair_driven
+    pins the shape."""
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    return (
+        pairs.select("doc_a", "doc_b")
+        .join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias(out))
+    )
+
+
+def _member_pruned_sizes(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Per-doc shingle-set sizes (`doc_id`, `n`) restricted to the
+    docs that appear in the candidate pair list (leftsemi prune
+    BEFORE the count agg) — the companion frame to
+    `_pair_shingle_intersection` for the Jaccard denominator."""
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    return (
+        sh.join(cand_ids, "doc_id", "leftsemi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 _SHINGLE_SQL = r"""
@@ -701,15 +742,7 @@ def simhash_hamming_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = _simhash_candidates(spark, sf_dir)  # memo-persisted
     sh = _capped_shingle_df(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.select("doc_a", "doc_b")
-        .join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    inter = _pair_shingle_intersection(cand, sh, "n_inter")
     szA = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     szB = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     j = (
@@ -876,25 +909,8 @@ def neardup_detector_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = track(u.select("doc_a", "doc_b", region.alias("region")))
     shg = _shingle_df(spark, sf_dir)
-    sa = shg.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = shg.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        pairs.select("doc_a", "doc_b")
-        .join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    cand_ids = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .union(pairs.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    sizes = (
-        shg.join(cand_ids, "doc_id", "leftsemi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    inter = _pair_shingle_intersection(pairs, shg, "inter")
+    sizes = _member_pruned_sizes(pairs, shg)
     na, nb = sizes.alias("na"), sizes.alias("nb")
     denom = (
         F.coalesce(F.col("na.n"), F.lit(0))
@@ -2124,26 +2140,9 @@ def minhash_perm_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses to |prefixes| rows."""
     pairs = _minhash_pairs_df(spark, sf_dir)
     sh = _shingle_df(spark, sf_dir)
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        pairs.select("doc_a", "doc_b")
-        .join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    inter = _pair_shingle_intersection(pairs, sh, "inter")
     # per-doc set sizes: member-pruned before the agg (tiny frame)
-    cand_ids = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .union(pairs.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    sizes = (
-        sh.join(cand_ids, "doc_id", "leftsemi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    sizes = _member_pruned_sizes(pairs, sh)
     na, nb = sizes.alias("na"), sizes.alias("nb")
     per_pair = (
         pairs.join(inter, ["doc_a", "doc_b"], "left")

@@ -110,7 +110,10 @@ def _make_decode_kernel():
                 from PIL import Image  # noqa: F401
 
                 pil_state[0] = Image
-            except ImportError:
+            except Exception:
+                # same breadth as the fitz probe: a broken Pillow
+                # install (native lib import error) must stub, not
+                # crash the executor task
                 pil_state[0] = False
         if pil_state[0] is False:
             return None
@@ -208,7 +211,10 @@ def _make_thumb_probe(target: int):
                 from PIL import Image  # noqa: F401
 
                 pil_state[0] = Image
-            except ImportError:
+            except Exception:
+                # same breadth as the fitz probe: a broken Pillow
+                # install (native lib import error) must stub, not
+                # crash the executor task
                 pil_state[0] = False
         if pil_state[0] is False:
             return None
@@ -341,7 +347,11 @@ def _make_pdf_render_probe():
                 import fitz  # noqa: F401 (PyMuPDF)
 
                 fitz_state[0] = fitz
-            except ImportError:
+            except Exception:
+                # not just ImportError: a broken PyMuPDF install can
+                # raise OSError/RuntimeError from the shared lib at
+                # import; the contract is "anything short of a working
+                # fitz falls through to the deterministic stub"
                 fitz_state[0] = False
         if fitz_state[0] is False:
             return None
@@ -396,7 +406,7 @@ def pdf_to_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
                 fname = f"doc_{int(doc_id)}.pdf"
                 real = _try_real_pages(payload)
                 if real is not None:
-                    per_page = [(w, h, pb) for (w, h, pb) in real]
+                    per_page = real
                 else:
                     n_pages = max(1, -(-len(payload) // page_bytes))
                     per_page = [

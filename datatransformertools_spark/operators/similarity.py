@@ -1837,13 +1837,18 @@ def lsh_tables_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", F.lit(1).alias("hit")
     )
     denom = float(N_QUERIES * TOP_K)
-    return (
+    per_t = (
         topk.join(F.broadcast(exact), ["query_id", "neighbor_id"], "left")
         .groupBy("tables")
-        .agg(
-            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hits"),
-            F.round(F.coalesce(F.sum("hit"), F.lit(0)) / denom + 1e-9, 6).alias("recall"),
-        )
+        .agg(F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hits"))
+    )
+    # drive the face from the grid so a budget whose candidate set is
+    # EMPTY (no bucket collision in its tables — possible on a small
+    # or adversarial corpus) still reports its recall-0 row
+    return grid.join(per_t, "tables", "left").select(
+        "tables",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / denom + 1e-9, 6).alias("recall"),
     )
 
 
@@ -1893,14 +1898,18 @@ ranked AS (
   FROM grid g JOIN pairs p ON p.lvl <= g.tables
 ),
 topk AS (SELECT * FROM ranked WHERE rank <= {TOP_K}),
-exact AS ({ANN_BRUTEFORCE_SQL})
-SELECT t.tables,
-       CAST(coalesce(count(x.neighbor_id), 0) AS BIGINT) AS n_hits,
-       round(coalesce(count(x.neighbor_id), 0) * 1.0 / {N_QUERIES * TOP_K} + 1e-9, 6) AS recall
-FROM topk t
-LEFT JOIN exact x
-  ON t.query_id = x.query_id AND t.neighbor_id = x.neighbor_id
-GROUP BY t.tables
+exact AS ({ANN_BRUTEFORCE_SQL}),
+per_t AS (
+  SELECT t.tables, count(x.neighbor_id) AS n_hits
+  FROM topk t
+  LEFT JOIN exact x
+    ON t.query_id = x.query_id AND t.neighbor_id = x.neighbor_id
+  GROUP BY t.tables
+)
+SELECT g.tables,
+       CAST(coalesce(k.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(k.n_hits, 0) * 1.0 / {N_QUERIES * TOP_K} + 1e-9, 6) AS recall
+FROM grid g LEFT JOIN per_t k USING (tables)
 """
 
 
