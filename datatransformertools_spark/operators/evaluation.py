@@ -712,10 +712,15 @@ def _ap_per_class_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # per-class GT counts: bounded by |classes| = 6 (a literal
     # constant of the class map) → broadcast-eligible per the house
-    # rule on constants-bounded frames.
+    # rule on constants-bounded frames. The hint must sit on the
+    # RIGHT (probe-buildable) side: Spark cannot build-left a left
+    # outer join, so `F.broadcast(n_gt).join(sums, ..., "left")`
+    # would be silently dropped (HintErrorLogger) and fall back to a
+    # shuffle. `sums` is equally |classes|-bounded, so hinting it
+    # realizes the broadcast.
     n_gt = _gt_df(spark, sf_dir).groupBy("cls").agg(F.count(F.lit(1)).alias("n_gt"))
     ap = F.round(F.col("sum_env") / F.lit(float(_AP_QUANT)) / F.col("n_gt") + 1e-9, 6)
-    return F.broadcast(n_gt).join(sums, "cls", "left").select(
+    return n_gt.join(F.broadcast(sums), "cls", "left").select(
         "cls",
         "n_gt",
         F.coalesce(F.col("n_pred"), F.lit(0)).alias("n_pred"),

@@ -371,26 +371,12 @@ def _make_pdf_render_probe():
     return _try_real_pages
 
 
-def pdf_to_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PDF → per-page row fan-out, the reference server's upload path
-    (server.py:64-74): each document explodes into
-    `<file>_page<N>` rows (1-based, full filename kept — the server's
-    naming, not the notebook's stem) with per-page width/height.
-
-    One input row yields ceil(n_bytes / PDF_PAGE_BYTES) page rows via
-    Arrow-batched mapInPandas — the real row-explosion plumbing.
-
-    Import-probe upgrade (VERDICT r8 #6, completing the r7 #8
-    pattern across the multimodal family): when PyMuPDF (`fitz`)
-    exists in the worker environment AND a payload opens as a real
-    PDF, the page rows carry REAL page count, per-page pixmap dims,
-    and rendered PNG bytes (the reference's fitz loop,
-    server.py:64-74). Everything else — no fitz, or payloads that
-    aren't valid PDFs, which includes all of this repo's synthetic
-    text-byte payloads — falls through to the deterministic stub
-    (fixed 72-dpi US-Letter dims + a byte-slice payload), so the
-    oracle-checked face is unchanged until genuinely renderable
-    documents arrive."""
+def _pdf_pages_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PAGES_SCHEMA frame (page_bytes included) behind
+    `pdf_to_pages`, shared with `server_pipeline` so the composed
+    flow rides the exact same pagination kernel it certifies
+    stage-by-stage. See `pdf_to_pages` for semantics and the fitz
+    import-probe contract."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     src = docs.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
@@ -422,7 +408,30 @@ def pdf_to_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows["page_bytes"].append(pb)
             yield pd.DataFrame(rows)
 
-    pages = src.mapInPandas(paginate, PAGES_SCHEMA)
+    return src.mapInPandas(paginate, PAGES_SCHEMA)
+
+
+def pdf_to_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF → per-page row fan-out, the reference server's upload path
+    (server.py:64-74): each document explodes into
+    `<file>_page<N>` rows (1-based, full filename kept — the server's
+    naming, not the notebook's stem) with per-page width/height.
+
+    One input row yields ceil(n_bytes / PDF_PAGE_BYTES) page rows via
+    Arrow-batched mapInPandas — the real row-explosion plumbing.
+
+    Import-probe upgrade (VERDICT r8 #6, completing the r7 #8
+    pattern across the multimodal family): when PyMuPDF (`fitz`)
+    exists in the worker environment AND a payload opens as a real
+    PDF, the page rows carry REAL page count, per-page pixmap dims,
+    and rendered PNG bytes (the reference's fitz loop,
+    server.py:64-74). Everything else — no fitz, or payloads that
+    aren't valid PDFs, which includes all of this repo's synthetic
+    text-byte payloads — falls through to the deterministic stub
+    (fixed 72-dpi US-Letter dims + a byte-slice payload), so the
+    oracle-checked face is unchanged until genuinely renderable
+    documents arrive."""
+    pages = _pdf_pages_frame(spark, sf_dir)
     return pages.select(
         "doc_id", "page_idx", "page_name", "width", "height",
         F.octet_length("page_bytes").alias("n_bytes"),
@@ -584,6 +593,207 @@ SELECT doc_id, det_idx, category_id,
        round(conf_milli / 1000.0 + 1e-9, 4) AS conf
 FROM boxes
 WHERE conf_milli >= {int(CONF_THRESHOLD * 1000)}
+"""
+
+
+# ---------------------------------------------------------------------------
+# server_pipeline — the WHOLE reference serving flow as ONE plan
+# (Tools/server.py:64-117: PDF upload → per-page render → batched
+# model predict → per-page JSON envelope). The stages are certified
+# individually (`pdf_to_pages`, `batch_inference`,
+# `competition_json_roundtrip`); this op chains them in a single
+# declarative plan with no driver round-trip between stages — the
+# `corpus_prep_pipeline` recipe applied to the multimodal family.
+# ---------------------------------------------------------------------------
+
+PIPELINE_DETS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("page_idx", IntegerType()),
+        StructField("page_name", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("det_idx", IntegerType()),
+        StructField("category_id", IntegerType()),
+        StructField("x", IntegerType()),
+        StructField("y", IntegerType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("confidence", LongType()),  # millis: conf*1000, exact int
+    ]
+)
+
+
+def server_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end reference server flow (server.py:64-117) as one
+    fused plan: documents → PDF page fan-out (the `pdf_to_pages`
+    kernel, page bytes kept) → per-page batched stub inference (the
+    `batch_inference` recipe keyed per page) → confidence filter +
+    broadcast class-name join (predictions_to_json postprocess) →
+    per-page response envelope (page_name, dims, annotation count,
+    order-independent annotation checksum) — the server's JSON
+    `results` array as a DataFrame, one row per page like the
+    reference emits one object per page.
+
+    Stage-fusion shape: pagination and inference are BOTH
+    mapInPandas over the same partitioning, so Catalyst pipelines
+    them into one stage — page bytes flow kernel→kernel inside a
+    task and never touch a shuffle; the only exchanges are the
+    initial doc repartition and the final per-page aggregation.
+    Scale: fan-out is ~n_bytes/PDF_PAGE_BYTES rows per doc, the
+    class map is the |classes|-bounded broadcast, and the envelope
+    aggregation is pre-combined map-side (sums/counts), so 1000
+    executors each paginate+predict their own doc slice with one
+    shuffle of (page_key, partial-aggregate)-sized rows."""
+    pages = _pdf_pages_frame(spark, sf_dir)
+
+    # same closure-shipping rules as `batch_inference`: constants
+    # bound to locals, kernel nested, stdlib imported inside.
+    page_size, n_classes = PAGE_SIZE, N_CLASSES
+    out_columns = [f.name for f in PIPELINE_DETS_SCHEMA.fields]
+
+    def predict_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def fake_page_detections(doc_id: int, page_idx: int, n_bytes: int) -> list[dict]:
+            # STUB model over PAGE images — where the reference calls
+            # `model.predict(images)` on the rendered page batch
+            # (server.py:84). Same md5-derived deterministic recipe
+            # as `batch_inference`, keyed by (doc, page, det, bytes)
+            # so every page of a doc gets its own detections and the
+            # DuckDB oracle can replay the arithmetic exactly.
+            dets = []
+            for j in range(1 + (doc_id + page_idx) % 3):
+                hx = hashlib.md5(f"{doc_id}:{page_idx}:{j}:{n_bytes}".encode()).hexdigest()
+                cx = int(hx[4:8], 16) % page_size
+                cy = int(hx[8:12], 16) % page_size
+                bw = 1 + int(hx[12:16], 16) % 400
+                bh = 1 + int(hx[16:20], 16) % 400
+                x1 = max(cx - bw // 2, 0)
+                y1 = max(cy - bh // 2, 0)
+                x2 = min(cx + bw // 2, page_size)
+                y2 = min(cy + bh // 2, page_size)
+                dets.append(
+                    {
+                        "det_idx": j,
+                        "category_id": int(hx[20:22], 16) % n_classes,
+                        "x": x1,
+                        "y": y1,
+                        "w": x2 - x1,  # xyxy→xywh, as server.py:100-105
+                        "h": y2 - y1,
+                        "confidence": int(hx[0:4], 16) % 1001,
+                    }
+                )
+            return dets
+
+        for pdf in batches:
+            rows = []
+            for doc_id, page_idx, page_name, width, height, page_bytes in zip(
+                pdf["doc_id"], pdf["page_idx"], pdf["page_name"],
+                pdf["width"], pdf["height"], pdf["page_bytes"],
+            ):
+                for det in fake_page_detections(int(doc_id), int(page_idx), len(page_bytes)):
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "page_idx": int(page_idx),
+                            "page_name": page_name,
+                            "width": int(width),
+                            "height": int(height),
+                            **det,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=out_columns)
+
+    dets = pages.mapInPandas(predict_pages, PIPELINE_DETS_SCHEMA)
+
+    # postprocess (predictions_to_json.py): id→name via the
+    # |classes|-bounded broadcast dim; the confidence filter is kept
+    # INSIDE the envelope aggregation (conditional sums) so pages
+    # whose detections all fall below threshold still emit their
+    # envelope row — the server returns `annotations: []`, not
+    # nothing, for such a page.
+    from datatransformertools_spark.operators.annotations import class_map
+
+    names = class_map(spark, sf_dir)
+    kept = F.col("confidence") >= int(CONF_THRESHOLD * 1000)
+    ann_key = F.format_string(
+        "%d|%d|%d|%d|%d|%s|%d",
+        F.col("x"), F.col("y"), F.col("w"), F.col("h"),
+        F.col("category_id"), F.col("category_name"), F.col("confidence"),
+    )
+    h32 = md5_long(ann_key).bitwiseAND(F.lit((1 << 32) - 1))
+    return (
+        dets.join(F.broadcast(names), "category_id")
+        .groupBy("doc_id", "page_idx", "page_name", "width", "height")
+        .agg(
+            F.count(F.lit(1)).alias("n_dets"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum(F.when(kept, h32).otherwise(F.lit(0))).alias("ann_hash_sum"),
+            F.coalesce(
+                F.round(F.max(F.when(kept, F.col("confidence"))) / 1000.0 + 1e-9, 4),
+                F.lit(0.0),
+            ).alias("max_conf"),
+        )
+    )
+
+
+SERVER_PIPELINE_SQL = f"""
+WITH src AS (
+  SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+),
+pages AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS page_idx,
+         'doc_' || doc_id || '.pdf_page' || i AS page_name,
+         {PDF_PAGE_W} AS width, {PDF_PAGE_H} AS height,
+         CAST(least({PDF_PAGE_BYTES}, n - (i - 1) * {PDF_PAGE_BYTES}) AS INTEGER) AS n_bytes
+  FROM src,
+       unnest(range(1, greatest(1, CAST(ceil(n / {PDF_PAGE_BYTES}.0) AS BIGINT)) + 1)) AS t(i)
+),
+dets AS (
+  SELECT doc_id, page_idx, page_name, width, height,
+         md5(doc_id || ':' || page_idx || ':' || j || ':' || n_bytes) AS hx
+  FROM pages, unnest(range(0, 1 + (doc_id + page_idx) % 3)) AS t(j)
+),
+raw AS (
+  SELECT doc_id, page_idx, page_name, width, height,
+         CAST(('0x' || substr(hx, 21, 2))::BIGINT % {N_CLASSES} AS INTEGER) AS category_id,
+         ('0x' || substr(hx, 1, 4))::BIGINT % 1001                  AS conf_milli,
+         ('0x' || substr(hx, 5, 4))::BIGINT % {PAGE_SIZE}           AS cx,
+         ('0x' || substr(hx, 9, 4))::BIGINT % {PAGE_SIZE}           AS cy,
+         1 + ('0x' || substr(hx, 13, 4))::BIGINT % 400              AS bw,
+         1 + ('0x' || substr(hx, 17, 4))::BIGINT % 400              AS bh
+  FROM dets
+),
+boxes AS (
+  SELECT doc_id, page_idx, page_name, width, height, category_id, conf_milli,
+         greatest(cx - bw // 2, 0)           AS x1,
+         greatest(cy - bh // 2, 0)           AS y1,
+         least(cx + bw // 2, {PAGE_SIZE})    AS x2,
+         least(cy + bh // 2, {PAGE_SIZE})    AS y2
+  FROM raw
+),
+keyed AS (
+  SELECT doc_id, page_idx, page_name, width, height, conf_milli,
+         CASE WHEN conf_milli >= {int(CONF_THRESHOLD * 1000)} THEN 1 ELSE 0 END AS kept,
+         printf('%d|%d|%d|%d|%d|%s|%d',
+                x1, y1, x2 - x1, y2 - y1, category_id,
+                CASE category_id WHEN 0 THEN 'Background' WHEN 1 THEN 'Text'
+                                 WHEN 2 THEN 'Title' WHEN 3 THEN 'List'
+                                 WHEN 4 THEN 'Table' ELSE 'Figure' END,
+                conf_milli) AS ann_key
+  FROM boxes
+)
+SELECT doc_id, page_idx, page_name, width, height,
+       CAST(count(*) AS BIGINT) AS n_dets,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN kept = 1
+                     THEN ('0x' || substr(md5(ann_key), 1, 15))::BIGINT & 4294967295
+                     ELSE 0 END) AS BIGINT) AS ann_hash_sum,
+       coalesce(round(max(CASE WHEN kept = 1 THEN conf_milli END) / 1000.0 + 1e-9, 4), 0.0)
+         AS max_conf
+FROM keyed
+GROUP BY 1, 2, 3, 4, 5
 """
 
 
@@ -808,6 +1018,7 @@ QUERIES = {
     "video_frame_sample": (video_frame_sample, VIDEO_FRAME_SAMPLE_SQL),
     "batch_inference": (batch_inference, BATCH_INFERENCE_SQL),
     "pdf_to_pages": (pdf_to_pages, PDF_TO_PAGES_SQL),
+    "server_pipeline": (server_pipeline, SERVER_PIPELINE_SQL),
     "image_tiles": (image_tiles, IMAGE_TILES_SQL),
     "audio_frame_energy": (audio_frame_energy, AUDIO_FRAME_ENERGY_SQL),
 }

@@ -796,17 +796,21 @@ def events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     in BOTH engines before the comparison so the flag is
     float-order-stable.
 
-    DOCUMENTED complete-mode exemption (VERDICT r8 #5, the only one
-    left in the registry): the aggregation key is `event_type` — a
-    CATALOG-bounded dimension (5 values here; never data-scale), not
-    an event-time axis, so there is no window to close and nothing
-    for a watermark to bound. State AND output are |types| rows per
-    micro-batch forever; re-emitting ≤|types| rows is the natural
-    contract for a running scoreboard sink (same class as the batch
-    Pareto/dimension exemptions in SURVEY §4). Every event-time-keyed
-    streaming query in this file is watermark-bound append/update.
-    Pinned by tests/test_streaming.py::
-    test_enrich_exemption_is_catalog_bounded."""
+    UPDATE-mode scoreboard (VERDICT r9 #7 — this was the registry's
+    last complete-mode sink): the aggregation key is `event_type`, a
+    CATALOG-bounded dimension (5 values here; never data-scale) with
+    no event-time axis, so there is no window for a watermark to
+    close — but update mode still beats complete for a running
+    scoreboard: each micro-batch emits only the keys it TOUCHED
+    (≤|types| rows, and strictly fewer when a batch carries a subset
+    of types) instead of re-emitting the whole table. The sink-side
+    table is therefore an update LOG; the returned face reconstructs
+    last-update-wins per key by max(struct(n_events, ...)) —
+    `n_events` is strictly increasing across a key's updates, so the
+    max struct IS the final state. State stays |types| rows; with
+    this migration ZERO complete-mode sinks remain in the registry
+    (pinned by tests/test_streaming.py::
+    test_no_complete_mode_sinks_remain)."""
     import os
     import tempfile
     import uuid
@@ -836,13 +840,21 @@ def events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
-            .outputMode("complete")
+            .outputMode("update")
             .option("checkpointLocation", tempfile.mkdtemp(prefix="dtt-stream-enrich-ckpt-"))
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination(300)
-    return spark.table(name)
+    # last-update-wins over the update log: n_events only grows for
+    # a key, so the max struct is that key's final state.
+    log = spark.table(name)
+    final = F.max(F.struct("n_events", "n_above_mean", "mean_value")).alias("s")
+    return (
+        log.groupBy("event_type")
+        .agg(final)
+        .select("event_type", "s.n_events", "s.n_above_mean", "s.mean_value")
+    )
 
 
 # oracle: batch replay of the enrichment — join the per-type

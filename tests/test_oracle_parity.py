@@ -111,27 +111,19 @@ def test_gate_rotation_head_is_exact():
     the rotation math must be exact and self-consistent with the
     comments in registry.py (ADVICE r8: a miscounted refill comment
     mis-plans the next window): the window is 50 unique names, the
-    r9 head leads it, and every changed/new r9 row sits inside it."""
+    r10 head leads it, and every changed/new r10 row sits inside it."""
     window = list(_QUERIES)[:50]
     assert len(set(window)) == 50
-    r9_changed = [
-        "dedup_minhash_lsh",
-        "dedup_minhash_verify",
-        "dedup_lsh_quality",
-        "minhash_perm_error_curve",
-        "neardup_detector_overlap",
-        "events_stream_daily_users",
-        "pdf_to_pages",
-        "embedding_pq_distortion",
-        "events_session_gap_audit",
-        "watermark_delay_curve",
-        "ann_ndcg_eval",
-        "token_budget_sample",
-        "token_budget_curve",
-        "lsh_tables_recall_curve",
-        "simhash_hamming_curve",
-        "simhash_bit_balance_audit",
+    r10_head = [
+        "server_pipeline",  # new in r10 — certify in the round it lands
+        "pdf_to_pages",  # pagination kernel shared out to _pdf_pages_frame
     ]
-    assert window[: len(r9_changed)] == r9_changed
-    # refill = 33 r2 rows + 1 r3 row, disjoint from the head
-    assert len(window) - len(r9_changed) == 34
+    assert window[: len(r10_head)] == r10_head
+    # refill = 42 r3 rows + 6 r4 rows, disjoint from the head
+    assert len(window) - len(r10_head) == 48
+    # the r10-touched rows that were already r3-stale must sit in
+    # the refill (they are both "changed this round" AND "oldest
+    # certification"): the broadcast-hint fix pair and the
+    # complete→update stream-enrich migration.
+    for touched in ("detection_eval_ap", "detection_eval_map", "events_stream_enrich"):
+        assert touched in window[len(r10_head) :], touched

@@ -1,0 +1,83 @@
+"""Round-10 additions: the composed `server_pipeline` flow.
+
+The stages (`pdf_to_pages`, `batch_inference`,
+`competition_json_roundtrip`) are certified individually; these
+tests pin what the COMPOSITION adds — one fused plan covering the
+whole reference serving flow (Tools/server.py:64-117) with no
+driver round-trip between stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datatransformertools_spark.operators.multimodal import (
+    CONF_THRESHOLD,
+    pdf_to_pages,
+    server_pipeline,
+)
+
+
+def test_server_pipeline_one_row_per_page(spark, sf_dir):
+    """The response envelope has exactly the pagination stage's
+    grain: one row per (doc_id, page_idx), including pages whose
+    detections ALL fall below the confidence filter (the server
+    returns `annotations: []` for those, not nothing)."""
+    pages = pdf_to_pages(spark, sf_dir).select("doc_id", "page_idx")
+    resp = server_pipeline(spark, sf_dir).select("doc_id", "page_idx")
+    assert pages.count() == resp.count()
+    assert pages.exceptAll(resp).count() == 0
+
+
+def test_server_pipeline_envelope_consistency(spark, sf_dir):
+    rows = server_pipeline(spark, sf_dir).collect()
+    assert rows
+    saw_empty_page = False
+    for r in rows:
+        # the stub model emits 1 + (doc+page) % 3 detections per page
+        assert r.n_dets == 1 + (r.doc_id + r.page_idx) % 3
+        assert 0 <= r.n_kept <= r.n_dets
+        assert r.page_name == f"doc_{r.doc_id}.pdf_page{r.page_idx}"
+        if r.n_kept == 0:
+            saw_empty_page = True
+            # empty annotation list → zero checksum, zeroed max_conf
+            assert r.ann_hash_sum == 0 and r.max_conf == 0.0
+        else:
+            assert r.ann_hash_sum > 0
+            assert r.max_conf >= CONF_THRESHOLD
+    # the filter must actually bite somewhere at this SF, or the
+    # empty-envelope path is untested
+    assert saw_empty_page
+
+
+def test_server_pipeline_kernels_fuse_without_shuffle(spark, sf_dir):
+    """The composition contract: pagination and inference kernels
+    run back-to-back INSIDE one stage — page bytes flow
+    mapInPandas → mapInPandas without touching an exchange. The only
+    shuffles are the initial doc repartition and the final per-page
+    aggregation; the class-name join is the one |classes|-bounded
+    broadcast."""
+    plan = server_pipeline(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    kernel_idx = [i for i, l in enumerate(lines) if "MapInPandas" in l]
+    assert len(kernel_idx) == 2, plan
+    between = lines[kernel_idx[0] + 1 : kernel_idx[1]]
+    assert not any("Exchange" in l for l in between), "\n".join(between)
+    assert plan.count("BroadcastExchange") == 1, plan
+    # doc repartition + final agg + the class-map broadcast = 3
+    assert plan.count("Exchange") == 3, plan
+
+
+def test_server_pipeline_checksum_tracks_annotation_content(spark, sf_dir):
+    """The per-page checksum is an order-independent SUM of 32-bit
+    annotation hashes — recomputing it from the same plan is stable,
+    and the page-level totals reconcile with the kept counts."""
+    df = server_pipeline(spark, sf_dir)
+    agg1 = df.agg(
+        F.sum("ann_hash_sum").alias("h"), F.sum("n_kept").alias("k")
+    ).collect()[0]
+    agg2 = df.agg(
+        F.sum("ann_hash_sum").alias("h"), F.sum("n_kept").alias("k")
+    ).collect()[0]
+    assert (agg1.h, agg1.k) == (agg2.h, agg2.k)
+    assert agg1.k > 0 and agg1.h > 0

@@ -503,18 +503,96 @@ def test_stream_dau_append_emits_each_day_once_and_evicts(spark, sf_dir):
     shutil.rmtree(tmp, ignore_errors=True)
 
 
-def test_enrich_exemption_is_catalog_bounded(spark, sf_dir):
-    """events_stream_enrich is the registry's ONE documented
-    complete-mode sink (catalog-bounded |types| scoreboard — no
-    event-time axis, nothing for a watermark to close). Pin that
-    contract: exactly one complete-mode start in the streaming
-    module, inside that function, carrying the exemption docs."""
+def test_no_complete_mode_sinks_remain(spark, sf_dir):
+    """With the r10 enrich migration (VERDICT r9 #7) the registry
+    has ZERO complete-mode sinks, period: every streaming query is
+    watermark-bound append/update, and the one catalog-bounded
+    scoreboard (events_stream_enrich) runs in update mode with a
+    last-update-wins reconstruction on the face."""
     import inspect
 
     from datatransformertools_spark import streaming
 
     src = inspect.getsource(streaming.events)
-    assert src.count('.outputMode("complete")') == 1
+    assert src.count('.outputMode("complete")') == 0
     fn_src = inspect.getsource(streaming.events.events_stream_enrich)
-    assert '.outputMode("complete")' in fn_src
-    assert "DOCUMENTED complete-mode exemption" in fn_src
+    assert '.outputMode("update")' in fn_src
+    assert "last-update-wins" in fn_src
+
+
+def test_enrich_update_emits_only_touched_keys(spark, sf_dir):
+    """The migrated enrich scoreboard must emit per micro-batch only
+    the keys that batch TOUCHED (update mode), and the
+    last-update-wins reconstruction must still land on the exact
+    batch answer. Two-batch drain: the real file, then a small
+    single-type file — batch 2 may re-emit at most that ONE type's
+    row, not the whole |types| table (which is what the replaced
+    complete-mode sink did every batch)."""
+    import uuid
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from datatransformertools_spark.streaming.events import _read_raw, _state_partitions
+
+    tmp = Path(tempfile.mkdtemp(prefix="dtt-stream-enrich-upd-"))
+    src = tmp / "events"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    one_type = t.column("event_type")[0].as_py()
+    pq.write_table(
+        t.filter(pc.equal(t.column("event_type"), one_type)).slice(0, 20),
+        src / "zz_second_batch.parquet",
+    )
+
+    static_stats = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.round(F.avg("value") + 1e-9, 4).alias("mean_value"))
+    )
+    raw = _read_raw(spark, str(src), maxFilesPerTrigger=1)
+    enriched = raw.join(F.broadcast(static_stats), "event_type").withColumn(
+        "above_mean", (F.col("value") > F.col("mean_value")).cast("long")
+    )
+    agg = enriched.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("above_mean").alias("n_above_mean"),
+        F.max("mean_value").alias("mean_value"),
+    )
+    name = f"enrich_upd_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        progresses = list(q.recentProgress)
+    data_batches = [p for p in progresses if p.get("numInputRows", 0) > 0]
+    assert len(data_batches) >= 2, "expected the two files to drain as separate batches"
+    assert data_batches[-1]["sink"]["numOutputRows"] <= 1
+
+    # last-update-wins reconstruction == exact batch replay
+    log = spark.table(name)
+    got = {
+        r.event_type: (r.n_events, r.n_above_mean)
+        for r in log.groupBy("event_type")
+        .agg(F.max(F.struct("n_events", "n_above_mean", "mean_value")).alias("s"))
+        .select("event_type", "s.n_events", "s.n_above_mean")
+        .collect()
+    }
+    want = {
+        r.event_type: (r.n_events, r.n_above_mean)
+        for r in spark.read.parquet(str(src))
+        .join(F.broadcast(static_stats), "event_type")
+        .withColumn("above_mean", (F.col("value") > F.col("mean_value")).cast("long"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("above_mean").alias("n_above_mean"))
+        .collect()
+    }
+    assert got == want
+    shutil.rmtree(tmp, ignore_errors=True)
