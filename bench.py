@@ -49,15 +49,66 @@ if _REPO_ROOT not in sys.path:
 # diffs read net-of-container.
 CAL_ROWS = 64_000_000
 CAL_REF_SEC = 0.5
+# Runs per calibration block; the FIRST run of each block pays
+# codegen/arrival effects and is excluded from the drift median.
+# Shared between _run_calibration and the steady-state slicing
+# (ADVICE r9: the slicing used to hard-code stride 4 — changing the
+# block size in one place silently misaligned the other).
+CAL_RUNS_PER_BLOCK = 4
+
+# Effective-cores burn — the SECOND calibration channel (VERDICT r9
+# #5): r9 proved the fixed Spark workload under-measures contention
+# that specifically hits wide stages (drift said 1.24 while
+# same-code totals moved 1.65×). The burn measures multi-core
+# throughput directly: one fixed CPU-bound task alone (t1), then
+# CPUS copies concurrently in separate processes (no GIL, wall
+# t_par) → effective cores = CPUS·t1/t_par. CORES_REF_EFFECTIVE pins
+# the healthy idle reading on the reference container (the r9
+# adjudication measured 16.3-20.6 effective cores minutes apart on
+# "32 CPUs" — ~16 physical cores with SMT; 20.6 is the uncontended
+# ceiling). cores_drift = ref/measured, so a degraded container
+# reads > 1 exactly like the fixed-workload drift. The reference is
+# calibrated at 32 workers and scales linearly with the configured
+# worker count (an 8-CPU local loop compares against 20·8/32 = 5).
+BURN_ITERS = 4_000_000
+CORES_REF_EFFECTIVE = 20.0
+CORES_REF_CPUS = 32
+
+
+def _burn_task(_: int = 0) -> float:
+    """Fixed CPU-bound work unit (integer LCG chain — no memory
+    pressure, no syscalls); module-level so ProcessPoolExecutor can
+    pickle it under any start method."""
+    t0 = time.perf_counter()
+    x = 1
+    for _i in range(BURN_ITERS):
+        x = (x * 1103515245 + 12345) % 2147483648
+    return time.perf_counter() - t0
+
+
+def _measure_effective_cores(cpus: int) -> float:
+    """CPUS concurrent copies of the burn vs one alone: the ratio of
+    aggregate to single-task throughput is the container's effective
+    core count for a CPU-saturating stage (the r9 ad-hoc burn,
+    PLANS.md r9 adjudication, as a first-class channel)."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    t1 = min(_burn_task(), _burn_task())  # best-of-2 single baseline
+    with ProcessPoolExecutor(max_workers=cpus) as pool:
+        t0 = time.perf_counter()
+        list(pool.map(_burn_task, range(cpus)))
+        t_par = time.perf_counter() - t0
+    return round(min(cpus * t1 / t_par, float(cpus)), 1)
 
 
 def _run_calibration(spark) -> list[float]:
-    """Four back-to-back runs of the fixed workload; the first pays
-    its own codegen (reported but excluded from the median)."""
+    """One block (CAL_RUNS_PER_BLOCK back-to-back runs) of the fixed
+    workload; the first run of the block pays its own codegen
+    (reported but excluded from the median by the block slicing)."""
     from pyspark.sql import functions as F
 
     runs: list[float] = []
-    for _ in range(4):
+    for _ in range(CAL_RUNS_PER_BLOCK):
         t0 = time.perf_counter()
         (
             spark.range(0, CAL_ROWS, 1, 32)
@@ -102,6 +153,20 @@ _ISOLATE_DEFAULT = [
     "simhash_hamming_curve",
     "embedding_knn_graph",
 ]
+
+
+def _band_moved_tags(
+    old: dict[str, float], new: dict[str, float], band: float
+) -> list[str]:
+    """Tags (cold/warm) whose new isolated timing exceeds 2× the
+    prior committed timing after drift adjustment (`band` =
+    drift_used_now / drift_used_prev) — the re-run trigger of the
+    ambience gate (VERDICT r9 "What's wrong" #2)."""
+    return [
+        tag
+        for tag in ("cold", "warm")
+        if tag in old and old[tag] > 0 and new.get(tag, 0.0) / (old[tag] * band) > 2.0
+    ]
 
 
 def _run_one_isolated(name: str, sf_dir: str, cpus: str) -> dict[str, float]:
@@ -176,8 +241,10 @@ def main() -> None:
 
     # calibration BEFORE the suite (post-warm-up): ambient container
     # speed this run, on a workload that can never change with the
-    # registry
+    # registry — both channels: the fixed Spark workload and the
+    # effective-cores burn
     cal_runs = _run_calibration(spark)
+    cores_samples = [_measure_effective_cores(int(cpus))]
 
     from datatransformertools_spark.caching import release_caches
 
@@ -194,6 +261,7 @@ def main() -> None:
         # make `drift` an integral over the suite's actual window.
         if i == mid:
             cal_runs += _run_calibration(spark)
+            cores_samples.append(_measure_effective_cores(int(cpus)))
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -209,19 +277,52 @@ def main() -> None:
         if i % 8 == 7:
             spark._jvm.System.gc()
 
-    # end-of-suite calibration sample, then the drift statistic:
-    # median over every steady-state run (each 4-run block's first
-    # run pays codegen/arrival effects and is excluded)
+    # end-of-suite calibration sample, then the drift statistics:
+    # fixed-workload median over every steady-state run (each
+    # block's first run pays codegen/arrival effects and is
+    # excluded; block size shared with _run_calibration — ADVICE r9)
     cal_runs += _run_calibration(spark)
-    steady = [r for b in range(0, len(cal_runs), 4) for r in cal_runs[b + 1 : b + 4]]
+    cores_samples.append(_measure_effective_cores(int(cpus)))
+    steady = [
+        r
+        for b in range(0, len(cal_runs), CAL_RUNS_PER_BLOCK)
+        for r in cal_runs[b + 1 : b + CAL_RUNS_PER_BLOCK]
+    ]
     cal_median = sorted(steady)[len(steady) // 2]
     drift = round(cal_median / CAL_REF_SEC, 3)
+    # second channel: effective-cores deficit vs the idle reference.
+    # The normalization uses WHICHEVER channel moved more (VERDICT
+    # r9 #5: wide stages can degrade 1.65× while the fixed workload
+    # reads 1.24 — the burn sees the multi-core loss directly).
+    cores_median = sorted(cores_samples)[len(cores_samples) // 2]
+    cores_ref = CORES_REF_EFFECTIVE * int(cpus) / CORES_REF_CPUS
+    cores_drift = round(cores_ref / max(cores_median, 0.1), 3)
+    drift_used = max(drift, cores_drift)
+
+    # Previous committed detail — the ambience band the isolated
+    # entries are gated against (VERDICT r9 "What's wrong" #2: the
+    # committed artifact carried 3× ambient-inflated isolated rows a
+    # future round would misread as regressions; now any entry whose
+    # drift-adjusted cold/warm moved >2× is re-run once and the
+    # adjudication travels IN the artifact).
+    prev_path = Path(_REPO_ROOT) / "BENCH_DETAIL.json"
+    prev: dict = {}
+    if prev_path.exists():
+        try:
+            prev = json.loads(prev_path.read_text())
+        except Exception:  # noqa: BLE001 — a corrupt old artifact shouldn't kill the bench
+            prev = {}
+    prev_iso: dict = prev.get("isolated", {})
+    prev_drift = float(prev.get("calibration", {}).get("drift_used",
+                       prev.get("calibration", {}).get("drift", 1.0)) or 1.0)
 
     # isolated re-timings for the iterative family (fresh JVM each;
     # see module docstring). Skippable for quick local loops.
     isolated: dict[str, dict[str, float]] = {}
+    iso_adjudication: dict[str, dict] = {}
     if os.environ.get("SPARK_GRAFT_SKIP_ISOLATED") != "1":
         spark.stop()  # free the 32-thread JVM before forking fresh ones
+        band = max(drift_used, 1e-9) / max(prev_drift, 1e-9)
         for name in _ISOLATE_DEFAULT:
             if name in queries:
                 try:
@@ -229,6 +330,40 @@ def main() -> None:
                 except Exception as e:  # noqa: BLE001 — a broken iso run shouldn't kill the bench
                     isolated[name] = {}
                     print(f"isolated {name} failed: {e}", file=sys.stderr)
+                    continue
+                # ambience-band gate: if a tag moved >2× vs the prior
+                # committed run AFTER drift adjustment, re-run once;
+                # keep the faster pass (a spike that vanishes on
+                # re-run is scheduler noise, not the plan) and record
+                # both so the artifact adjudicates itself.
+                old = prev_iso.get(name) or {}
+                moved = _band_moved_tags(old, isolated[name], band)
+                if moved:
+                    try:
+                        rerun = _run_one_isolated(name, sf_dir, cpus)
+                    except Exception as e:  # noqa: BLE001
+                        print(f"isolated rerun {name} failed: {e}", file=sys.stderr)
+                        continue
+                    first = dict(isolated[name])
+                    kept = {
+                        tag: min(first.get(tag, rerun[tag]), rerun[tag]) for tag in rerun
+                    }
+                    verdict = (
+                        "ambient-spike"
+                        if all(
+                            rerun.get(t, 0.0) / (old[t] * band) <= 2.0 for t in moved
+                        )
+                        else "confirmed-mover"
+                    )
+                    isolated[name] = kept
+                    iso_adjudication[name] = {
+                        "moved_tags": moved,
+                        "first": first,
+                        "rerun": rerun,
+                        "prev": {t: old.get(t) for t in ("cold", "warm")},
+                        "drift_band": round(band, 3),
+                        "verdict": verdict,
+                    }
 
     # Full per-query detail: one JSON line for automation reading the
     # whole log, AND rewritten to a repo artifact (driver stdout is
@@ -238,11 +373,17 @@ def main() -> None:
         "median": cal_median,
         "ref_sec": CAL_REF_SEC,
         "drift": drift,
-        "normalized_total_sec": round(sum(timings.values()) / max(drift, 1e-9), 1),
+        "cores_samples": cores_samples,
+        "cores_median": cores_median,
+        "cores_ref": cores_ref,
+        "cores_drift": cores_drift,
+        "drift_used": drift_used,
+        "normalized_total_sec": round(sum(timings.values()) / max(drift_used, 1e-9), 1),
     }
     detail = {
         "detail": timings,
         "isolated": isolated,
+        "isolated_adjudication": iso_adjudication,
         "calibration": calibration,
         "sf": sf_val,
         "cpus": int(cpus),
@@ -269,7 +410,13 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in sorted(slowest.items())},
         "queries_note": f"25 slowest of {len(timings)}; full map in BENCH_DETAIL.json",
         "families": {k: round(v, 1) for k, v in sorted(fams.items())},
-        "calibration": {"median": cal_median, "drift": drift},
+        "calibration": {
+            "median": cal_median,
+            "drift": drift,
+            "cores": cores_median,
+            "cores_drift": cores_drift,
+            "drift_used": drift_used,
+        },
         "sf": sf_val,
         "n_queries": len(timings),
         "cpus": int(cpus),

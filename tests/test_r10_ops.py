@@ -68,6 +68,50 @@ def test_server_pipeline_kernels_fuse_without_shuffle(spark, sf_dir):
     assert plan.count("Exchange") == 3, plan
 
 
+def test_bench_calibration_block_slicing_is_structural():
+    """ADVICE r9: the steady-state drift slice must derive from the
+    same constant _run_calibration uses, so changing the block size
+    can't silently misalign the codegen-run exclusion. Replay the
+    slicing over synthetic blocks where each block's first run is a
+    marker value — no marker may survive into the steady set."""
+    from bench import CAL_RUNS_PER_BLOCK
+
+    marker, steady_val, n_blocks = 99.0, 0.5, 3
+    cal_runs = ([marker] + [steady_val] * (CAL_RUNS_PER_BLOCK - 1)) * n_blocks
+    steady = [
+        r
+        for b in range(0, len(cal_runs), CAL_RUNS_PER_BLOCK)
+        for r in cal_runs[b + 1 : b + CAL_RUNS_PER_BLOCK]
+    ]
+    assert marker not in steady
+    assert len(steady) == n_blocks * (CAL_RUNS_PER_BLOCK - 1)
+
+
+def test_bench_ambience_band_gate():
+    """The isolated-entry re-run trigger (VERDICT r9 #2): >2× after
+    drift adjustment fires, anything inside the band does not, and
+    a missing/zero prior never fires."""
+    from bench import _band_moved_tags
+
+    old = {"cold": 10.0, "warm": 5.0}
+    assert _band_moved_tags(old, {"cold": 11.0, "warm": 16.0}, band=1.2) == ["warm"]
+    assert _band_moved_tags(old, {"cold": 19.0, "warm": 9.0}, band=1.0) == []
+    # drift adjustment: a 3× raw move inside a 2× ambience band stays
+    assert _band_moved_tags(old, {"warm": 15.0}, band=2.0) == []
+    assert _band_moved_tags({}, {"warm": 100.0}, band=1.0) == []
+    assert _band_moved_tags({"warm": 0.0}, {"warm": 100.0}, band=1.0) == []
+
+
+def test_bench_effective_cores_burn_is_sane():
+    """The second calibration channel returns a plausible reading:
+    more than one effective core on this 32-thread container, and
+    never more than the worker count."""
+    from bench import _measure_effective_cores
+
+    cores = _measure_effective_cores(8)
+    assert 1.0 < cores <= 8.0
+
+
 def test_server_pipeline_checksum_tracks_annotation_content(spark, sf_dir):
     """The per-page checksum is an order-independent SUM of 32-bit
     annotation hashes — recomputing it from the same plan is stable,
