@@ -73,23 +73,28 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
     # they are ALSO r3-stale rows, so they sit in the refill below);
     # (4) `events_stream_enrich` migrated off its complete-mode
     # exemption (VERDICT r9 #7 — also an r3-stale row, refill
-    # below). Then freshness refill: ALL 42 remaining r3-certified
-    # rows + the alphabetically-first r4 rows that fit — after this
-    # window no row's latest driver certification is older than r4
-    # (exactly 2 + 42 + 6 = 50; list counts verified by
+    # below); (5) the NEW `events_stream_interval_join_full` —
+    # full-outer stream-stream interval join, completing the
+    # inner/left-outer/full-outer join matrix (house rule: certify
+    # in the round it lands). Then freshness refill: ALL 42
+    # remaining r3-certified rows + the alphabetically-first r4
+    # rows that fit — after this window no row's latest driver
+    # certification is older than r4 (exactly 3 + 42 + 5 = 50; list
+    # counts verified by
     # tests/test_oracle_parity.py::test_gate_rotation_head_is_exact).
     # Every row passes the identical dtype-strict gate locally via
     # tests/test_oracle_parity.py.
     queue_head = [
         # new in r10 — certify in the round it lands (house rule)
         "server_pipeline",
+        "events_stream_interval_join_full",
         # pagination kernel shared out to _pdf_pages_frame
         "pdf_to_pages",
     ]
     # Freshness refill: every remaining r3-certified row (42 — this
     # includes the broadcast-fix rows detection_eval_ap/_map and the
     # stream-enrich migration), then the alphabetically-first r4
-    # rows (6 fit after the 2-row head: 2 + 42 + 6 = 50; counts
+    # rows (5 fit after the 3-row head: 3 + 42 + 5 = 50; counts
     # pinned by test_gate_rotation_head_is_exact; the trimmed r4
     # rows pre-stage the r11 refill).
     refill = [

@@ -781,6 +781,150 @@ GROUP BY user_id
 """
 
 
+def events_stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM **full-outer** interval join under the gate —
+    the last stream-stream join shape Structured Streaming supports
+    that the inner/left-outer twins don't certify: BOTH sides
+    null-emit. A click with no purchase in [click, click+30min]
+    emits (click, null) once the watermark passes its horizon, AND a
+    purchase no click window covers emits (null, purchase) once its
+    own state evicts — the symmetric eviction machinery a
+    bidirectional attribution audit needs on an unbounded feed
+    (which orphan purchases exist is as much a data-quality signal
+    as which clicks never converted).
+
+    Determinism at the horizon (same discipline as the left-outer
+    twin, applied to BOTH sides): eviction strictness at the exact
+    watermark is an engine internal, so the drained result keeps
+    only rows whose present sides sit a full watermark-delay below
+    the final watermark (null sides pass vacuously). Matched pairs
+    emit on arrival and null rows in the safe region have provably
+    final match status under either strictness, so the DuckDB
+    full-join replay with the identical per-side cut hash-matches
+    without modeling microbatch timing."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F  # noqa: F811 (self-contained)
+
+    from datatransformertools_spark.sources.tables import load_table
+
+    def _side(prefix: str, event_type: str, user: str, tcol: str, ucol: str) -> DataFrame:
+        src_dir = tempfile.mkdtemp(prefix=prefix)
+        os.symlink(
+            os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events.parquet"
+        )
+        raw = _read_raw(spark, src_dir)
+        return (
+            raw.filter(F.col("event_type") == event_type)
+            .withColumn(tcol, events_event_time(raw))
+            .withColumn(ucol, events_ts_us(raw))
+            .select(F.col("user_id").alias(user), F.col(tcol), F.col(ucol))
+            .withWatermark(tcol, "60 minutes")
+        )
+
+    clicks = _side("dtt-stream-fj-c-", "click", "c_user", "click_time", "click_us")
+    purchases = _side("dtt-stream-fj-p-", "purchase", "p_user", "purchase_time", "purchase_us")
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            c_user = p_user AND
+            purchase_time >= click_time AND
+            purchase_time <= click_time + interval 30 minutes
+            """
+        ),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+        "click_us",
+        "purchase_us",
+    )
+    name = f"stream_interval_fj_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="dtt-stream-fj-ckpt-"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # final global watermark from the data (min-across-sources), as
+    # the left-outer twin — two 1-row bounded batch aggregates.
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = events_ts_us(ev)
+    maxes = ev.groupBy("event_type").agg(F.max(ts_us).alias("m")).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    side_max = {r["event_type"]: r["m"] for r in maxes.collect()}
+    missing = {"click", "purchase"} - side_max.keys()
+    if missing:
+        raise ValueError(f"events table has no rows for event_type(s): {sorted(missing)}")
+    wm_us = min(side_max.values()) - _IJ_WATERMARK_US
+    safe_cut = wm_us - _IJ_INTERVAL_US - _IJ_SAFE_SLACK_US
+    in_band = (F.col("click_us").isNull() | (F.col("click_us") <= F.lit(safe_cut))) & (
+        F.col("purchase_us").isNull() | (F.col("purchase_us") <= F.lit(safe_cut))
+    )
+    return (
+        spark.table(name)
+        .filter(in_band)
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                (F.col("click_us").isNotNull() & F.col("purchase_us").isNotNull()).cast("long")
+            ).alias("n_pairs"),
+            F.sum(
+                (F.col("click_us").isNotNull() & F.col("purchase_us").isNull()).cast("long")
+            ).alias("n_click_only"),
+            F.sum(
+                (F.col("click_us").isNull() & F.col("purchase_us").isNotNull()).cast("long")
+            ).alias("n_purchase_only"),
+            F.sum(F.coalesce(F.col("purchase_us") - F.col("click_us"), F.lit(0))).alias(
+                "total_lag_us"
+            ),
+        )
+    )
+
+
+EVENTS_STREAM_INTERVAL_JOIN_FULL_SQL = f"""
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS cus FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, epoch_us(ts) AS pus FROM events WHERE event_type = 'purchase'
+),
+wm AS (
+  SELECT least((SELECT max(cus) FROM c), (SELECT max(pus) FROM p))
+         - {_IJ_WATERMARK_US} AS wm_us
+),
+j AS (
+  SELECT coalesce(c.user_id, p.user_id) AS user_id, c.cus, p.pus
+  FROM c FULL JOIN p
+    ON p.user_id = c.user_id
+   AND p.pus >= c.cus AND p.pus <= c.cus + {_IJ_INTERVAL_US}
+),
+safe AS (
+  SELECT j.* FROM j, wm
+  WHERE (cus IS NULL OR cus <= wm_us - {_IJ_INTERVAL_US} - {_IJ_SAFE_SLACK_US})
+    AND (pus IS NULL OR pus <= wm_us - {_IJ_INTERVAL_US} - {_IJ_SAFE_SLACK_US})
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN cus IS NOT NULL AND pus IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pairs,
+       CAST(sum(CASE WHEN cus IS NOT NULL AND pus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_click_only,
+       CAST(sum(CASE WHEN cus IS NULL AND pus IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchase_only,
+       CAST(sum(COALESCE(pus - cus, 0)) AS BIGINT) AS total_lag_us
+FROM safe
+GROUP BY user_id
+"""
+
+
 def events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STATIC join executed as a stream: each micro-batch of
     the event stream joins a STATIC per-type reference table (the
@@ -1600,6 +1744,10 @@ QUERIES = {
     "events_stream_interval_join": (
         events_stream_interval_join,
         EVENTS_STREAM_INTERVAL_JOIN_SQL,
+    ),
+    "events_stream_interval_join_full": (
+        events_stream_interval_join_full,
+        EVENTS_STREAM_INTERVAL_JOIN_FULL_SQL,
     ),
     "events_stream_interval_join_outer": (
         events_stream_interval_join_outer,

@@ -68,6 +68,30 @@ def test_server_pipeline_kernels_fuse_without_shuffle(spark, sf_dir):
     assert plan.count("Exchange") == 3, plan
 
 
+def test_stream_full_outer_join_emits_both_null_sides(spark, sf_dir):
+    """The full-outer stream-stream interval join must exercise
+    BOTH null-emission paths at test SF — unmatched clicks AND
+    orphan purchases — plus at least one matched pair; otherwise
+    the op certifies nothing the left-outer twin doesn't. Matched
+    pairs carry both sides; null rows carry exactly one."""
+    from datatransformertools_spark.streaming.events import (
+        events_stream_interval_join_full,
+    )
+
+    rows = events_stream_interval_join_full(spark, sf_dir).collect()
+    assert rows
+    assert sum(r.n_pairs for r in rows) > 0
+    assert sum(r.n_click_only for r in rows) > 0
+    assert sum(r.n_purchase_only for r in rows) > 0
+    # lag accumulates only on matched pairs, and pairs lag within
+    # the 30-minute join window
+    for r in rows:
+        if r.n_pairs == 0:
+            assert r.total_lag_us == 0
+        else:
+            assert 0 <= r.total_lag_us <= r.n_pairs * 30 * 60 * 1_000_000
+
+
 def test_bench_calibration_block_slicing_is_structural():
     """ADVICE r9: the steady-state drift slice must derive from the
     same constant _run_calibration uses, so changing the block size
