@@ -342,6 +342,18 @@ def main() -> None:
                     try:
                         rerun = _run_one_isolated(name, sf_dir, cpus)
                     except Exception as e:  # noqa: BLE001
+                        # the suspect first numbers stay, but the
+                        # artifact must still carry the flag — an
+                        # unadjudicated inflated row is exactly the
+                        # defect this gate exists to prevent
+                        iso_adjudication[name] = {
+                            "moved_tags": moved,
+                            "first": dict(isolated[name]),
+                            "rerun": None,
+                            "prev": {t: old.get(t) for t in ("cold", "warm")},
+                            "drift_band": round(band, 3),
+                            "verdict": "rerun-failed (first numbers suspect)",
+                        }
                         print(f"isolated rerun {name} failed: {e}", file=sys.stderr)
                         continue
                     first = dict(isolated[name])

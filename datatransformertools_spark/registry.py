@@ -76,11 +76,14 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
     # below); (5) the NEW `events_stream_interval_join_full` —
     # full-outer stream-stream interval join, completing the
     # inner/left-outer/full-outer join matrix (house rule: certify
-    # in the round it lands). Then freshness refill: ALL 42
-    # remaining r3-certified rows + the alphabetically-first r4
+    # in the round it lands); (6) `events_stream_interval_join_outer`,
+    # whose _side/final-watermark blocks were hoisted into shared
+    # module helpers (internals changed, face unchanged; the inner
+    # twin is already in the r3 refill). Then freshness refill: ALL
+    # 42 remaining r3-certified rows + the alphabetically-first r4
     # rows that fit — after this window no row's latest driver
-    # certification is older than r4 (exactly 3 + 42 + 5 = 50; list
-    # counts verified by
+    # certification is older than r4 (exactly 3 + 1 + 42 + 4 = 50;
+    # list counts verified by
     # tests/test_oracle_parity.py::test_gate_rotation_head_is_exact).
     # Every row passes the identical dtype-strict gate locally via
     # tests/test_oracle_parity.py.
@@ -93,10 +96,11 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
     ]
     # Freshness refill: every remaining r3-certified row (42 — this
     # includes the broadcast-fix rows detection_eval_ap/_map and the
-    # stream-enrich migration), then the alphabetically-first r4
-    # rows (5 fit after the 3-row head: 3 + 42 + 5 = 50; counts
-    # pinned by test_gate_rotation_head_is_exact; the trimmed r4
-    # rows pre-stage the r11 refill).
+    # stream-enrich migration), then the r10-touched outer interval
+    # join, then the alphabetically-first r4 rows (4 fit after the
+    # 3-row head: 3 + 42 + 1 + 4 = 50; counts pinned by
+    # test_gate_rotation_head_is_exact; the trimmed r4 rows
+    # pre-stage the r11 refill).
     refill = [
         # --- all remaining r3-certified rows (42) ---
         "ann_pq_topk",
@@ -141,8 +145,13 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "supplier_lead_time",
         "yolo_label_roundtrip",
         "zorder_layout",
+        # --- the r10-touched interval-join family (the _side /
+        # final-watermark helpers hoisted to module level — internals
+        # changed, faces unchanged; the inner twin is already above
+        # in the r3 refill) ---
+        "events_stream_interval_join_outer",
         # --- oldest (alphabetically-first) r4-certified rows; the
-        # first 6 fit the window, the rest pre-stage the r11 refill ---
+        # first 4 fit the window, the rest pre-stage the r11 refill ---
         "audio_frame_energy",
         "customer_rfm",
         "dedup_cluster_sizes",

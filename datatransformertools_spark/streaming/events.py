@@ -565,6 +565,52 @@ GROUP BY 1
 """
 
 
+def _interval_join_side(
+    spark: SparkSession, sf_dir: str, prefix: str, event_type: str,
+    user: str, tcol: str, ucol: str,
+) -> DataFrame:
+    """One side of the stream-stream interval-join family: a typed
+    event stream staged as its own file-source directory (in
+    production, its own topic/landing zone), watermarked 60 minutes.
+    Shared by the inner / left-outer / full-outer twins so the
+    staging and watermark policy live in exactly one place."""
+    import os
+    import tempfile
+
+    src_dir = tempfile.mkdtemp(prefix=prefix)
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events.parquet")
+    raw = _read_raw(spark, src_dir)
+    return (
+        raw.filter(F.col("event_type") == event_type)
+        .withColumn(tcol, events_event_time(raw))
+        .withColumn(ucol, events_ts_us(raw))
+        .select(F.col("user_id").alias(user), F.col(tcol), F.col(ucol))
+        .withWatermark(tcol, "60 minutes")
+    )
+
+
+def _final_interval_watermark_us(spark: SparkSession, sf_dir: str) -> int:
+    """The drained stream's final global watermark, recomputed from
+    the data via two 1-row bounded batch aggregates: min across
+    sides of max event time, minus the 60-minute delay — the
+    engine's min-across-sources policy. Raises when either side has
+    no rows (min over one present side would silently advance the
+    watermark past unseen data). Shared by the outer/full twins'
+    safe-region cuts."""
+    from datatransformertools_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = events_ts_us(ev)
+    maxes = ev.groupBy("event_type").agg(F.max(ts_us).alias("m")).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    side_max = {r["event_type"]: r["m"] for r in maxes.collect()}
+    missing = {"click", "purchase"} - side_max.keys()
+    if missing:
+        raise ValueError(f"events table has no rows for event_type(s): {sorted(missing)}")
+    return min(side_max.values()) - _IJ_WATERMARK_US
+
+
 def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STREAM interval join executed as a stream and
     value-checked by the gate: a `click` stream inner-joins a
@@ -579,34 +625,15 @@ def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded 100 TB/day feed. The drained pairs are then collapsed
     per user into exact-integer (n_pairs, total/max lag) so the
     DuckDB range-join oracle hashes stably."""
-    import os
     import tempfile
     import uuid
 
-    from pyspark.sql import functions as F  # noqa: F811 (self-contained)
-
-    # stage each side as its own file-source directory: in production
-    # these are two topics/landing zones (clicks, purchases)
-    def _side(prefix: str, event_type: str, user: str, tcol: str, ucol: str) -> DataFrame:
-        src_dir = tempfile.mkdtemp(prefix=prefix)
-        os.symlink(
-            os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events.parquet"
-        )
-        raw = _read_raw(spark, src_dir)
-        return (
-            raw.filter(F.col("event_type") == event_type)
-            .withColumn(tcol, events_event_time(raw))
-            .withColumn(ucol, events_ts_us(raw))
-            .select(
-                F.col("user_id").alias(user),
-                F.col(tcol),
-                F.col(ucol),
-            )
-            .withWatermark(tcol, "60 minutes")
-        )
-
-    clicks = _side("dtt-stream-ij-c-", "click", "c_user", "click_time", "click_us")
-    purchases = _side("dtt-stream-ij-p-", "purchase", "p_user", "purchase_time", "purchase_us")
+    clicks = _interval_join_side(
+        spark, sf_dir, "dtt-stream-ij-c-", "click", "c_user", "click_time", "click_us"
+    )
+    purchases = _interval_join_side(
+        spark, sf_dir, "dtt-stream-ij-p-", "purchase", "p_user", "purchase_time", "purchase_us"
+    )
     joined = clicks.join(
         purchases,
         F.expr(
@@ -669,30 +696,15 @@ def events_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataF
     DuckDB left-join replay hash-matches without modeling microbatch
     timing. The boundary exclusion is applied identically in both
     engines."""
-    import os
     import tempfile
     import uuid
 
-    from pyspark.sql import functions as F  # noqa: F811 (self-contained)
-
-    from datatransformertools_spark.sources.tables import load_table
-
-    def _side(prefix: str, event_type: str, user: str, tcol: str, ucol: str) -> DataFrame:
-        src_dir = tempfile.mkdtemp(prefix=prefix)
-        os.symlink(
-            os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events.parquet"
-        )
-        raw = _read_raw(spark, src_dir)
-        return (
-            raw.filter(F.col("event_type") == event_type)
-            .withColumn(tcol, events_event_time(raw))
-            .withColumn(ucol, events_ts_us(raw))
-            .select(F.col("user_id").alias(user), F.col(tcol), F.col(ucol))
-            .withWatermark(tcol, "60 minutes")
-        )
-
-    clicks = _side("dtt-stream-oj-c-", "click", "c_user", "click_time", "click_us")
-    purchases = _side("dtt-stream-oj-p-", "purchase", "p_user", "purchase_time", "purchase_us")
+    clicks = _interval_join_side(
+        spark, sf_dir, "dtt-stream-oj-c-", "click", "c_user", "click_time", "click_us"
+    )
+    purchases = _interval_join_side(
+        spark, sf_dir, "dtt-stream-oj-p-", "purchase", "p_user", "purchase_time", "purchase_us"
+    )
     joined = clicks.join(
         purchases,
         F.expr(
@@ -720,22 +732,9 @@ def events_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataF
         )
         q.awaitTermination(300)
 
-    # final global watermark, recomputed from the data via two 1-row
-    # batch aggregates (bounded): min across sides of max event time,
-    # minus the 60-minute delay — the engine's min-across-sources
-    # policy.
-    ev = load_table(spark, sf_dir, "events")
-    ts_us = events_ts_us(ev)
-    maxes = ev.groupBy("event_type").agg(F.max(ts_us).alias("m")).filter(
-        F.col("event_type").isin("click", "purchase")
-    )
-    side_max = {r["event_type"]: r["m"] for r in maxes.collect()}
-    missing = {"click", "purchase"} - side_max.keys()
-    if missing:
-        # min over one present side would silently advance the
-        # watermark past unseen data; fail loudly instead.
-        raise ValueError(f"events table has no rows for event_type(s): {sorted(missing)}")
-    wm_us = min(side_max.values()) - _IJ_WATERMARK_US
+    # final global watermark recomputed from the data (shared
+    # helper; see _final_interval_watermark_us)
+    wm_us = _final_interval_watermark_us(spark, sf_dir)
     safe_cut = wm_us - _IJ_INTERVAL_US - _IJ_SAFE_SLACK_US
     return (
         spark.table(name)
@@ -802,30 +801,15 @@ def events_stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFr
     final match status under either strictness, so the DuckDB
     full-join replay with the identical per-side cut hash-matches
     without modeling microbatch timing."""
-    import os
     import tempfile
     import uuid
 
-    from pyspark.sql import functions as F  # noqa: F811 (self-contained)
-
-    from datatransformertools_spark.sources.tables import load_table
-
-    def _side(prefix: str, event_type: str, user: str, tcol: str, ucol: str) -> DataFrame:
-        src_dir = tempfile.mkdtemp(prefix=prefix)
-        os.symlink(
-            os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events.parquet"
-        )
-        raw = _read_raw(spark, src_dir)
-        return (
-            raw.filter(F.col("event_type") == event_type)
-            .withColumn(tcol, events_event_time(raw))
-            .withColumn(ucol, events_ts_us(raw))
-            .select(F.col("user_id").alias(user), F.col(tcol), F.col(ucol))
-            .withWatermark(tcol, "60 minutes")
-        )
-
-    clicks = _side("dtt-stream-fj-c-", "click", "c_user", "click_time", "click_us")
-    purchases = _side("dtt-stream-fj-p-", "purchase", "p_user", "purchase_time", "purchase_us")
+    clicks = _interval_join_side(
+        spark, sf_dir, "dtt-stream-fj-c-", "click", "c_user", "click_time", "click_us"
+    )
+    purchases = _interval_join_side(
+        spark, sf_dir, "dtt-stream-fj-p-", "purchase", "p_user", "purchase_time", "purchase_us"
+    )
     joined = clicks.join(
         purchases,
         F.expr(
@@ -853,18 +837,9 @@ def events_stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFr
         )
         q.awaitTermination(300)
 
-    # final global watermark from the data (min-across-sources), as
-    # the left-outer twin — two 1-row bounded batch aggregates.
-    ev = load_table(spark, sf_dir, "events")
-    ts_us = events_ts_us(ev)
-    maxes = ev.groupBy("event_type").agg(F.max(ts_us).alias("m")).filter(
-        F.col("event_type").isin("click", "purchase")
-    )
-    side_max = {r["event_type"]: r["m"] for r in maxes.collect()}
-    missing = {"click", "purchase"} - side_max.keys()
-    if missing:
-        raise ValueError(f"events table has no rows for event_type(s): {sorted(missing)}")
-    wm_us = min(side_max.values()) - _IJ_WATERMARK_US
+    # final global watermark recomputed from the data (shared
+    # helper; see _final_interval_watermark_us)
+    wm_us = _final_interval_watermark_us(spark, sf_dir)
     safe_cut = wm_us - _IJ_INTERVAL_US - _IJ_SAFE_SLACK_US
     in_band = (F.col("click_us").isNull() | (F.col("click_us") <= F.lit(safe_cut))) & (
         F.col("purchase_us").isNull() | (F.col("purchase_us") <= F.lit(safe_cut))

@@ -247,7 +247,10 @@ def test_registry_sweep_no_unaudited_broadcast_hints(spark, sf_dir):
     JVM-log HintErrorLogger warning — the intended broadcast quietly
     becomes a shuffle (the r9 detection_eval_ap defect,
     evaluation.py:718 pre-fix). Here that shape fails the test
-    instead of scrolling past in a log."""
+    instead of scrolling past in a log. Scope: every BATCH plan in
+    the registry; streaming queries run their own drain when called,
+    so their pre-sink plans are out of reach — the source-level twin
+    (test_no_hinted_caller_outer_joins_in_source) covers them."""
     bad = []
     dropped = []
     for name in _QUERIES:
@@ -265,6 +268,55 @@ def test_registry_sweep_no_unaudited_broadcast_hints(spark, sf_dir):
         "broadcast hints Spark cannot plan (unbuildable side — the hint "
         "is silently dropped; move it to the probe side or remove it):\n"
         + "\n".join(dropped)
+    )
+
+
+def test_no_hinted_caller_outer_joins_in_source():
+    """Source-level twin of the dropped-hint sweep, covering the code
+    the PLAN sweep cannot: streaming queries execute their own
+    writeStream drain when called, so their pre-sink plans never
+    reach _plans_hints_only — a `F.broadcast(x).join(y, …,
+    "left")`-shaped hint there would be dropped invisibly. Ban the
+    textual shape package-wide: a broadcast-hinted frame must never
+    be the CALLER of an outer/semi/anti join (the caller is the left
+    side, which those join types cannot build). Inner joins with a
+    hinted caller are fine (either side can build) and the plan
+    sweep still verifies every batch hint realizes."""
+    import re as _re
+    from pathlib import Path
+
+    import datatransformertools_spark as pkg
+
+    pkg_root = Path(pkg.__file__).parent
+    bad_type = _re.compile(
+        r"""["'](?:left|left_outer|leftouter|right|right_outer|rightouter|"""
+        r"""full|full_outer|fullouter|outer|semi|left_semi|leftsemi|"""
+        r"""anti|left_anti|leftanti)["']"""
+    )
+    offenders = []
+    for path in sorted(pkg_root.rglob("*.py")):
+        # strip line comments so prose QUOTING the banned shape (e.g.
+        # the evaluation.py fix rationale) doesn't trip the lint
+        src = "\n".join(
+            line.split("#", 1)[0] for line in path.read_text().splitlines()
+        )
+        for m in _re.finditer(r"F\.broadcast\([^()]*\)\s*\.join\(", src):
+            # the join type literal, if any, sits inside this call's
+            # argument list — scan a bounded window past the match
+            window = src[m.end() : m.end() + 400]
+            depth, end = 1, len(window)
+            for i, ch in enumerate(window):
+                depth += (ch == "(") - (ch == ")")
+                if depth == 0:
+                    end = i
+                    break
+            if bad_type.search(window[:end]):
+                line = src[: m.start()].count("\n") + 1
+                offenders.append(f"{path.relative_to(pkg_root)}:{line}")
+    assert not offenders, (
+        "broadcast-hinted frame used as the caller of an outer/semi/anti "
+        "join (Spark cannot build the left side — the hint is silently "
+        f"dropped): {offenders}"
     )
 
 
