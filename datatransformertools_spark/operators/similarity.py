@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from datatransformertools_spark.functions.vectors import as_double, cosine_prenormed, norm
+from datatransformertools_spark.functions.vectors import as_double, cosine_prenormed, dot, norm
 from datatransformertools_spark.sources.tables import load_table
 
 TOP_K = 5
@@ -1917,6 +1917,169 @@ LSH_TABLES_RECALL_CURVE_SQL = _lsh_tables_curve_sql()
 
 
 # ---------------------------------------------------------------------------
+# ann_dim_recall_curve — recall@k vs embedding PREFIX dimension
+# ---------------------------------------------------------------------------
+
+# Budget grid of prefix widths (full width last — its row must read
+# recall 1.0 by construction, the same self-check as the LSH curve's
+# widest budget). Matryoshka-style truncation: modern embedding
+# models are trained so prefixes remain usable, and the storage /
+# bandwidth bill at 100 TB scales linearly with the dims kept — this
+# curve is the measured basis for choosing the cut.
+DIM_GRID = [8, 16, 32, 64]
+_DIM_SEGMENTS = list(zip([0, *DIM_GRID[:-1]], DIM_GRID))  # (lo, hi] per segment
+
+
+def ann_dim_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of cosine search over the embedding's first-d
+    coordinates vs the full-dimension exact top-k, for every d on
+    DIM_GRID — the tuning companion for the DIMENSION axis (the
+    index families have probe/table/band/hamming curves; this is
+    the same decision table for Matryoshka-style truncation: read
+    the smallest d whose recall clears the SLO and ship vectors
+    that much smaller).
+
+    Scale design: prefix dots are PREFIX SUMS, so each pair folds
+    every coordinate exactly ONCE — per-vector disjoint segment
+    slices (and their square-sums) are precomputed BEFORE the pair
+    join, the O(pairs) stage computes one dot per segment, and each
+    budget's cosine is a cumulative sum of segment dots over
+    cumulative norms. The query side is the fixed N_QUERIES
+    broadcast (scan streams once, as every ANN op here); ranking is
+    a (dims, query) window over k·|grid|·|queries|-bounded rows;
+    ground truth reuses the audited brute-force plan. The identical
+    segment-then-add arithmetic runs in the DuckDB oracle, so every
+    cosine is bit-stable cross-engine."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    seg_cols = [
+        F.slice("v", lo + 1, hi - lo).alias(f"s{hi}") for lo, hi in _DIM_SEGMENTS
+    ]
+    sq_cols = [
+        F.aggregate(
+            F.slice("v", lo + 1, hi - lo), F.lit(0.0), lambda acc, x: acc + x * x
+        ).alias(f"sq{hi}")
+        for lo, hi in _DIM_SEGMENTS
+    ]
+    pre = emb.select("vec_id", *seg_cols, *sq_cols)
+    seg_names = [f"s{hi}" for _, hi in _DIM_SEGMENTS]
+    sq_names = [f"sq{hi}" for _, hi in _DIM_SEGMENTS]
+    queries = pre.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(c).alias(f"q_{c}") for c in seg_names + sq_names],
+    )
+    cands = pre.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        *[F.col(c).alias(f"c_{c}") for c in seg_names + sq_names],
+    )
+    pairs = cands.crossJoin(F.broadcast(queries))
+    seg_dots = [
+        dot(F.col(f"q_s{hi}"), F.col(f"c_s{hi}")).alias(f"d{hi}")
+        for _, hi in _DIM_SEGMENTS
+    ]
+    scored = pairs.select("query_id", "neighbor_id", *seg_dots,
+                          *[F.col(c) for c in pairs.columns if c.startswith(("q_sq", "c_sq"))])
+    budget_structs = []
+    for k, d in enumerate(DIM_GRID):
+        his = [hi for _, hi in _DIM_SEGMENTS[: k + 1]]
+        cum_dot = sum(F.col(f"d{hi}") for hi in his)
+        qn = F.sqrt(sum(F.col(f"q_sq{hi}") for hi in his))
+        cn = F.sqrt(sum(F.col(f"c_sq{hi}") for hi in his))
+        cos = F.when(qn * cn > 0, cum_dot / (qn * cn)).otherwise(F.lit(0.0))
+        budget_structs.append(
+            F.struct(F.lit(d).alias("dims"), F.round(cos + 1e-9, 6).alias("cos_sim"))
+        )
+    exploded = scored.select(
+        "query_id", "neighbor_id", F.explode(F.array(*budget_structs)).alias("b")
+    ).select("query_id", "neighbor_id", "b.dims", "b.cos_sim")
+    rank = F.row_number().over(
+        Window.partitionBy("dims", "query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id")
+        )
+    )
+    topk = exploded.withColumn("rank", rank).filter(F.col("rank") <= TOP_K)
+    exact = ann_bruteforce_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    denom = float(N_QUERIES * TOP_K)
+    return (
+        topk.join(F.broadcast(exact), ["query_id", "neighbor_id"], "left")
+        .groupBy("dims")
+        .agg(F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"))
+        .select(
+            "dims",
+            "n_hits",
+            F.round(F.col("n_hits") / denom + 1e-9, 6).alias("recall"),
+        )
+    )
+
+
+def _ann_dim_curve_sql() -> str:
+    seg_exprs = []
+    for lo, hi in _DIM_SEGMENTS:
+        seg_exprs.append(
+            f"list_sum(list_transform(range({lo + 1}, {hi + 1}), i -> qv[i] * cv[i])) AS d{hi}"
+        )
+    sq_exprs = [
+        f"list_sum(list_transform(range({lo + 1}, {hi + 1}), i -> v[i] * v[i])) AS sq{hi}"
+        for lo, hi in _DIM_SEGMENTS
+    ]
+    budget_rows = []
+    for k, d in enumerate(DIM_GRID):
+        his = [hi for _, hi in _DIM_SEGMENTS[: k + 1]]
+        cum_dot = " + ".join(f"d{hi}" for hi in his)
+        qn = "sqrt(" + " + ".join(f"q_sq{hi}" for hi in his) + ")"
+        cn = "sqrt(" + " + ".join(f"c_sq{hi}" for hi in his) + ")"
+        budget_rows.append(
+            f"SELECT query_id, neighbor_id, {d} AS dims,\n"
+            f"       round(CASE WHEN {qn} * {cn} > 0\n"
+            f"                  THEN ({cum_dot}) / ({qn} * {cn})\n"
+            f"                  ELSE 0.0 END + 1e-9, 6) AS cos_sim\n"
+            f"FROM segdots"
+        )
+    budgets = "\n  UNION ALL\n  ".join(budget_rows)
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {", ".join(sq_exprs)}
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv, {", ".join(f"sq{hi}" for _, hi in _DIM_SEGMENTS)}
+      FROM e WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, v AS cv, {", ".join(f"sq{hi}" for _, hi in _DIM_SEGMENTS)}
+      FROM e WHERE vec_id >= {N_QUERIES}),
+segdots AS (
+  SELECT q.query_id, c.neighbor_id,
+         {", ".join(seg_exprs)},
+         {", ".join(f"q.sq{hi} AS q_sq{hi}" for _, hi in _DIM_SEGMENTS)},
+         {", ".join(f"c.sq{hi} AS c_sq{hi}" for _, hi in _DIM_SEGMENTS)}
+  FROM q CROSS JOIN c
+),
+scored AS (
+  {budgets}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY dims, query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+),
+topk AS (SELECT * FROM ranked WHERE rank <= {TOP_K}),
+exact AS ({ANN_BRUTEFORCE_SQL})
+SELECT t.dims,
+       CAST(count(x.neighbor_id) AS BIGINT) AS n_hits,
+       round(count(x.neighbor_id) * 1.0 / {N_QUERIES * TOP_K} + 1e-9, 6) AS recall
+FROM topk t
+LEFT JOIN exact x
+  ON t.query_id = x.query_id AND t.neighbor_id = x.neighbor_id
+GROUP BY t.dims
+"""
+
+
+ANN_DIM_RECALL_CURVE_SQL = _ann_dim_curve_sql()
+
+
+# ---------------------------------------------------------------------------
 # ann_ndcg_eval — rank-aware index quality (NDCG@k + MRR vs brute force)
 # ---------------------------------------------------------------------------
 
@@ -3181,6 +3344,7 @@ QUERIES = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     "embedding_knn_graph": (embedding_knn_graph, _embedding_knn_graph_sql()),
     "ann_ivf_probe_curve": (ann_ivf_probe_curve, ANN_IVF_PROBE_CURVE_SQL),
+    "ann_dim_recall_curve": (ann_dim_recall_curve, ANN_DIM_RECALL_CURVE_SQL),
     "ann_range_search": (ann_range_search, ANN_RANGE_SQL),
     "embedding_drift": (embedding_drift, EMBEDDING_DRIFT_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),

@@ -79,11 +79,14 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
     # in the round it lands); (6) `events_stream_interval_join_outer`,
     # whose _side/final-watermark blocks were hoisted into shared
     # module helpers (internals changed, face unchanged; the inner
-    # twin is already in the r3 refill). Then freshness refill: ALL
-    # 42 remaining r3-certified rows + the alphabetically-first r4
-    # rows that fit — after this window no row's latest driver
-    # certification is older than r4 (exactly 3 + 1 + 42 + 4 = 50;
-    # list counts verified by
+    # twin is already in the r3 refill); (7) the NEW
+    # `ann_dim_recall_curve` — recall@k vs embedding prefix width,
+    # the dimension-axis tuning companion (house rule: certify in
+    # the round it lands). Then freshness refill: ALL 42 remaining
+    # r3-certified rows + the alphabetically-first r4 rows that fit
+    # — after this window no row's latest driver certification is
+    # older than r4 (exactly 4 + 42 + 1 + 3 = 50; list counts
+    # verified by
     # tests/test_oracle_parity.py::test_gate_rotation_head_is_exact).
     # Every row passes the identical dtype-strict gate locally via
     # tests/test_oracle_parity.py.
@@ -91,14 +94,15 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         # new in r10 — certify in the round it lands (house rule)
         "server_pipeline",
         "events_stream_interval_join_full",
+        "ann_dim_recall_curve",
         # pagination kernel shared out to _pdf_pages_frame
         "pdf_to_pages",
     ]
     # Freshness refill: every remaining r3-certified row (42 — this
     # includes the broadcast-fix rows detection_eval_ap/_map and the
     # stream-enrich migration), then the r10-touched outer interval
-    # join, then the alphabetically-first r4 rows (4 fit after the
-    # 3-row head: 3 + 42 + 1 + 4 = 50; counts pinned by
+    # join, then the alphabetically-first r4 rows (3 fit after the
+    # 4-row head: 4 + 42 + 1 + 3 = 50; counts pinned by
     # test_gate_rotation_head_is_exact; the trimmed r4 rows
     # pre-stage the r11 refill).
     refill = [

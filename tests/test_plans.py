@@ -225,6 +225,10 @@ _HINT_BROADCAST_ALLOWLIST = {
     "source_epoch_schedule": 1,  # 1-row normalizing-totals scalar
     # --- new in r9, all constants-bounded ---
     "ann_ndcg_eval": 2,  # exact + approx top-k shortlists (query sides)
+    # --- new in r10 ---
+    # segment query side + exact-truth hint + the reused brute-force
+    # subplan's own query-side broadcast, all |queries|/k-bounded
+    "ann_dim_recall_curve": 3,
     "token_budget_sample": 1,  # ≤1-row-per-source boundary-bucket frame
     "token_budget_curve": 7,  # |grid| frame ×3, |sources|·|grid| boundary ×2, 1-row totals, cand union
     "lsh_tables_recall_curve": 4,  # query side, |tables| grid, exact top-k, bf query side

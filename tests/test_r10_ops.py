@@ -92,6 +92,27 @@ def test_stream_full_outer_join_emits_both_null_sides(spark, sf_dir):
             assert 0 <= r.total_lag_us <= r.n_pairs * 30 * 60 * 1_000_000
 
 
+def test_ann_dim_recall_curve_grid_and_full_width_pin(spark, sf_dir):
+    """The dimension curve reports one row per grid budget, recall
+    in [0,1] with hit counts consistent, and the FULL-width budget
+    scores with the exact brute-force arithmetic — its recall must
+    read 1.0 (the self-check that pins the curve to the audited
+    ground truth, like the LSH curve's widest-budget row)."""
+    from datatransformertools_spark.operators.similarity import (
+        DIM_GRID,
+        N_QUERIES,
+        TOP_K,
+        ann_dim_recall_curve,
+    )
+
+    rows = {r.dims: r for r in ann_dim_recall_curve(spark, sf_dir).collect()}
+    assert sorted(rows) == DIM_GRID
+    for d, r in rows.items():
+        assert 0 <= r.n_hits <= N_QUERIES * TOP_K
+        assert 0.0 <= r.recall <= 1.0
+    assert rows[DIM_GRID[-1]].recall == 1.0
+
+
 def test_bench_calibration_block_slicing_is_structural():
     """ADVICE r9: the steady-state drift slice must derive from the
     same constant _run_calibration uses, so changing the block size
