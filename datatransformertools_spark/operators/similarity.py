@@ -2080,6 +2080,166 @@ ANN_DIM_RECALL_CURVE_SQL = _ann_dim_curve_sql()
 
 
 # ---------------------------------------------------------------------------
+# ann_quantization_recall_curve — recall@k vs bits per coordinate
+# ---------------------------------------------------------------------------
+
+# Scalar-quantization budget grid: int2/int4/int8 plus the float
+# passthrough (bits=32, no quantization — its row must read recall
+# 1.0 by construction, the same self-check as the dim curve's full
+# width). Together with `ann_dim_recall_curve` this completes the
+# embedding-compression decision table: dims kept × bits per dim is
+# the whole storage bill, and PQ (`embedding_pq_distortion` /
+# `ann_pq_topk`) is the third point on the same tradeoff.
+QUANT_BITS_GRID = [2, 4, 8, 32]
+
+
+def _dequantized(v, bits: int):
+    """Symmetric per-vector max-abs scalar quantization, immediately
+    dequantized: q = floor(x/scale + 0.5), x̂ = q·scale with scale =
+    max|x| / (2^(bits-1) − 1). floor(+0.5) — not round() — because
+    the two engines disagree on round()'s tie rule; floor(+0.5) is
+    half-up in both. A zero vector (scale 0) passes through
+    unchanged. bits ≥ 32 is the float passthrough."""
+    if bits >= 32:
+        return v
+    qmax = float((1 << (bits - 1)) - 1)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(qmax)
+    return F.when(
+        scale > 0, F.transform(v, lambda x: F.floor(x / scale + 0.5) * scale)
+    ).otherwise(v)
+
+
+def ann_quantization_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of cosine search over scalar-quantized embeddings vs
+    the full-precision exact top-k, for every budget on
+    QUANT_BITS_GRID — the bits-per-coordinate tuning companion
+    (int8 is a 4× storage/bandwidth cut vs float32; this curve is
+    the measured basis for taking it, or going lower).
+
+    Scale design: quantize-dequantize and the per-variant norms are
+    computed ONCE per vector BEFORE the pair join (the expensive
+    O(pairs) stage only folds dot products, the same prenormed
+    discipline as every ANN op here); the query side is the fixed
+    N_QUERIES broadcast; ranking is a (bits, query) window over
+    bounded rows; ground truth reuses the audited brute-force plan.
+    Quantization arithmetic (max-abs scale, floor(+0.5), dequant
+    multiply) is replayed exactly in the DuckDB oracle."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    pre = emb.select(
+        "vec_id",
+        *[_dequantized(F.col("v"), b).alias(f"dq{b}") for b in QUANT_BITS_GRID],
+    )
+    pre = pre.select(
+        "vec_id",
+        *[F.col(f"dq{b}") for b in QUANT_BITS_GRID],
+        *[norm(F.col(f"dq{b}")).alias(f"n{b}") for b in QUANT_BITS_GRID],
+    )
+    cols = [f"dq{b}" for b in QUANT_BITS_GRID] + [f"n{b}" for b in QUANT_BITS_GRID]
+    queries = pre.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), *[F.col(c).alias(f"q_{c}") for c in cols]
+    )
+    cands = pre.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), *[F.col(c).alias(f"c_{c}") for c in cols]
+    )
+    pairs = cands.crossJoin(F.broadcast(queries))
+    budget_structs = []
+    for b in QUANT_BITS_GRID:
+        cos = cosine_prenormed(
+            F.col(f"q_dq{b}"), F.col(f"c_dq{b}"), F.col(f"q_n{b}"), F.col(f"c_n{b}")
+        )
+        budget_structs.append(
+            F.struct(F.lit(b).alias("bits"), F.round(cos + 1e-9, 6).alias("cos_sim"))
+        )
+    exploded = pairs.select(
+        "query_id", "neighbor_id", F.explode(F.array(*budget_structs)).alias("s")
+    ).select("query_id", "neighbor_id", "s.bits", "s.cos_sim")
+    rank = F.row_number().over(
+        Window.partitionBy("bits", "query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id")
+        )
+    )
+    topk = exploded.withColumn("rank", rank).filter(F.col("rank") <= TOP_K)
+    exact = ann_bruteforce_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    denom = float(N_QUERIES * TOP_K)
+    return (
+        topk.join(F.broadcast(exact), ["query_id", "neighbor_id"], "left")
+        .groupBy("bits")
+        .agg(F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"))
+        .select(
+            "bits",
+            "n_hits",
+            F.round(F.col("n_hits") / denom + 1e-9, 6).alias("recall"),
+        )
+    )
+
+
+def _ann_quant_curve_sql() -> str:
+    dq_exprs = []
+    for b in QUANT_BITS_GRID:
+        if b >= 32:
+            dq_exprs.append("v AS dq32")
+            continue
+        qmax = float((1 << (b - 1)) - 1)
+        scale = f"(list_max(list_transform(v, x -> abs(x))) / {qmax})"
+        dq_exprs.append(
+            f"CASE WHEN {scale} > 0\n"
+            f"          THEN list_transform(v, x -> floor(x / {scale} + 0.5) * {scale})\n"
+            f"          ELSE v END AS dq{b}"
+        )
+    cos_rows = []
+    for b in QUANT_BITS_GRID:
+        qn = f"sqrt(list_sum(list_transform(q.dq{b}, x -> x * x)))"
+        cn = f"sqrt(list_sum(list_transform(c.dq{b}, x -> x * x)))"
+        dot_ = (
+            f"list_sum(list_transform(range(1, len(q.dq{b}) + 1), "
+            f"i -> q.dq{b}[i] * c.dq{b}[i]))"
+        )
+        cos_rows.append(
+            f"SELECT q.query_id, c.neighbor_id, {b} AS bits,\n"
+            f"       round(CASE WHEN {qn} * {cn} > 0 THEN {dot_} / ({qn} * {cn})\n"
+            f"                  ELSE 0.0 END + 1e-9, 6) AS cos_sim\n"
+            f"FROM q CROSS JOIN c"
+        )
+    budgets = "\n  UNION ALL\n  ".join(cos_rows)
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+dq AS (
+  SELECT vec_id,
+         {", ".join(dq_exprs)}
+  FROM e
+),
+q AS (SELECT vec_id AS query_id, * EXCLUDE (vec_id) FROM dq WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, * EXCLUDE (vec_id) FROM dq WHERE vec_id >= {N_QUERIES}),
+scored AS (
+  {budgets}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY bits, query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+),
+topk AS (SELECT * FROM ranked WHERE rank <= {TOP_K}),
+exact AS ({ANN_BRUTEFORCE_SQL})
+SELECT t.bits,
+       CAST(count(x.neighbor_id) AS BIGINT) AS n_hits,
+       round(count(x.neighbor_id) * 1.0 / {N_QUERIES * TOP_K} + 1e-9, 6) AS recall
+FROM topk t
+LEFT JOIN exact x
+  ON t.query_id = x.query_id AND t.neighbor_id = x.neighbor_id
+GROUP BY t.bits
+"""
+
+
+ANN_QUANTIZATION_RECALL_CURVE_SQL = _ann_quant_curve_sql()
+
+
+# ---------------------------------------------------------------------------
 # ann_ndcg_eval — rank-aware index quality (NDCG@k + MRR vs brute force)
 # ---------------------------------------------------------------------------
 
@@ -3345,6 +3505,10 @@ QUERIES = {
     "embedding_knn_graph": (embedding_knn_graph, _embedding_knn_graph_sql()),
     "ann_ivf_probe_curve": (ann_ivf_probe_curve, ANN_IVF_PROBE_CURVE_SQL),
     "ann_dim_recall_curve": (ann_dim_recall_curve, ANN_DIM_RECALL_CURVE_SQL),
+    "ann_quantization_recall_curve": (
+        ann_quantization_recall_curve,
+        ANN_QUANTIZATION_RECALL_CURVE_SQL,
+    ),
     "ann_range_search": (ann_range_search, ANN_RANGE_SQL),
     "embedding_drift": (embedding_drift, EMBEDDING_DRIFT_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),

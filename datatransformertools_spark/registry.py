@@ -80,13 +80,14 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
     # whose _side/final-watermark blocks were hoisted into shared
     # module helpers (internals changed, face unchanged; the inner
     # twin is already in the r3 refill); (7) the NEW
-    # `ann_dim_recall_curve` — recall@k vs embedding prefix width,
-    # the dimension-axis tuning companion (house rule: certify in
-    # the round it lands). Then freshness refill: ALL 42 remaining
-    # r3-certified rows + the alphabetically-first r4 rows that fit
-    # — after this window no row's latest driver certification is
-    # older than r4 (exactly 4 + 42 + 1 + 3 = 50; list counts
-    # verified by
+    # `ann_dim_recall_curve` and `ann_quantization_recall_curve` —
+    # recall@k vs embedding prefix width / bits per coordinate, the
+    # two compression-axis tuning companions (house rule: certify
+    # in the round they land). Then freshness refill: ALL 42
+    # remaining r3-certified rows + the alphabetically-first r4
+    # rows that fit — after this window no row's latest driver
+    # certification is older than r4 (exactly 5 + 42 + 1 + 2 = 50;
+    # list counts verified by
     # tests/test_oracle_parity.py::test_gate_rotation_head_is_exact).
     # Every row passes the identical dtype-strict gate locally via
     # tests/test_oracle_parity.py.
@@ -95,14 +96,15 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "server_pipeline",
         "events_stream_interval_join_full",
         "ann_dim_recall_curve",
+        "ann_quantization_recall_curve",
         # pagination kernel shared out to _pdf_pages_frame
         "pdf_to_pages",
     ]
     # Freshness refill: every remaining r3-certified row (42 — this
     # includes the broadcast-fix rows detection_eval_ap/_map and the
     # stream-enrich migration), then the r10-touched outer interval
-    # join, then the alphabetically-first r4 rows (3 fit after the
-    # 4-row head: 4 + 42 + 1 + 3 = 50; counts pinned by
+    # join, then the alphabetically-first r4 rows (2 fit after the
+    # 5-row head: 5 + 42 + 1 + 2 = 50; counts pinned by
     # test_gate_rotation_head_is_exact; the trimmed r4 rows
     # pre-stage the r11 refill).
     refill = [

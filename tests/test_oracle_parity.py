@@ -118,12 +118,13 @@ def test_gate_rotation_head_is_exact():
         "server_pipeline",  # new in r10 — certify in the round it lands
         "events_stream_interval_join_full",  # new in r10 (full-outer stream join)
         "ann_dim_recall_curve",  # new in r10 (dimension-axis tuning companion)
+        "ann_quantization_recall_curve",  # new in r10 (bits-axis tuning companion)
         "pdf_to_pages",  # pagination kernel shared out to _pdf_pages_frame
     ]
     assert window[: len(r10_head)] == r10_head
     # refill = 42 r3 rows + the refactor-touched outer interval join
-    # + 3 r4 rows, disjoint from the head
-    assert len(window) - len(r10_head) == 46
+    # + 2 r4 rows, disjoint from the head
+    assert len(window) - len(r10_head) == 45
     assert "events_stream_interval_join_outer" in window[len(r10_head) :]
     # the r10-touched rows that were already r3-stale must sit in
     # the refill (they are both "changed this round" AND "oldest

@@ -229,6 +229,8 @@ _HINT_BROADCAST_ALLOWLIST = {
     # segment query side + exact-truth hint + the reused brute-force
     # subplan's own query-side broadcast, all |queries|/k-bounded
     "ann_dim_recall_curve": 3,
+    # same three |queries|/k-bounded broadcasts as the dim curve
+    "ann_quantization_recall_curve": 3,
     "token_budget_sample": 1,  # ≤1-row-per-source boundary-bucket frame
     "token_budget_curve": 7,  # |grid| frame ×3, |sources|·|grid| boundary ×2, 1-row totals, cand union
     "lsh_tables_recall_curve": 4,  # query side, |tables| grid, exact top-k, bf query side

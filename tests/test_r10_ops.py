@@ -113,6 +113,26 @@ def test_ann_dim_recall_curve_grid_and_full_width_pin(spark, sf_dir):
     assert rows[DIM_GRID[-1]].recall == 1.0
 
 
+def test_ann_quantization_recall_curve_grid_and_float_pin(spark, sf_dir):
+    """One row per bits budget, recall within bounds, and the float
+    passthrough row must read 1.0 — it scores with the exact
+    brute-force arithmetic. (Monotonicity in bits is expected but
+    not asserted: individual rank flips near ties are possible.)"""
+    from datatransformertools_spark.operators.similarity import (
+        N_QUERIES,
+        QUANT_BITS_GRID,
+        TOP_K,
+        ann_quantization_recall_curve,
+    )
+
+    rows = {r.bits: r for r in ann_quantization_recall_curve(spark, sf_dir).collect()}
+    assert sorted(rows) == QUANT_BITS_GRID
+    for r in rows.values():
+        assert 0 <= r.n_hits <= N_QUERIES * TOP_K
+        assert 0.0 <= r.recall <= 1.0
+    assert rows[QUANT_BITS_GRID[-1]].recall == 1.0
+
+
 def test_bench_calibration_block_slicing_is_structural():
     """ADVICE r9: the steady-state drift slice must derive from the
     same constant _run_calibration uses, so changing the block size
