@@ -1927,7 +1927,12 @@ LSH_TABLES_RECALL_CURVE_SQL = _lsh_tables_curve_sql()
 # bandwidth bill at 100 TB scales linearly with the dims kept — this
 # curve is the measured basis for choosing the cut.
 DIM_GRID = [8, 16, 32, 64]
-_DIM_SEGMENTS = list(zip([0, *DIM_GRID[:-1]], DIM_GRID))  # (lo, hi] per segment
+# Disjoint segments cover only the TRUNCATED budgets; the full-width
+# budget scores with the untruncated single-fold arithmetic (below),
+# so its cosine is BIT-identical to ann_bruteforce_topk's — summing
+# segment dots would be the same value only up to FP associativity,
+# which is not "by construction".
+_DIM_SEGMENTS = list(zip([0, *DIM_GRID[:-2]], DIM_GRID[:-1]))  # (lo, hi] per segment
 
 
 def ann_dim_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1939,17 +1944,20 @@ def ann_dim_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the smallest d whose recall clears the SLO and ship vectors
     that much smaller).
 
-    Scale design: prefix dots are PREFIX SUMS, so each pair folds
-    every coordinate exactly ONCE — per-vector disjoint segment
-    slices (and their square-sums) are precomputed BEFORE the pair
-    join, the O(pairs) stage computes one dot per segment, and each
-    budget's cosine is a cumulative sum of segment dots over
-    cumulative norms. The query side is the fixed N_QUERIES
+    Scale design: prefix dots are PREFIX SUMS — per-vector disjoint
+    segment slices (and their square-sums) are precomputed BEFORE
+    the pair join, the O(pairs) stage computes one dot per segment,
+    and each truncated budget's cosine is a cumulative sum of
+    segment dots over cumulative norms. The FULL-width budget
+    instead reuses the untruncated single-fold arithmetic
+    (cosine_prenormed over v, exactly ann_bruteforce_topk's math),
+    so its recall-1.0 row is a bit-exact self-check, not merely an
+    FP-associativity coincidence. Query side is the fixed N_QUERIES
     broadcast (scan streams once, as every ANN op here); ranking is
     a (dims, query) window over k·|grid|·|queries|-bounded rows;
     ground truth reuses the audited brute-force plan. The identical
-    segment-then-add arithmetic runs in the DuckDB oracle, so every
-    cosine is bit-stable cross-engine."""
+    segment-then-add / single-fold arithmetic runs in the DuckDB
+    oracle, so every cosine is bit-stable cross-engine."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
@@ -1962,35 +1970,39 @@ def ann_dim_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"sq{hi}")
         for lo, hi in _DIM_SEGMENTS
     ]
-    pre = emb.select("vec_id", *seg_cols, *sq_cols)
-    seg_names = [f"s{hi}" for _, hi in _DIM_SEGMENTS]
-    sq_names = [f"sq{hi}" for _, hi in _DIM_SEGMENTS]
+    pre = emb.select("vec_id", "v", norm(F.col("v")).alias("nf"), *seg_cols, *sq_cols)
+    carry = (
+        ["v", "nf"]
+        + [f"s{hi}" for _, hi in _DIM_SEGMENTS]
+        + [f"sq{hi}" for _, hi in _DIM_SEGMENTS]
+    )
     queries = pre.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
-        *[F.col(c).alias(f"q_{c}") for c in seg_names + sq_names],
+        *[F.col(c).alias(f"q_{c}") for c in carry],
     )
     cands = pre.filter(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("neighbor_id"),
-        *[F.col(c).alias(f"c_{c}") for c in seg_names + sq_names],
+        *[F.col(c).alias(f"c_{c}") for c in carry],
     )
     pairs = cands.crossJoin(F.broadcast(queries))
-    seg_dots = [
-        dot(F.col(f"q_s{hi}"), F.col(f"c_s{hi}")).alias(f"d{hi}")
-        for _, hi in _DIM_SEGMENTS
-    ]
-    scored = pairs.select("query_id", "neighbor_id", *seg_dots,
-                          *[F.col(c) for c in pairs.columns if c.startswith(("q_sq", "c_sq"))])
     budget_structs = []
-    for k, d in enumerate(DIM_GRID):
+    for k, d in enumerate(DIM_GRID[:-1]):
         his = [hi for _, hi in _DIM_SEGMENTS[: k + 1]]
-        cum_dot = sum(F.col(f"d{hi}") for hi in his)
+        cum_dot = sum(dot(F.col(f"q_s{hi}"), F.col(f"c_s{hi}")) for hi in his)
         qn = F.sqrt(sum(F.col(f"q_sq{hi}") for hi in his))
         cn = F.sqrt(sum(F.col(f"c_sq{hi}") for hi in his))
         cos = F.when(qn * cn > 0, cum_dot / (qn * cn)).otherwise(F.lit(0.0))
         budget_structs.append(
             F.struct(F.lit(d).alias("dims"), F.round(cos + 1e-9, 6).alias("cos_sim"))
         )
-    exploded = scored.select(
+    full_cos = cosine_prenormed(F.col("q_v"), F.col("c_v"), F.col("q_nf"), F.col("c_nf"))
+    budget_structs.append(
+        F.struct(
+            F.lit(DIM_GRID[-1]).alias("dims"),
+            F.round(full_cos + 1e-9, 6).alias("cos_sim"),
+        )
+    )
+    exploded = pairs.select(
         "query_id", "neighbor_id", F.explode(F.array(*budget_structs)).alias("b")
     ).select("query_id", "neighbor_id", "b.dims", "b.cos_sim")
     rank = F.row_number().over(
@@ -2026,7 +2038,7 @@ def _ann_dim_curve_sql() -> str:
         for lo, hi in _DIM_SEGMENTS
     ]
     budget_rows = []
-    for k, d in enumerate(DIM_GRID):
+    for k, d in enumerate(DIM_GRID[:-1]):
         his = [hi for _, hi in _DIM_SEGMENTS[: k + 1]]
         cum_dot = " + ".join(f"d{hi}" for hi in his)
         qn = "sqrt(" + " + ".join(f"q_sq{hi}" for hi in his) + ")"
@@ -2038,6 +2050,19 @@ def _ann_dim_curve_sql() -> str:
             f"                  ELSE 0.0 END + 1e-9, 6) AS cos_sim\n"
             f"FROM segdots"
         )
+    # full width: the untruncated single-fold formula (identical to
+    # ANN_BRUTEFORCE_SQL's), NOT a sum of segment dots — bit-exact
+    # vs the ground truth by construction
+    budget_rows.append(
+        f"SELECT query_id, neighbor_id, {DIM_GRID[-1]} AS dims,\n"
+        "       round(CASE WHEN sqrt(list_sum(list_transform(qv, x -> x * x)))\n"
+        "                       * sqrt(list_sum(list_transform(cv, x -> x * x))) > 0\n"
+        "                  THEN list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i]))\n"
+        "                       / (sqrt(list_sum(list_transform(qv, x -> x * x)))\n"
+        "                          * sqrt(list_sum(list_transform(cv, x -> x * x))))\n"
+        "                  ELSE 0.0 END + 1e-9, 6) AS cos_sim\n"
+        "FROM segdots"
+    )
     budgets = "\n  UNION ALL\n  ".join(budget_rows)
     return f"""
 WITH e AS (
@@ -2050,7 +2075,7 @@ q AS (SELECT vec_id AS query_id, v AS qv, {", ".join(f"sq{hi}" for _, hi in _DIM
 c AS (SELECT vec_id AS neighbor_id, v AS cv, {", ".join(f"sq{hi}" for _, hi in _DIM_SEGMENTS)}
       FROM e WHERE vec_id >= {N_QUERIES}),
 segdots AS (
-  SELECT q.query_id, c.neighbor_id,
+  SELECT q.query_id, c.neighbor_id, qv, cv,
          {", ".join(seg_exprs)},
          {", ".join(f"q.sq{hi} AS q_sq{hi}" for _, hi in _DIM_SEGMENTS)},
          {", ".join(f"c.sq{hi} AS c_sq{hi}" for _, hi in _DIM_SEGMENTS)}

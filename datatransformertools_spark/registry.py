@@ -157,7 +157,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         # in the r3 refill) ---
         "events_stream_interval_join_outer",
         # --- oldest (alphabetically-first) r4-certified rows; the
-        # first 4 fit the window, the rest pre-stage the r11 refill ---
+        # first 2 fit the window, the rest pre-stage the r11 refill ---
         "audio_frame_energy",
         "customer_rfm",
         "dedup_cluster_sizes",

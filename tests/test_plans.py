@@ -277,53 +277,92 @@ def test_registry_sweep_no_unaudited_broadcast_hints(spark, sf_dir):
     )
 
 
+def _scan_balanced(src: str, open_idx: int, limit: int = 4000) -> int:
+    """Index just past the ')' matching the '(' at `open_idx`, or
+    open_idx + limit if unbalanced within the bound."""
+    depth = 0
+    end = min(len(src), open_idx + limit)
+    for i in range(open_idx, end):
+        ch = src[i]
+        depth += (ch == "(") - (ch == ")")
+        if depth == 0:
+            return i + 1
+    return end
+
+
+def find_hinted_caller_outer_joins(src: str) -> list[int]:
+    """Line numbers where a `F.broadcast(…)` call (nested parens
+    handled by balance-scanning) is immediately the CALLER of a
+    .join(…) whose argument list carries an outer/semi/anti type
+    literal. Matches whose line is commented out before the match
+    are skipped (prose may quote the banned shape). Known limits,
+    accepted for a lint: a hint bound to a variable first, or a '#'
+    inside a string literal earlier on the same line, escape."""
+    import re as _re
+
+    bad_type = _re.compile(
+        r"""["'](?:left|left_outer|leftouter|right|right_outer|rightouter|"""
+        r"""full|full_outer|fullouter|outer|semi|left_semi|leftsemi|"""
+        r"""anti|left_anti|leftanti)["']"""
+    )
+    hits = []
+    for m in _re.finditer(r"F\.broadcast\(", src):
+        line_start = src.rfind("\n", 0, m.start()) + 1
+        if "#" in src[line_start : m.start()]:
+            continue  # commented-out / prose occurrence
+        after_broadcast = _scan_balanced(src, m.end() - 1)
+        join = _re.match(r"\s*\.join\(", src[after_broadcast:])
+        if not join:
+            continue
+        join_open = after_broadcast + join.end() - 1
+        join_close = _scan_balanced(src, join_open)
+        if bad_type.search(src[join_open:join_close]):
+            hits.append(src[: m.start()].count("\n") + 1)
+    return hits
+
+
 def test_no_hinted_caller_outer_joins_in_source():
     """Source-level twin of the dropped-hint sweep, covering the code
     the PLAN sweep cannot: streaming queries execute their own
     writeStream drain when called, so their pre-sink plans never
     reach _plans_hints_only — a `F.broadcast(x).join(y, …,
     "left")`-shaped hint there would be dropped invisibly. Ban the
-    textual shape package-wide: a broadcast-hinted frame must never
-    be the CALLER of an outer/semi/anti join (the caller is the left
-    side, which those join types cannot build). Inner joins with a
-    hinted caller are fine (either side can build) and the plan
-    sweep still verifies every batch hint realizes."""
-    import re as _re
+    shape package-wide: a broadcast-hinted frame must never be the
+    CALLER of an outer/semi/anti join (the caller is the left side,
+    which those join types cannot build). Inner joins with a hinted
+    caller are fine (either side can build) and the plan sweep still
+    verifies every batch hint realizes."""
     from pathlib import Path
 
     import datatransformertools_spark as pkg
 
     pkg_root = Path(pkg.__file__).parent
-    bad_type = _re.compile(
-        r"""["'](?:left|left_outer|leftouter|right|right_outer|rightouter|"""
-        r"""full|full_outer|fullouter|outer|semi|left_semi|leftsemi|"""
-        r"""anti|left_anti|leftanti)["']"""
-    )
     offenders = []
     for path in sorted(pkg_root.rglob("*.py")):
-        # strip line comments so prose QUOTING the banned shape (e.g.
-        # the evaluation.py fix rationale) doesn't trip the lint
-        src = "\n".join(
-            line.split("#", 1)[0] for line in path.read_text().splitlines()
-        )
-        for m in _re.finditer(r"F\.broadcast\([^()]*\)\s*\.join\(", src):
-            # the join type literal, if any, sits inside this call's
-            # argument list — scan a bounded window past the match
-            window = src[m.end() : m.end() + 400]
-            depth, end = 1, len(window)
-            for i, ch in enumerate(window):
-                depth += (ch == "(") - (ch == ")")
-                if depth == 0:
-                    end = i
-                    break
-            if bad_type.search(window[:end]):
-                line = src[: m.start()].count("\n") + 1
-                offenders.append(f"{path.relative_to(pkg_root)}:{line}")
+        for line in find_hinted_caller_outer_joins(path.read_text()):
+            offenders.append(f"{path.relative_to(pkg_root)}:{line}")
     assert not offenders, (
         "broadcast-hinted frame used as the caller of an outer/semi/anti "
         "join (Spark cannot build the left side — the hint is silently "
         f"dropped): {offenders}"
     )
+
+
+def test_hinted_caller_lint_catches_nested_and_spares_clean():
+    """Pin the lint itself: nested parens inside the broadcast
+    argument (the dominant style here) must be caught, hash-strings
+    inside the call must not corrupt the scan, commented-out shapes
+    and hinted INNER joins must pass."""
+    bad_nested = 'x = F.broadcast(dim.select("k", "v")).join(stream, "k", "left")\n'
+    bad_hash = 'x = F.broadcast(tag(f("#"))).join(y, cond, "left_outer")\n'
+    ok_inner = 'x = F.broadcast(dim.select("k")).join(stream, "k")\n'
+    ok_comment = '# F.broadcast(a).join(b, "k", "left") — the banned shape\n'
+    ok_right_side = 'x = stream.join(F.broadcast(dim), "k", "left")\n'
+    assert find_hinted_caller_outer_joins(bad_nested) == [1]
+    assert find_hinted_caller_outer_joins(bad_hash) == [1]
+    assert find_hinted_caller_outer_joins(ok_inner) == []
+    assert find_hinted_caller_outer_joins(ok_comment) == []
+    assert find_hinted_caller_outer_joins(ok_right_side) == []
 
 
 def test_dropped_hint_detector_catches_unbuildable_sides(spark):
