@@ -293,15 +293,21 @@ def _scan_balanced(src: str, open_idx: int, limit: int = 4000) -> int:
 def find_hinted_caller_outer_joins(src: str) -> list[int]:
     """Line numbers where a `F.broadcast(…)` call (nested parens
     handled by balance-scanning) is immediately the CALLER of a
-    .join(…) whose argument list carries an outer/semi/anti type
-    literal. Matches whose line is commented out before the match
+    .join(…) whose argument list carries a join-type literal the
+    caller side cannot build (left outer/full outer/semi/anti —
+    right outer is allowed: BuildLeft is legal for RightOuter). Matches whose line is commented out before the match
     are skipped (prose may quote the banned shape). Known limits,
     accepted for a lint: a hint bound to a variable first, or a '#'
     inside a string literal earlier on the same line, escape."""
     import re as _re
 
+    # right/right_outer are NOT banned: the hinted caller is the
+    # LEFT side, and JoinSelection allows BuildLeft for RightOuter —
+    # Spark plans that hint (ADVICE r10). "outer"/"full" stay banned
+    # (neither side of a full outer can build), as do left*/semi/anti
+    # (the caller would have to be the build side and cannot be).
     bad_type = _re.compile(
-        r"""["'](?:left|left_outer|leftouter|right|right_outer|rightouter|"""
+        r"""["'](?:left|left_outer|leftouter|"""
         r"""full|full_outer|fullouter|outer|semi|left_semi|leftsemi|"""
         r"""anti|left_anti|leftanti)["']"""
     )
@@ -328,10 +334,11 @@ def test_no_hinted_caller_outer_joins_in_source():
     reach _plans_hints_only — a `F.broadcast(x).join(y, …,
     "left")`-shaped hint there would be dropped invisibly. Ban the
     shape package-wide: a broadcast-hinted frame must never be the
-    CALLER of an outer/semi/anti join (the caller is the left side,
-    which those join types cannot build). Inner joins with a hinted
-    caller are fine (either side can build) and the plan sweep still
-    verifies every batch hint realizes."""
+    CALLER of a left-outer/full-outer/semi/anti join (the caller is
+    the left side, which those join types cannot build). Inner and
+    right-outer joins with a hinted caller are fine (BuildLeft is
+    legal for Inner and RightOuter — ADVICE r10) and the plan sweep
+    still verifies every batch hint realizes."""
     from pathlib import Path
 
     import datatransformertools_spark as pkg
@@ -358,11 +365,18 @@ def test_hinted_caller_lint_catches_nested_and_spares_clean():
     ok_inner = 'x = F.broadcast(dim.select("k")).join(stream, "k")\n'
     ok_comment = '# F.broadcast(a).join(b, "k", "left") — the banned shape\n'
     ok_right_side = 'x = stream.join(F.broadcast(dim), "k", "left")\n'
+    # hinted CALLER of a right-outer join: the caller is the left
+    # side and RightOuter allows BuildLeft — Spark honors the hint,
+    # so the lint must not flag it (ADVICE r10)
+    ok_right_join = 'x = F.broadcast(dim.select("k")).join(fact, "k", "right")\n'
+    ok_right_outer = 'x = F.broadcast(dim).join(fact, cond, "right_outer")\n'
     assert find_hinted_caller_outer_joins(bad_nested) == [1]
     assert find_hinted_caller_outer_joins(bad_hash) == [1]
     assert find_hinted_caller_outer_joins(ok_inner) == []
     assert find_hinted_caller_outer_joins(ok_comment) == []
     assert find_hinted_caller_outer_joins(ok_right_side) == []
+    assert find_hinted_caller_outer_joins(ok_right_join) == []
+    assert find_hinted_caller_outer_joins(ok_right_outer) == []
 
 
 def test_dropped_hint_detector_catches_unbuildable_sides(spark):
