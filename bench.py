@@ -155,6 +155,15 @@ _ISOLATE_DEFAULT = [
 ]
 
 
+def _prev_name_drift(old: dict, prev_run_drift: float) -> float:
+    """Drift the previous committed numbers for one isolated entry
+    were measured under: the per-name `iso_drift` stamped into r11+
+    artifacts, falling back to the run-wide `drift_used` for older
+    artifacts (which banded every entry with the suite median —
+    VERDICT r10 #1, the misread this fallback exists to retire)."""
+    return float(old.get("iso_drift") or prev_run_drift)
+
+
 def _band_moved_tags(
     old: dict[str, float], new: dict[str, float], band: float
 ) -> list[str]:
@@ -318,13 +327,42 @@ def main() -> None:
 
     # isolated re-timings for the iterative family (fresh JVM each;
     # see module docstring). Skippable for quick local loops.
+    #
+    # Isolation-time drift (VERDICT r10 "What's wrong" #1): the
+    # isolated pass runs at END of suite — exactly when a shared
+    # host is most degraded — so banding its movers with the
+    # RUN-WIDE drift median systematically misreads end-of-suite
+    # contention as regressions (r10 needed hand-math in PLANS.md
+    # for dedup_embedding_components cold 42.4 s: cores samples
+    # [17.8, 15.7, 8.0] — 8 effective cores AT isolation time vs the
+    # 15.7 median the band used). Fix: sample the cores channel
+    # immediately before EACH isolated entry, band that entry with
+    # max(fixed-workload drift, isolation-time cores drift), and
+    # stamp the per-name `iso_drift` into the artifact so the next
+    # run bands against the drift its numbers were measured under.
     isolated: dict[str, dict[str, float]] = {}
     iso_adjudication: dict[str, dict] = {}
+    iso_cores_samples: list[float] = []
     if os.environ.get("SPARK_GRAFT_SKIP_ISOLATED") != "1":
         spark.stop()  # free the 32-thread JVM before forking fresh ones
-        band = max(drift_used, 1e-9) / max(prev_drift, 1e-9)
+
+        def _iso_drift_now() -> float:
+            """Fresh cores sample → drift at THIS moment of the
+            isolated pass (the fixed-workload channel can't re-run —
+            its SparkSession is stopped — so it floors the value
+            from the suite window)."""
+            iso_cores_samples.append(_measure_effective_cores(int(cpus)))
+            return round(max(drift, cores_ref / max(iso_cores_samples[-1], 0.1)), 3)
+
         for name in _ISOLATE_DEFAULT:
             if name in queries:
+                iso_drift = _iso_drift_now()
+                old = prev_iso.get(name) or {}
+                # band vs the drift the PREVIOUS numbers were
+                # measured under (per-name from the r11+ artifact;
+                # run-wide drift_used for older artifacts)
+                prev_name_drift = _prev_name_drift(old, prev_drift)
+                band = max(iso_drift, 1e-9) / max(prev_name_drift, 1e-9)
                 try:
                     isolated[name] = _run_one_isolated(name, sf_dir, cpus)
                 except Exception as e:  # noqa: BLE001 — a broken iso run shouldn't kill the bench
@@ -336,9 +374,12 @@ def main() -> None:
                 # keep the faster pass (a spike that vanishes on
                 # re-run is scheduler noise, not the plan) and record
                 # both so the artifact adjudicates itself.
-                old = prev_iso.get(name) or {}
                 moved = _band_moved_tags(old, isolated[name], band)
                 if moved:
+                    # re-sample before the re-run: the whole point is
+                    # that ambience moves within the isolated block
+                    rerun_drift = _iso_drift_now()
+                    rerun_band = max(rerun_drift, 1e-9) / max(prev_name_drift, 1e-9)
                     try:
                         rerun = _run_one_isolated(name, sf_dir, cpus)
                     except Exception as e:  # noqa: BLE001
@@ -346,6 +387,7 @@ def main() -> None:
                         # artifact must still carry the flag — an
                         # unadjudicated inflated row is exactly the
                         # defect this gate exists to prevent
+                        isolated[name]["iso_drift"] = iso_drift
                         iso_adjudication[name] = {
                             "moved_tags": moved,
                             "first": dict(isolated[name]),
@@ -363,19 +405,25 @@ def main() -> None:
                     verdict = (
                         "ambient-spike"
                         if all(
-                            rerun.get(t, 0.0) / (old[t] * band) <= 2.0 for t in moved
+                            rerun.get(t, 0.0) / (old[t] * rerun_band) <= 2.0
+                            for t in moved
                         )
                         else "confirmed-mover"
                     )
                     isolated[name] = kept
+                    iso_drift = min(iso_drift, rerun_drift)  # drift of the kept (faster) pass
                     iso_adjudication[name] = {
                         "moved_tags": moved,
                         "first": first,
                         "rerun": rerun,
                         "prev": {t: old.get(t) for t in ("cold", "warm")},
                         "drift_band": round(band, 3),
+                        "rerun_band": round(rerun_band, 3),
                         "verdict": verdict,
                     }
+                # stamp the drift these numbers were measured under —
+                # next run's per-name band numerator/denominator
+                isolated[name]["iso_drift"] = iso_drift
 
     # Full per-query detail: one JSON line for automation reading the
     # whole log, AND rewritten to a repo artifact (driver stdout is
@@ -390,6 +438,10 @@ def main() -> None:
         "cores_ref": cores_ref,
         "cores_drift": cores_drift,
         "drift_used": drift_used,
+        # cores channel re-sampled before each isolated entry (the
+        # isolation-time drift each entry was banded with — VERDICT
+        # r10 #1; per-name iso_drift sits in each isolated row)
+        "iso_cores_samples": iso_cores_samples,
         "normalized_total_sec": round(sum(timings.values()) / max(drift_used, 1e-9), 1),
     }
     detail = {
