@@ -2088,7 +2088,359 @@ GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus_curation_pipeline — the full LLM training-data curation
+# chain as ONE gated plan
+# ---------------------------------------------------------------------------
+
+CURATION_QUALITY_TAU = 0.5  # same gate as corpus_prep_pipeline
+
+
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL training-data curation chain — quality filter →
+    near-dup dedup (minhash-CC keepers) → benchmark decontamination
+    → tokenize-to-ids → sequence packing → shard assignment — as ONE
+    composed plan (VERDICT r10 "What's missing" #3: the
+    `server_pipeline` move applied to the LLM side; each stage is
+    individually certified, this op certifies the COMPOSITION).
+
+    Stage semantics are the family's own, unchanged:
+    - quality: `quality_score_expr` ≥ 0.5 (corpus_prep_pipeline's
+      gate), computed in the scan projection — no shuffle.
+    - dedup: the banded minhash-LSH candidate pairs come from the
+      MEMOIZED corpus-wide stage table (`_minhash_pairs_df` — built
+      once per corpus from the memoized shingle index), endpoint-
+      filtered to quality survivors by two leftsemi joins, then
+      min-label connected components; the min-doc_id keeper of each
+      cluster survives with its duplicate count.
+    - decontamination: max 3-gram containment of each keeper vs the
+      doc_id%97 benchmark slice (`contamination_check` semantics),
+      both sides reading the SAME memoized shingle index the minhash
+      signatures were built from — the fusion that makes the chain
+      one pipeline instead of six jobs: the shingle explode is paid
+      once. Keepers at containment ≥ 0.8 drop.
+    - tokenize: `tokenize_to_ids` over the post-dedup,
+      decontaminated corpus — the vocabulary is induced from the
+      SURVIVORS (training sees cleaned data, so the vocab must too),
+      face = md5 digest of the id sequence + token/OOV counts.
+    - pack: `pack_sequences` offsets over survivors (per-source
+      running token sum in doc_id order; n_tokens REUSED from the
+      tokenize stage — the token explode is not repeated).
+    - shard: `shard_assignment` hash routing (pure function of
+      doc_id).
+
+    Scale design (the 100 TB story the plan test pins): text leaves
+    the scan exactly twice (quality projection; tokenize explode,
+    scoped by a doc_id leftsemi that AQE broadcasts when the
+    survivor id list is small — at worst text rides ONE exchange);
+    the shingle index and the candidate-pair table are shared
+    memoized stage tables (each paid once per corpus, consumed here
+    by dedup AND decontamination); the CC loop iterates only the
+    survivor-filtered candidate graph with scalar-only driver state;
+    the tokenize shuffle carries (doc_id, pos, token_id) rows, never
+    text; packing is a per-source window; sharding is map-side
+    arithmetic. Zero broadcast hints — every join is shuffle-planned
+    and AQE upgrades the genuinely small sides at runtime."""
+    from datatransformertools_spark.operators.dedup import (
+        _min_label_components,
+        _minhash_pairs_df,
+    )
+    from datatransformertools_spark.operators.text_analysis import quality_score_expr
+
+    from datatransformertools_spark.caching import track
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", "n_chars"
+    )
+    corpus = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
+
+    # stage 1 — quality gate (scan projection, no shuffle). Tracked
+    # stage table: three consumers (both pair-endpoint semis + the
+    # component join) would otherwise each re-expand the scan and
+    # re-pay the quality regex — persisting the per-doc scalar frame
+    # is the in-session equivalent of writing the stage table out,
+    # exactly what a 100 TB pipeline does between stages.
+    survivors = track(
+        corpus.select(
+            "doc_id", "source", quality_score_expr().alias("quality_score")
+        ).filter(F.col("quality_score") >= CURATION_QUALITY_TAU)
+    )
+
+    # stage 2 — near-dup keeper: survivor-filtered candidate graph →
+    # min-label CC; keeper = min doc_id of its duplicate cluster
+    ids = survivors.select("doc_id")
+    pairs = (
+        _minhash_pairs_df(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .join(ids.select(F.col("doc_id").alias("doc_a")), "doc_a", "leftsemi")
+        .join(ids.select(F.col("doc_id").alias("doc_b")), "doc_b", "leftsemi")
+    )
+    labels = _min_label_components(pairs)
+    # tracked: the label join feeds both the cluster-size agg and
+    # the keeper filter — one doc-level shuffle, not two
+    comp = track(
+        survivors.join(labels, "doc_id", "left").withColumn(
+            "component", F.coalesce(F.col("component"), F.col("doc_id"))
+        )
+    )
+    csize = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    # tracked: consumed by the contamination semi AND the clean join
+    keepers = track(
+        comp.filter(F.col("doc_id") == F.col("component"))
+        .join(csize, "component")
+        .select(
+            "doc_id",
+            "source",
+            "quality_score",
+            (F.col("cluster_size") - 1).alias("n_dups"),
+        )
+    )
+
+    # stage 3 — decontamination: keeper shingles vs benchmark
+    # shingles, both sides the memoized index of stage 2's signatures
+    sh = _shingle_df(spark, sf_dir)
+    k_sh = sh.join(keepers.select("doc_id"), "doc_id", "leftsemi")
+    bench = sh.filter(F.col("doc_id") % BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    sizes = k_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        k_sh.join(bench, "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    best = (
+        inter.join(sizes, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max(F.col("n_inter") / F.col("n_sh")) + 1e-9, 6).alias(
+                "max_containment"
+            )
+        )
+    )
+    # tracked: consumed by the tokenize-scope semi AND the pack join
+    clean = track(
+        keepers.join(best, "doc_id", "left")
+        .withColumn("max_containment", F.coalesce(F.col("max_containment"), F.lit(0.0)))
+        .filter(F.col("max_containment") < CONTAM_TAU)
+    )
+
+    # stage 4 — tokenize the cleaned corpus (vocab induced from
+    # survivors); the leftsemi scopes the explode BEFORE tokens fan
+    # out, so at worst (id list too big to broadcast) text rides one
+    # exchange — never the token rows
+    clean_docs = docs.select("doc_id", "text").join(
+        clean.select("doc_id"), "doc_id", "leftsemi"
+    )
+    toks = clean_docs.select(
+        "doc_id", F.posexplode(tokens(normalize_text(F.col("text")))).alias("pos", "token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(F.col("cnt").desc(), "token").limit(TOKENIZE_VOCAB_V)
+    rank = F.row_number().over(Window.orderBy(F.col("cnt").desc(), "token"))
+    vocab = top.withColumn("token_id", rank).select("token", "token_id")
+    ids_df = (
+        toks.join(vocab, "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("pos"),
+                                    F.coalesce(
+                                        F.col("token_id"), F.lit(TOKENIZE_UNK_ID)
+                                    ).alias("tid"),
+                                )
+                            )
+                        ),
+                        lambda s: s["tid"],
+                    ).cast("array<string>"),
+                )
+            ).alias("ids_md5"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("token_id").isNull().cast("long")).alias("n_oov"),
+        )
+    )
+
+    # stages 5+6 — pack (per-source window over tokenize's n_tokens)
+    # + shard (map-side hash)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = clean.join(ids_df, "doc_id").withColumn(
+        "start_offset", (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    )
+    return packed.select(
+        "doc_id",
+        "source",
+        "quality_score",
+        "n_dups",
+        "max_containment",
+        "ids_md5",
+        "n_tokens",
+        "n_oov",
+        "start_offset",
+        F.floor(F.col("start_offset") / CTX_LEN).alias("window_id"),
+        (
+            F.floor(F.col("start_offset") / CTX_LEN)
+            != F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / CTX_LEN)
+        )
+        .cast("int")
+        .alias("crosses_boundary"),
+        (md5_long(F.col("doc_id").cast("string"), salt=SHARD_SALT) % N_SHARDS).alias(
+            "shard"
+        ),
+    )
+
+
+def _curation_sql() -> str:
+    """DuckDB twin of the whole chain — the same stage fragments the
+    component oracles use, composed in one CTE pipeline (recursive
+    reach for the CC stage, per DEDUP_COMPONENTS_SQL)."""
+    from datatransformertools_spark.operators.dedup import (
+        BANDS,
+        NUM_PERM,
+        ROWS_PER_BAND,
+    )
+
+    sig_aggs = ",\n    ".join(
+        f"min(('0x' || substr(md5('{i}:' || shingle), 1, 15))::BIGINT) AS sig{i}"
+        for i in range(NUM_PERM)
+    )
+    band_exprs = ",\n    ".join(
+        "md5('%d:' || %s) AS band%d"
+        % (
+            b,
+            " || ".join(
+                f"CAST(sig{b * ROWS_PER_BAND + r} AS VARCHAR) || ','"
+                for r in range(ROWS_PER_BAND)
+            ),
+            b,
+        )
+        for b in range(BANDS)
+    )
+    band_union = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, band{b} AS band_key FROM banded" for b in range(BANDS)
+    )
+    return rf"""
+WITH RECURSIVE {_SHINGLE_SQL.strip()},
+scored AS (
+  SELECT doc_id, source, {_QUALITY_SQL_FRAG} AS quality_score
+  FROM documents
+  WHERE doc_id % {BENCH_MOD} <> 0
+),
+survivors AS (SELECT * FROM scored WHERE quality_score >= {CURATION_QUALITY_TAU}),
+sig AS (
+  SELECT doc_id,
+    {sig_aggs}
+  FROM shingles GROUP BY doc_id
+),
+banded AS (
+  SELECT *,
+    {band_exprs}
+  FROM sig
+),
+exploded AS (
+  {band_union}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM exploded a JOIN exploded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+  WHERE a.doc_id IN (SELECT doc_id FROM survivors)
+    AND b.doc_id IN (SELECT doc_id FROM survivors)
+),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, root) AS (
+  SELECT doc_id, doc_id FROM survivors
+  UNION
+  SELECT e.doc_b, r.root FROM reach r JOIN edges e ON e.doc_a = r.node
+),
+comp AS (SELECT node AS doc_id, min(root) AS component FROM reach GROUP BY node),
+csize AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1),
+keepers AS (
+  SELECT s.doc_id, s.source, s.quality_score, cs.cluster_size - 1 AS n_dups
+  FROM survivors s
+  JOIN comp c ON c.doc_id = s.doc_id AND c.doc_id = c.component
+  JOIN csize cs ON cs.component = c.component
+),
+bench AS (
+  SELECT doc_id AS bench_id, shingle FROM shingles WHERE doc_id % {BENCH_MOD} = 0
+),
+k_sh AS (
+  SELECT doc_id, shingle FROM shingles
+  WHERE doc_id IN (SELECT doc_id FROM keepers)
+),
+k_sizes AS (SELECT doc_id, count(*) AS n_sh FROM k_sh GROUP BY 1),
+k_inter AS (
+  SELECT k.doc_id, b.bench_id, count(*) AS n_inter
+  FROM k_sh k JOIN bench b USING (shingle)
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT i.doc_id, round(max(i.n_inter * 1.0 / s.n_sh) + 1e-9, 6) AS max_containment
+  FROM k_inter i JOIN k_sizes s USING (doc_id)
+  GROUP BY 1
+),
+clean AS (
+  SELECT k.doc_id, k.source, k.quality_score, k.n_dups,
+         COALESCE(b.max_containment, 0.0) AS max_containment
+  FROM keepers k LEFT JOIN best b USING (doc_id)
+  WHERE COALESCE(b.max_containment, 0.0) < {CONTAM_TAU}
+),
+split_docs AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS arr
+  FROM documents WHERE doc_id IN (SELECT doc_id FROM clean)
+),
+tok AS (
+  SELECT doc_id, i AS pos, arr[i] AS token
+  FROM split_docs, unnest(range(1, len(arr) + 1)) AS t(i)
+),
+counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+vocab AS (
+  SELECT token, CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS token_id
+  FROM counts ORDER BY cnt DESC, token LIMIT {TOKENIZE_VOCAB_V}
+),
+ids AS (
+  SELECT t.doc_id,
+         md5(array_to_string(list(COALESCE(v.token_id, {TOKENIZE_UNK_ID}) ORDER BY t.pos), ',')) AS ids_md5,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+  FROM tok t LEFT JOIN vocab v USING (token)
+  GROUP BY 1
+),
+packed AS (
+  SELECT c.doc_id, c.source, c.quality_score, c.n_dups, c.max_containment,
+         i.ids_md5, i.n_tokens, i.n_oov,
+         CAST(sum(i.n_tokens) OVER (PARTITION BY c.source ORDER BY c.doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - i.n_tokens AS BIGINT) AS start_offset
+  FROM clean c JOIN ids i USING (doc_id)
+)
+SELECT doc_id, source, quality_score, n_dups, max_containment,
+       ids_md5, n_tokens, n_oov, start_offset,
+       start_offset // {CTX_LEN} AS window_id,
+       CAST(start_offset // {CTX_LEN} <> (start_offset + n_tokens - 1) // {CTX_LEN} AS INTEGER) AS crosses_boundary,
+       ('0x' || substr(md5('{SHARD_SALT}' || doc_id), 1, 15))::BIGINT % {N_SHARDS} AS shard
+FROM packed
+"""
+
+
+CORPUS_CURATION_PIPELINE_SQL = _curation_sql()
+
+
 QUERIES = {
+    "corpus_curation_pipeline": (corpus_curation_pipeline, CORPUS_CURATION_PIPELINE_SQL),
     "token_budget_sample": (token_budget_sample, TOKEN_BUDGET_SAMPLE_SQL),
     "token_budget_curve": (token_budget_curve, TOKEN_BUDGET_CURVE_SQL),
     "pii_scrub": (pii_scrub, PII_SCRUB_SQL),

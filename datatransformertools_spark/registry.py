@@ -56,116 +56,86 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
                 raise ValueError(f"duplicate query name {name!r} from {mod_name}")
             merged[name] = pair
             _FAMILY[name] = family
-    # r10 gate rotation (VERDICT r9 "Next round" #1/#3/#4): the
+    # r11 gate rotation (VERDICT r10 "Next round" #1/#3): the
     # driver's correctness gate records the FIRST 50 registry
-    # entries. The r10 head is every row whose face or Spark
-    # internals changed this round: (1) the NEW composed
-    # `server_pipeline` op — the whole reference serving flow
-    # (Tools/server.py:64-117: PDF → pages → batched predict →
-    # per-page JSON envelope) as ONE fused plan (house rule: certify
-    # in the round it lands); (2) `pdf_to_pages`, whose pagination
-    # kernel moved into the shared `_pdf_pages_frame` helper that
-    # server_pipeline now composes (face unchanged, internals
-    # refactored); (3) `detection_eval_ap` / `detection_eval_map`,
-    # whose |classes|-row broadcast hint moved to the buildable
-    # right side of the left join (previously silently dropped —
-    # VERDICT r9 "What's wrong" #1; plan change, face unchanged —
-    # they are ALSO r3-stale rows, so they sit in the refill below);
-    # (4) `events_stream_enrich` migrated off its complete-mode
-    # exemption (VERDICT r9 #7 — also an r3-stale row, refill
-    # below); (5) the NEW `events_stream_interval_join_full` —
-    # full-outer stream-stream interval join, completing the
-    # inner/left-outer/full-outer join matrix (house rule: certify
-    # in the round it lands); (6) `events_stream_interval_join_outer`,
-    # whose _side/final-watermark blocks were hoisted into shared
-    # module helpers (internals changed, face unchanged; the inner
-    # twin is already in the r3 refill); (7) the NEW
-    # `ann_dim_recall_curve` and `ann_quantization_recall_curve` —
-    # recall@k vs embedding prefix width / bits per coordinate, the
-    # two compression-axis tuning companions (house rule: certify
-    # in the round they land). Then freshness refill: ALL 42
-    # remaining r3-certified rows + the alphabetically-first r4
-    # rows that fit — after this window no row's latest driver
-    # certification is older than r4 (exactly 5 + 42 + 1 + 2 = 50;
-    # list counts verified by
+    # entries. The r11 head is the one row whose face is new this
+    # round: the composed `corpus_curation_pipeline` — the FULL
+    # LLM curation chain (quality → minhash-CC keeper →
+    # decontaminate → tokenize → pack → shard) as ONE gated plan
+    # (house rule: certify in the round it lands). Then freshness
+    # refill: ALL 45 remaining r4-certified rows + the
+    # alphabetically-first r5 rows that fit — after this window no
+    # row's latest driver certification is older than r5 (exactly
+    # 1 + 45 + 4 = 50; list counts verified by
     # tests/test_oracle_parity.py::test_gate_rotation_head_is_exact).
     # Every row passes the identical dtype-strict gate locally via
     # tests/test_oracle_parity.py.
     queue_head = [
-        # new in r10 — certify in the round it lands (house rule)
-        "server_pipeline",
-        "events_stream_interval_join_full",
-        "ann_dim_recall_curve",
-        "ann_quantization_recall_curve",
-        # pagination kernel shared out to _pdf_pages_frame
-        "pdf_to_pages",
+        # new in r11 — certify in the round it lands (house rule)
+        "corpus_curation_pipeline",
     ]
-    # Freshness refill: every remaining r3-certified row (42 — this
-    # includes the broadcast-fix rows detection_eval_ap/_map and the
-    # stream-enrich migration), then the r10-touched outer interval
-    # join, then the alphabetically-first r4 rows (2 fit after the
-    # 5-row head: 5 + 42 + 1 + 2 = 50; counts pinned by
-    # test_gate_rotation_head_is_exact; the trimmed r4 rows
-    # pre-stage the r11 refill).
+    # Freshness refill: every remaining r4-certified row (45), then
+    # the alphabetically-first r5 rows (4 fit after the 1-row head:
+    # 1 + 45 + 4 = 50; counts pinned by
+    # test_gate_rotation_head_is_exact; the trimmed r5 rows
+    # pre-stage the r12 refill).
     refill = [
-        # --- all remaining r3-certified rows (42) ---
-        "ann_pq_topk",
-        "ann_recall_eval",
-        "bucketed_join_revenue",
-        "cap_per_source",
-        "competition_json_roundtrip",
-        "dedup_incremental",
-        "dedup_keep_best",
-        "dedup_winnowing",
-        "deletion_cascade_audit",
-        "detection_eval_ap",
-        "detection_eval_map",
-        "embedding_norm_audit",
-        "events_active_users",
-        "events_drift_psi",
-        "events_peak_detection",
-        "events_retention_curve",
-        "events_scd_join",
-        "events_stream_enrich",
-        "events_stream_interval_join",
-        "events_stream_replay_dedup",
-        "events_stream_user_totals",
-        "events_user_count_hll_error",
-        "events_value_quantiles_sketch",
-        "events_value_quantiles_sketch_error",
-        "events_watermark_audit",
-        "image_tiles",
-        "key_skew_profile",
-        "lang_id_eval",
-        "orders_seasonality",
-        "part_pagerank",
-        "part_triangles",
-        "q11_important_stock",
-        "q16_supplier_count",
-        "q20_dominant_suppliers",
-        "quality_stratified_split",
-        "referential_integrity_audit",
-        "schema_contract_check",
-        "shard_assignment",
-        "source_temperature_weights",
-        "supplier_lead_time",
-        "yolo_label_roundtrip",
-        "zorder_layout",
-        # --- the r10-touched interval-join family (the _side /
-        # final-watermark helpers hoisted to module level — internals
-        # changed, faces unchanged; the inner twin is already above
-        # in the r3 refill) ---
-        "events_stream_interval_join_outer",
-        # --- oldest (alphabetically-first) r4-certified rows; the
-        # first 2 fit the window, the rest pre-stage the r11 refill ---
-        "audio_frame_energy",
-        "customer_rfm",
+        # --- all remaining r4-certified rows (45) ---
         "dedup_cluster_sizes",
         "dedup_rate_by_source",
         "detection_eval_ap_coco",
         "doc_bm25_topk",
         "doc_length_percentile_filter",
         "doc_unigram_logprob",
+        "documents_jsonl_roundtrip",
+        "embedding_covariance",
+        "embedding_pca_invariants",
+        "events_anomaly_zscore",
+        "events_attribution",
+        "events_autocorr",
+        "events_column_profile",
+        "events_cube",
+        "events_cusum",
+        "events_ewma",
+        "events_gap_fill",
+        "events_heavy_hitters_cms",
+        "events_latest_snapshot",
+        "events_ohlc",
+        "events_rolling_avg",
+        "events_stream_ewma",
+        "events_transition_matrix",
+        "events_user_count_hll_manual",
+        "events_user_entropy",
+        "gopher_quality_filter",
+        "knn_label_eval",
+        "minhash_band_curve",
+        "oov_rate_by_source",
+        "orders_association_rules",
+        "orders_csv_roundtrip",
+        "orders_interarrival",
+        "orders_market_basket",
+        "orders_percent_rank",
+        "orders_upsert_merge",
+        "paragraph_dedup",
+        "part_label_propagation",
+        "part_revenue_pareto",
+        "pmi_bigrams",
+        "token_fertility",
+        "user_event_features",
+        "user_value_deciles",
+        "user_value_gini",
+        "vocab_topk",
+        "word_zipf_slope",
+        # --- oldest (alphabetically-first) r5-certified rows; the
+        # first 4 fit the window, the rest pre-stage the r12 refill ---
+        "ann_ivf_pq_topk",
+        "ann_range_search",
+        "bloom_join_prune",
+        "bpe_segment_stats",
+        "bpe_train_merges",
+        "corpus_filter_funnel",
+        "customer_survival_km",
+        "dataset_datasheet",
     ]
     head = queue_head + refill[: 50 - len(queue_head)]
     if len(head) != 50:
@@ -174,7 +144,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
     if missing:
         raise RuntimeError(f"rotation names not in registry: {missing}")
     ordered = {n: merged[n] for n in head}
-    # everything else (driver-certified in r1-r5) sits past the
+    # everything else (driver-certified in r5-r10) sits past the
     # horizon in module order
     ordered.update({n: merged[n] for n in merged if n not in ordered})
     _CACHE = ordered

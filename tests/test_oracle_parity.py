@@ -111,24 +111,30 @@ def test_gate_rotation_head_is_exact():
     the rotation math must be exact and self-consistent with the
     comments in registry.py (ADVICE r8: a miscounted refill comment
     mis-plans the next window): the window is 50 unique names, the
-    r10 head leads it, and every changed/new r10 row sits inside it."""
+    r11 head leads it, and the refill is the 45 r4-certified rows
+    plus the alphabetically-first r5 rows (after this window no
+    certification is older than r5 — VERDICT r10 #1)."""
     window = list(_QUERIES)[:50]
     assert len(set(window)) == 50
-    r10_head = [
-        "server_pipeline",  # new in r10 — certify in the round it lands
-        "events_stream_interval_join_full",  # new in r10 (full-outer stream join)
-        "ann_dim_recall_curve",  # new in r10 (dimension-axis tuning companion)
-        "ann_quantization_recall_curve",  # new in r10 (bits-axis tuning companion)
-        "pdf_to_pages",  # pagination kernel shared out to _pdf_pages_frame
+    r11_head = [
+        # new in r11 — the composed curation chain, certify in the
+        # round it lands
+        "corpus_curation_pipeline",
     ]
-    assert window[: len(r10_head)] == r10_head
-    # refill = 42 r3 rows + the refactor-touched outer interval join
-    # + 2 r4 rows, disjoint from the head
-    assert len(window) - len(r10_head) == 45
-    assert "events_stream_interval_join_outer" in window[len(r10_head) :]
-    # the r10-touched rows that were already r3-stale must sit in
-    # the refill (they are both "changed this round" AND "oldest
-    # certification"): the broadcast-hint fix pair and the
-    # complete→update stream-enrich migration.
-    for touched in ("detection_eval_ap", "detection_eval_map", "events_stream_enrich"):
-        assert touched in window[len(r10_head) :], touched
+    assert window[: len(r11_head)] == r11_head
+    # refill = 45 r4 rows + 4 r5 rows, disjoint from the head
+    assert len(window) - len(r11_head) == 49
+    # the r4-certified freshness targets (head of the VERDICT r10
+    # list) must all sit in the refill
+    for stale in (
+        "dedup_cluster_sizes",
+        "dedup_rate_by_source",
+        "detection_eval_ap_coco",
+        "doc_bm25_topk",
+        "word_zipf_slope",  # alphabetical tail of the 45
+    ):
+        assert stale in window[len(r11_head) :], stale
+    # the first pre-staged r5 rows fit after the 45
+    for r5row in ("ann_ivf_pq_topk", "ann_range_search", "bloom_join_prune", "bpe_segment_stats"):
+        assert r5row in window[len(r11_head) :], r5row
+    assert "bpe_train_merges" not in window  # 51st name — next round's refill head

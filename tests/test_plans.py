@@ -895,3 +895,123 @@ def test_overlap_chain_no_text_in_exchange(spark, sf_dir):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text#" not in line, line
+
+
+def _top_level_text_scans(plan: str) -> int:
+    """FileScan-parquet lines reading `text` that are NOT inside an
+    InMemoryTableScan's printed cached subtree — i.e. scans the plan
+    actually executes (cached interiors print per consumer but run
+    once at materialization)."""
+
+    def indent(line: str) -> int:
+        return len(line) - len(line.lstrip(" :+-"))
+
+    cached_indents: list[int] = []
+    n = 0
+    for line in plan.splitlines():
+        ind = indent(line)
+        cached_indents = [i for i in cached_indents if i < ind]
+        if "InMemoryTableScan" in line:
+            cached_indents.append(ind)
+        if "FileScan parquet" in line and "text" in line and not cached_indents:
+            n += 1
+    return n
+
+
+def test_curation_pipeline_stage_fusion(spark, sf_dir):
+    """The composed curation chain (VERDICT r10 "What's missing" #3)
+    must actually FUSE, not re-run each stage's upstream:
+
+    - text leaves the parquet scan exactly TWICE (the quality
+      projection and the tokenize explode) — every other consumer
+      reads a per-doc scalar stage table. Without the tracked stage
+      boundaries the survivor subtree re-expands ~6× and the
+      100 TB run re-pays the scan + quality regex each time.
+    - the shingle index and the minhash candidate-pair table are
+      consumed from cache (the SAME memoized stage tables the
+      standalone dedup/contamination ops read — the shingle explode
+      is paid once for signatures AND decontamination), and the
+      survivors/comp/keepers/clean boundaries are cached too:
+      InMemoryTableScans must be present in numbers.
+    - exactly two Windows: the |V|-row vocab rank (catalog-bounded
+      exemption, same as tokenize_to_ids) and the per-source pack
+      window. Nothing else may sort the corpus.
+    - never a cartesian product.
+    """
+    from datatransformertools_spark.operators.corpus import corpus_curation_pipeline
+
+    plan = corpus_curation_pipeline(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert _top_level_text_scans(plan) == 2, plan
+    assert plan.count("InMemoryTableScan") >= 6, plan.count("InMemoryTableScan")
+    assert plan.count("CartesianProduct") == 0
+    n_windows = sum(1 for l in plan.splitlines() if l.lstrip(" :+-").startswith("Window"))
+    assert n_windows == 2, n_windows
+
+
+def test_similar_parts_hub_cap_semi_pushes_below_wedge_join(spark, sf_dir):
+    """VERDICT r10 next-round #4: the SIM_MAX_DEG hub-cap semi-join
+    must apply BELOW the wedge self-join fan-out (Catalyst's
+    PushDownLeftSemiAntiJoin) — without the pushdown an uncapped hub
+    fans d² wedge rows BEFORE the filter and the cap is cosmetic at
+    100 TB. PushDownLeftSemiAntiJoin can regress silently across
+    Spark upgrades, so pin the placement: in the optimized plan's
+    pre-order print, every LeftSemi sits AFTER (i.e. beneath) the
+    wedge inner join, never above it.
+
+    The operator returns a localCheckpoint (lineage truncation for
+    its downstream consumers), which would hide the plan — the test
+    identity-patches checkpointing to see the full tree."""
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    from datatransformertools_spark.operators.graph import SIM_MAX_DEG, part_similar_parts
+
+    orig = ClassicDF.localCheckpoint
+    ClassicDF.localCheckpoint = lambda self, eager=True: self
+    try:
+        df = part_similar_parts(spark, sf_dir)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        ClassicDF.localCheckpoint = orig
+
+    lines = opt.splitlines()
+    wedge_idx = next(
+        i
+        for i, l in enumerate(lines)
+        if re.search(r"Join Inner, \(\(pa#\d+L < pb#\d+L\)", l)
+    )
+    semi_idxs = [i for i, l in enumerate(lines) if "Join LeftSemi" in l]
+    assert semi_idxs, "hub-cap semi-join vanished from the plan"
+    assert all(i > wedge_idx for i in semi_idxs), (
+        "SIM_MAX_DEG semi-join sits ABOVE the wedge self-join — the "
+        f"pushdown regressed (wedge at line {wedge_idx}, semis at {semi_idxs})"
+    )
+    # and the cap itself is the semi's filter
+    assert re.search(rf"Filter \(deg#\d+L <= {SIM_MAX_DEG}\)", opt), opt
+
+
+def test_server_pipeline_class_map_broadcast_stays_literal(spark, sf_dir, monkeypatch):
+    """VERDICT r10 polish (b): the one multimodal broadcast is the
+    class map, and its bound is |classes| BY CONSTRUCTION — a
+    Catalyst LocalRelation built from the CLASS_MAP literal, never a
+    data-derived frame. Pin that the broadcast child is a
+    LocalTableScan, and that it STAYS one when the class map grows
+    (a 64-class detector is still a literal dim; the failure mode
+    this guards is someone rebuilding the map from data and leaving
+    the hint on a data-sized frame)."""
+    from datatransformertools_spark.operators import annotations as ann
+    from datatransformertools_spark.operators.multimodal import server_pipeline
+
+    def _broadcast_children_are_local(plan: str) -> bool:
+        lines = plan.splitlines()
+        idxs = [i for i, l in enumerate(lines) if "BroadcastExchange" in l]
+        assert len(idxs) == 1, plan
+        return "LocalTableScan" in lines[idxs[0] + 1]
+
+    plan = server_pipeline(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert _broadcast_children_are_local(plan)
+
+    monkeypatch.setattr(
+        ann, "CLASS_MAP", {i: f"class_{i}" for i in range(64)}
+    )
+    grown = server_pipeline(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert _broadcast_children_are_local(grown)
