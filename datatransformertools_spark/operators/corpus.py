@@ -2096,70 +2096,31 @@ GROUP BY source
 CURATION_QUALITY_TAU = 0.5  # same gate as corpus_prep_pipeline
 
 
-def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The FULL training-data curation chain — quality filter →
-    near-dup dedup (minhash-CC keepers) → benchmark decontamination
-    → tokenize-to-ids → sequence packing → shard assignment — as ONE
-    composed plan (VERDICT r10 "What's missing" #3: the
-    `server_pipeline` move applied to the LLM side; each stage is
-    individually certified, this op certifies the COMPOSITION).
-
-    Stage semantics are the family's own, unchanged:
-    - quality: `quality_score_expr` ≥ 0.5 (corpus_prep_pipeline's
-      gate), computed in the scan projection — no shuffle.
-    - dedup: the banded minhash-LSH candidate pairs come from the
-      MEMOIZED corpus-wide stage table (`_minhash_pairs_df` — built
-      once per corpus from the memoized shingle index), endpoint-
-      filtered to quality survivors by two leftsemi joins, then
-      min-label connected components; the min-doc_id keeper of each
-      cluster survives with its duplicate count.
-    - decontamination: max 3-gram containment of each keeper vs the
-      doc_id%97 benchmark slice (`contamination_check` semantics),
-      both sides reading the SAME memoized shingle index the minhash
-      signatures were built from — the fusion that makes the chain
-      one pipeline instead of six jobs: the shingle explode is paid
-      once. Keepers at containment ≥ 0.8 drop.
-    - tokenize: `tokenize_to_ids` over the post-dedup,
-      decontaminated corpus — the vocabulary is induced from the
-      SURVIVORS (training sees cleaned data, so the vocab must too),
-      face = md5 digest of the id sequence + token/OOV counts.
-    - pack: `pack_sequences` offsets over survivors (per-source
-      running token sum in doc_id order; n_tokens REUSED from the
-      tokenize stage — the token explode is not repeated).
-    - shard: `shard_assignment` hash routing (pure function of
-      doc_id).
-
-    Scale design (the 100 TB story the plan test pins): text leaves
-    the scan exactly twice (quality projection; tokenize explode,
-    scoped by a doc_id leftsemi that AQE broadcasts when the
-    survivor id list is small — at worst text rides ONE exchange);
-    the shingle index and the candidate-pair table are shared
-    memoized stage tables (each paid once per corpus, consumed here
-    by dedup AND decontamination); the CC loop iterates only the
-    survivor-filtered candidate graph with scalar-only driver state;
-    the tokenize shuffle carries (doc_id, pos, token_id) rows, never
-    text; packing is a per-source window; sharding is map-side
-    arithmetic. Zero broadcast hints — every join is shuffle-planned
-    and AQE upgrades the genuinely small sides at runtime."""
+def _curation_stage_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Stages 1-3 of the curation chain as tracked per-doc scalar
+    stage tables — (survivors, keepers, clean) — shared by the
+    composed pipeline and the funnel audit. Each frame persists
+    because it has 2-3 consumers (pair-endpoint semis, contamination
+    semi, tokenize scope, pack join): without the boundary the
+    survivor subtree re-expands per consumer and a 100 TB run
+    re-pays the scan + quality regex each time (the in-session
+    equivalent of the stage writes a real pipeline does)."""
+    from datatransformertools_spark.caching import track
     from datatransformertools_spark.operators.dedup import (
         _min_label_components,
         _minhash_pairs_df,
     )
     from datatransformertools_spark.operators.text_analysis import quality_score_expr
 
-    from datatransformertools_spark.caching import track
-
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "text", "n_chars"
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text", "n_chars")
+        .filter(F.col("doc_id") % BENCH_MOD != 0)
     )
-    corpus = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
 
-    # stage 1 — quality gate (scan projection, no shuffle). Tracked
-    # stage table: three consumers (both pair-endpoint semis + the
-    # component join) would otherwise each re-expand the scan and
-    # re-pay the quality regex — persisting the per-doc scalar frame
-    # is the in-session equivalent of writing the stage table out,
-    # exactly what a 100 TB pipeline does between stages.
+    # stage 1 — quality gate (scan projection, no shuffle)
     survivors = track(
         corpus.select(
             "doc_id", "source", quality_score_expr().alias("quality_score")
@@ -2224,14 +2185,62 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("max_containment", F.coalesce(F.col("max_containment"), F.lit(0.0)))
         .filter(F.col("max_containment") < CONTAM_TAU)
     )
+    return survivors, keepers, clean
+
+
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL training-data curation chain — quality filter →
+    near-dup dedup (minhash-CC keepers) → benchmark decontamination
+    → tokenize-to-ids → sequence packing → shard assignment — as ONE
+    composed plan (VERDICT r10 "What's missing" #3: the
+    `server_pipeline` move applied to the LLM side; each stage is
+    individually certified, this op certifies the COMPOSITION).
+
+    Stage semantics are the family's own, unchanged:
+    - quality: `quality_score_expr` ≥ 0.5 (corpus_prep_pipeline's
+      gate), computed in the scan projection — no shuffle.
+    - dedup: the banded minhash-LSH candidate pairs come from the
+      MEMOIZED corpus-wide stage table (`_minhash_pairs_df` — built
+      once per corpus from the memoized shingle index), endpoint-
+      filtered to quality survivors by two leftsemi joins, then
+      min-label connected components; the min-doc_id keeper of each
+      cluster survives with its duplicate count.
+    - decontamination: max 3-gram containment of each keeper vs the
+      doc_id%97 benchmark slice (`contamination_check` semantics),
+      both sides reading the SAME memoized shingle index the minhash
+      signatures were built from — the fusion that makes the chain
+      one pipeline instead of six jobs: the shingle explode is paid
+      once. Keepers at containment ≥ 0.8 drop.
+    - tokenize: `tokenize_to_ids` over the post-dedup,
+      decontaminated corpus — the vocabulary is induced from the
+      SURVIVORS (training sees cleaned data, so the vocab must too),
+      face = md5 digest of the id sequence + token/OOV counts.
+    - pack: `pack_sequences` offsets over survivors (per-source
+      running token sum in doc_id order; n_tokens REUSED from the
+      tokenize stage — the token explode is not repeated).
+    - shard: `shard_assignment` hash routing (pure function of
+      doc_id).
+
+    Scale design (the 100 TB story the plan test pins): text leaves
+    the scan exactly twice (quality projection; tokenize explode,
+    scoped by a doc_id leftsemi that AQE broadcasts when the
+    survivor id list is small — at worst text rides ONE exchange);
+    the shingle index and the candidate-pair table are shared
+    memoized stage tables (each paid once per corpus, consumed here
+    by dedup AND decontamination); the CC loop iterates only the
+    survivor-filtered candidate graph with scalar-only driver state;
+    the tokenize shuffle carries (doc_id, pos, token_id) rows, never
+    text; packing is a per-source window; sharding is map-side
+    arithmetic. Zero broadcast hints — every join is shuffle-planned
+    and AQE upgrades the genuinely small sides at runtime."""
+    _survivors, _keepers, clean = _curation_stage_frames(spark, sf_dir)
 
     # stage 4 — tokenize the cleaned corpus (vocab induced from
     # survivors); the leftsemi scopes the explode BEFORE tokens fan
     # out, so at worst (id list too big to broadcast) text rides one
     # exchange — never the token rows
-    clean_docs = docs.select("doc_id", "text").join(
-        clean.select("doc_id"), "doc_id", "leftsemi"
-    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    clean_docs = docs.join(clean.select("doc_id"), "doc_id", "leftsemi")
     toks = clean_docs.select(
         "doc_id", F.posexplode(tokens(normalize_text(F.col("text")))).alias("pos", "token")
     )
@@ -2299,10 +2308,12 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _curation_sql() -> str:
-    """DuckDB twin of the whole chain — the same stage fragments the
+def _curation_ctes() -> str:
+    """The shared stage-1..3 CTE body (through `clean`) of the
+    curation chain's DuckDB twin — the same stage fragments the
     component oracles use, composed in one CTE pipeline (recursive
-    reach for the CC stage, per DEDUP_COMPONENTS_SQL)."""
+    reach for the CC stage, per DEDUP_COMPONENTS_SQL). The pipeline
+    and the funnel audit append different finals."""
     from datatransformertools_spark.operators.dedup import (
         BANDS,
         NUM_PERM,
@@ -2396,7 +2407,13 @@ clean AS (
          COALESCE(b.max_containment, 0.0) AS max_containment
   FROM keepers k LEFT JOIN best b USING (doc_id)
   WHERE COALESCE(b.max_containment, 0.0) < {CONTAM_TAU}
-),
+)
+"""
+
+
+CORPUS_CURATION_PIPELINE_SQL = (
+    _curation_ctes()
+    + rf""",
 split_docs AS (
   SELECT doc_id,
          regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS arr
@@ -2434,13 +2451,82 @@ SELECT doc_id, source, quality_score, n_dups, max_containment,
        ('0x' || substr(md5('{SHARD_SALT}' || doc_id), 1, 15))::BIGINT % {N_SHARDS} AS shard
 FROM packed
 """
+)
 
 
-CORPUS_CURATION_PIPELINE_SQL = _curation_sql()
+# ---------------------------------------------------------------------------
+# curation_funnel — the per-stage survivor audit of the same chain
+# ---------------------------------------------------------------------------
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage survivor counts of the curation chain — the
+    governance table a 100 TB curation run reads FIRST: how many
+    documents enter, how many each gate removes, and the retention
+    ratio stage-over-stage (corpus → quality pass → dedup keeper →
+    decontaminated). Built from the SAME tracked stage frames the
+    composed pipeline consumes (`_curation_stage_frames`), so the
+    audit costs four 1-row count aggregates over already-persisted
+    per-doc scalar tables — no stage is recomputed, and the two ops
+    agree by construction, not by coincidence.
+
+    Scale design: each stage count is a map-side-combined scalar
+    aggregate (1 row out); the 4-row union pays one bounded window
+    for the stage-over-stage lag (4 rows at any corpus size)."""
+    survivors, keepers, clean = _curation_stage_frames(spark, sf_dir)
+    corpus = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % BENCH_MOD != 0
+    )
+    stages = [
+        (0, "corpus", corpus),
+        (1, "quality_pass", survivors),
+        (2, "dedup_keeper", keepers),
+        (3, "decontaminated", clean),
+    ]
+    counts = None
+    for sid, name, frame in stages:
+        row = frame.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(sid).alias("stage_id"), F.lit(name).alias("stage"), "n_docs"
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    w = Window.orderBy("stage_id")  # 4-row frame — bounded window
+    prev = F.lag("n_docs").over(w)
+    return counts.select(
+        "stage_id",
+        "stage",
+        "n_docs",
+        F.round(
+            F.when(prev.isNotNull(), F.col("n_docs") / prev).otherwise(F.lit(1.0))
+            + 1e-9,
+            6,
+        ).alias("retention"),
+    )
+
+
+CURATION_FUNNEL_SQL = (
+    _curation_ctes()
+    + f""",
+funnel AS (
+  SELECT 0 AS stage_id, 'corpus' AS stage,
+         (SELECT count(*) FROM documents WHERE doc_id % {BENCH_MOD} <> 0) AS n_docs
+  UNION ALL
+  SELECT 1, 'quality_pass', (SELECT count(*) FROM survivors)
+  UNION ALL
+  SELECT 2, 'dedup_keeper', (SELECT count(*) FROM keepers)
+  UNION ALL
+  SELECT 3, 'decontaminated', (SELECT count(*) FROM clean)
+)
+SELECT stage_id, stage, CAST(n_docs AS BIGINT) AS n_docs,
+       round(COALESCE(n_docs * 1.0 / lag(n_docs) OVER (ORDER BY stage_id), 1.0) + 1e-9, 6)
+         AS retention
+FROM funnel
+"""
+)
 
 
 QUERIES = {
     "corpus_curation_pipeline": (corpus_curation_pipeline, CORPUS_CURATION_PIPELINE_SQL),
+    "curation_funnel": (curation_funnel, CURATION_FUNNEL_SQL),
     "token_budget_sample": (token_budget_sample, TOKEN_BUDGET_SAMPLE_SQL),
     "token_budget_curve": (token_budget_curve, TOKEN_BUDGET_CURVE_SQL),
     "pii_scrub": (pii_scrub, PII_SCRUB_SQL),

@@ -58,25 +58,27 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
             _FAMILY[name] = family
     # r11 gate rotation (VERDICT r10 "Next round" #1/#3): the
     # driver's correctness gate records the FIRST 50 registry
-    # entries. The r11 head is the one row whose face is new this
+    # entries. The r11 head is the two rows whose faces are new this
     # round: the composed `corpus_curation_pipeline` — the FULL
     # LLM curation chain (quality → minhash-CC keeper →
-    # decontaminate → tokenize → pack → shard) as ONE gated plan
-    # (house rule: certify in the round it lands). Then freshness
-    # refill: ALL 45 remaining r4-certified rows + the
-    # alphabetically-first r5 rows that fit — after this window no
-    # row's latest driver certification is older than r5 (exactly
-    # 1 + 45 + 4 = 50; list counts verified by
+    # decontaminate → tokenize → pack → shard) as ONE gated plan —
+    # and `curation_funnel`, the per-stage survivor audit built from
+    # the same tracked stage frames (house rule: certify in the
+    # round they land). Then freshness refill: ALL 45 remaining
+    # r4-certified rows + the alphabetically-first r5 rows that fit
+    # — after this window no row's latest driver certification is
+    # older than r5 (exactly 2 + 45 + 3 = 50; list counts verified by
     # tests/test_oracle_parity.py::test_gate_rotation_head_is_exact).
     # Every row passes the identical dtype-strict gate locally via
     # tests/test_oracle_parity.py.
     queue_head = [
-        # new in r11 — certify in the round it lands (house rule)
+        # new in r11 — certify in the round they land (house rule)
         "corpus_curation_pipeline",
+        "curation_funnel",
     ]
     # Freshness refill: every remaining r4-certified row (45), then
-    # the alphabetically-first r5 rows (4 fit after the 1-row head:
-    # 1 + 45 + 4 = 50; counts pinned by
+    # the alphabetically-first r5 rows (3 fit after the 2-row head:
+    # 2 + 45 + 3 = 50; counts pinned by
     # test_gate_rotation_head_is_exact; the trimmed r5 rows
     # pre-stage the r12 refill).
     refill = [

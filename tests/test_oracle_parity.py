@@ -117,13 +117,14 @@ def test_gate_rotation_head_is_exact():
     window = list(_QUERIES)[:50]
     assert len(set(window)) == 50
     r11_head = [
-        # new in r11 — the composed curation chain, certify in the
-        # round it lands
+        # new in r11 — the composed curation chain + its per-stage
+        # funnel audit, certify in the round they land
         "corpus_curation_pipeline",
+        "curation_funnel",
     ]
     assert window[: len(r11_head)] == r11_head
-    # refill = 45 r4 rows + 4 r5 rows, disjoint from the head
-    assert len(window) - len(r11_head) == 49
+    # refill = 45 r4 rows + 3 r5 rows, disjoint from the head
+    assert len(window) - len(r11_head) == 48
     # the r4-certified freshness targets (head of the VERDICT r10
     # list) must all sit in the refill
     for stale in (
@@ -135,6 +136,6 @@ def test_gate_rotation_head_is_exact():
     ):
         assert stale in window[len(r11_head) :], stale
     # the first pre-staged r5 rows fit after the 45
-    for r5row in ("ann_ivf_pq_topk", "ann_range_search", "bloom_join_prune", "bpe_segment_stats"):
+    for r5row in ("ann_ivf_pq_topk", "ann_range_search", "bloom_join_prune"):
         assert r5row in window[len(r11_head) :], r5row
-    assert "bpe_train_merges" not in window  # 51st name — next round's refill head
+    assert "bpe_segment_stats" not in window  # 51st name — next round's refill head
