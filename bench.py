@@ -152,6 +152,22 @@ _ISOLATE_DEFAULT = [
     # member of the slowest-5 now has honest cold/warm numbers.
     "simhash_hamming_curve",
     "embedding_knn_graph",
+    # r11 (VERDICT r10 polish (a)): extend to the whole top of the
+    # in-suite cost table so ambience adjudication never needs the
+    # in-suite number — the streaming pair that spiked in r9/r10
+    # (micro-batch + checkpoint IO under contention), the shared
+    # Lloyd-fit payer, the kNN-memo consumer, and the next
+    # non-iterative heavies.
+    "events_stream_top_k_per_window",
+    "events_stream_tumbling",
+    "kmeans_embeddings",
+    "embedding_intrinsic_dim",
+    "part_price_index",
+    "detection_eval",
+    # the new composed chain: its cold number pays the CC loop +
+    # stage-table builds — the honest timing is isolated, not the
+    # memo-order-dependent in-suite slot
+    "corpus_curation_pipeline",
 ]
 
 
