@@ -897,25 +897,27 @@ def test_overlap_chain_no_text_in_exchange(spark, sf_dir):
             assert "text#" not in line, line
 
 
-def _top_level_text_scans(plan: str) -> int:
+def _top_level_text_scans(plan: str) -> list[str]:
     """FileScan-parquet lines reading `text` that are NOT inside an
-    InMemoryTableScan's printed cached subtree — i.e. scans the plan
-    actually executes (cached interiors print per consumer but run
-    once at materialization)."""
+    InMemoryTableScan/InMemoryRelation printed cached subtree — i.e.
+    scans the plan actually executes (cached interiors print per
+    consumer but run once at materialization). Returns the matching
+    lines so an assertion failure names the extra scans instead of
+    dumping the whole plan."""
 
     def indent(line: str) -> int:
         return len(line) - len(line.lstrip(" :+-"))
 
     cached_indents: list[int] = []
-    n = 0
+    hits: list[str] = []
     for line in plan.splitlines():
         ind = indent(line)
         cached_indents = [i for i in cached_indents if i < ind]
-        if "InMemoryTableScan" in line:
+        if "InMemoryTableScan" in line or "InMemoryRelation" in line:
             cached_indents.append(ind)
         if "FileScan parquet" in line and "text" in line and not cached_indents:
-            n += 1
-    return n
+            hits.append(line.strip()[:160])
+    return hits
 
 
 def test_curation_pipeline_stage_fusion(spark, sf_dir):
@@ -937,11 +939,23 @@ def test_curation_pipeline_stage_fusion(spark, sf_dir):
       exemption, same as tokenize_to_ids) and the per-source pack
       window. Nothing else may sort the corpus.
     - never a cartesian product.
-    """
-    from datatransformertools_spark.operators.corpus import corpus_curation_pipeline
 
+    State-normalized capture: tracked stage tables + dedup memos are
+    cleared first (the _plans_hints_only prelude) so the assertion
+    reads THIS query's plan, not whatever materialized cache plans
+    300 earlier suite tests left in the CacheManager (a materialized
+    InMemoryRelation prints its AQE-executed interior, which the
+    line-indent scan parser must not misread as live scans).
+    """
+    from datatransformertools_spark.caching import release_caches
+    from datatransformertools_spark.operators.corpus import corpus_curation_pipeline
+    from datatransformertools_spark.operators.dedup import clear_dedup_memos
+
+    release_caches()
+    clear_dedup_memos()
     plan = corpus_curation_pipeline(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-    assert _top_level_text_scans(plan) == 2, plan
+    scans = _top_level_text_scans(plan)
+    assert len(scans) == 2, "\n".join(scans)
     assert plan.count("InMemoryTableScan") >= 6, plan.count("InMemoryTableScan")
     assert plan.count("CartesianProduct") == 0
     n_windows = sum(1 for l in plan.splitlines() if l.lstrip(" :+-").startswith("Window"))
