@@ -924,11 +924,14 @@ def test_curation_pipeline_stage_fusion(spark, sf_dir):
     """The composed curation chain (VERDICT r10 "What's missing" #3)
     must actually FUSE, not re-run each stage's upstream:
 
-    - text leaves the parquet scan exactly TWICE (the quality
-      projection and the tokenize explode) — every other consumer
-      reads a per-doc scalar stage table. Without the tracked stage
-      boundaries the survivor subtree re-expands ~6× and the
-      100 TB run re-pays the scan + quality regex each time.
+    - text leaves the parquet scan AT MOST twice (the quality
+      projection and the tokenize explode; session cache
+      substitution can absorb the quality scan into an
+      InMemoryRelation, leaving just one live) — every other
+      consumer reads a per-doc scalar stage table. Without the
+      tracked stage boundaries the survivor subtree re-expands ~6×
+      (38 text scans in the tree pre-fix) and the 100 TB run
+      re-pays the scan + quality regex each time.
     - the shingle index and the minhash candidate-pair table are
       consumed from cache (the SAME memoized stage tables the
       standalone dedup/contamination ops read — the shingle explode
@@ -955,7 +958,7 @@ def test_curation_pipeline_stage_fusion(spark, sf_dir):
     clear_dedup_memos()
     plan = corpus_curation_pipeline(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     scans = _top_level_text_scans(plan)
-    assert len(scans) == 2, "\n".join(scans)
+    assert 1 <= len(scans) <= 2, "\n".join(scans)
     assert plan.count("InMemoryTableScan") >= 6, plan.count("InMemoryTableScan")
     assert plan.count("CartesianProduct") == 0
     n_windows = sum(1 for l in plan.splitlines() if l.lstrip(" :+-").startswith("Window"))
