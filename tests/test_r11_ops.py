@@ -73,3 +73,22 @@ def test_curation_pipeline_stage_invariants(spark, sf_dir):
         .count()
     )
     assert len(rows) < q_pass, (len(rows), q_pass)
+
+
+def test_funnel_agrees_with_pipeline(spark, sf_dir):
+    """The funnel's final stage count must equal the composed
+    pipeline's output row count — they read the same stage frames,
+    so disagreement means the shared helper forked semantics."""
+    from datatransformertools_spark.operators.corpus import (
+        corpus_curation_pipeline,
+        curation_funnel,
+    )
+
+    funnel = {r.stage: r.n_docs for r in curation_funnel(spark, sf_dir).collect()}
+    n_out = corpus_curation_pipeline(spark, sf_dir).count()
+    assert funnel["decontaminated"] == n_out, (funnel, n_out)
+    # monotone non-increasing survivor counts down the chain
+    order = ["corpus", "quality_pass", "dedup_keeper", "decontaminated"]
+    counts = [funnel[s] for s in order]
+    assert counts == sorted(counts, reverse=True), counts
+    assert counts[-1] > 0
