@@ -2196,6 +2196,16 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     `server_pipeline` move applied to the LLM side; each stage is
     individually certified, this op certifies the COMPOSITION).
 
+    The stage order is the published curation recipe: rule-based
+    quality filtering before dedup (Gopher, Rae et al. 2021,
+    arXiv:2112.11446 §A1; C4, Raffel et al. 2020), fuzzy
+    MinHash-LSH dedup over the filtered pool (RefinedWeb, Penedo
+    et al. 2023, arXiv:2306.01116 §3.3; Lee et al. 2022,
+    arXiv:2107.06499), benchmark decontamination by n-gram overlap
+    before the training set is frozen (GPT-3 appendix C /
+    open-LLM practice), then tokenize → pack → shard for the data
+    loader.
+
     Stage semantics are the family's own, unchanged:
     - quality: `quality_score_expr` ≥ 0.5 (corpus_prep_pipeline's
       gate), computed in the scan projection — no shuffle.
