@@ -211,6 +211,98 @@ LEFT JOIN best b USING (doc_id)
 """
 )
 
+
+def benchmark_leak_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REVERSE direction of `contamination_check`: per BENCHMARK
+    item, how much of IT is reproduced in the training corpus —
+    containment here denominates by the benchmark doc's shingle set
+    (n_inter / |shingles(bench)|), the eval-integrity question ("is
+    this eval item burned?") rather than the corpus-hygiene question
+    ("is this training doc mostly benchmark text?"). Per bench doc:
+    the number of corpus docs sharing any 3-gram, the number
+    reproducing ≥ τ=0.8 of it, and the worst single-doc containment.
+    This is the report an eval owner reads to drop burned items
+    (Lee et al. 2022, arXiv:2107.06499 §5; GPT-3 appendix C run the
+    same overlap in this direction).
+
+    Scale design: identical to `contamination_check` — both sides
+    meet on the shingle key of the memoized inverted index (never
+    doc × bench all-pairs), the pair aggregation map-side combines,
+    and the output is |benchmark| rows at any corpus size."""
+    sh = _shingle_df(spark, sf_dir)
+    bench = sh.filter(F.col("doc_id") % BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    corpus = sh.filter(F.col("doc_id") % BENCH_MOD != 0)
+    bench_sizes = bench.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        corpus.join(bench, "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    contain = F.col("n_inter") / F.col("n_sh")
+    per_bench = (
+        inter.join(bench_sizes, "bench_id")
+        .groupBy("bench_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidate_docs"),
+            F.sum((contain >= CONTAM_TAU).cast("long")).alias("n_leaking_docs"),
+            F.round(F.max(contain) + 1e-9, 6).alias("max_containment"),
+        )
+    )
+    all_bench = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("bench_id")
+    ).filter(F.col("bench_id") % BENCH_MOD == 0)
+    return all_bench.join(per_bench, "bench_id", "left").select(
+        "bench_id",
+        F.coalesce(F.col("n_candidate_docs"), F.lit(0).cast("long")).alias(
+            "n_candidate_docs"
+        ),
+        F.coalesce(F.col("n_leaking_docs"), F.lit(0).cast("long")).alias(
+            "n_leaking_docs"
+        ),
+        F.coalesce(F.col("max_containment"), F.lit(0.0)).alias("max_containment"),
+        (F.coalesce(F.col("max_containment"), F.lit(0.0)) >= CONTAM_TAU)
+        .cast("int")
+        .alias("burned"),
+    )
+
+
+BENCHMARK_LEAK_REPORT_SQL = (
+    "WITH "
+    + _SHINGLE_SQL.strip()
+    + f"""
+, bench AS (
+  SELECT doc_id AS bench_id, shingle FROM shingles WHERE doc_id % {BENCH_MOD} = 0
+),
+corpus AS (
+  SELECT * FROM shingles WHERE doc_id % {BENCH_MOD} <> 0
+),
+bench_sizes AS (SELECT bench_id, count(*) AS n_sh FROM bench GROUP BY 1),
+inter AS (
+  SELECT c.doc_id, b.bench_id, count(*) AS n_inter
+  FROM corpus c JOIN bench b USING (shingle)
+  GROUP BY 1, 2
+),
+per_bench AS (
+  SELECT i.bench_id,
+         CAST(count(*) AS BIGINT) AS n_candidate_docs,
+         CAST(sum(CASE WHEN i.n_inter * 1.0 / s.n_sh >= {CONTAM_TAU} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_leaking_docs,
+         round(max(i.n_inter * 1.0 / s.n_sh) + 1e-9, 6) AS max_containment
+  FROM inter i JOIN bench_sizes s USING (bench_id)
+  GROUP BY 1
+)
+SELECT d.bench_id,
+       COALESCE(p.n_candidate_docs, 0) AS n_candidate_docs,
+       COALESCE(p.n_leaking_docs, 0) AS n_leaking_docs,
+       COALESCE(p.max_containment, 0.0) AS max_containment,
+       CAST(COALESCE(p.max_containment, 0.0) >= {CONTAM_TAU} AS INTEGER) AS burned
+FROM (SELECT doc_id AS bench_id FROM documents WHERE doc_id % {BENCH_MOD} = 0) d
+LEFT JOIN per_bench p USING (bench_id)
+"""
+)
+
 # ---------------------------------------------------------------------------
 # stratified_sample / corpus_mix_summary
 # ---------------------------------------------------------------------------
@@ -2551,6 +2643,7 @@ QUERIES = {
     ),
     "quality_token_retention": (quality_token_retention, QUALITY_TOKEN_RETENTION_SQL),
     "contamination_check": (contamination_check, CONTAMINATION_CHECK_SQL),
+    "benchmark_leak_report": (benchmark_leak_report, BENCHMARK_LEAK_REPORT_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "corpus_mix_summary": (corpus_mix_summary, CORPUS_MIX_SUMMARY_SQL),
     "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),

@@ -58,16 +58,19 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
             _FAMILY[name] = family
     # r11 gate rotation (VERDICT r10 "Next round" #1/#3): the
     # driver's correctness gate records the FIRST 50 registry
-    # entries. The r11 head is the two rows whose faces are new this
-    # round: the composed `corpus_curation_pipeline` — the FULL
+    # entries. The r11 head is the three rows whose faces are new
+    # this round: the composed `corpus_curation_pipeline` — the FULL
     # LLM curation chain (quality → minhash-CC keeper →
     # decontaminate → tokenize → pack → shard) as ONE gated plan —
-    # and `curation_funnel`, the per-stage survivor audit built from
-    # the same tracked stage frames (house rule: certify in the
-    # round they land). Then freshness refill: ALL 45 remaining
-    # r4-certified rows + the alphabetically-first r5 rows that fit
-    # — after this window no row's latest driver certification is
-    # older than r5 (exactly 2 + 45 + 3 = 50; list counts verified by
+    # `curation_funnel`, the per-stage survivor audit built from
+    # the same tracked stage frames, and `benchmark_leak_report`,
+    # the reverse-direction decontamination view (per benchmark
+    # item: how much of it the corpus reproduces) (house rule:
+    # certify in the round they land). Then freshness refill: ALL 45
+    # remaining r4-certified rows + the alphabetically-first r5 rows
+    # that fit — after this window no row's latest driver
+    # certification is older than r5 (exactly 3 + 45 + 2 = 50;
+    # list counts verified by
     # tests/test_oracle_parity.py::test_gate_rotation_head_is_exact).
     # Every row passes the identical dtype-strict gate locally via
     # tests/test_oracle_parity.py.
@@ -75,10 +78,11 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         # new in r11 — certify in the round they land (house rule)
         "corpus_curation_pipeline",
         "curation_funnel",
+        "benchmark_leak_report",
     ]
     # Freshness refill: every remaining r4-certified row (45), then
-    # the alphabetically-first r5 rows (3 fit after the 2-row head:
-    # 2 + 45 + 3 = 50; counts pinned by
+    # the alphabetically-first r5 rows (2 fit after the 3-row head:
+    # 3 + 45 + 2 = 50; counts pinned by
     # test_gate_rotation_head_is_exact; the trimmed r5 rows
     # pre-stage the r12 refill).
     refill = [
@@ -129,7 +133,7 @@ def _load() -> dict[str, tuple[QueryFn, str | None]]:
         "vocab_topk",
         "word_zipf_slope",
         # --- oldest (alphabetically-first) r5-certified rows; the
-        # first 4 fit the window, the rest pre-stage the r12 refill ---
+        # first 2 fit the window, the rest pre-stage the r12 refill ---
         "ann_ivf_pq_topk",
         "ann_range_search",
         "bloom_join_prune",

@@ -117,14 +117,16 @@ def test_gate_rotation_head_is_exact():
     window = list(_QUERIES)[:50]
     assert len(set(window)) == 50
     r11_head = [
-        # new in r11 — the composed curation chain + its per-stage
-        # funnel audit, certify in the round they land
+        # new in r11 — the composed curation chain, its per-stage
+        # funnel audit, and the reverse-direction decontamination
+        # report; certify in the round they land
         "corpus_curation_pipeline",
         "curation_funnel",
+        "benchmark_leak_report",
     ]
     assert window[: len(r11_head)] == r11_head
-    # refill = 45 r4 rows + 3 r5 rows, disjoint from the head
-    assert len(window) - len(r11_head) == 48
+    # refill = 45 r4 rows + 2 r5 rows, disjoint from the head
+    assert len(window) - len(r11_head) == 47
     # the r4-certified freshness targets (head of the VERDICT r10
     # list) must all sit in the refill
     for stale in (
@@ -136,6 +138,6 @@ def test_gate_rotation_head_is_exact():
     ):
         assert stale in window[len(r11_head) :], stale
     # the first pre-staged r5 rows fit after the 45
-    for r5row in ("ann_ivf_pq_topk", "ann_range_search", "bloom_join_prune"):
+    for r5row in ("ann_ivf_pq_topk", "ann_range_search"):
         assert r5row in window[len(r11_head) :], r5row
-    assert "bpe_segment_stats" not in window  # 51st name — next round's refill head
+    assert "bloom_join_prune" not in window  # 51st name — next round's refill head
