@@ -129,6 +129,7 @@ def clear_dedup_memos(unpersist: bool = True) -> int:
     NOT own these. `unpersist=False` when the owning session is
     stopped."""
     from datatransformertools_spark.operators.corpus import _TB_BSTATS_MEMO
+    from datatransformertools_spark.operators.graph import _EDGES_MEMO
     from datatransformertools_spark.operators.similarity import _KNN_EDGES_MEMO
 
     return sum(
@@ -142,6 +143,7 @@ def clear_dedup_memos(unpersist: bool = True) -> int:
             _SIMHASH_PAIRS_MEMO,
             _KNN_EDGES_MEMO,
             _TB_BSTATS_MEMO,
+            _EDGES_MEMO,
         )
     )
 

@@ -540,31 +540,24 @@ SELECT '1d', w1d, n, round(s + 1e-9, 4) FROM daily
 
 def events_user_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user robust dispersion: median and median-absolute-
-    deviation of event values via applyInPandas — the grouped-map
-    escape hatch for per-key kernels the built-in aggregates can't
-    express (robust stats, per-key model fits). Each user's rows
-    land on one executor via the groupBy shuffle; the kernel sees
-    a whole group as one pandas frame. Closure is self-contained so
-    cloudpickle ships it by value to workers."""
+    deviation of event values, entirely in JVM built-ins (r12,
+    guide §4.1): the exact `percentile` aggregate computes the
+    median as a window over the user partition, then the SAME
+    partitioning feeds the final aggregate (no second exchange —
+    window and groupBy share the user_id hash), where the MAD is
+    percentile(|value − median|, 0.5). The previous applyInPandas
+    kernel shipped every event row through the Python worker to
+    emit one row per user; built-ins keep the whole plan in
+    WholeStageCodegen and shuffle the same bytes once."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "value")
-
-    def kernel(pdf):
-        import numpy as np
-        import pandas as pd
-
-        med = float(np.median(pdf["value"]))
-        mad = float(np.median(np.abs(pdf["value"] - med)))
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_events": [len(pdf)],
-                "median_value": [round(med + 1e-9, 6)],
-                "mad_value": [round(mad + 1e-9, 6)],
-            }
-        )
-
-    return ev.groupBy("user_id").applyInPandas(
-        kernel, "user_id long, n_events long, median_value double, mad_value double"
+    w = Window.partitionBy("user_id")
+    dev = ev.withColumn("med", F.percentile("value", F.lit(0.5)).over(w))
+    return dev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.first("med") + 1e-9, 6).alias("median_value"),
+        F.round(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)) + 1e-9, 6
+        ).alias("mad_value"),
     )
 
 

@@ -25,10 +25,41 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from datatransformertools_spark.caching import track
+from datatransformertools_spark.operators.dedup import _FrameMemo
 from datatransformertools_spark.sources.tables import load_table
 
 PR_DAMPING = 0.85
 PR_ITERS = 5
+
+# Shared co-purchase edge frame (r12, guide §2.4 — remove shuffles
+# outright): FIVE registered graph queries (pagerank, LPA, k-core,
+# BFS, degree distribution) each rebuilt the identical symmetric
+# distinct edge list from lineitem (basket explode + distinct — the
+# most expensive stage of every one of them). One memoized build per
+# (session, sf_dir) now serves the family — the same cross-query
+# stage-table contract as dedup's shingle/pair memos (at cluster
+# scale: the edge table a graph pipeline writes once per corpus).
+_EDGES_MEMO = _FrameMemo()
+
+
+def _co_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct symmetric co-purchase edge list (src, dst): an edge
+    connects two parts bought in the same order. Basket explode
+    (fan-out bounded by basket size) + one distinct; memoized and
+    persisted per (session, sf_dir)."""
+
+    def build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("parts"))
+        return (
+            baskets.select(F.explode("parts").alias("src"), "parts")
+            .select("src", F.explode("parts").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    return _EDGES_MEMO.get_or_build(spark, sf_dir, build)
 
 
 def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,25 +73,20 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     correction is needed. The node count is the one scalar the
     driver holds between rounds — the same exemption the CC and
     k-means loops use."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # Adjacency-list build (the Pregel storage layout), two shuffles
-    # total: groupBy(orderkey) with map-side partial collect_set
-    # dedups each basket, the src×dst pair fan-out happens map-side
-    # on the grouped rows, and groupBy(src).collect_set(dst) both
-    # dedups the edge set AND yields the adjacency list, whose size
-    # doubles as the degree. Iterations then scan |nodes| adjacency
-    # rows, not |edges| flat pairs — the fan-out back to edge grain
-    # is an in-memory explode. collect_set order is
-    # nondeterministic, but only set membership and size are used.
-    baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("parts"))
-    adj = (
-        baskets.select(F.explode("parts").alias("src"), "parts")
-        .select("src", F.explode("parts").alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
+    # Adjacency-list build (the Pregel storage layout) over the
+    # memoized edge frame: groupBy(src).collect_set(dst) yields the
+    # adjacency list, whose size doubles as the degree. Iterations
+    # then scan |nodes| adjacency rows, not |edges| flat pairs — the
+    # fan-out back to edge grain is an in-memory explode.
+    # collect_set order is nondeterministic, but only set membership
+    # and size are used. track() persists it for the loop's 6
+    # consumers; release_caches() frees it at query end.
+    adj = track(
+        _co_edges(spark, sf_dir)
         .groupBy("src")
         .agg(F.collect_set("dst").alias("neighbors"))
         .withColumn("deg", F.size("neighbors"))
-    ).persist()
+    )
     n_nodes = adj.count()  # scalar: every node appears as a src (symmetric edges)
 
     ranks = adj.select(
@@ -68,6 +94,13 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.0 / n_nodes) + 1e-9, 9).alias("r"),
     )
     base = F.lit((1.0 - PR_DAMPING) / n_nodes)
+    # The round chain is LINEAR (each round's ranks frame is consumed
+    # exactly once, by the next round; adj is cached), so the rounds
+    # compose into ONE lazy plan — r12, guide §1.2: the per-round
+    # localCheckpoint this replaces materialized |parts| rows into
+    # the block manager 5 times and paid 5 extra job barriers per
+    # run; the consumer's single action now pipelines all 5
+    # shuffle rounds.
     for _ in range(PR_ITERS):
         contribs = adj.join(ranks, adj.src == ranks.part).select(
             F.explode("neighbors").alias("dst"),
@@ -77,23 +110,12 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             contribs.groupBy("dst")
             .agg(F.round(base + PR_DAMPING * F.sum("c") + 1e-9, 9).alias("r"))
             .select(F.col("dst").alias("part"), "r")
-        ).localCheckpoint()  # truncate lineage between rounds
-    # Materialize the small output (|parts| rows) eagerly so the
-    # adjacency stage table — which scales with the corpus — can be
-    # dropped HERE instead of leaking until session teardown.
-    # Eagerness inside an iterative builder is the same exemption
-    # the k-means and connected-components loops already use.
-    out = (
-        ranks.join(adj, ranks.part == adj.src)
-        .select(
-            "part",
-            F.col("deg").alias("n_neighbors"),
-            F.round(F.col("r") + 1e-9, 6).alias("pagerank"),
         )
-        .localCheckpoint()
+    return ranks.join(adj, ranks.part == adj.src).select(
+        "part",
+        F.col("deg").alias("n_neighbors"),
+        F.round(F.col("r") + 1e-9, 6).alias("pagerank"),
     )
-    adj.unpersist()
-    return out
 
 
 def _pagerank_sql() -> str:
@@ -242,35 +264,31 @@ def part_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dst-label) shuffle with map-side partial counts and a per-node
     window argmax over the counted frame; localCheckpoint truncates
     lineage between rounds; driver state is only the loop index."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("parts"))
-    edges = (
-        baskets.select(F.explode("parts").alias("src"), "parts")
-        .select("src", F.explode("parts").alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .persist()
+    edges = _co_edges(spark, sf_dir)  # memoized + persisted
+    labels = edges.select(F.col("src").alias("part")).distinct().select(
+        "part", F.col("part").alias("label")
     )
-    nodes = edges.select(F.col("src").alias("part")).distinct().localCheckpoint()
-    labels = nodes.select("part", F.col("part").alias("label"))
     # argmax via max_by over a (cnt, -label) struct instead of a
     # row_number window: a hash aggregate with map-side partials,
     # no per-src sort — max cnt first, then min label on ties
     best = F.expr("max_by(label, struct(cnt, -label))")
+    # Rounds chain LAZILY (each round's labels frame is consumed
+    # exactly once by the next round; edges is cached), replacing the
+    # per-round localCheckpoint barriers — r12, guide §1.2. Only the
+    # FINAL labels frame materializes (one localCheckpoint), because
+    # the community-size join consumes it twice; without that
+    # boundary the whole round chain would re-expand per consumer.
     for _ in range(LPA_ITERS):
         neigh = edges.join(labels, edges.dst == labels.part).select("src", "label")
         counts = neigh.groupBy("src", "label").agg(F.count(F.lit(1)).alias("cnt"))
         labels = (
             counts.groupBy("src").agg(best.alias("label")).select(F.col("src").alias("part"), "label")
-        ).localCheckpoint()
+        )
+    labels = labels.localCheckpoint()
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("community_size"))
-    out = (
-        labels.join(sizes, "label")
-        .select("part", F.col("label").alias("community"), "community_size")
-        .localCheckpoint()
+    return labels.join(sizes, "label").select(
+        "part", F.col("label").alias("community"), "community_size"
     )
-    edges.unpersist()
-    return out
 
 
 def _lpa_cte_parts() -> list[str]:
@@ -347,15 +365,7 @@ def part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint per round truncates lineage; driver state is
     only the loop index. Peeled layers are |removed-this-round|
     rows, unioned at the end — never collected."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("parts"))
-    edges = (
-        baskets.select(F.explode("parts").alias("src"), "parts")
-        .select("src", F.explode("parts").alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .persist()
-    )
+    edges = _co_edges(spark, sf_dir)  # memoized + persisted
     # Differential peel: round r's degrees-within-survivors are the
     # previous round's degrees MINUS edges into the just-removed
     # set, so after the full round-0 degree count each round joins
@@ -399,11 +409,12 @@ def part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("degree_out"),
         F.lit(True).alias("in_core"),
     )
+    # Every per-round state is already checkpointed, so the union of
+    # cheap filters over them stays lazy — the consumer's one action
+    # computes it without an extra materialization barrier (r12).
     out = core
     for layer in layers:
         out = out.unionByName(layer)
-    out = out.localCheckpoint()
-    edges.unpersist()
     return out
 
 
@@ -609,18 +620,13 @@ def part_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial min); localCheckpoint truncates lineage between rounds;
     driver state is only the loop index. The seed is a 1-row
     aggregate that seeds the frontier frame — never collected."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("parts"))
-    edges = (
-        baskets.select(F.explode("parts").alias("src"), "parts")
-        .select("src", F.explode("parts").alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .persist()
-    )
+    edges = _co_edges(spark, sf_dir)  # memoized + persisted
     levels = edges.agg(F.min("src").alias("part")).select(
         "part", F.lit(0).alias("hop")
     ).localCheckpoint()
+    # Each round references `levels` TWICE (the carried frontier and
+    # the expansion join), so the per-round localCheckpoint stays:
+    # a lazy chain would re-expand the round subtree 2^r times.
     for i in range(1, BFS_ITERS + 1):
         expanded = levels.unionByName(
             edges.join(levels, edges.src == levels.part)
@@ -629,7 +635,6 @@ def part_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         levels = (
             expanded.groupBy("part").agg(F.min("hop").alias("hop")).localCheckpoint()
         )
-    edges.unpersist()
     return levels.select("part", F.col("hop").cast("int").alias("hops"))
 
 
@@ -682,14 +687,7 @@ def part_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design: degrees are one (src)-keyed count of the edge
     list; the histogram collapses map-side to ≤64 log2 buckets; the
     endpoint-share window runs on that bounded frame."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("parts"))
-    edges = (
-        baskets.select(F.explode("parts").alias("src"), "parts")
-        .select("src", F.explode("parts").alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    edges = _co_edges(spark, sf_dir)  # memoized + persisted
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
     buckets = deg.groupBy(
         F.floor(F.log2("degree")).cast("int").alias("log2_bucket")
