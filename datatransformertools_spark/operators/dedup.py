@@ -128,13 +128,21 @@ def clear_dedup_memos(unpersist: bool = True) -> int:
     companion to `caching.release_caches()`, which deliberately does
     NOT own these. `unpersist=False` when the owning session is
     stopped."""
+    from datatransformertools_spark.operators import relational
     from datatransformertools_spark.operators.corpus import _TB_BSTATS_MEMO
+    from datatransformertools_spark.operators.evaluation import _eval_memos
     from datatransformertools_spark.operators.graph import _EDGES_MEMO
-    from datatransformertools_spark.operators.similarity import _KNN_EDGES_MEMO
+    from datatransformertools_spark.operators.similarity import (
+        _BF_TOPK_MEMO,
+        _KNN_EDGES_MEMO,
+    )
 
+    mb = (relational._MB_PAIRS_MEMO,) if relational._MB_PAIRS_MEMO is not None else ()
     return sum(
         m.clear(unpersist)
         for m in (
+            *mb,
+            *_eval_memos(),
             _SHINGLE_MEMO,
             _CAPPED_SHINGLE_MEMO,
             _EMB_PAIRS_MEMO,
@@ -142,6 +150,7 @@ def clear_dedup_memos(unpersist: bool = True) -> int:
             _SIMHASH_FP_MEMO,
             _SIMHASH_PAIRS_MEMO,
             _KNN_EDGES_MEMO,
+            _BF_TOPK_MEMO,
             _TB_BSTATS_MEMO,
             _EDGES_MEMO,
         )
@@ -1363,24 +1372,41 @@ def _multiprobe(
     )
 
 
+# The exact ground-truth pair count is a single deterministic scalar
+# per corpus, and BOTH its consumers (the recall companion and the
+# blocking curve) re-ran the quadratic label-blocked join to get it.
+# Memoized per sf_dir like the k-means centroid / logreg weight
+# scalars (r12); the quadratic join now runs once per session.
+_EXACT_PAIRS_MEMO: dict[str, int] = {}
+
+
 def _exact_label_pairs_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-row frame: count of exact within-label τ-pairs — the
     ground truth both the recall companion and the blocking curve
     compare against. Deliberately the quadratic label-blocked join
     the production operator abandoned (offline audit only; at
     100 TB run it on a capped stratified_sample slice)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double(F.col("embedding")).alias("v")
-    ).withColumn("nrm", norm(F.col("v")))
-    a, b = emb.alias("a"), emb.alias("b")
-    cos = F.round(
-        cosine_prenormed(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")) + 1e-9, 6
-    )
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .filter(cos >= COSINE_TAU)
-        .agg(F.count(F.lit(1)).alias("n_exact_pairs"))
-    )
+    n = _EXACT_PAIRS_MEMO.get(sf_dir)
+    if n is None:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", as_double(F.col("embedding")).alias("v")
+        ).withColumn("nrm", norm(F.col("v")))
+        a, b = emb.alias("a"), emb.alias("b")
+        cos = F.round(
+            cosine_prenormed(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")) + 1e-9, 6
+        )
+        n = (
+            a.join(
+                b,
+                (F.col("a.label") == F.col("b.label"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .filter(cos >= COSINE_TAU)
+            .agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+            .first()[0]
+        )
+        _EXACT_PAIRS_MEMO[sf_dir] = int(n)
+    return spark.createDataFrame([(int(n),)], "n_exact_pairs long")
 
 
 _EMB_COS_SQL = (
@@ -1718,6 +1744,12 @@ def _min_label_components(edges: DataFrame) -> DataFrame:
             edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
         ).repartition(8, "doc_a")
     )
+    # (r12 note: a persist-chain variant — convergence agg doubling
+    # as the materializer, one job/round — was tried and REVERTED:
+    # persist does not truncate logical lineage, so per-round
+    # re-analysis + cache canonicalization grew the loop from ~0.8 s
+    # to ~17 s at sf0.1. localCheckpoint's lineage truncation is
+    # load-bearing here, exactly as the docstring says.)
     labels = (
         edges_bi.select(F.col("doc_a").alias("doc_id"))
         .distinct()

@@ -39,26 +39,37 @@ DIM = 64
 
 
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    ).withColumn("nrm", norm(F.col("v")))
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
-    )
-    cands = emb.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
-    )
-    pairs = cands.crossJoin(F.broadcast(queries))  # query side broadcast: scan streams once
-    cos = F.round(cosine_prenormed(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")) + 1e-9, 6)
-    scored = pairs.select("query_id", "neighbor_id", cos.alias("cos_sim"))
-    rank = F.row_number().over(
-        Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    )
-    return (
-        scored.withColumn("rank", rank)
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", "neighbor_id", "cos_sim")
-    )
+    # Memoized per (session, sf_dir) — r12: SEVEN registered queries
+    # consume this exact ground-truth frame (this one + six
+    # recall/NDCG/curve companions), and each one re-ran the full
+    # |queries|×|corpus| exact scoring pass. The frame is
+    # TOP_K·N_QUERIES rows — the ground-truth table an ANN eval
+    # pipeline materializes once per corpus.
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double(F.col("embedding")).alias("v")
+        ).withColumn("nrm", norm(F.col("v")))
+        queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+        )
+        cands = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+        pairs = cands.crossJoin(F.broadcast(queries))  # query side broadcast: scan streams once
+        cos = F.round(cosine_prenormed(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")) + 1e-9, 6)
+        scored = pairs.select("query_id", "neighbor_id", cos.alias("cos_sim"))
+        rank = F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+        )
+        return (
+            scored.withColumn("rank", rank)
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "rank", "neighbor_id", "cos_sim")
+        )
+
+    return _BF_TOPK_MEMO.get_or_build(spark, sf_dir, build)
 
 
 ANN_BRUTEFORCE_SQL = f"""
@@ -3174,6 +3185,9 @@ EMB_KNN_K = 3
 from datatransformertools_spark.operators.dedup import _FrameMemo  # noqa: E402
 
 _KNN_EDGES_MEMO = _FrameMemo()
+# ground-truth exact top-k shared by the ANN eval/curve family
+# (resolved at call time by ann_bruteforce_topk above)
+_BF_TOPK_MEMO = _FrameMemo()
 
 
 def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -218,6 +218,10 @@ def documents_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datatransformertools_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
+    # single-split local input → fan the JSON encode/write out (same
+    # rationale as lineitem_orc_roundtrip; checksums are
+    # order-independent)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     path = str(Path(__file__).resolve().parents[2] / ".dtt_tmp" / "documents_jsonl")
     write_jsonl(docs, path)
     back = read_jsonl(spark, path, _DOCS_SCHEMA)
@@ -287,6 +291,10 @@ def orders_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fmt = "yyyy-MM-dd HH:mm:ss"
     orders = load_table(spark, sf_dir, "orders")
+    # single-split local input → fan the CSV encode/write out (same
+    # rationale as lineitem_orc_roundtrip; checksums are
+    # order-independent)
+    orders = orders.repartition(spark.sparkContext.defaultParallelism, "o_orderkey")
     path = str(Path(__file__).resolve().parents[2] / ".dtt_tmp" / "orders_csv")
     (
         orders.write.mode("overwrite")
@@ -408,6 +416,13 @@ def lineitem_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     path = str(Path(__file__).resolve().parents[2] / ".dtt_tmp" / "lineitem_orc")
+    # The local testdata is ONE parquet split, which would serialize
+    # the whole ORC encode through a single write task; hash-
+    # repartition on the key first so encode + write + read-back all
+    # fan out (r12, guide §2.5 input-skew note — on a real multi-file
+    # table the scan parallelizes naturally and this is a no-op-sized
+    # exchange). The checksum face is order-independent by design.
+    li = li.repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
     li.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     line = F.concat_ws(

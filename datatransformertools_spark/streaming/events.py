@@ -26,6 +26,15 @@ from pyspark.sql import functions as F
 from datatransformertools_spark.sources.tables import events_event_time, events_ts_us
 
 
+# Schema-probe memo (r12): every staged landing directory is a
+# symlink set over the SAME events.parquet (+ a sentinel row written
+# with the file's exact arrow schema), so the probed schema is one
+# per (session, events file) — 16 streaming queries each paid a
+# driver-side batch-read analysis for an identical answer. Keyed on
+# the resolved events path, NOT the tmp staging dir.
+_SCHEMA_MEMO: dict[tuple[str, str], object] = {}
+
+
 def _read_raw(spark: SparkSession, source_dir: str, **options) -> DataFrame:
     """File-source stream over an events parquet landing directory.
 
@@ -37,8 +46,19 @@ def _read_raw(spark: SparkSession, source_dir: str, **options) -> DataFrame:
     events_event_time, which normalize either shape. Extra source
     options (e.g. maxFilesPerTrigger for multi-batch drains) pass
     through."""
+    import os as _os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(source_dir).schema
+    key = (
+        spark.sparkContext.applicationId,
+        _os.path.realpath(f"{source_dir}/events.parquet"),
+    )
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        for stale in [k for k in _SCHEMA_MEMO if k[0] != key[0]]:
+            _SCHEMA_MEMO.pop(stale, None)
+        schema = spark.read.parquet(source_dir).schema
+        _SCHEMA_MEMO[key] = schema
     reader = spark.readStream.schema(schema)
     for k, v in options.items():
         reader = reader.option(k, v)
