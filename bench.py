@@ -171,26 +171,32 @@ _ISOLATE_DEFAULT = [
 ]
 
 
-def _prev_name_drift(old: dict, prev_run_drift: float) -> float:
+def _prev_name_drift(old: dict, prev_run_drift: float, tag: str | None = None) -> float:
     """Drift the previous committed numbers for one isolated entry
-    were measured under: the per-name `iso_drift` stamped into r11+
-    artifacts, falling back to the run-wide `drift_used` for older
-    artifacts (which banded every entry with the suite median —
-    VERDICT r10 #1, the misread this fallback exists to retire)."""
+    were measured under: the per-TAG `iso_drift_tags` stamped into
+    r12+ artifacts (ADVICE r11: a kept row can mix passes — cold
+    from the first pass, warm from the rerun — so one scalar
+    mislabels one of them), then the per-name `iso_drift` (r11),
+    then the run-wide `drift_used` for older artifacts."""
+    tags = old.get("iso_drift_tags") or {}
+    if tag is not None and tag in tags:
+        return float(tags[tag])
     return float(old.get("iso_drift") or prev_run_drift)
 
 
 def _band_moved_tags(
-    old: dict[str, float], new: dict[str, float], band: float
+    old: dict[str, float], new: dict[str, float], band_by_tag
 ) -> list[str]:
     """Tags (cold/warm) whose new isolated timing exceeds 2× the
-    prior committed timing after drift adjustment (`band` =
-    drift_used_now / drift_used_prev) — the re-run trigger of the
-    ambience gate (VERDICT r9 "What's wrong" #2)."""
+    prior committed timing after drift adjustment (`band_by_tag(t)`
+    = drift_now / drift the prior tag was measured under) — the
+    re-run trigger of the ambience gate (VERDICT r9 #2)."""
     return [
         tag
         for tag in ("cold", "warm")
-        if tag in old and old[tag] > 0 and new.get(tag, 0.0) / (old[tag] * band) > 2.0
+        if tag in old
+        and old[tag] > 0
+        and new.get(tag, 0.0) / (old[tag] * band_by_tag(tag)) > 2.0
     ]
 
 
@@ -375,27 +381,38 @@ def main() -> None:
                 iso_drift = _iso_drift_now()
                 old = prev_iso.get(name) or {}
                 # band vs the drift the PREVIOUS numbers were
-                # measured under (per-name from the r11+ artifact;
-                # run-wide drift_used for older artifacts)
-                prev_name_drift = _prev_name_drift(old, prev_drift)
-                band = max(iso_drift, 1e-9) / max(prev_name_drift, 1e-9)
+                # measured under, PER TAG (ADVICE r11: the prior kept
+                # row can mix passes, so each tag carries its own
+                # drift; per-name/run-wide fallbacks for older
+                # artifacts)
+                def band_by_tag(tag, _d=iso_drift, _old=old):
+                    return max(_d, 1e-9) / max(
+                        _prev_name_drift(_old, prev_drift, tag), 1e-9
+                    )
+
                 try:
                     isolated[name] = _run_one_isolated(name, sf_dir, cpus)
                 except Exception as e:  # noqa: BLE001 — a broken iso run shouldn't kill the bench
                     isolated[name] = {}
                     print(f"isolated {name} failed: {e}", file=sys.stderr)
                     continue
+                drift_tags = {tag: iso_drift for tag in isolated[name]}
                 # ambience-band gate: if a tag moved >2× vs the prior
                 # committed run AFTER drift adjustment, re-run once;
-                # keep the faster pass (a spike that vanishes on
-                # re-run is scheduler noise, not the plan) and record
-                # both so the artifact adjudicates itself.
-                moved = _band_moved_tags(old, isolated[name], band)
+                # keep the faster pass PER TAG (a spike that vanishes
+                # on re-run is scheduler noise, not the plan) and
+                # record both so the artifact adjudicates itself.
+                moved = _band_moved_tags(old, isolated[name], band_by_tag)
                 if moved:
                     # re-sample before the re-run: the whole point is
                     # that ambience moves within the isolated block
                     rerun_drift = _iso_drift_now()
-                    rerun_band = max(rerun_drift, 1e-9) / max(prev_name_drift, 1e-9)
+
+                    def rerun_band_by_tag(tag, _d=rerun_drift, _old=old):
+                        return max(_d, 1e-9) / max(
+                            _prev_name_drift(_old, prev_drift, tag), 1e-9
+                        )
+
                     try:
                         rerun = _run_one_isolated(name, sf_dir, cpus)
                     except Exception as e:  # noqa: BLE001
@@ -404,42 +421,57 @@ def main() -> None:
                         # unadjudicated inflated row is exactly the
                         # defect this gate exists to prevent
                         isolated[name]["iso_drift"] = iso_drift
+                        isolated[name]["iso_drift_tags"] = drift_tags
                         iso_adjudication[name] = {
                             "moved_tags": moved,
                             "first": dict(isolated[name]),
                             "rerun": None,
                             "prev": {t: old.get(t) for t in ("cold", "warm")},
-                            "drift_band": round(band, 3),
+                            "drift_band": {t: round(band_by_tag(t), 3) for t in moved},
                             "verdict": "rerun-failed (first numbers suspect)",
                         }
                         print(f"isolated rerun {name} failed: {e}", file=sys.stderr)
                         continue
                     first = dict(isolated[name])
-                    kept = {
-                        tag: min(first.get(tag, rerun[tag]), rerun[tag]) for tag in rerun
-                    }
+                    # union of tags: a cold timing only the first pass
+                    # produced must not be dropped (ADVICE r11); each
+                    # kept tag remembers which pass (= which drift)
+                    # supplied it.
+                    kept: dict[str, float] = {}
+                    drift_tags = {}
+                    for tag in set(first) | set(rerun):
+                        fv, rv = first.get(tag), rerun.get(tag)
+                        if rv is None or (fv is not None and fv <= rv):
+                            kept[tag], drift_tags[tag] = fv, iso_drift
+                        else:
+                            kept[tag], drift_tags[tag] = rv, rerun_drift
                     verdict = (
                         "ambient-spike"
                         if all(
-                            rerun.get(t, 0.0) / (old[t] * rerun_band) <= 2.0
+                            rerun.get(t, 0.0) / (old[t] * rerun_band_by_tag(t)) <= 2.0
                             for t in moved
                         )
                         else "confirmed-mover"
                     )
                     isolated[name] = kept
-                    iso_drift = min(iso_drift, rerun_drift)  # drift of the kept (faster) pass
                     iso_adjudication[name] = {
                         "moved_tags": moved,
                         "first": first,
                         "rerun": rerun,
                         "prev": {t: old.get(t) for t in ("cold", "warm")},
-                        "drift_band": round(band, 3),
-                        "rerun_band": round(rerun_band, 3),
+                        "drift_band": {t: round(band_by_tag(t), 3) for t in moved},
+                        "rerun_band": {
+                            t: round(rerun_band_by_tag(t), 3) for t in moved
+                        },
                         "verdict": verdict,
                     }
                 # stamp the drift these numbers were measured under —
-                # next run's per-name band numerator/denominator
-                isolated[name]["iso_drift"] = iso_drift
+                # next run's per-tag band denominators (scalar kept
+                # for backward compatibility: the warm tag's drift)
+                isolated[name]["iso_drift"] = drift_tags.get(
+                    "warm", min(drift_tags.values()) if drift_tags else iso_drift
+                )
+                isolated[name]["iso_drift_tags"] = drift_tags
 
     # Full per-query detail: one JSON line for automation reading the
     # whole log, AND rewritten to a repo artifact (driver stdout is

@@ -361,6 +361,10 @@ def yolo_label_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(hn + 1e-9, 6).alias("h_norm"),
     )
     path = _io_tmp("yolo_labels")
+    # single-split local input → fan the label encode/write out (same
+    # rationale as the sink roundtrips; the per-class checksum is
+    # order-independent)
+    labels = labels.repartition(spark.sparkContext.defaultParallelism, "file_name")
     write_yolo_labels(labels, path)
     back = read_yolo_predictions(spark, path)
     line = F.concat_ws(
