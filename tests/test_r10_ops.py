@@ -155,16 +155,28 @@ def test_bench_calibration_block_slicing_is_structural():
 def test_bench_ambience_band_gate():
     """The isolated-entry re-run trigger (VERDICT r9 #2): >2× after
     drift adjustment fires, anything inside the band does not, and
-    a missing/zero prior never fires."""
-    from bench import _band_moved_tags
+    a missing/zero prior never fires. r12: the band is supplied PER
+    TAG (ADVICE r11 — a kept row can mix passes, so each tag bands
+    against the drift it was measured under)."""
+    from bench import _band_moved_tags, _prev_name_drift
 
     old = {"cold": 10.0, "warm": 5.0}
-    assert _band_moved_tags(old, {"cold": 11.0, "warm": 16.0}, band=1.2) == ["warm"]
-    assert _band_moved_tags(old, {"cold": 19.0, "warm": 9.0}, band=1.0) == []
+    assert _band_moved_tags(old, {"cold": 11.0, "warm": 16.0}, lambda t: 1.2) == ["warm"]
+    assert _band_moved_tags(old, {"cold": 19.0, "warm": 9.0}, lambda t: 1.0) == []
     # drift adjustment: a 3× raw move inside a 2× ambience band stays
-    assert _band_moved_tags(old, {"warm": 15.0}, band=2.0) == []
-    assert _band_moved_tags({}, {"warm": 100.0}, band=1.0) == []
-    assert _band_moved_tags({"warm": 0.0}, {"warm": 100.0}, band=1.0) == []
+    assert _band_moved_tags(old, {"warm": 15.0}, lambda t: 2.0) == []
+    assert _band_moved_tags({}, {"warm": 100.0}, lambda t: 1.0) == []
+    assert _band_moved_tags({"warm": 0.0}, {"warm": 100.0}, lambda t: 1.0) == []
+    # per-tag bands: only the tag whose band is tight fires
+    bands = {"cold": 1.0, "warm": 10.0}
+    assert _band_moved_tags(
+        old, {"cold": 25.0, "warm": 25.0}, lambda t: bands[t]
+    ) == ["cold"]
+    # per-tag prior drift resolution: iso_drift_tags > iso_drift > run-wide
+    prior = {"cold": 10.0, "iso_drift": 2.0, "iso_drift_tags": {"cold": 2.5}}
+    assert _prev_name_drift(prior, 1.0, "cold") == 2.5
+    assert _prev_name_drift(prior, 1.0, "warm") == 2.0  # no tag entry → scalar
+    assert _prev_name_drift({}, 1.5) == 1.5  # pre-r11 artifact → run-wide
 
 
 def test_bench_effective_cores_burn_is_sane():
