@@ -224,7 +224,12 @@ _HINT_BROADCAST_ALLOWLIST = {
     "supplier_return_rate": 1,  # 25-row nation dim
     "source_epoch_schedule": 1,  # 1-row normalizing-totals scalar
     # --- new in r9, all constants-bounded ---
-    "ann_ndcg_eval": 2,  # exact + approx top-k shortlists (query sides)
+    # exact + approx top-k shortlists (query sides) + the shared
+    # brute-force subplan's own N_QUERIES-row query-side broadcast,
+    # visible since r12's _BF_TOPK_MEMO made the memo-cold build part
+    # of this query's plan (same audited shape as the dim/quant
+    # curves below) — all |queries|/k-bounded
+    "ann_ndcg_eval": 3,
     # --- new in r10 ---
     # segment query side + exact-truth hint + the reused brute-force
     # subplan's own query-side broadcast, all |queries|/k-bounded
