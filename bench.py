@@ -211,7 +211,7 @@ import sys, time, os
 sys.path.insert(0, {_REPO_ROOT!r})
 os.environ["SPARK_GRAFT_CPUS"] = {cpus!r}
 from datatransformertools_spark import get_spark, registry
-from datatransformertools_spark.caching import release_caches
+from datatransformertools_spark.caching import clear_all_memos, release_caches
 spark = get_spark("dtt-bench-iso")
 spark.sparkContext.setLogLevel("ERROR")
 q = registry.queries()[{name!r}]
@@ -222,6 +222,16 @@ for tag in ("cold", "warm"):
     q(spark, {sf_dir!r}).write.format("noop").mode("overwrite").save()
     print("ISO_SEC_" + tag, round(time.perf_counter() - t0, 3))
     release_caches()
+# memo-cold (r13, VERDICT r12 #2): cross-query memos cleared, JIT
+# warm — times the query PAYING its own memo builds, vs `warm`
+# which rides whatever the cold pass memoized. Additions-only: the
+# cold/warm tags above are unchanged and stay the round-over-round
+# comparison keys.
+clear_all_memos()
+release_caches()
+t0 = time.perf_counter()
+q(spark, {sf_dir!r}).write.format("noop").mode("overwrite").save()
+print("ISO_SEC_warm_memo_cold", round(time.perf_counter() - t0, 3))
 """
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800

@@ -39,3 +39,35 @@ def release_caches() -> int:
         except Exception:
             pass  # session may already be stopped
     return n
+
+
+def clear_all_memos(unpersist: bool = True) -> int:
+    """Release every CROSS-QUERY memo: the _FrameMemo stage tables
+    (shingles, τ-pairs, IoU pairs, co-purchase edges, …) plus the
+    scalar training memos (k-means centroids, corpus-K, logreg
+    weights, BPE merge tables, exact-pair counts, streaming schema
+    probes). release_caches() deliberately does NOT own these —
+    they exist for cross-query reuse — so the bench's memo-cold
+    isolated tag calls this to time a query that pays its own memo
+    builds (VERDICT r12 #2: memoized families must report both the
+    build-payer and the memo-rider number)."""
+    from datatransformertools_spark.operators import (
+        dedup,
+        quality,
+        similarity,
+        text_analysis,
+    )
+    from datatransformertools_spark.streaming import events as streaming_events
+
+    n = dedup.clear_dedup_memos(unpersist)
+    for d in (
+        dedup._EXACT_PAIRS_MEMO,
+        quality._W_MEMO,
+        similarity._K_MEMO,
+        similarity._CENT_MEMO,
+        text_analysis._BPE_MERGES_MEMO,
+        streaming_events._SCHEMA_MEMO,
+    ):
+        n += len(d)
+        d.clear()
+    return n

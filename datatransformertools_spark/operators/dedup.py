@@ -33,7 +33,12 @@ from pyspark.sql.window import Window
 from datatransformertools_spark.caching import track
 from datatransformertools_spark.functions.hashing import lsh_band_keys
 from datatransformertools_spark.functions.text import normalize_text, tokens, word_shingles
-from datatransformertools_spark.functions.vectors import as_double, cosine_prenormed, norm
+from datatransformertools_spark.functions.vectors import (
+    as_double,
+    flat_cols,
+    flat_cosine_prenormed,
+    norm,
+)
 from datatransformertools_spark.sources.tables import load_table
 
 NUM_PERM = 8
@@ -132,6 +137,7 @@ def clear_dedup_memos(unpersist: bool = True) -> int:
     from datatransformertools_spark.operators.corpus import _TB_BSTATS_MEMO
     from datatransformertools_spark.operators.evaluation import _eval_memos
     from datatransformertools_spark.operators.graph import _EDGES_MEMO
+    from datatransformertools_spark.operators.quality import _FEATS_MEMO
     from datatransformertools_spark.operators.similarity import (
         _BF_TOPK_MEMO,
         _KNN_EDGES_MEMO,
@@ -153,6 +159,7 @@ def clear_dedup_memos(unpersist: bool = True) -> int:
             _BF_TOPK_MEMO,
             _TB_BSTATS_MEMO,
             _EDGES_MEMO,
+            _FEATS_MEMO,
         )
     )
 
@@ -1287,6 +1294,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # persist to storage at this exact stage anyway.
 def _emb_tau_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datatransformertools_spark.operators.similarity import (
+        DIM,
         KMEANS_ITERS,
         trained_centroids,
     )
@@ -1299,10 +1307,20 @@ def _emb_tau_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # norm BEFORE the probe explode — after it, the O(DIM) fold
         # would evaluate EMB_PROBE times per vector
         assigned = _multiprobe(emb.withColumn("nrm", norm(F.col("v"))), cents)
-        a = assigned.alias("a")
-        b = assigned.alias("b")
+        # r13 (guide §4.1): split the vector into DIM primitive
+        # columns once per probe row, so the O(pairs) cosine below is
+        # a codegen'd multiply-add chain instead of the interpreted
+        # zip_with fold — same bytes through the exchange, same
+        # left-to-right accumulation order (bit-identical values).
+        flat = assigned.select(
+            "vec_id", "label", "cluster", "nrm", *flat_cols(F.col("v"), DIM, "_v")
+        )
+        a = flat.alias("a")
+        b = flat.alias("b")
         cos = F.round(
-            cosine_prenormed(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")) + 1e-9, 6
+            flat_cosine_prenormed("a._v", "b._v", DIM, F.col("a.nrm"), F.col("b.nrm"))
+            + 1e-9,
+            6,
         )
         return (
             a.join(
@@ -1388,12 +1406,20 @@ def _exact_label_pairs_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB run it on a capped stratified_sample slice)."""
     n = _EXACT_PAIRS_MEMO.get(sf_dir)
     if n is None:
+        from datatransformertools_spark.operators.similarity import DIM
+
+        # flat-column cosine (r13, guide §4.1): this is the largest
+        # pair count in the family (quadratic within-label), so the
+        # per-pair kernel must be codegen, not the interpreted fold.
         emb = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", "label", as_double(F.col("embedding")).alias("v")
         ).withColumn("nrm", norm(F.col("v")))
-        a, b = emb.alias("a"), emb.alias("b")
+        flat = emb.select("vec_id", "label", "nrm", *flat_cols(F.col("v"), DIM, "_v"))
+        a, b = flat.alias("a"), flat.alias("b")
         cos = F.round(
-            cosine_prenormed(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")) + 1e-9, 6
+            flat_cosine_prenormed("a._v", "b._v", DIM, F.col("a.nrm"), F.col("b.nrm"))
+            + 1e-9,
+            6,
         )
         n = (
             a.join(
@@ -1565,6 +1591,7 @@ def emb_blocking_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (both ≤ CURVE_MAX_PROBE rows, constants-bounded) and the 1-row
     exact count ride as broadcast frames (house rule)."""
     from datatransformertools_spark.operators.similarity import (
+        DIM,
         KMEANS_ITERS,
         trained_centroids,
     )
@@ -1574,9 +1601,16 @@ def emb_blocking_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("nrm", norm(F.col("v")))
     cents = trained_centroids(spark, sf_dir, KMEANS_ITERS)
     probed = _multiprobe(emb, cents, max_probe=CURVE_MAX_PROBE, keep_rank=True)
-    a, b = probed.alias("a"), probed.alias("b")
+    # flat-column cosine (r13, guide §4.1): the widest-probe join is
+    # the family's biggest candidate set — keep its kernel in codegen
+    flat = probed.select(
+        "vec_id", "label", "cluster", "nrm", "rn", *flat_cols(F.col("v"), DIM, "_v")
+    )
+    a, b = flat.alias("a"), flat.alias("b")
     cos = F.round(
-        cosine_prenormed(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")) + 1e-9, 6
+        flat_cosine_prenormed("a._v", "b._v", DIM, F.col("a.nrm"), F.col("b.nrm"))
+        + 1e-9,
+        6,
     )
     pair_lvl = (
         a.join(

@@ -31,7 +31,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from datatransformertools_spark.functions.text import tokens
+from datatransformertools_spark.operators.dedup import _FrameMemo
 from datatransformertools_spark.sources.tables import load_table
+
+# the standardized logreg feature frame (see _logreg_features)
+_FEATS_MEMO = _FrameMemo()
 
 # Gopher-style thresholds, tuned so each rule does real work on the
 # synthetic corpus (word counts span 10-99, median 56; top-word
@@ -594,7 +598,20 @@ def _logreg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-variance features pinned to 0 via a std floor, 6-dp-rounded
     so every GD round sees bit-identical features cross-engine) and
     the rule-cascade `keep` verdict as label. The 8 standardization
-    scalars ride as a broadcast 1-row frame (house rule)."""
+    scalars ride as a broadcast 1-row frame (house rule).
+
+    Memoized per (session, sf_dir) — r13: the GD training loop, the
+    train query's accuracy aggregate, and the score query each
+    rebuilt the full Gopher chain (tokenize + word stats over every
+    document); one persisted build now serves all three — the
+    feature stage table a distillation pipeline writes once per
+    corpus (the _FrameMemo contract; cleared by clear_dedup_memos)."""
+    return _FEATS_MEMO.get_or_build(
+        spark, sf_dir, lambda: _logreg_features_build(spark, sf_dir)
+    )
+
+
+def _logreg_features_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = gopher_quality_filter(spark, sf_dir).select(
         "doc_id",
         F.col("n_words").cast("double").alias("f1"),
@@ -684,23 +701,22 @@ _W_MEMO: dict[str, list[float]] = {}
 def _trained_weights(spark: SparkSession, sf_dir: str) -> list[float]:
     if sf_dir not in _W_MEMO:
         n_feat = len(_LOGREG_FEATURES)
-        feats = _logreg_features(spark, sf_dir).persist()
-        try:
-            wts = [0.0] * n_feat
-            xs = [F.col(f"x{i + 1}") for i in range(n_feat)]
-            for _ in range(LOGREG_ITERS):
-                z = _dot(wts)
-                err = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("y")
-                g = feats.agg(
-                    *[F.avg(err * xs[i]).alias(f"g{i + 1}") for i in range(n_feat)]
-                ).collect()[0]
-                wts = [
-                    round(wts[i] - LOGREG_LR * g[f"g{i + 1}"] + 1e-9, 6)
-                    for i in range(n_feat)
-                ]
-            _W_MEMO[sf_dir] = wts
-        finally:
-            feats.unpersist()
+        # the memoized feature frame is already persisted (r13); the
+        # loop's 24 rounds and the train/score consumers share it
+        feats = _logreg_features(spark, sf_dir)
+        wts = [0.0] * n_feat
+        xs = [F.col(f"x{i + 1}") for i in range(n_feat)]
+        for _ in range(LOGREG_ITERS):
+            z = _dot(wts)
+            err = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("y")
+            g = feats.agg(
+                *[F.avg(err * xs[i]).alias(f"g{i + 1}") for i in range(n_feat)]
+            ).collect()[0]
+            wts = [
+                round(wts[i] - LOGREG_LR * g[f"g{i + 1}"] + 1e-9, 6)
+                for i in range(n_feat)
+            ]
+        _W_MEMO[sf_dir] = wts
     return _W_MEMO[sf_dir]
 
 

@@ -24,7 +24,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from datatransformertools_spark.functions.vectors import as_double, cosine_prenormed, dot, norm
+from datatransformertools_spark.functions.vectors import (
+    as_double,
+    cosine_prenormed,
+    dot,
+    flat_cols,
+    flat_cosine_prenormed,
+    norm,
+)
 from datatransformertools_spark.sources.tables import load_table
 
 TOP_K = 5
@@ -1374,9 +1381,18 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = trained_centroids(spark, sf_dir, KMEANS_ITERS)
     assigned = _assign(emb, cents).withColumn("nrm", norm(F.col("v")))
-    a, b = assigned.alias("a"), assigned.alias("b")
+    # flat-column cosine (r13, guide §4.1): DIM primitive columns
+    # split once per vector so the in-cluster pair kernel is a
+    # codegen'd multiply-add chain, not the interpreted zip_with
+    # fold — same accumulation order, bit-identical values.
+    flat = assigned.select(
+        "vec_id", "cluster", "nrm", *flat_cols(F.col("v"), DIM, "_v")
+    )
+    a, b = flat.alias("a"), flat.alias("b")
     cos = F.round(
-        cosine_prenormed(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")) + 1e-9, 6
+        flat_cosine_prenormed("a._v", "b._v", DIM, F.col("a.nrm"), F.col("b.nrm"))
+        + 1e-9,
+        6,
     )
     nn = (
         a.join(
@@ -2163,10 +2179,39 @@ def ann_quantization_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
-    pre = emb.select(
+    # r13: hoist each budget's max-abs scale into its own column
+    # BEFORE the dequantize transform — inlined (as _dequantized
+    # composes it), the O(DIM) array_max re-evaluates inside every
+    # element's lambda: O(DIM²) interpreted work per vector, measured
+    # ~2.5 s of this query alone at sf0.1. Same arithmetic, same
+    # values, the oracle unchanged.
+    scaled = emb.select(
         "vec_id",
-        *[_dequantized(F.col("v"), b).alias(f"dq{b}") for b in QUANT_BITS_GRID],
+        "v",
+        *[
+            (
+                F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+                / F.lit(float((1 << (b - 1)) - 1))
+            ).alias(f"sc{b}")
+            for b in QUANT_BITS_GRID
+            if b < 32
+        ],
     )
+
+    def _dq_col(b: int) -> F.Column:
+        if b >= 32:
+            return F.col("v").alias(f"dq{b}")
+        sc = F.col(f"sc{b}")
+        return (
+            F.when(
+                sc > 0,
+                F.transform(F.col("v"), lambda x: F.floor(x / sc + 0.5) * sc),
+            )
+            .otherwise(F.col("v"))
+            .alias(f"dq{b}")
+        )
+
+    pre = scaled.select("vec_id", *[_dq_col(b) for b in QUANT_BITS_GRID])
     pre = pre.select(
         "vec_id",
         *[F.col(f"dq{b}") for b in QUANT_BITS_GRID],
@@ -3209,11 +3254,13 @@ def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).withColumn("nrm", norm(F.col("v")))
         cents = trained_centroids(spark, sf_dir, KMEANS_ITERS)
         assigned = _multiprobe(emb, cents)
-        a, b = assigned.alias("a"), assigned.alias("b")
+        # flat-column cosine (r13, guide §4.1) — see semdedup
+        flat = assigned.select(
+            "vec_id", "label", "cluster", "nrm", *flat_cols(F.col("v"), DIM, "_v")
+        )
+        a, b = flat.alias("a"), flat.alias("b")
         cos = F.round(
-            cosine_prenormed(
-                F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
-            )
+            flat_cosine_prenormed("a._v", "b._v", DIM, F.col("a.nrm"), F.col("b.nrm"))
             + 1e-9,
             6,
         )

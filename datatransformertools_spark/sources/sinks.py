@@ -96,8 +96,23 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("disc_price"),
         )
     )
-    write_bucketed_table(orders, "dtt_bkt_orders", "o_orderkey", _BUCKETS)
-    write_bucketed_table(li, "dtt_bkt_lineitem", "o_orderkey", _BUCKETS)
+    # r13 (guide §2.5 input skew / the r12 sink-fan-out treatment):
+    # the local testdata is ONE parquet split per table, so each
+    # bucketed write ran its whole encode as a single task.
+    # Hash-repartition on the BUCKET KEY first: every task then holds
+    # keys of one hash residue class, writes exactly one file of one
+    # bucket, and the encode fans out across cores. The read-back
+    # join is exchange-free either way (multiple files per bucket
+    # coalesce into the bucket's partition) — pinned by
+    # tests/test_sinks.py; at 100 TB this distribute-by-bucket-key
+    # before a bucketed write is the standard small-files guard.
+    par = spark.sparkContext.defaultParallelism
+    write_bucketed_table(
+        orders.repartition(par, "o_orderkey"), "dtt_bkt_orders", "o_orderkey", _BUCKETS
+    )
+    write_bucketed_table(
+        li.repartition(par, "o_orderkey"), "dtt_bkt_lineitem", "o_orderkey", _BUCKETS
+    )
     try:
         out = (
             spark.table("dtt_bkt_orders")
