@@ -1561,10 +1561,12 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
        by word count (map-side-combined groupBy over exploded
        pairs) and collects ONLY the argmax pair to the driver
        (scalar-only driver state, the kmeans/PageRank pattern);
-    3. the merge applies as one literal string replace on the
+    3. each merge applies as one literal string replace on the
        double-separator encoding (pure JVM codegen — no UDF, no
-       fold), and the vocab frame re-persists each round so round
-       k never recomputes rounds 1..k-1.
+       fold): round k's symbol sequences are the ONE persisted
+       word-count table with k chained literal replaces
+       (`_bpe_seq_expr`), so no intermediate round's frame is ever
+       persisted or counted (r12).
 
     Ties break to the lexicographically smallest (left, right)
     pair; all counts are exact integers, so the merge table is

@@ -753,10 +753,17 @@ def test_truth_jaccard_joins_are_pair_driven(spark, sf_dir):
     quadratically on one hot shingle among candidate members; it is
     allowed only under the DF-capped index (dedup_ngram_jaccard /
     dedup_containment), never in the truth family, whose whole point
-    is UNCAPPED shingle sets."""
+    is UNCAPPED shingle sets.
+
+    simhash_hamming_curve left this list in r13 after re-audit: its
+    Jaccard verification reads the DF-CAPPED index (per its own
+    docstring), which is exactly the case the doctrine above allows —
+    and its banded candidate set (731k pairs at sf0.1) made the
+    pair-driven probe 35× LARGER than the capped inverted index
+    (46M vs 1.3M rows, measured; dedup._co_shingle_counts). The two
+    UNCAPPED truth consumers stay pinned."""
     open_self_join = re.compile(r"Join \[shingle#\d+\], \[shingle#\d+\]")
     for name in (
-        "simhash_hamming_curve",
         "minhash_perm_error_curve",
         "neardup_detector_overlap",
     ):
