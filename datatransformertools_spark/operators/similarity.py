@@ -672,47 +672,54 @@ def embedding_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = _pq_ms_pairs()
 
-    def sub_fan(df: DataFrame, id_col: str, sv_name: str) -> DataFrame:
-        entries = [
-            F.struct(
-                F.lit(m).cast("int").alias("m"),
-                F.lit(s).cast("int").alias("sub_id"),
-                F.slice("v", lo, hi - lo + 1).alias(sv_name),
-            )
-            for (m, s, lo, hi) in pairs
-        ]
-        return df.select(id_col, F.explode(F.array(*entries)).alias("s")).select(
-            id_col, "s.*"
+    # r13 (guide §4.1/§1.2): the old shape fanned each vector to 14
+    # (m, sub) SLICE rows, broadcast-joined the 224-row sliced
+    # codebook (446k pair rows at sf0.1), and unrolled the distance
+    # over element_at() on per-row arrays — interpreted, measured
+    # ~2.5 s of this query alone, plus a 446k-row two-level agg.
+    # Now the join happens at the VECTOR grain (1990 × PQ_CODES=16
+    # pairs) over flat DOUBLE columns, all 14 subspace distances are
+    # parsed codegen chains per pair (one column each), the
+    # per-subspace min-over-codes collapses in ONE vec-grain
+    # aggregate, and only then does the tiny (vec, m) frame fan out.
+    # Every chain keeps the old slice fold's ascending-index
+    # accumulation from 0.0 — identical values, oracle untouched.
+    vflat = emb.select("vec_id", *flat_cols(F.col("v"), DIM, "vf"))
+    cands_f = vflat.filter(F.col("vec_id") >= N_QUERIES)
+    cb_f = vflat.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + PQ_CODES)
+    ).select(
+        F.col("vec_id").alias("code_id"),
+        *[F.col(f"vf{i}").alias(f"cf{i}") for i in range(DIM)],
+    )
+
+    def d_chain(lo: int, hi: int) -> F.Column:
+        # (lo, hi] 1-based slice bounds from _pq_ms_pairs
+        terms = "".join(
+            f" + (vf{i} - cf{i}) * (vf{i} - cf{i})" for i in range(lo - 1, hi)
         )
+        return F.expr("0.0D" + terms)
 
-    cb = sub_fan(
-        emb.filter(
-            (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + PQ_CODES)
-        ),
-        "vec_id",
-        "code_sv",
-    ).drop("vec_id")
-
-    def l2_m(m: int) -> F.Column:
-        out = F.lit(0.0)
-        for i in range(1, DIM // m + 1):
-            d = F.element_at(F.col("sv"), i) - F.element_at(F.col("code_sv"), i)
-            out = out + d * d
-        return out
-
-    d_expr = F.when(F.col("m") == 2, l2_m(2)).when(F.col("m") == 4, l2_m(4)).otherwise(
-        l2_m(8)
+    d_cols = [
+        F.round(d_chain(lo, hi) + 1e-9, 6).alias(f"d_{m}_{s}")
+        for (m, s, lo, hi) in pairs
+    ]
+    scored = cands_f.crossJoin(F.broadcast(cb_f)).select("vec_id", *d_cols)
+    mins = scored.groupBy("vec_id").agg(
+        *[F.min(f"d_{m}_{s}").alias(f"min_{m}_{s}") for (m, s, _lo, _hi) in pairs]
     )
-    d6 = F.round(d_expr + 1e-9, 6)
-    per_vec = (
-        sub_fan(emb.filter(F.col("vec_id") >= N_QUERIES), "vec_id", "sv")
-        .join(F.broadcast(cb), ["m", "sub_id"])
-        .select("vec_id", "m", "sub_id", d6.alias("d"))
-        .groupBy("vec_id", "m", "sub_id")
-        .agg(F.min("d").alias("min_d"))
-        .groupBy("vec_id", "m")
-        .agg(F.round(F.sum("min_d") + 1e-9, 6).alias("l2_err"))
-    )
+    err_structs = [
+        F.struct(
+            F.lit(m).cast("int").alias("m"),
+            F.round(
+                sum(F.col(f"min_{m}_{s}") for s in range(m)) + 1e-9, 6
+            ).alias("l2_err"),
+        )
+        for m in PQ_DISTORTION_MS
+    ]
+    per_vec = mins.select(
+        "vec_id", F.explode(F.array(*err_structs)).alias("e")
+    ).select("vec_id", "e.m", "e.l2_err")
     nrm2 = F.lit(0.0)
     for i in range(1, DIM + 1):
         nrm2 = nrm2 + F.element_at(F.col("v"), i) * F.element_at(F.col("v"), i)

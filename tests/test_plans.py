@@ -144,7 +144,7 @@ _HINT_BROADCAST_ALLOWLIST = {
     # inside the 1-row OLS-fit subtree (one occurrence reused), +
     # the broadcast fit frame itself — every frame 1-row-bounded
     "vocab_heaps_law": 4,
-    # PQ_CODES·Σm-row codebook grid (constants-bounded)
+    # PQ_CODES-row flat codebook (constants-bounded; r13 vector-grain join)
     "embedding_pq_distortion": 1,
     # |sources|-row global-mix frame (feature-bounded, nation-dim
     # precedent) riding the zero-cell grid cross join
