@@ -57,6 +57,14 @@ def _co_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("src", F.explode("parts").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
             .distinct()
+            # r13 (guide §2.4 — establish the partitioning once): the
+            # edge list is symmetric, so EVERY per-round consumer can
+            # key its edge join/groupBy on `src` (PageRank's adjacency
+            # build, LPA's neighbor join via symmetry). Hash-partition
+            # the cached frame by src once per session and those
+            # exchanges disappear from every round of every consumer;
+            # distinct()'s (src, dst) partitioning served none of them.
+            .repartition(spark.sparkContext.defaultParallelism, "src")
         )
 
     return _EDGES_MEMO.get_or_build(spark, sf_dir, build)
@@ -279,7 +287,17 @@ def part_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the community-size join consumes it twice; without that
     # boundary the whole round chain would re-expand per consumer.
     for _ in range(LPA_ITERS):
-        neigh = edges.join(labels, edges.dst == labels.part).select("src", "label")
+        # join keyed on edges.src (r13): the edge list is SYMMETRIC —
+        # for every (u, v) the mirror (v, u) exists — so "labels of
+        # u's neighbors" ≡ join labels on src and read the label off
+        # each edge's dst end. Identical multiset of (node, label)
+        # rows, but src is the memo frame's cached partitioning AND
+        # labels is already hash-partitioned on `part` by the
+        # previous round's groupBy — the per-round edge exchange
+        # disappears (guide §2.4).
+        neigh = edges.join(labels, edges.src == labels.part).select(
+            F.col("dst").alias("src"), "label"
+        )
         counts = neigh.groupBy("src", "label").agg(F.count(F.lit(1)).alias("cnt"))
         labels = (
             counts.groupBy("src").agg(best.alias("label")).select(F.col("src").alias("part"), "label")
